@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.InjectorOps._
+import graft.operators.KafkaShape
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The faithful-port operator surface (SURVEY.md §2) as named batch queries
+  * over the `events` table in Kafka shape, each with an ANSI-SQL DuckDB
+  * oracle. Because the Kafka-shape serialize→decode is the identity on the
+  * event fields, every oracle is a plain query over the original table.
+  */
+object InjectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def kafka(s: SparkSession, dir: String): DataFrame =
+    KafkaShape.fromEvents(Tables.events(s, dir))
+
+  private val schema = KafkaShape.eventPayloadSchema
+  private val baseCfg = InjectorConfig(topic = "events", indexPrefix = "graft-")
+
+  /** Decoded frame shared by most queries below. */
+  private def decoded(s: SparkSession, dir: String): DataFrame =
+    jsonDecode(schema)(nilMessageFilter()(kafka(s, dir)))
+
+  val all: Map[String, Q] = Map(
+    // D4: JSON decode of the message value (+ per-field JSON access into the
+    // nested `props` JSON string, the reference's only payload introspection).
+    "d4_json_decode" -> ((s, dir) =>
+      decoded(s, dir).select(
+        col("offset").as("event_id"),
+        col("payload.event_type").as("event_type"),
+        col("payload.value").as("value"),
+        get_json_object(col("payload.props"), "$.k").cast("int").as("k"))),
+
+    // D5: tombstone (nil value) messages are skipped, not errors. Tombstones
+    // simulated on event_id % 97 == 0.
+    "d5_nil_filter" -> ((s, dir) => {
+      val withTombstones = kafka(s, dir).withColumn("value",
+        when(col("offset") % 97 === 0, lit(null).cast("binary"))
+          .otherwise(col("value")))
+      jsonDecode(schema)(nilMessageFilter()(withTombstones))
+        .select(col("offset").as("event_id"))
+    }),
+
+    // D6: malformed messages (truncated JSON, simulated on
+    // event_id % 101 == 0) null out in PERMISSIVE decode and are dropped.
+    "d6_malformed_skip" -> ((s, dir) => {
+      val corrupted = kafka(s, dir).withColumn("value",
+        when(col("offset") % 101 === 0,
+          encode(lit("{\"ev"), "UTF-8")).otherwise(col("value")))
+      jsonDecode(schema)(nilMessageFilter()(corrupted))
+        .filter(col("payload.event_type").isNotNull)
+        .select(col("offset").as("event_id"),
+          col("payload.event_type").as("event_type"))
+    }),
+
+    // T1: @timestamp injection (message time, epoch ms).
+    "t1_timestamp_inject" -> ((s, dir) =>
+      injectTimestamp(decoded(s, dir)).select(
+        col("offset").as("event_id"),
+        col("payload.`@timestamp`").as("ts_ms"))),
+
+    // T2: decoded Kafka key merged into the payload as `key`.
+    "t2_key_include" -> ((s, dir) => {
+      val df = decoded(s, dir)
+      includeKey(include = true,
+        decodedKey = decode(col("key"), "UTF-8").cast("long"))(df)
+        .select(col("offset").as("event_id"), col("payload.key").as("key"))
+    }),
+
+    // T3: top-level payload blacklist (anti-projection).
+    "t3_blacklist" -> ((s, dir) =>
+      blacklist(Seq("props"))(decoded(s, dir)).select(
+        col("offset").as("event_id"), col("payload.*"))),
+
+    // R1: routing-value extraction (string column; type-guard behavior is
+    // asserted in unit tests — non-string/int payload types must fail).
+    "r1_routing_value" -> ((s, dir) => {
+      val df = decoded(s, dir)
+      df.select(col("offset").as("event_id"),
+        routingValue(df, "event_type").as("routing"))
+    }),
+
+    // R2: day / hour time-bucket suffixes.
+    "r2_bucket_day" -> ((s, dir) =>
+      decoded(s, dir).select(col("offset").as("event_id"),
+        timeBucket(DaySuffix).as("bucket"))),
+    "r2_bucket_hour" -> ((s, dir) =>
+      decoded(s, dir).select(col("offset").as("event_id"),
+        timeBucket(HourSuffix).as("bucket"))),
+
+    // R3: index routing — time suffix, and column-override variant.
+    "r3_index_route" -> ((s, dir) =>
+      indexName(baseCfg)(decoded(s, dir)).select(
+        col("offset").as("event_id"), col("es_index"))),
+    "r3_index_column_route" -> ((s, dir) =>
+      indexName(baseCfg.copy(indexColumn = Some("event_type")))(
+        decoded(s, dir)).select(
+        col("offset").as("event_id"), col("es_index"))),
+
+    // R4: doc id — default partition:offset, and column-override variant.
+    "r4_doc_id" -> ((s, dir) =>
+      docId(baseCfg)(decoded(s, dir)).select(
+        col("offset").as("event_id"), col("doc_id"))),
+    "r4_doc_id_column" -> ((s, dir) =>
+      docId(baseCfg.copy(docIdColumn = Some("event_type")))(
+        decoded(s, dir)).select(
+        col("offset").as("event_id"), col("doc_id"))),
+
+    // R5 + full hot path (SURVEY.md §3.2): the flagship pipeline.
+    "entry_pipeline" -> ((s, dir) =>
+      pipeline(baseCfg.copy(blacklist = Seq("props")), schema)(kafka(s, dir))
+        .select(col("es_index"), col("es_type"), col("doc_id"),
+          col("payload.event_type").as("event_type"),
+          col("payload.value").as("value"),
+          col("payload.`@timestamp`").as("ts_ms"))),
+
+    // K2: at-least-once redelivery + create-on-stable-id == dedup.
+    // Property: ingesting every message twice yields the original set.
+    "k2_dedup_create" -> ((s, dir) => {
+      val df = docId(baseCfg)(decoded(s, dir))
+      dedupByDocId()(df.unionAll(df)).select(
+        col("offset").as("event_id"), col("doc_id"))
+    }),
+
+    // K2 variant with genuinely colliding ids: one doc per (partition, day),
+    // deterministic lowest-offset winner.
+    "k2_dedup_window" -> ((s, dir) => {
+      val df = injectTimestamp(decoded(s, dir))
+        .withColumn("day", timeBucket(DaySuffix))
+      dedupByDocId(Seq("partition", "day"))(df).select(
+        col("partition").cast("long").as("user_id"), col("day"),
+        col("offset").as("event_id"))
+    }),
+
+    // M1: consumer-lag analogue — high-water mark vs committed offset per
+    // partition ("committed" = non-error messages here).
+    "m1_consumer_lag" -> ((s, dir) =>
+      decoded(s, dir)
+        .groupBy(col("partition").cast("long").as("user_id"))
+        .agg(
+          max(col("offset")).as("high_water"),
+          max(when(col("payload.event_type") =!= "error", col("offset")))
+            .as("committed"))
+        .withColumn("lag", col("high_water") - col("committed"))),
+
+    // M2: throughput counters by bucket and type.
+    "m2_throughput" -> ((s, dir) =>
+      injectTimestamp(decoded(s, dir))
+        .groupBy(timeBucket(DaySuffix).as("day"),
+          col("payload.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d4_json_decode" ->
+      """SELECT event_id, event_type, value,
+         json_extract_string(props, '$.k')::INTEGER AS k FROM events""",
+    "d5_nil_filter" ->
+      "SELECT event_id FROM events WHERE event_id % 97 <> 0",
+    "d6_malformed_skip" ->
+      """SELECT event_id, event_type FROM events WHERE event_id % 101 <> 0""",
+    "t1_timestamp_inject" ->
+      "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
+    "t2_key_include" ->
+      "SELECT event_id, user_id AS key FROM events",
+    "t3_blacklist" ->
+      "SELECT event_id, event_type, value FROM events",
+    "r1_routing_value" ->
+      "SELECT event_id, event_type AS routing FROM events",
+    "r2_bucket_day" ->
+      "SELECT event_id, strftime(ts, '%Y-%m-%d') AS bucket FROM events",
+    "r2_bucket_hour" ->
+      "SELECT event_id, strftime(ts, '%Y-%m-%d-%H') AS bucket FROM events",
+    "r3_index_route" ->
+      """SELECT event_id,
+         'graft-events-' || strftime(ts, '%Y-%m-%d') AS es_index FROM events""",
+    "r3_index_column_route" ->
+      "SELECT event_id, 'graft-events-' || event_type AS es_index FROM events",
+    "r4_doc_id" ->
+      "SELECT event_id, concat_ws(':', user_id, event_id) AS doc_id FROM events",
+    "r4_doc_id_column" ->
+      "SELECT event_id, event_type AS doc_id FROM events",
+    "entry_pipeline" ->
+      """SELECT 'graft-events-' || strftime(ts, '%Y-%m-%d') AS es_index,
+                '_doc' AS es_type,
+                concat_ws(':', user_id, event_id) AS doc_id,
+                event_type, value, epoch_ms(ts) AS ts_ms
+         FROM events""",
+    "k2_dedup_create" ->
+      """SELECT event_id, concat_ws(':', user_id, event_id) AS doc_id
+         FROM events""",
+    "k2_dedup_window" ->
+      """SELECT user_id, day, event_id FROM (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id,
+                  row_number() OVER (
+                    PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                    ORDER BY user_id, event_id) AS rn
+           FROM events) WHERE rn = 1""",
+    "m1_consumer_lag" ->
+      """SELECT user_id, max(event_id) AS high_water,
+                max(event_id) FILTER (WHERE event_type <> 'error') AS committed,
+                max(event_id) - max(event_id) FILTER (WHERE event_type <> 'error') AS lag
+         FROM events GROUP BY user_id""",
+    "m2_throughput" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2"""
+  )
+}

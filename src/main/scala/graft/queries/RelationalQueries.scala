@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational / analytical queries over the TPC-H-ish star schema and the
+  * `events` stream table — the operator categories the reference lacks
+  * entirely (SURVEY.md §2.1): joins of all kinds, aggregation, windows,
+  * sessionization, rollup, set ops, top-k.
+  *
+  * Cross-engine determinism: every floating-point SUM is taken over values
+  * cast to DECIMAL(28,10) first — per-row double→decimal conversion is
+  * deterministic and the decimal sum is exact and order-independent, so
+  * Spark and DuckDB hash-match bit-for-bit regardless of partitioning.
+  * (A raw double sum is order-dependent in the last bits.)
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier/part) are
+  * broadcast — no shuffle on the fact side for those joins; fact-fact joins
+  * (orders⋈lineitem) shuffle on the join key once and reuse it for the
+  * following aggregate where possible. AQE handles skew at 100 TB.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(28,10)")
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    if (n == "events") Tables.events(s, dir) // ns-timestamp handling
+    else Tables.load(s, dir, n)
+
+  val all: Map[String, Q] = Map(
+    // TPC-H Q1 shape: scan-heavy single-pass aggregate; filter and the two
+    // grouping columns push down to the parquet scan.
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: broadcast customer dim, shuffle join orders⋈lineitem,
+    // top-10 by exact decimal revenue (deterministic tiebreak on key).
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: star join — all dims broadcast, one shuffle for the
+    // orders⋈lineitem fact join, aggregate by nation.
+    "q5_local_supplier" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+    }),
+
+    // Window ranking: top-3 suppliers by exact revenue within each nation.
+    "window_supplier_rank" -> ((s, dir) => {
+      val supp = t(s, dir, "supplier")
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("revenue"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+      rev.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("s_nationkey"), col("s_suppkey"), col("revenue"),
+          col("rnk"))
+    }),
+
+    // Sessionization (gaps-and-islands, 30-minute inactivity gap) — the
+    // streaming session_window semantics expressed relationally so the
+    // oracle can verify it; the streaming module reuses the same threshold.
+    "events_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      ev.withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("start_ms"),
+          max(col("ts_ms")).as("end_ms"))
+    }),
+
+    // Rollup (grouping sets) over the event stream.
+    "rollup_daily" -> ((s, dir) =>
+      t(s, dir, "events")
+        .rollup(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))),
+
+    // Set ops: purchasers who never hit an error / who also viewed.
+    "set_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .distinct()
+        .except(ev.filter(col("event_type") === "error")
+          .select(col("user_id")).distinct())
+    }),
+    "set_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "purchase").select(col("user_id"))
+        .distinct()
+        .intersect(ev.filter(col("event_type") === "view")
+          .select(col("user_id")).distinct())
+    }),
+
+    // Anti join: customers with no orders.
+    "anti_join_customers" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // Semi join: parts that appear in some lineitem.
+    "semi_join_parts" -> ((s, dir) =>
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"),
+          "left_semi")
+        .select(col("p_partkey"), col("p_brand"))),
+
+    // Global top-k with deterministic tiebreak (TakeOrderedAndProject —
+    // no global sort, per-partition heaps).
+    "topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+        .select(col("o_orderkey"), col("o_totalprice")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
+                sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+    "window_supplier_rank" ->
+      """SELECT s_nationkey, s_suppkey, revenue, rnk FROM (
+           SELECT s_nationkey, s_suppkey, revenue,
+                  row_number() OVER (PARTITION BY s_nationkey
+                    ORDER BY revenue DESC, s_suppkey) AS rnk
+           FROM (
+             SELECT l_suppkey AS k,
+                    sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS revenue
+             FROM lineitem GROUP BY l_suppkey) r
+           JOIN supplier ON r.k = s_suppkey)
+         WHERE rnk <= 3""",
+    "events_sessionize" ->
+      """SELECT user_id, sess_id, count(*) AS n_events,
+                min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+         FROM (
+           SELECT user_id, ts_ms,
+                  sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts_ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM (
+             SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                           ORDER BY epoch_ms(ts), event_id) IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                           > 1800000
+                         THEN 1 ELSE 0 END AS new_sess
+             FROM events))
+         GROUP BY user_id, sess_id""",
+    "rollup_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                count(*) AS n, sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+         FROM events
+         GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)""",
+    "set_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
+    "set_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'""",
+    "anti_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "semi_join_parts" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"""
+  )
+}
