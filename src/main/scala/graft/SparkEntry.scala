@@ -18,12 +18,18 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.InjectorQueries.all ++
-      graft.queries.RelationalQueries.all
+      graft.queries.RelationalQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.DedupQueries.all ++
+      graft.queries.SimilarityQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.InjectorQueries.oracles ++
-      graft.queries.RelationalQueries.oracles
+      graft.queries.RelationalQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.SimilarityQueries.oracles
 }

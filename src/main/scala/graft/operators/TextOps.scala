@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.PortableHash.h15
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table (`doc_id, text, lang, source, n_chars`). Not in the
+  * reference (SURVEY.md §2.1 absence audit) — these are the scale-extension
+  * surface.
+  *
+  * Every operator is a pure column expression inside whole-stage codegen:
+  * no UDFs, no shuffles, no driver-side loops. At 100 TB each is a single
+  * narrow map over the scan with column pruning (only `text` is read when
+  * only text features are selected).
+  *
+  * Determinism: all derived numbers are integers, single IEEE divisions of
+  * integers, or fixed-shape expression trees — bit-identical between Spark
+  * and the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text (the "token counting:
+    * whitespace" path).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish regex token count: word runs and single non-word-non-space
+    * symbols, the usual pre-tokenizer shape.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  // ------------------------------------------------------------ language ID
+
+  /** Tiny per-language stopword marker lists for the n-gram/stopword
+    * language heuristic. Deliberately small and fixed: the operator shape
+    * (score per language → deterministic argmax) is what scales, the lists
+    * are config.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "有"))
+
+  /** Number of tokens that hit `words` (multiset count, integer). */
+  def markerHits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Language-ID: argmax of marker-hit scores with fixed precedence order
+    * (ties go to the earlier language in `langMarkers`); all-zero → "und".
+    * Integer comparisons only — deterministic.
+    */
+  def langId(toks: Column): Column = {
+    val scores = langMarkers.map { case (l, ws) => l -> markerHits(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  // ------------------------------------------------------- quality scoring
+
+  /** Quality-signal columns: lengths, ratios, and a combined score.
+    * Ratios are single int/int IEEE divisions; the score is one fixed
+    * expression tree — both reproduce bit-exactly in DuckDB.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(text)
+    val nPunct = length(regexp_replace(text, "[^.,!?;:]", ""))
+    val sumTokLen =
+      aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val nStop = markerHits(toks, langMarkers.flatMap(_._2))
+    Seq(
+      "n_tokens" -> nTok,
+      "n_chars_sp" -> nChar,
+      "n_punct" -> nPunct,
+      "avg_token_len" -> sumTokLen.cast("double") / nTok.cast("double"),
+      "punct_ratio" -> nPunct.cast("double") / nChar.cast("double"),
+      "stopword_ratio" -> nStop.cast("double") / nTok.cast("double"))
+  }
+
+  /** Materialize the quality columns onto a documents frame. */
+  def quality(textCol: String = "text")(df: DataFrame): DataFrame =
+    qualityColumns(col(textCol)).foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+
+  // -------------------------------------------------------- fingerprinting
+
+  /** Canonical content normalization for exact dedup: lowercase, collapse
+    * runs of whitespace.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact content fingerprint (md5 hex of the normalized text). */
+  def contentHash(text: Column): Column = md5(normalized(text))
+
+  /** Rolling-hash document fingerprint: minimum 60-bit hash over all
+    * k-token shingles (a 1-permutation MinHash — the document sketch used
+    * for cheap near-dup prefiltering). Pure array expressions, no explode:
+    * per-row cost O(tokens·k), no shuffle.
+    */
+  def shingleFingerprint(text: Column, k: Int = 5): Column = {
+    val toks = tokens(text)
+    array_min(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => h15(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+}

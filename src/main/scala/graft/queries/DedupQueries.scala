@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.DedupOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries over `documents` / `embeddings`, oracle-mirrored
+  * in DuckDB. The testdata contains genuine near-duplicate documents
+  * (trigram Jaccard ≈ 0.99 pairs), so every near-dup query has a
+  * non-trivial result set.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  val all: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on normalized content.
+    "dedup_exact" -> ((s, dir) => DedupOps.exactDedup()(docs(s, dir))),
+
+    // N-gram Jaccard near-dup via inverted shingle index (no n² pass).
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(k = 3, threshold = 0.5)(docs(s, dir))),
+
+    // MinHash + LSH banding with exact-Jaccard verification.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashLshPairs(k = 2, bands = 8, rows = 2,
+        threshold = 0.5)(docs(s, dir))),
+
+    // SimHash sketch per document.
+    "dedup_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        DedupOps.simhash(col("text")).as("sh"))),
+
+    // SimHash near-dup pairs via pigeonhole chunk banding.
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(docs(s, dir))),
+
+    // Embedding-cosine near-dup via SRP-LSH buckets + exact verify.
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      DedupOps.embeddingNearDupPairs(threshold = 0.35, planes = 4)(
+        embs(s, dir)))
+  )
+
+  import Duck._
+
+  /** simhash per doc, relational formulation (integer math ⇒ identical to
+    * the Spark array-fold formulation regardless of order).
+    */
+  private val duckSimhash =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+        hx AS (SELECT doc_id, ${h15("t")} AS h FROM tok),
+        bits AS (SELECT doc_id, bb.b AS b,
+                   sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                 FROM hx CROSS JOIN range(0, 60) bb(b)
+                 GROUP BY doc_id, bb.b),
+        shv AS (SELECT doc_id,
+                  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+                    AS sh
+                FROM bits GROUP BY doc_id)"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            AS content_hash,
+          min(doc_id) AS canonical_id, count(*) AS n_copies
+          FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, ${shingles(3)} AS sh FROM documents),
+          p AS (SELECT doc_id, length(sh) AS sz, unnest(sh) AS shingle FROM s)
+          SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
+            count(*)::DOUBLE /
+              (any_value(a.sz) + any_value(b.sz) - count(*))::DOUBLE AS jaccard
+          FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING jaccard >= 0.5""",
+    "dedup_minhash_lsh" ->
+      s"""WITH s AS (SELECT doc_id, ${shingles(2)} AS sh FROM documents),
+          g AS (SELECT doc_id, sh,
+                  list_transform(range(0, 16), p -> list_min(list_transform(
+                    sh, t -> ${h15("concat(p::VARCHAR, ':', t)")}))) AS sig
+                FROM s),
+          bd AS (SELECT doc_id, sh, r.b AS band,
+                   ${h15("array_to_string(sig[r.b*2+1:r.b*2+2], '_')")}
+                     AS band_key
+                 FROM g CROSS JOIN range(0, 8) r(b)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     x.sh AS sha, y.sh AS shb
+                   FROM bd x JOIN bd y
+                     ON x.band = y.band AND x.band_key = y.band_key
+                       AND x.doc_id < y.doc_id)
+          SELECT a, b,
+            length(list_intersect(sha, shb))::DOUBLE /
+              (length(sha) + length(shb)
+               - length(list_intersect(sha, shb)))::DOUBLE AS jaccard
+          FROM cand
+          WHERE length(list_intersect(sha, shb))::DOUBLE /
+              (length(sha) + length(shb)
+               - length(list_intersect(sha, shb)))::DOUBLE >= 0.5""",
+    "dedup_simhash" ->
+      s"""$duckSimhash SELECT doc_id, sh FROM shv""",
+    "dedup_simhash_pairs" ->
+      s"""$duckSimhash,
+          bd AS (SELECT doc_id, sh, t.c AS chunk,
+                   (sh >> (t.c::INTEGER * 6)) & 63 AS chunk_val
+                 FROM shv CROSS JOIN range(0, 10) t(c)),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     x.sh AS sha, y.sh AS shb
+                   FROM bd x JOIN bd y
+                     ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
+                       AND x.doc_id < y.doc_id)
+          SELECT a, b, bit_count(xor(sha, shb)) AS hamming
+          FROM cand WHERE bit_count(xor(sha, shb)) <= 8""",
+    "dedup_embedding_cosine" ->
+      s"""WITH g AS (SELECT vec_id, embedding,
+                  ${srpBucket("embedding", 4, 64)} AS bucket
+                FROM embeddings)
+          SELECT x.vec_id AS a, y.vec_id AS b,
+            ${cosine("x.embedding", "y.embedding")} AS cos
+          FROM g x JOIN g y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35"""
+  )
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over `embeddings`: exact brute-force cosine
+  * top-k (correctness anchor) and SRP-LSH approximate top-k (the scale
+  * path). The query set is the first 8 vectors — stands in for a
+  * broadcast-able probe batch.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+  private val NQ = 8
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+  private def queriesOf(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") < NQ)
+
+  val all: Map[String, Q] = Map(
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.bruteForceTopK(e, queriesOf(e), K)
+    }),
+    "sim_srp_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.srpTopK(e, queriesOf(e), K, planes = 6)
+    })
+  )
+
+  import Duck._
+
+  val oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                     FROM embeddings WHERE vec_id < $NQ),
+          scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       ${cosine("qe", "e.embedding")} AS cos
+                     FROM q CROSS JOIN embeddings e
+                     WHERE e.vec_id <> query_id)
+          SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= $K""",
+    "sim_srp_topk" ->
+      s"""WITH g AS (SELECT vec_id, embedding,
+                  ${srpBucket("embedding", 6, 64)} AS bucket
+                FROM embeddings),
+          q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+                FROM g WHERE vec_id < $NQ),
+          scored AS (SELECT query_id, g.vec_id AS neighbor_id,
+                       ${cosine("qe", "g.embedding")} AS cos
+                     FROM q JOIN g USING (bucket)
+                     WHERE g.vec_id <> query_id)
+          SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= $K"""
+  )
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextOps
+import graft.operators.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over `documents`, each with a bit-exact DuckDB
+  * oracle (see TextOps for the determinism rules). Shared DuckDB SQL
+  * fragments live in [[Duck]] so Spark and oracle stay in lockstep.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  val all: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    "text_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    // Quality scoring: lengths + deterministic ratios.
+    "text_quality" -> ((s, dir) =>
+      quality()(docs(s, dir)).select(col("doc_id") +:
+        TextOps.qualityColumns(col("text")).map(p => col(p._1)): _*)),
+
+    // Language ID (n-gram/stopword heuristic with deterministic argmax).
+    "text_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        langId(tokens(col("text"))).as("lang_guess"))),
+
+    // Document fingerprinting: exact content hash + min-shingle rolling
+    // hash (1-perm MinHash sketch).
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        contentHash(col("text")).as("content_hash"),
+        shingleFingerprint(col("text"), 5).as("shingle_fp")))
+  )
+
+  import Duck._
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""SELECT doc_id, length($toks) AS n_tokens,
+          length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+          FROM documents""",
+    "text_quality" ->
+      s"""SELECT doc_id, length($toks) AS n_tokens,
+          length(text) AS n_chars_sp,
+          $nPunct AS n_punct,
+          list_sum(list_transform($toks, t -> length(t)))::DOUBLE
+            / length($toks)::DOUBLE AS avg_token_len,
+          $nPunct::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+          ${markerHits(toks, TextOps.langMarkers.flatMap(_._2))}::DOUBLE
+            / length($toks)::DOUBLE AS stopword_ratio
+          FROM documents""",
+    "text_lang_id" -> {
+      val scores = TextOps.langMarkers.map { case (l, ws) =>
+        l -> markerHits(toks, ws)
+      }
+      val cases = scores.zipWithIndex.map { case ((l, sc), i) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        val cond =
+          if (rest.isEmpty) s"$sc > 0"
+          else s"$sc > 0 AND $sc >= greatest(${rest.mkString(", ")})"
+        s"WHEN $cond THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
+          FROM documents"""
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            AS content_hash,
+          list_min(list_transform(
+            range(0, greatest(length($toks) - 5, 0) + 1),
+            i -> ${h15(s"array_to_string(($toks)[i+1:i+5], ' ')")}))
+            AS shingle_fp
+          FROM documents"""
+  )
+}
+
+/** DuckDB SQL fragments mirroring the Spark expressions bit-for-bit. */
+private[queries] object Duck {
+  /** whitespace tokens of trim(text) ≡ TextOps.tokens */
+  val toks = """string_split_regex(trim(text), '\s+')"""
+  val nPunct = """length(regexp_replace(text, '[^.,!?;:]', '', 'g'))"""
+
+  /** 60-bit portable hash ≡ PortableHash.h15 */
+  def h15(e: String): String =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+  def h15(seed: String, e: String): String =
+    h15(s"concat('$seed:', $e)")
+
+  /** marker-hit count ≡ TextOps.markerHits */
+  def markerHits(toksExpr: String, words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"length(list_filter($toksExpr, t -> list_contains($lst, t)))"
+  }
+
+  /** distinct k-shingle list ≡ DedupOps.shingleSet */
+  def shingles(k: Int): String =
+    s"""list_distinct(list_transform(
+        range(0, greatest(length($toks) - $k, 0) + 1),
+        i -> array_to_string(($toks)[i+1:i+$k], ' ')))"""
+
+  /** sequential double dot product ≡ DedupOps.dot (0-init fold ≡
+    * first-element-init fold for IEEE addition).
+    */
+  def dot(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+        x -> x[1]::DOUBLE * x[2]::DOUBLE), (p, q) -> p + q)"""
+  def cosine(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  /** SRP bucket ≡ SimilarityOps.srpBucket */
+  def srpBucket(v: String, planes: Int, dim: Int): String = {
+    val terms = (0 until planes).map { p =>
+      val sign = s"""(CASE WHEN ${h15(s"concat('plane$p:', x[2]::VARCHAR)")}
+                     & 1 = 1 THEN 1.0 ELSE -1.0 END)"""
+      val d = s"""list_reduce(list_transform(list_zip($v, range(0, $dim)),
+                  x -> x[1]::DOUBLE * $sign), (p, q) -> p + q)"""
+      s"(CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+}
