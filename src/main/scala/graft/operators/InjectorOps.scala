@@ -60,13 +60,25 @@ object InjectorOps {
     df.filter(col(valueCol).isNotNull)
 
   /** D4 + D6: decode a JSON string value into a typed `payload` struct;
-    * malformed records null out (PERMISSIVE) and are dropped, so one poison
-    * message can never wedge the pipeline (unlike the reference's batch
-    * re-call loop, SURVEY.md §7.5.5).
+    * malformed records are dropped, so one poison message can never wedge
+    * the pipeline (unlike the reference's batch re-call loop, SURVEY.md
+    * §7.5.5). PERMISSIVE `from_json` yields an all-null struct (not a null
+    * struct) for malformed input, so detection goes through an explicit
+    * corrupt-record column — mirroring the reference's json.Unmarshal
+    * error branch exactly (partial/valid JSON with missing fields is kept,
+    * syntactically broken JSON is dropped).
     */
-  def jsonDecode(schema: StructType, valueCol: String = "value")(df: DataFrame): DataFrame =
-    df.withColumn("payload", from_json(col(valueCol).cast("string"), schema))
-      .filter(col("payload").isNotNull)
+  def jsonDecode(schema: StructType, valueCol: String = "value")(df: DataFrame): DataFrame = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType))
+    df.withColumn("payload",
+        from_json(col(valueCol).cast("string"), withCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .filter(col("payload").isNotNull &&
+        col("payload._corrupt_record").isNull)
+      .withColumn("payload", col("payload").dropFields("_corrupt_record"))
+  }
 
   // ------------------------------------------------------------ transforms
 

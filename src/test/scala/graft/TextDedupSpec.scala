@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the scale-extension operators (text analysis, dedup,
+  * similarity) on small hand-built inputs with known answers.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("token count: whitespace and BPE-ish") {
+    val df = docs((1L, "  hello,  world! one two  "))
+    val (n, b) = df.select(
+      size(TextOps.tokens($"text")),
+      TextOps.bpeTokenCount($"text")).as[(Int, Int)].head()
+    assert(n == 4)          // hello, | world! | one | two
+    assert(b == 6)          // hello , world ! one two
+  }
+
+  test("language ID picks the dominant marker language") {
+    val df = docs(
+      (1L, "der hund und die katze ist da"),
+      (2L, "the cat and the dog is here"),
+      (3L, "xyzzy plugh"))
+    val out = df.select($"doc_id",
+      TextOps.langId(TextOps.tokens($"text"))).as[(Long, String)]
+      .collect().toMap
+    assert(out(1L) == "de")
+    assert(out(2L) == "en")
+    assert(out(3L) == "und")
+  }
+
+  test("content hash is normalization-invariant") {
+    val df = docs((1L, "Hello   World"), (2L, "hello world"),
+      (3L, "different"))
+    val hs = df.select(TextOps.contentHash($"text")).as[String].collect()
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+  }
+
+  test("exact dedup groups normalized duplicates, lowest id wins") {
+    val df = docs((5L, "A b C"), (2L, "a B c"), (9L, "other"))
+    val out = DedupOps.exactDedup()(df)
+      .select($"canonical_id", $"n_copies").as[(Long, Long)]
+      .collect().toSet
+    assert(out == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("shingle fingerprint is stable and content-sensitive") {
+    val df = docs((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "q r s t u v w"))
+    val fp = df.select(TextOps.shingleFingerprint($"text", 5))
+      .as[Long].collect()
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+  }
+
+  test("ngram jaccard: identical docs have jaccard 1.0") {
+    val df = docs((1L, "w x y z w x y z"), (2L, "w x y z w x y z"),
+      (3L, "totally different words here"))
+    val out = DedupOps.ngramJaccardPairs(k = 2, threshold = 0.9)(df)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH finds the identical pair and verifies jaccard") {
+    val df = docs((1L, "p q r s t u v"), (2L, "p q r s t u v"),
+      (3L, "completely other tokens list"))
+    val out = DedupOps.minhashLshPairs(k = 2, bands = 4, rows = 2,
+      threshold = 0.9)(df)
+      .select($"a", $"b").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs hash equal; near docs within distance") {
+    val df = docs((1L, "m n o p q r s"), (2L, "m n o p q r s"))
+    val sh = df.select(DedupOps.simhash($"text")).as[Long].collect()
+    assert(sh(0) == sh(1))
+    assert(sh(0) >= 0L && sh(0) < (1L << 60))
+    val pairs = DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(df)
+      .select($"hamming").as[Int].collect()
+    assert(pairs.toSeq == Seq(0))
+  }
+
+  test("cosine: identical vectors similarity 1, orthogonal 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val cos12 = df.filter($"vec_id" === 1).crossJoin(
+      df.filter($"vec_id" === 2).select($"embedding".as("e2")))
+      .select(DedupOps.cosine($"embedding", $"e2")).as[Double].head()
+    assert(math.abs(cos12 - 1.0) < 1e-12)
+    val cos13 = df.filter($"vec_id" === 1).crossJoin(
+      df.filter($"vec_id" === 3).select($"embedding".as("e2")))
+      .select(DedupOps.cosine($"embedding", $"e2")).as[Double].head()
+    assert(cos13 == 0.0)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic tiebreak") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(df, df.filter($"vec_id" === 0), 2)
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 1), (3L, 2)))
+  }
+
+  test("SRP top-k only scores same-bucket candidates") {
+    val df = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.4f)),     // same direction -> same bucket
+      (2L, Array.fill(64)(-0.5f)))    // opposite -> different bucket
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.srpTopK(df, df.filter($"vec_id" === 0), 5)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(out.contains(1L) && !out.contains(2L))
+  }
+}
