@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.RelationalQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
-      graft.queries.SimilarityQueries.all
+      graft.queries.SimilarityQueries.all ++
+      graft.queries.AvroQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.RelationalQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
-      graft.queries.SimilarityQueries.oracles
+      graft.queries.SimilarityQueries.oracles ++
+      graft.queries.AvroQueries.oracles
 }
