@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.operators.InjectorOps
+import graft.operators.InjectorOps.InjectorConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The canonical deployment shape of the reference (SURVEY.md §3.2):
+  * Kafka consumer-group source → decode/enrich/route → Elasticsearch bulk
+  * sink, re-expressed as one Structured Streaming plan. Every transform is
+  * the *same* `DataFrame => DataFrame` used by the batch queries — nothing
+  * here is streaming-only logic, which is what the MemoryStream spec
+  * asserts (batch ≡ streaming).
+  *
+  * Reference operator mapping:
+  *  - S1 consumer group/rebalance/offsets → the Kafka source + checkpoint
+  *    (src/kafka/consumer.go:73-135)
+  *  - S2 bounded buffer → `maxOffsetsPerTrigger` admission control
+  *    (consumer.go:68,104-112)
+  *  - S3 micro-batcher → trigger interval (consumer.go:137-178)
+  *  - K6 at-least-once commit → offsets commit to the checkpoint WAL only
+  *    after sink success (consumer.go:163-173), a strictly stronger
+  *    guarantee than the reference's async MarkOffset
+  */
+object StreamingPipeline {
+
+  /** Kafka source options mirroring the reference's env config (§2.2).
+    * Compiles against plain Spark; running it needs the
+    * spark-sql-kafka connector on the cluster classpath (not present in
+    * the offline harness — tests use MemoryStream with identical schema).
+    */
+  final case class KafkaSourceConfig(
+      bootstrapServers: String,
+      topics: Seq[String],
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None)
+
+  def kafkaSource(spark: SparkSession, cfg: KafkaSourceConfig): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("subscribe", cfg.topics.mkString(","))
+      .option("startingOffsets", cfg.startingOffsets)
+    cfg.maxOffsetsPerTrigger.fold(base)(n =>
+      base.option("maxOffsetsPerTrigger", n)).load()
+  }
+
+  /** Full hot path on any Kafka-shaped frame (batch or streaming), with
+    * the streaming dedup stage (K2) bounded by a watermark: the reference
+    * outsources dedup state to the ES index (unbounded, free); a stream
+    * needs bounded state, so duplicates are dropped only within
+    * `dedupWatermark` of event time — the documented divergence
+    * (SURVEY.md §7.5.4). `None` disables in-stream dedup and leaves K2 to
+    * the sink's create-op, exactly like the reference.
+    */
+  def streamingPipeline(cfg: InjectorConfig, schema: StructType,
+      dedupWatermark: Option[String] = None)(df: DataFrame): DataFrame = {
+    val routed = (InjectorOps.nilMessageFilter()(_: DataFrame))
+      .andThen(InjectorOps.jsonDecode(schema))
+      .andThen(InjectorOps.injectTimestamp)
+      .andThen(InjectorOps.blacklist(cfg.blacklist))
+      .andThen(InjectorOps.indexName(cfg))
+      .andThen(InjectorOps.docId(cfg))
+      .apply(df)
+    val deduped = dedupWatermark match {
+      case Some(delay) => routed.withWatermark("timestamp", delay)
+        .dropDuplicatesWithinWatermark("doc_id")
+      case None => routed
+    }
+    InjectorOps.assemble(deduped)
+  }
+
+  /** Start the stream into an [[EsBulkSink]] with a checkpoint — offsets
+    * commit after sink success (K6).
+    */
+  def start(assembled: DataFrame, sink: EsBulkSink, checkpoint: String,
+      queryName: String = "graft-injector") =
+    assembled.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) => sink.write(batch, id))
+      .start()
+}

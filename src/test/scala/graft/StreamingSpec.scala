@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.operators.InjectorOps.InjectorConfig
+import graft.streaming.{EsBulkSink, StreamingPipeline}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka-shaped message for MemoryStream. */
+case class Msg(key: Array[Byte], value: Array[Byte], topic: String,
+    partition: Int, offset: Long, timestamp: Timestamp, timestampType: Int)
+
+/** Proves batch ≡ streaming for the injector pipeline (the reason every
+  * operator is a pure DataFrame => DataFrame), and the sink's
+  * at-least-once + create = dedup contract across micro-batches —
+  * mirroring the reference's end-to-end consumer test
+  * (src/kafka/consumer_test.go:106-147) without external services.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType), StructField("n", IntegerType)))
+  private val cfg = InjectorConfig(topic = "my-topic")
+
+  private def msg(partition: Int, offset: Long, json: String,
+      ts: String = "2024-03-05 10:11:12.345"): Msg =
+    Msg(null, json.getBytes("UTF-8"), "my-topic", partition, offset,
+      Timestamp.valueOf(ts), 0)
+
+  private val batch1 = Seq(
+    msg(0, 1L, """{"id":"a","n":1}"""),
+    msg(0, 2L, """{"id":"b","n":2}"""),
+    msg(1, 1L, """{"id":"c","n":3}"""))
+
+  test("streaming pipeline result equals batch pipeline result") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    stream.addData(batch1)
+    val out = Files.createTempDirectory("graft-stream").toString
+    val q = StreamingPipeline.streamingPipeline(cfg, schema)(stream.toDF())
+      .writeStream.format("memory").queryName("stream_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("stream_out")
+      .select($"es_index", $"doc_id", $"payload.id", $"payload.n")
+      .as[(String, String, String, Int)].collect().toSet
+    val batched = StreamingPipeline.streamingPipeline(cfg, schema)(
+      batch1.toDF())
+      .select($"es_index", $"doc_id", $"payload.id", $"payload.n")
+      .as[(String, String, String, Int)].collect().toSet
+    assert(streamed == batched)
+    assert(streamed.map(_._2) == Set("0:1", "0:2", "1:1"))
+    assert(streamed.forall(_._1 == "my-topic-2024-03-05"))
+  }
+
+  test("sink: redelivered micro-batch leaves exactly one doc per id (K2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    val dir = Files.createTempDirectory("graft-es").toString
+    val sink = new EsBulkSink(s"$dir/index")
+    val q = StreamingPipeline.start(
+      StreamingPipeline.streamingPipeline(cfg, schema)(stream.toDF()),
+      sink, s"$dir/cp")
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch1) // at-least-once redelivery
+      q.processAllAvailable()
+    } finally q.stop()
+    val docs = sink.contents(spark).select($"doc_id").as[String].collect()
+    assert(docs.sorted.toSeq == Seq("0:1", "0:2", "1:1"))
+    assert(sink.conflicts.sum() == 3L)
+    assert(sink.inserted.sum() == 3L)
+  }
+
+  test("sink: transient failures retry with backoff then succeed (K4)") {
+    val dir = Files.createTempDirectory("graft-es2").toString
+    var failures = 2
+    val sink = new EsBulkSink(s"$dir/index", maxRetries = 3,
+      transientFailure = () => { failures -= 1; failures >= 0 })
+    val df = StreamingPipeline.streamingPipeline(cfg, schema)(batch1.toDF())
+    sink.write(df, 0L)
+    assert(sink.retries.sum() == 2L)
+    assert(sink.contents(spark).count() == 3L)
+  }
+
+  test("sink: exhausted retries fail the batch instead of wedging (K4)") {
+    val dir = Files.createTempDirectory("graft-es3").toString
+    val sink = new EsBulkSink(s"$dir/index", maxRetries = 2,
+      transientFailure = () => true)
+    val df = StreamingPipeline.streamingPipeline(cfg, schema)(batch1.toDF())
+    intercept[RuntimeException] { sink.write(df, 0L) }
+    assert(sink.retries.sum() == 2L)
+  }
+
+  test("sink: bad records are counted and dropped, not retried (K3)") {
+    val dir = Files.createTempDirectory("graft-es4").toString
+    val sink = new EsBulkSink(s"$dir/index",
+      badRecord = Some(col("payload.n") < 0))
+    val bad = batch1 :+ msg(2, 9L, """{"id":"z","n":-5}""")
+    sink.write(StreamingPipeline.streamingPipeline(cfg, schema)(bad.toDF()), 0L)
+    assert(sink.badRequests.sum() == 1L)
+    assert(sink.contents(spark).count() == 3L)
+  }
+
+  test("in-stream dedup within watermark drops duplicate doc ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    // same (partition, offset) delivered twice in one batch
+    stream.addData(batch1 ++ batch1)
+    val out = Files.createTempDirectory("graft-stream2").toString
+    val q = StreamingPipeline.streamingPipeline(cfg, schema,
+      dedupWatermark = Some("1 hour"))(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup_out").select($"doc_id").as[String].collect()
+    assert(ids.sorted.toSeq == Seq("0:1", "0:2", "1:1"))
+  }
+}
