@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
-      graft.queries.AvroQueries.all
+      graft.queries.AvroQueries.all ++
+      graft.queries.MultimodalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
-      graft.queries.AvroQueries.oracles
+      graft.queries.AvroQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles
 }
