@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels for the shingle/minhash hot path. Same results as
+  * the declarative HOF formulations (and the DuckDB oracles), minus the
+  * per-element interpreted-lambda dispatch that dominates their cost:
+  * one JVM method call per ROW instead of per element.
+  */
+object TextExprs {
+
+  /** Distinct k-token shingles: indices 0..max(n-k, 0), shingle i =
+    * tokens[i..i+k) joined with ' ', first-occurrence order — exactly
+    * `array_distinct(transform(sequence(0, greatest(n-k, 0)),
+    * i => concat_ws(' ', slice(toks, i+1, k))))`.
+    */
+  case class ShingleSet(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType)
+    override def prettyName: String = "shingle_set"
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val last = math.max(n - k, 0)
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= last) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        val end = math.min(i + k, n)
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          val t = toks.getUTF8String(j)
+          if (t != null) sb.append(t.toString)
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** h15 of every element: md5 hex[0,15) as long (== PortableHash.h15,
+    * == DuckDB `('0x' || substring(md5(x), 1, 15))::BIGINT`).
+    */
+  case class H15Array(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType)
+    override def prettyName: String = "h15_array"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        out(i) = if (s == null) null else {
+          md.reset()
+          val d = md.digest(s.getBytes)
+          var h = 0L
+          var j = 0
+          while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+          h >>> 4 // first 15 hex chars = high 60 of first 64 bits
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** All `perms` MinHash mins in ONE pass over the base-hash array:
+    * sig[p] = min over h of rotl60(h, 7p mod 60) xor salt(p) — exactly
+    * DedupOps.rotl60/permSalt (and the generated DuckDB mirror).
+    */
+  case class MinhashSig(child: Expression, perms: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType)
+    override def prettyName: String = "minhash_sig"
+
+    @transient private lazy val rots: Array[Int] =
+      (0 until perms).map(p => (7 * p) % 60).toArray
+    @transient private lazy val salts: Array[Long] =
+      (0 until perms).map(graft.operators.DedupOps.permSalt).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val base = input.asInstanceOf[ArrayData]
+      val n = base.numElements()
+      val mins = Array.fill(perms)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        if (!base.isNullAt(i)) {
+          val h = base.getLong(i)
+          var p = 0
+          while (p < perms) {
+            val r = rots(p)
+            val rot = if (r == 0) h
+              else ((h % (1L << (60 - r))) << r) + (h >>> (60 - r))
+            val v = rot ^ salts(p)
+            if (v < mins(p)) mins(p) = v
+            p += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(mins.map(m =>
+        if (m == Long.MaxValue) null else m: Any))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  def shingleSet(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleSet(ColumnBridge.expression(tokens), k))
+  def h15Array(strings: Column): Column =
+    ColumnBridge.column(H15Array(ColumnBridge.expression(strings)))
+  def minhashSig(base: Column, perms: Int): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(base), perms))
+}

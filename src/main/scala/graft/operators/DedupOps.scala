@@ -30,52 +30,59 @@ object DedupOps {
 
   // --------------------------------------------------- n-gram Jaccard dedup
 
-  /** Distinct k-token shingle set of a document (array expression, no
-    * explode until the join needs it).
+  /** Distinct k-token shingle set of a document — tight-loop kernel
+    * ([[graft.functions.TextExprs.ShingleSet]]); no explode until the join
+    * needs it.
     */
-  def shingleSet(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  def shingleSet(text: Column, k: Int): Column =
+    graft.functions.TextExprs.shingleSet(tokens(text), k)
 
-  /** N-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode shingles → self-equi-join on the shingle → count shared
-    * shingles per pair → Jaccard from |A∩B| and set sizes. The join is on
-    * `shingle` (high cardinality) — a classic shuffle hash join; no pair is
-    * ever formed that shares zero shingles. Emits (a, b, jaccard) with
-    * a < b and jaccard ≥ threshold.
+  /** N-gram Jaccard near-dup pairs — EXACT result via prefix-filtered
+    * inverted index (AllPairs/PPJoin family):
     *
-    * Scale: the inverted index is the standard web-scale near-dup plan;
-    * hot shingles (stopword-only) can be dropped by an IDF-style filter —
-    * here `maxDocFreq` caps a shingle's posting list, bounding join fanout
-    * (the skew guard salting would otherwise handle).
+    *  1. Global canonical shingle order = ascending (document frequency,
+    *     shingle): rarest first.
+    *  2. J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, so any qualifying partner must hit
+    *     one of the first `|A| − ⌈t·|A|⌉ + 1` shingles of A in that order —
+    *     only those *prefix* postings are self-joined.
+    *  3. Candidates are verified with the exact Jaccard of the full
+    *     shingle sets.
+    *
+    * Versus the naive full inverted index, the join fanout drops from
+    * Σ df² over *all* shingles to Σ df_prefix² over mostly-rare ones —
+    * the difference between quadratic blowup on stop-shingles and linear
+    * work, and exactly the trick that keeps this runnable at 100 TB
+    * (the df-ascending order concentrates prefixes on low-fanout keys).
+    * All joins are equi-joins; AQE's skew splitting covers the residue.
     */
-  def ngramJaccardPairs(k: Int = 3, threshold: Double = 0.5,
-      maxDocFreq: Int = Int.MaxValue)(df: DataFrame): DataFrame = {
+  def ngramJaccardPairs(k: Int = 3, threshold: Double = 0.5)(
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sets = df.select(col("doc_id"),
       shingleSet(col("text"), k).as("shingles"))
       .withColumn("set_size", size(col("shingles")))
     val posting = sets
       .select(col("doc_id"), col("set_size"),
         explode(col("shingles")).as("shingle"))
-    val bounded =
-      if (maxDocFreq == Int.MaxValue) posting
-      else {
-        val freq = posting.groupBy("shingle")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq)
-        posting.join(freq.select("shingle"), Seq("shingle"))
-      }
-    val a = bounded.select(col("shingle"), col("doc_id").as("a"),
-      col("set_size").as("size_a"))
-    val b = bounded.select(col("shingle"), col("doc_id").as("b"),
-      col("set_size").as("size_b"))
-    a.join(b, Seq("shingle"))
+    val freq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = posting.join(freq, Seq("shingle"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <=
+        col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
+    val cand = prefix.select(col("shingle"), col("doc_id").as("a"))
+      .join(prefix.select(col("shingle"), col("doc_id").as("b")),
+        Seq("shingle"))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("size_a"), col("size_b"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a"), col("b")).distinct()
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sh_a"),
+        col("set_size").as("size_a")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("shingles").as("sh_b"),
+        col("set_size").as("size_b")), Seq("b"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -84,13 +91,38 @@ object DedupOps {
 
   // ----------------------------------------------------------- MinHash LSH
 
-  /** MinHash signature: `perms` independent 60-bit hash families (seeded
-    * portable hash), each taking the min over the shingle set. One array
-    * expression per row — O(perms·shingles) CPU, zero shuffle.
+  /** 60-bit left rotation using only %, *, >> — no overflow in either
+    * engine (the shifted-out high bits are isolated by the modulo first),
+    * bit-identical in DuckDB.
+    */
+  def rotl60(x: Column, r: Int): Column =
+    if (r % 60 == 0) x
+    else (x % lit(1L << (60 - r % 60))) * lit(1L << (r % 60)) +
+      shiftright(x, 60 - r % 60)
+
+  /** Per-permutation salt, derived off the same md5 family (computed once
+    * at plan build, embedded as a literal on both engines).
+    */
+  def permSalt(p: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"minperm:$p".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** MinHash signature: ONE md5 per shingle (the expensive part), then
+    * `perms` cheap independent mixes (rotate + xor with a per-permutation
+    * salt), each taking the min over the shingle set. Both stages are
+    * single-pass kernels ([[graft.functions.TextExprs.H15Array]] /
+    * [[graft.functions.TextExprs.MinhashSig]]): O(shingles) md5 +
+    * O(perms·shingles) integer ops per row, zero shuffle — 16× less
+    * hashing than an md5-per-permutation family and no per-element
+    * interpreted-lambda dispatch, with candidates still verified by exact
+    * Jaccard downstream.
     */
   def minhashSignature(shingles: Column, perms: Int): Column =
-    array((0 until perms).map(p =>
-      array_min(transform(shingles, s => h15(p, s)))): _*)
+    graft.functions.TextExprs.minhashSig(
+      graft.functions.TextExprs.h15Array(shingles), perms)
 
   /** MinHash + LSH banding: signature of `bands·rows` permutations, band
     * key = hash of each `rows`-slice; docs sharing any band key become
@@ -113,13 +145,19 @@ object DedupOps {
         h15(concat_ws("_",
           slice(col("sig"), b * rows + 1, rows).cast("array<string>")))): _*))
         .as(Seq("band", "band_key")))
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "band_key"))
+    // distinct on the bare id pair FIRST (cheap long hashing), then join
+    // the shingle sets back for verification — hashing the string arrays
+    // inside the distinct would dominate the whole operator
+    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("a"))
+    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("b"))
+    val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sh_a")),
+        Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("shingles").as("sh_b")),
+        Seq("b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
@@ -134,22 +172,8 @@ object DedupOps {
     * Integer folds only — order-independent, oracle-exact. Array
     * expressions per row; no shuffle.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => h15(t))
-    // the Scala shiftright/shiftleft wrappers take a static Int shift;
-    // call_function reaches the SQL builtin, which shifts by a column —
-    // exact integer ops (a double round-trip would corrupt bits > 2^53)
-    val votes = aggregate(hashes,
-      array_repeat(lit(0), 60),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
-        (a, bit) => a + when(
-          call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)))
-    aggregate(zip_with(votes, sequence(lit(0), lit(59)),
-      (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit))
-        .otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.VectorExprs.simhash60(tokens(text))
 
   /** SimHash near-dup pairs: pigeonhole banding — split the 60 bits into
     * `chunks` equal chunks; any pair within Hamming distance
@@ -181,13 +205,12 @@ object DedupOps {
 
   // ---------------------------------------------- embedding-cosine near-dup
 
-  /** Sequential double-precision dot product of two float vectors — the
-    * same left-to-right fold DuckDB's list_reduce performs, so the result
-    * is bit-exact across engines. Codegen'd array expression.
+  /** Sequential double-precision dot product — custom codegen kernel
+    * ([[graft.functions.VectorExprs.DotProduct]]); bit-identical to the
+    * left-to-right fold DuckDB's list_reduce performs.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -196,18 +219,23 @@ object DedupOps {
   /** Embedding-cosine near-dup pairs. Candidate generation by SRP-LSH
     * (sign-random-projection buckets, see [[SimilarityOps.srpBucket]]);
     * verification by exact cosine ≥ threshold. Join is equi on the bucket.
+    * Norms are computed once per vector BEFORE the join (n rows), not per
+    * candidate pair (n² worst case) — same value, divided out after the
+    * per-pair dot product.
     */
   def embeddingNearDupPairs(threshold: Double, planes: Int = 8,
       dim: Int = 64)(df: DataFrame): DataFrame = {
     val withBucket = df.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
       SimilarityOps.srpBucket(col("embedding"), planes, dim).as("bucket"))
     val a = withBucket.select(col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("e_a"))
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = withBucket.select(col("bucket"), col("vec_id").as("b"),
-      col("embedding").as("e_b"))
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
     a.join(b, Seq("bucket"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", cosine(col("e_a"), col("e_b")))
+      .withColumn("cos", dot(col("e_a"), col("e_b")) /
+        (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }

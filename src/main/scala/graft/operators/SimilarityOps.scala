@@ -23,28 +23,31 @@ object SimilarityOps {
 
   import DedupOps.{cosine, dot}
 
-  /** Deterministic ±1 hyperplane component for (plane p, dimension j):
-    * sign of a portable hash — reproducible in DuckDB, unlike an RNG.
+  /** Deterministic ±1 hyperplane for plane p: component j is the low bit
+    * of the portable hash of "plane<p>:<j>" — reproducible in DuckDB SQL,
+    * unlike an RNG. Materialized once at plan build as a literal double
+    * array (same md5 the oracle computes).
     */
-  private def planeSign(p: Int, j: Column): Column =
-    when(h15(concat(lit(s"plane$p:"), j.cast("string")))
-      .bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
-
-  /** SRP bucket id: bit p = sign(dot(v, plane_p)). `planes` bits.
-    * Implemented as a fold over dimensions per plane — integer/± double
-    * adds in fixed order, bit-exact in the oracle.
-    */
-  def srpBucket(v: Column, planes: Int, dim: Int): Column = {
-    // per plane: dot(v, hyperplane) > 0
-    val planeBits = (0 until planes).map { p =>
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)),
-          (x, j) => x.cast("double") * planeSign(p, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+  def planeVector(p: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      md.reset()
+      val hex = md.digest(s"plane$p:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
     }
-    planeBits.reduce(_ + _)
   }
+
+  /** SRP bucket id: bit p = sign(dot(v, plane_p)), `planes` bits. Each
+    * projection is the codegen'd [[graft.functions.VectorExprs.DotProduct]]
+    * against the literal plane — same left-to-right IEEE fold as the
+    * oracle's list_reduce, at primitive-loop speed.
+    */
+  def srpBucket(v: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      val d = dot(v, typedlit(planeVector(p, dim)))
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Exact cosine top-k: for each query vector (rows of `queries`), the k
     * nearest corpus rows by cosine, deterministic tiebreak on neighbor id.
@@ -55,12 +58,15 @@ object SimilarityOps {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms once per side (n + |Q| rows), not per scored pair (n·|Q|)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb")))
+      col("embedding").as("q_emb"),
+      DedupOps.norm(col("embedding")).as("q_nrm")))
     val scored = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding"))
+      col("embedding"), DedupOps.norm(col("embedding")).as("c_nrm"))
       .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("c_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -75,15 +81,18 @@ object SimilarityOps {
       planes: Int = 6, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bc = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+      DedupOps.norm(col("embedding")).as("c_nrm"),
       srpBucket(col("embedding"), planes, dim).as("bucket"))
     val bq = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
+      DedupOps.norm(col("embedding")).as("q_nrm"),
       srpBucket(col("embedding"), planes, dim).as("bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     bc.join(bq, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))

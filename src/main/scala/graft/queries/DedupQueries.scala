@@ -77,12 +77,21 @@ object DedupQueries {
               (any_value(a.sz) + any_value(b.sz) - count(*))::DOUBLE AS jaccard
           FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING jaccard >= 0.5""",
-    "dedup_minhash_lsh" ->
+    "dedup_minhash_lsh" -> {
+      // mirror DedupOps.minhashSignature: base = h15(shingle), then per
+      // permutation rotl60 by (7p mod 60) and xor with the md5-derived salt
+      val sigExprs = (0 until 16).map { p =>
+        val r = (7 * p) % 60
+        val rot =
+          if (r == 0) "h"
+          else s"(h % ${1L << (60 - r)}) * ${1L << r} + (h >> ${60 - r})"
+        s"list_min(list_transform(base, h -> xor($rot, ${graft.operators.DedupOps.permSalt(p)})))"
+      }.mkString("[", ", ", "]")
       s"""WITH s AS (SELECT doc_id, ${shingles(2)} AS sh FROM documents),
-          g AS (SELECT doc_id, sh,
-                  list_transform(range(0, 16), p -> list_min(list_transform(
-                    sh, t -> ${h15("concat(p::VARCHAR, ':', t)")}))) AS sig
-                FROM s),
+          g AS (SELECT doc_id, sh, $sigExprs AS sig FROM (
+                  SELECT doc_id, sh,
+                    list_transform(sh, t -> ${h15("t")}) AS base
+                  FROM s)),
           bd AS (SELECT doc_id, sh, r.b AS band,
                    ${h15("array_to_string(sig[r.b*2+1:r.b*2+2], '_')")}
                      AS band_key
@@ -99,7 +108,8 @@ object DedupQueries {
           FROM cand
           WHERE length(list_intersect(sha, shb))::DOUBLE /
               (length(sha) + length(shb)
-               - length(list_intersect(sha, shb)))::DOUBLE >= 0.5""",
+               - length(list_intersect(sha, shb)))::DOUBLE >= 0.5"""
+    },
     "dedup_simhash" ->
       s"""$duckSimhash SELECT doc_id, sh FROM shv""",
     "dedup_simhash_pairs" ->
