@@ -15,6 +15,17 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The driver's test parquet files are written as a single row group, so
+    * a scan gets exactly ONE task no matter the cluster size — every
+    * CPU-heavy narrow stage (JSON encode/decode, shingling, hashing)
+    * would serialize on one core. Spread the hot tables across the
+    * default parallelism up front (a ~MB-scale shuffle, trivial). On a
+    * real deployment the sources arrive pre-partitioned (Kafka partitions,
+    * many files) and this is a no-op concern.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects outright. Read it as long nanos
     * (spark.sql.legacy.parquet.nanosAsLong) and truncate to a µs timestamp
@@ -24,11 +35,13 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    spread(spark, load(spark, dir, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr("ts div 1000"))))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "embeddings"))
 }

@@ -58,8 +58,13 @@ object DedupOps {
   def ngramJaccardPairs(k: Int = 3, threshold: Double = 0.5)(
       df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // work on 60-bit shingle hashes throughout: long keys make the
+    // posting shuffle, the rarity window, the prefix self-join, and the
+    // verify intersect ~an order of magnitude cheaper than ~20-char
+    // strings, and the oracle recomputes identical hashes
     val sets = df.select(col("doc_id"),
-      shingleSet(col("text"), k).as("shingles"))
+      graft.functions.TextExprs.h15Array(shingleSet(col("text"), k))
+        .as("shingles"))
       .withColumn("set_size", size(col("shingles")))
     val posting = sets
       .select(col("doc_id"), col("set_size"),
@@ -136,10 +141,13 @@ object DedupOps {
     */
   def minhashLshPairs(k: Int = 2, bands: Int = 8, rows: Int = 2,
       threshold: Double = 0.5)(df: DataFrame): DataFrame = {
+    // hashed shingle sets end-to-end (cheap long joins/intersects; the
+    // oracle recomputes identical hashes)
     val sets = df.select(col("doc_id"),
-      shingleSet(col("text"), k).as("shingles"))
+      graft.functions.TextExprs.h15Array(shingleSet(col("text"), k))
+        .as("shingles"))
     val sig = sets.withColumn("sig",
-      minhashSignature(col("shingles"), bands * rows))
+      graft.functions.TextExprs.minhashSig(col("shingles"), bands * rows))
     val banded = sig.select(col("doc_id"), col("shingles"),
       posexplode(array((0 until bands).map(b =>
         h15(concat_ws("_",

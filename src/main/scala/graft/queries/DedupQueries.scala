@@ -70,7 +70,9 @@ object DedupQueries {
           min(doc_id) AS canonical_id, count(*) AS n_copies
           FROM documents GROUP BY 1""",
     "dedup_ngram_jaccard" ->
-      s"""WITH s AS (SELECT doc_id, ${shingles(3)} AS sh FROM documents),
+      s"""WITH s AS (SELECT doc_id,
+            list_transform(${shingles(3)}, t -> ${h15("t")}) AS sh
+          FROM documents),
           p AS (SELECT doc_id, length(sh) AS sz, unnest(sh) AS shingle FROM s)
           SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter,
             count(*)::DOUBLE /
@@ -87,11 +89,11 @@ object DedupQueries {
           else s"(h % ${1L << (60 - r)}) * ${1L << r} + (h >> ${60 - r})"
         s"list_min(list_transform(base, h -> xor($rot, ${graft.operators.DedupOps.permSalt(p)})))"
       }.mkString("[", ", ", "]")
-      s"""WITH s AS (SELECT doc_id, ${shingles(2)} AS sh FROM documents),
+      s"""WITH s AS (SELECT doc_id,
+            list_transform(${shingles(2)}, t -> ${h15("t")}) AS sh
+          FROM documents),
           g AS (SELECT doc_id, sh, $sigExprs AS sig FROM (
-                  SELECT doc_id, sh,
-                    list_transform(sh, t -> ${h15("t")}) AS base
-                  FROM s)),
+                  SELECT doc_id, sh, sh AS base FROM s)),
           bd AS (SELECT doc_id, sh, r.b AS band,
                    ${h15("array_to_string(sig[r.b*2+1:r.b*2+2], '_')")}
                      AS band_key
