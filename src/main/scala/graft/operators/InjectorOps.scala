@@ -156,6 +156,24 @@ object InjectorOps {
     df.select(col("es_index"), lit("_doc").as("es_type"), col("doc_id"),
       col("payload"))
 
+  /** D1: record-type dispatch — the reference's `DeserializerFor`
+    * (src/kafka/encode_decode.go:34-40), selecting the decode transform at
+    * plan-build time; an unknown type errors exactly like the reference's
+    * "Invalid parser type".
+    */
+  def decoderFor(recordType: String, jsonSchema: StructType,
+      avroReaderSchema: String = "",
+      avroWriterSchemas: Map[Int, String] = Map.empty)
+      : DataFrame => DataFrame = recordType match {
+    case "json" => jsonDecode(jsonSchema)
+    case "avro" => df => df
+      .withColumn("payload", graft.functions.AvroWire.fromConfluentAvro(
+        col("value"), avroReaderSchema, avroWriterSchemas))
+      .filter(col("payload").isNotNull)
+    case other =>
+      throw new IllegalArgumentException(s"Invalid parser type $other")
+  }
+
   // ----------------------------------------------------------------- sink
 
   /** K2: the reference gets effective dedup from bulk `create` + a stable

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.InjectorOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SQL-function registration (GraftExtensions) and D1 decoder dispatch. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT vec_dot(a, b) d FROM vecs")
+      .as[Double].head() == 11.0)
+    assert(spark.sql(
+      "SELECT shingle_set(split('a b c', ' '), 2) s").as[Seq[String]]
+      .head() == Seq("a b", "b c"))
+    assert(spark.sql("SELECT simhash60(split('x y', ' ')) h")
+      .as[Long].head() >= 0L)
+    assert(spark.sql(
+      "SELECT minhash_sig(h15_array(split('a b', ' ')), 4) m")
+      .as[Seq[Long]].head().size == 4)
+  }
+
+  test("D1: decoderFor dispatches json vs avro and rejects unknown") {
+    val jsonSchema = StructType(Seq(StructField("id", StringType)))
+    val df = Seq((0, 1L)).toDF("partition", "offset")
+      .withColumn("value", encode(lit("""{"id":"x"}"""), "UTF-8"))
+    val viaJson = InjectorOps.decoderFor("json", jsonSchema)(df)
+    assert(viaJson.select($"payload.id").as[String].head() == "x")
+
+    val fix = """{"type":"record","name":"R","fields":[{"name":"id","type":"string"}]}"""
+    val avroDf = Seq((0, 1L)).toDF("partition", "offset")
+      .withColumn("value", lit(
+        graft.functions.AvroWire.encodeConfluent(1, fix, Map("id" -> "y"))))
+    val viaAvro = InjectorOps.decoderFor("avro", jsonSchema, fix,
+      Map(1 -> fix))(avroDf)
+    assert(viaAvro.select($"payload.id").as[String].head() == "y")
+
+    val e = intercept[IllegalArgumentException] {
+      InjectorOps.decoderFor("protobuf", jsonSchema)
+    }
+    assert(e.getMessage.contains("Invalid parser type"))
+  }
+}

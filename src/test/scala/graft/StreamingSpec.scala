@@ -108,6 +108,29 @@ class StreamingSpec extends SparkSpec {
     assert(sink.contents(spark).count() == 3L)
   }
 
+  test("metrics listener reports throughput and batch duration (M1-M3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new graft.streaming.MetricsListener
+    spark.streams.addListener(listener)
+    val stream = MemoryStream[Msg]
+    stream.addData(batch1)
+    val out = Files.createTempDirectory("graft-metrics").toString
+    val q = StreamingPipeline.streamingPipeline(cfg, schema)(stream.toDF())
+      .writeStream.format("memory").queryName("metrics_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try {
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.recordsConsumed < 3L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+    assert(listener.recordsConsumed == 3L) // M2
+    val snap = listener.snapshot.get
+    assert(snap.lastAddBatchMs >= 0L) // M3
+    assert(!snap.fallingBehind) // M4 analogue on a drained stream
+  }
+
   test("in-stream dedup within watermark drops duplicate doc ids") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Msg]
