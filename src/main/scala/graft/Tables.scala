@@ -19,12 +19,21 @@ object Tables {
     * a scan gets exactly ONE task no matter the cluster size — every
     * CPU-heavy narrow stage (JSON encode/decode, shingling, hashing)
     * would serialize on one core. Spread the hot tables across the
-    * default parallelism up front (a ~MB-scale shuffle, trivial). On a
-    * real deployment the sources arrive pre-partitioned (Kafka partitions,
-    * many files) and this is a no-op concern.
+    * default parallelism up front (a ~MB-scale shuffle, trivial).
+    *
+    * The lazy localCheckpoint truncates lineage at the repartition:
+    * without it, Catalyst pushes query predicates below the new Exchange
+    * into the single-task scan stage — for the injector queries that
+    * re-materializes the whole JSON encode+decode up to 3× per row on one
+    * core (measured 10-100× slowdowns). With the barrier, all query
+    * compute runs post-shuffle across every core with common-subexpression
+    * elimination intact. Local-harness concern only: a real deployment's
+    * sources arrive pre-partitioned (Kafka partitions, many files) and
+    * early predicate pushdown at a parallel scan is exactly what you want.
     */
   private def spread(spark: SparkSession, df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(false)
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects outright. Read it as long nanos
