@@ -35,6 +35,21 @@ object Tables {
     df.repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint(false)
 
+  /** Memoized spread tables, keyed by (session, dir, table). Without this,
+    * every one of the ~46 registered queries re-shuffles and re-persists
+    * its input inside one Verify/Bench JVM — dozens of live checkpointed
+    * copies of the same table, enough storage-memory pressure to throw the
+    * whole run into GC thrash (and a flood of stale-accumulator ERRORs as
+    * the ContextCleaner races the stragglers). One materialization per
+    * table is also simply what a warm table cache does on a real cluster.
+    */
+  private val spreadCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def cachedSpread(spark: SparkSession, dir: String, name: String)(
+      mk: => DataFrame): DataFrame =
+    spreadCache.getOrElseUpdate((spark, dir, name), spread(spark, mk))
+
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects outright. Read it as long nanos
     * (spark.sql.legacy.parquet.nanosAsLong) and truncate to a µs timestamp
@@ -44,13 +59,15 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spread(spark, load(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))))
+    cachedSpread(spark, dir, "events") {
+      load(spark, dir, "events")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, load(spark, dir, "documents"))
+    cachedSpread(spark, dir, "documents")(load(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, load(spark, dir, "embeddings"))
+    cachedSpread(spark, dir, "embeddings")(load(spark, dir, "embeddings"))
 }

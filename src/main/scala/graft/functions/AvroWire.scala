@@ -167,20 +167,32 @@ object AvroWire {
 
   // --------------------------------------- serialization dual (fixtures)
 
+  // parsed-schema + writer cache for the fixture encoder: schema parsing
+  // per record is ~100× the cost of the encode itself. Keyed per thread
+  // (GenericDatumWriter isn't thread-safe) by the schema text itself —
+  // callers may encode different schemas under one registry id.
+  @transient private lazy val encoders =
+    new ThreadLocal[TrieMap[String, (Schema, GenericDatumWriter[GenericRecord])]] {
+      override def initialValue() = TrieMap.empty
+    }
+
   /** Encode one record in Confluent wire format — the test-producer dual
     * (reference: src/kafka/fixtures/producer.go:96-118). Driver/test-side
     * fixture machinery, not a data-path operator.
     */
   def encodeConfluent(id: Int, schemaJson: String,
       fields: Map[String, Any]): Array[Byte] = {
-    val schema = new Schema.Parser().parse(schemaJson)
+    val (schema, writer) = encoders.get().getOrElseUpdate(schemaJson, {
+      val s = new Schema.Parser().parse(schemaJson)
+      (s, new GenericDatumWriter[GenericRecord](s))
+    })
     val rec = new GenericData.Record(schema)
     fields.foreach { case (k, v) => rec.put(k, v) }
     val out = new ByteArrayOutputStream()
     out.write(0)
     out.write(ByteBuffer.allocate(4).putInt(id).array())
     val enc = EncoderFactory.get().binaryEncoder(out, null)
-    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    writer.write(rec, enc)
     enc.flush()
     out.toByteArray
   }

@@ -91,7 +91,9 @@ object DedupOps {
       .withColumn("jaccard", col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+      // inter as int64 to match the oracle's BIGINT count(*)
+      .select(col("a"), col("b"), col("inter").cast("long").as("inter"),
+        col("jaccard"))
   }
 
   // ----------------------------------------------------------- MinHash LSH
@@ -208,7 +210,7 @@ object DedupOps {
       .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 
   // ---------------------------------------------- embedding-cosine near-dup

@@ -71,7 +71,10 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      // rank as int64: DuckDB row_number() is BIGINT, and the oracle
+      // compare is dtype-sensitive
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos"))
   }
 
   /** SRP-LSH approximate top-k: score only corpus vectors in the query's
@@ -95,6 +98,7 @@ object SimilarityOps {
         (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos"))
   }
 }

@@ -78,9 +78,11 @@ object TextOps {
       aggregate(toks, lit(0), (acc, t) => acc + length(t))
     val nStop = markerHits(toks, langMarkers.flatMap(_._2))
     Seq(
-      "n_tokens" -> nTok,
-      "n_chars_sp" -> nChar,
-      "n_punct" -> nPunct,
+      // counters as int64 (DuckDB length() is BIGINT; the compare is
+      // dtype-sensitive)
+      "n_tokens" -> nTok.cast("long"),
+      "n_chars_sp" -> nChar.cast("long"),
+      "n_punct" -> nPunct.cast("long"),
       "avg_token_len" -> sumTokLen.cast("double") / nTok.cast("double"),
       "punct_ratio" -> nPunct.cast("double") / nChar.cast("double"),
       "stopword_ratio" -> nStop.cast("double") / nTok.cast("double"))

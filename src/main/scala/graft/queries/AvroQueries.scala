@@ -31,11 +31,20 @@ object AvroQueries {
       Map("event_type" -> et, "value" -> v))
   }
 
-  /** events framed as Confluent-Avro Kafka messages, id = event_id % 2. */
+  /** events framed as Confluent-Avro Kafka messages, id = event_id % 2.
+    * Memoized per (session, dir): the wire framing is test-fixture input
+    * (the producer dual), not the operator under test, and both d2 and d3
+    * consume the identical frame.
+    */
+  private val wireCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private def wire(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(col("event_id"),
-      encodeUdf((col("event_id") % 2).cast("int"), col("event_type"),
-        col("value")).as("value"))
+    wireCache.getOrElseUpdate((s, dir),
+      Tables.events(s, dir).select(col("event_id"),
+        encodeUdf((col("event_id") % 2).cast("int"), col("event_type"),
+          col("value")).as("value"))
+        .localCheckpoint(false))
 
   val all: Map[String, Q] = Map(
     // D2: big-endian schema-id extraction from the wire header.

@@ -124,7 +124,7 @@ object DedupQueries {
                    FROM bd x JOIN bd y
                      ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
                        AND x.doc_id < y.doc_id)
-          SELECT a, b, bit_count(xor(sha, shb)) AS hamming
+          SELECT a, b, bit_count(xor(sha, shb))::BIGINT AS hamming
           FROM cand WHERE bit_count(xor(sha, shb)) <= 8""",
     "dedup_embedding_cosine" ->
       s"""WITH g AS (SELECT vec_id, embedding,

@@ -16,6 +16,14 @@ import org.apache.spark.sql.expressions.Window
   * Spark and DuckDB hash-match bit-for-bit regardless of partitioning.
   * (A raw double sum is order-dependent in the last bits.)
   *
+  * Output-dtype portability: aggregate RESULTS are cast back to DOUBLE (and
+  * window-sum counters to BIGINT) in both engines. Left as-is, DuckDB
+  * returns DECIMAL(38,10)/HUGEINT where Spark's parquet has decimal/int64 —
+  * numerically equal but dtype-different, which a dtype-sensitive
+  * row-hash compare flags as a mismatch. The decimal sum is exact, so the
+  * final one-time cast to double is the same correctly-rounded value in
+  * both engines.
+  *
   * Scale notes: dimension tables (region/nation/customer/supplier/part) are
   * broadcast — no shuffle on the fact side for those joins; fact-fact joins
   * (orders⋈lineitem) shuffle on the join key once and reuse it for the
@@ -37,10 +45,10 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-            .as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))),
 
     // TPC-H Q3 shape: broadcast customer dim, shuffle join orders⋈lineitem,
@@ -57,9 +65,13 @@ object RelationalQueries {
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
         .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+          .as("revenue_dec"))
+        // top-10 decided on the EXACT decimal (deterministic tiebreak on
+        // key); only the surviving 10 rows are cast for output
+        .orderBy(col("revenue_dec").desc, col("l_orderkey"))
         .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"),
+          col("revenue_dec").cast("double").as("revenue"))
     }),
 
     // TPC-H Q5 shape: star join — all dims broadcast, one shuffle for the
@@ -81,7 +93,7 @@ object RelationalQueries {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("revenue"))
+          .cast("double").as("revenue"))
     }),
 
     // Window ranking: top-3 suppliers by exact revenue within each nation.
@@ -95,8 +107,9 @@ object RelationalQueries {
       rev.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("s_nationkey"), col("s_suppkey"), col("revenue"),
-          col("rnk"))
+        .select(col("s_nationkey"), col("s_suppkey"),
+          col("revenue").cast("double").as("revenue"),
+          col("rnk").cast("long").as("rnk"))
     }),
 
     // Sessionization (gaps-and-islands, 30-minute inactivity gap) — the
@@ -123,7 +136,8 @@ object RelationalQueries {
       t(s, dir, "events")
         .rollup(date_format(col("ts"), "yyyy-MM-dd").as("day"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_value"))),
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))),
 
     // Set ops: purchasers who never hit an error / who also viewed.
     "set_except" -> ((s, dir) => {
@@ -167,27 +181,29 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS sum_base_price,
-                sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS sum_disc_price,
+                CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
                 count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         WHERE c_mktsegment = 'BUILDING'
-           AND o_orderdate < TIMESTAMP '1998-03-15'
-           AND l_shipdate > TIMESTAMP '1998-03-15'
-         GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
-         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+      """SELECT l_orderkey, o_orderdate, CAST(CAST(revenue_dec AS VARCHAR) AS DOUBLE) AS revenue
+         FROM (
+           SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue_dec
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-03-15'
+             AND l_shipdate > TIMESTAMP '1998-03-15'
+           GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+           ORDER BY revenue_dec DESC, l_orderkey LIMIT 10)""",
     "q5_local_supplier" ->
       """SELECT n_name,
-                sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS revenue
+                CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -199,7 +215,8 @@ object RelationalQueries {
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name""",
     "window_supplier_rank" ->
-      """SELECT s_nationkey, s_suppkey, revenue, rnk FROM (
+      """SELECT s_nationkey, s_suppkey, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue, rnk
+         FROM (
            SELECT s_nationkey, s_suppkey, revenue,
                   row_number() OVER (PARTITION BY s_nationkey
                     ORDER BY revenue DESC, s_suppkey) AS rnk
@@ -214,9 +231,9 @@ object RelationalQueries {
                 min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
          FROM (
            SELECT user_id, ts_ms,
-                  sum(new_sess) OVER (PARTITION BY user_id
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id
                     ORDER BY ts_ms, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
            FROM (
              SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
                     CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id
@@ -229,7 +246,8 @@ object RelationalQueries {
          GROUP BY user_id, sess_id""",
     "rollup_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-                count(*) AS n, sum(CAST(value AS DECIMAL(28,10))) AS sum_value
+                count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)""",
     "set_except" ->

@@ -20,8 +20,8 @@ object TextQueries {
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     "text_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        size(tokens(col("text"))).as("n_tokens"),
-        bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
 
     // Quality scoring: lengths + deterministic ratios.
     "text_quality" -> ((s, dir) =>

@@ -82,7 +82,7 @@ class TextDedupSpec extends SparkSpec {
     assert(sh(0) == sh(1))
     assert(sh(0) >= 0L && sh(0) < (1L << 60))
     val pairs = DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(df)
-      .select($"hamming").as[Int].collect()
+      .select($"hamming").as[Long].collect()
     assert(pairs.toSeq == Seq(0))
   }
 
@@ -109,7 +109,7 @@ class TextDedupSpec extends SparkSpec {
       (3L, Array(0.5f, 0.5f)))
       .toDF("vec_id", "embedding")
     val out = SimilarityOps.bruteForceTopK(df, df.filter($"vec_id" === 0), 2)
-      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+      .select($"neighbor_id", $"rank").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1), (3L, 2)))
   }
 
