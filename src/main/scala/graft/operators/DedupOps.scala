@@ -16,6 +16,20 @@ object DedupOps {
 
   import TextOps._
 
+  /** Materialize an intermediate that downstream joins consume more than
+    * once (signature/posting tables). Without this, Spark re-evaluates the
+    * whole expensive subtree — shingling, hashing, the rarity window —
+    * once per consuming join side (up to 5× for the AllPairs plan), since
+    * self-joins can't reuse a broadcast build of their own probe side.
+    * This is the batch analogue of persisting the signature table, which
+    * is also exactly what an LSH/AllPairs pipeline does at 100 TB scale
+    * (one pass to build, many joins to consume); the lazy localCheckpoint
+    * also truncates lineage so per-branch predicates can't push back into
+    * the kernel stage.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(false)
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup: hash-groupBy on the normalized content hash, canonical
@@ -62,23 +76,24 @@ object DedupOps {
     // posting shuffle, the rarity window, the prefix self-join, and the
     // verify intersect ~an order of magnitude cheaper than ~20-char
     // strings, and the oracle recomputes identical hashes
-    val sets = df.select(col("doc_id"),
-      graft.functions.TextExprs.h15Array(shingleSet(col("text"), k))
+    val sets = materialize(df.select(col("doc_id"),
+      graft.functions.TextExprs.sortedLongs(
+        graft.functions.TextExprs.h15Array(shingleSet(col("text"), k)))
         .as("shingles"))
-      .withColumn("set_size", size(col("shingles")))
+      .withColumn("set_size", size(col("shingles"))))
     val posting = sets
       .select(col("doc_id"), col("set_size"),
         explode(col("shingles")).as("shingle"))
     val freq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
-    val prefix = posting.join(freq, Seq("shingle"))
+    val prefix = materialize(posting.join(freq, Seq("shingle"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <=
         col("set_size") - ceil(lit(threshold) * col("set_size")) + 1)
-    val cand = prefix.select(col("shingle"), col("doc_id").as("a"))
-      .join(prefix.select(col("shingle"), col("doc_id").as("b")),
-        Seq("shingle"))
+      .select(col("shingle"), col("doc_id")))
+    val cand = prefix.withColumnRenamed("doc_id", "a")
+      .join(prefix.withColumnRenamed("doc_id", "b"), Seq("shingle"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     val withSets = cand
@@ -87,7 +102,8 @@ object DedupOps {
       .join(sets.select(col("doc_id").as("b"), col("shingles").as("sh_b"),
         col("set_size").as("size_b")), Seq("b"))
     withSets
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.functions.TextExprs.intersectCountSorted(
+        col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -145,16 +161,17 @@ object DedupOps {
       threshold: Double = 0.5)(df: DataFrame): DataFrame = {
     // hashed shingle sets end-to-end (cheap long joins/intersects; the
     // oracle recomputes identical hashes)
-    val sets = df.select(col("doc_id"),
-      graft.functions.TextExprs.h15Array(shingleSet(col("text"), k))
-        .as("shingles"))
+    val sets = materialize(df.select(col("doc_id"),
+      graft.functions.TextExprs.sortedLongs(
+        graft.functions.TextExprs.h15Array(shingleSet(col("text"), k)))
+        .as("shingles")))
     val sig = sets.withColumn("sig",
       graft.functions.TextExprs.minhashSig(col("shingles"), bands * rows))
-    val banded = sig.select(col("doc_id"), col("shingles"),
+    val banded = materialize(sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         h15(concat_ws("_",
           slice(col("sig"), b * rows + 1, rows).cast("array<string>")))): _*))
-        .as(Seq("band", "band_key")))
+        .as(Seq("band", "band_key"))))
     // distinct on the bare id pair FIRST (cheap long hashing), then join
     // the shingle sets back for verification — hashing the string arrays
     // inside the distinct would dominate the whole operator
@@ -168,7 +185,8 @@ object DedupOps {
         Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("shingles").as("sh_b")),
         Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.functions.TextExprs.intersectCountSorted(
+        col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
