@@ -77,6 +77,58 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k, nprobe=1: partition the corpus
+    * into cells around centroid vectors, then search only the query's own
+    * cell. Centroids here are a deterministic seed subset of the corpus
+    * (so the oracle can recompute the identical assignment); a production
+    * deployment would drop in k-means centroids from a sample — the
+    * operator shape (broadcast centroids → argmax-cosine cell assignment →
+    * equi-join on cell → per-query top-k) is unchanged and is the part
+    * that scales: the corpus is never shuffled except on the cell key, and
+    * cells are searched independently.
+    *
+    * Determinism: cell = argmax cosine over centroids with ties to the
+    * LOWEST centroid id; cosines come from the same sequential-fold dot
+    * kernel the oracle reproduces bit-exactly.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      seedIds: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(corpus
+      .filter(col("vec_id").isInCollection(seedIds))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        DedupOps.norm(col("embedding")).as("cent_nrm")))
+    def assignCell(df: DataFrame): DataFrame = {
+      val byScore = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cscore").desc, col("cent_id"))
+      df.crossJoin(cents)
+        .withColumn("cscore", dot(col("embedding"), col("cent_emb")) /
+          (col("nrm") * col("cent_nrm")))
+        .withColumn("crn", row_number().over(byScore))
+        .filter(col("crn") === 1)
+        .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
+    }
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      DedupOps.norm(col("embedding")).as("nrm"))
+    val cells = assignCell(withNorm)
+    val qcells = assignCell(withNorm.join(
+      queries.select(col("vec_id")), Seq("vec_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cells.join(
+        broadcast(qcells.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+          col("cell"))),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos"))
+  }
+
   /** SRP-LSH approximate top-k: score only corpus vectors in the query's
     * bucket. Same output shape as [[bruteForceTopK]]; approximate recall.
     */

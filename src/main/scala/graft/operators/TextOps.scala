@@ -105,6 +105,20 @@ object TextOps {
   /** Exact content fingerprint (md5 hex of the normalized text). */
   def contentHash(text: Column): Column = md5(normalized(text))
 
+  /** Deterministic hash sampling: keep a row iff the 60-bit portable hash
+    * of its id (under a salt naming the sample) lands in the first
+    * `percent` of 100 buckets. The standard reproducible-subset operator
+    * for training-data pipelines — stable across runs, clusters, and
+    * engines (unlike `df.sample`, whose outcome depends on partitioning
+    * and RNG seeds), trivially pushed down as a scan filter, and
+    * composable: disjoint salts give independent samples, the same salt
+    * with a larger percent gives a superset (growable eval sets).
+    */
+  def hashSample(idCol: Column, percent: Int, salt: String = "sample")
+      : Column =
+    pmod(h15(concat(lit(s"$salt:"), idCol.cast("string"))), lit(100L)) <
+      percent
+
   /** Rolling-hash document fingerprint: minimum 60-bit hash over all
     * k-token shingles (a 1-permutation MinHash — the document sketch used
     * for cheap near-dup prefiltering). Pure array expressions, no explode:

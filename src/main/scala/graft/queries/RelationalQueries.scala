@@ -175,7 +175,24 @@ object RelationalQueries {
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(15)
-        .select(col("o_orderkey"), col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // Backward as-of join: each event enriched with the user's most recent
+    // order at/before event time (graft.operators.AsofJoin — union+window,
+    // one shuffle, no range join).
+    "asof_join_orders" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("t_ms"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("o_ms"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.operators.AsofJoin.asofBackward(
+        ev, "user_id", "t_ms", "event_id",
+        ord, "o_custkey", "o_ms", "o_orderkey",
+        Seq("o_orderkey", "o_totalprice"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,6 +283,27 @@ object RelationalQueries {
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"""
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+    "asof_join_orders" ->
+      """WITH l AS (SELECT user_id AS k, epoch_ms(ts) AS t_ms, 1 AS side,
+                           event_id AS seq, event_id,
+                           NULL::BIGINT AS o_orderkey,
+                           NULL::DOUBLE AS o_totalprice
+                    FROM events),
+              r AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t_ms,
+                           0 AS side, o_orderkey AS seq, NULL::BIGINT AS event_id,
+                           o_orderkey, o_totalprice
+                    FROM orders),
+              u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+              wv AS (SELECT k, t_ms, side, event_id,
+                            last_value(o_orderkey IGNORE NULLS) OVER win
+                              AS o_orderkey,
+                            last_value(o_totalprice IGNORE NULLS) OVER win
+                              AS o_totalprice
+                     FROM u
+                     WINDOW win AS (PARTITION BY k ORDER BY t_ms, side, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, k AS user_id, t_ms, o_orderkey, o_totalprice
+         FROM wv WHERE side = 1"""
   )
 }

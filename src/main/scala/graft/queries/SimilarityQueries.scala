@@ -15,6 +15,8 @@ object SimilarityQueries {
 
   private val K = 5
   private val NQ = 8
+  // IVF centroid seeds: a fixed corpus subset, disjoint from the queries
+  private val SEEDS = 100 until 108
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -29,6 +31,10 @@ object SimilarityQueries {
     "sim_srp_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       SimilarityOps.srpTopK(e, queriesOf(e), K, planes = 6)
+    }),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.ivfTopK(e, queriesOf(e), K, seedIds = SEEDS.map(_.toLong))
     })
   )
 
@@ -63,6 +69,31 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
+          WHERE rank <= $K""",
+    "sim_ivf_topk" -> {
+      val seedList = (100 until 108).mkString("(", ", ", ")")
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                         FROM embeddings WHERE vec_id IN $seedList),
+          asn AS (SELECT vec_id, embedding, cent_id,
+                    ${cosine("embedding", "cent_emb")} AS cscore
+                  FROM embeddings CROSS JOIN cents),
+          cell AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+                     SELECT vec_id, embedding, cent_id, cscore,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cscore DESC, cent_id) AS crn
+                     FROM asn) WHERE crn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
+                FROM cell WHERE vec_id < $NQ),
+          scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       ${cosine("q_emb", "c.embedding")} AS cos
+                     FROM q JOIN cell c USING (cell)
+                     WHERE c.vec_id <> query_id)
+          SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
           WHERE rank <= $K"""
+    }
   )
 }

@@ -38,7 +38,13 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         contentHash(col("text")).as("content_hash"),
-        shingleFingerprint(col("text"), 5).as("shingle_fp")))
+        shingleFingerprint(col("text"), 5).as("shingle_fp"))),
+
+    // Deterministic 10% hash sample (reproducible subset selection).
+    "sample_hash" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(TextOps.hashSample(col("doc_id"), percent = 10))
+        .select(col("doc_id"), col("lang"), col("source")))
   )
 
   import Duck._
@@ -80,7 +86,10 @@ object TextQueries {
             range(0, greatest(length($toks) - 5, 0) + 1),
             i -> ${h15(s"array_to_string(($toks)[i+1:i+5], ' ')")}))
             AS shingle_fp
-          FROM documents"""
+          FROM documents""",
+    "sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE ${h15("concat('sample:', doc_id::VARCHAR)")} % 100 < 10"""
   )
 }
 

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{AsofJoin, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the round-3 additions: backward as-of join, IVF top-k,
+  * deterministic hash sampling.
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    // (event, key, t)
+    ("e1", 1L, 100L), ("e2", 1L, 250L), ("e3", 1L, 300L),
+    ("e4", 2L, 50L), ("e5", 3L, 500L)
+  ).toDF("ev", "k", "t").withColumn("seq", monotonically_increasing_id())
+
+  private def right = Seq(
+    // (key, t, payload)
+    (1L, 100L, "r@100"), (1L, 200L, "r@200"), (1L, 400L, "r@400"),
+    (2L, 60L, "r@60"), (4L, 10L, "r@10")
+  ).toDF("rk", "rt", "pay").withColumn("rseq", col("rt"))
+
+  test("asof backward: most recent right row at or before left time") {
+    val out = AsofJoin.asofBackward(
+      left, "k", "t", "seq", right, "rk", "rt", "rseq", Seq("pay"))
+      .select($"ev", $"pay").as[(String, Option[String])].collect().toMap
+    assert(out("e1").contains("r@100")) // equal time matches
+    assert(out("e2").contains("r@200")) // most recent ≤ 250
+    assert(out("e3").contains("r@200")) // r@400 is in the future
+    assert(out("e4").isEmpty)           // no right row ≤ 50 for key 2
+    assert(out("e5").isEmpty)           // key 3 has no right rows at all
+  }
+
+  test("asof backward: ties on right time broken by highest seq") {
+    val r2 = Seq((1L, 100L, 1L, "first"), (1L, 100L, 2L, "second"))
+      .toDF("rk", "rt", "rseq", "pay")
+    val l2 = Seq(("e", 1L, 150L, 0L)).toDF("ev", "k", "t", "seq")
+    val out = AsofJoin.asofBackward(
+      l2, "k", "t", "seq", r2, "rk", "rt", "rseq", Seq("pay"))
+      .select($"pay").as[String].head()
+    assert(out == "second")
+  }
+
+  test("ivf top-k: neighbors come from the query's own cell") {
+    // two well-separated clusters on orthogonal axes; centroids = one
+    // vector from each cluster
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val emb = Seq(
+      0L -> v(1.0, 0.05), 1L -> v(1.0, 0.1), 2L -> v(0.9, 0.0),
+      10L -> v(0.05, 1.0), 11L -> v(0.0, 0.95), 12L -> v(0.1, 1.0)
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(emb, emb.filter($"vec_id" === 0L ||
+        $"vec_id" === 10L), k = 2, seedIds = Seq(2L, 12L))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    // query 0 lives in the x-cluster cell, query 10 in the y-cluster cell
+    assert(out == Set((0L, 1L), (0L, 2L), (10L, 11L), (10L, 12L)))
+  }
+
+  test("hash sampling is deterministic, salted, and monotone in percent") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    def sample(pct: Int, salt: String) = ids
+      .filter(TextOps.hashSample($"doc_id", pct, salt))
+      .as[Long].collect().toSet
+    val s10a = sample(10, "sample"); val s10b = sample(10, "sample")
+    assert(s10a == s10b)                      // reproducible
+    assert(s10a.size > 50 && s10a.size < 200) // ~10%
+    assert(s10a.subsetOf(sample(20, "sample"))) // growable
+    assert(sample(10, "other") != s10a)       // independent per salt
+  }
+}
