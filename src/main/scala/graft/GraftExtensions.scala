@@ -57,6 +57,14 @@ object GraftExtensions {
       ("minhash_sig",
         new ExpressionInfo(classOf[TextExprs.MinhashSig].getName, "minhash_sig"),
         (args: Seq[Expression]) =>
-          TextExprs.MinhashSig(args(0), intArg(args(1), "perms"))))
+          TextExprs.MinhashSig(args(0), intArg(args(1), "perms"))),
+      ("sorted_longs",
+        new ExpressionInfo(classOf[TextExprs.SortedLongs].getName, "sorted_longs"),
+        (args: Seq[Expression]) => TextExprs.SortedLongs(args(0))),
+      ("intersect_count_sorted",
+        new ExpressionInfo(classOf[TextExprs.IntersectCountSorted].getName,
+          "intersect_count_sorted"),
+        (args: Seq[Expression]) =>
+          TextExprs.IntersectCountSorted(args(0), args(1))))
   }
 }

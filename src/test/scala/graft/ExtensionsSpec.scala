@@ -22,6 +22,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT minhash_sig(h15_array(split('a b', ' ')), 4) m")
       .as[Seq[Long]].head().size == 4)
+    assert(spark.sql(
+      "SELECT intersect_count_sorted(sorted_longs(array(3L, 1L, 2L)), " +
+        "sorted_longs(array(2L, 3L, 9L))) c").as[Int].head() == 2)
   }
 
   test("D1: decoderFor dispatches json vs avro and rejects unknown") {
