@@ -34,12 +34,16 @@ object Bench {
     // queries reading 80+ s mid-window on identical code). Queries whose
     // first attempt looks throttled get ONE re-run and report the min —
     // min-of-n is the standard noise-robust estimator and a clean pass
-    // pays zero extra time.
+    // pays zero extra time. Retries run AFTER the full pass: an immediate
+    // re-run lands in the same throttle window that slowed the first
+    // attempt (adjacent queries were observed slowed together).
     val retryAbove = 10.0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t1 = timed(name, fn)
-        name -> (if (t1 > retryAbove) math.min(t1, timed(name, fn)) else t1)
+    val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = qs0.map { case (name, fn) => name -> timed(name, fn) }
+    val byName = qs0.toMap
+    val results = firstPass.map { case (name, t1) =>
+      name -> (if (t1 > retryAbove) math.min(t1, timed(name, byName(name)))
+               else t1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -70,6 +70,21 @@ object StreamingPipeline {
     InjectorOps.assemble(deduped)
   }
 
+  /** Streaming sessionization: the streaming dual of the batch
+    * `events_sessionize` query (gaps-and-islands, same inactivity gap),
+    * expressed with `session_window` so state is merged incrementally per
+    * key and bounded by the watermark — the canonical unbounded-stream
+    * form of the operator. Emits one row per closed session with its
+    * event count and bounds.
+    */
+  def sessionize(keyCol: String, timeCol: String, gap: String,
+      watermarkDelay: String)(df: DataFrame): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(timeCol), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"))
+
   /** Start the stream into an [[EsBulkSink]] with a checkpoint — offsets
     * commit after sink success (K6).
     */

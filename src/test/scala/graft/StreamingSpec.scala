@@ -145,4 +145,27 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("dedup_out").select($"doc_id").as[String].collect()
     assert(ids.sorted.toSeq == Seq("0:1", "0:2", "1:1"))
   }
+
+  test("streaming sessionization merges events within the gap (session_window)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    // user (partition) 0: two events 10 min apart, then one 2 h later
+    // → sessions of 2 and 1; user 1: a single event → session of 1
+    stream.addData(Seq(
+      msg(0, 1L, """{"id":"a","n":1}""", "2024-03-05 10:00:00"),
+      msg(0, 2L, """{"id":"b","n":2}""", "2024-03-05 10:10:00"),
+      msg(0, 3L, """{"id":"c","n":3}""", "2024-03-05 12:10:00"),
+      msg(1, 4L, """{"id":"d","n":4}""", "2024-03-05 10:00:00")))
+    val out = Files.createTempDirectory("graft-sess").toString
+    val q = StreamingPipeline.sessionize("partition", "timestamp",
+        gap = "30 minutes", watermarkDelay = "10 minutes")(stream.toDF())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val sessions = spark.table("sess_out")
+      .select($"partition", $"n_events").as[(Int, Long)]
+      .collect().toSeq.sorted
+    assert(sessions == Seq((0, 1L), (0, 2L), (1, 1L)))
+  }
 }
