@@ -139,6 +139,37 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast("double").as("sum_value"))),
 
+    // Cube (full grouping-set lattice) over the event stream.
+    "cube_daily" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))),
+
+    // Rolling window frame: per-user trailing sum over the last 7 events
+    // (ROWS frame, deterministic order, exact decimal accumulation).
+    "window_rolling_sum" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id")).rowsBetween(-6, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("rolling_sum",
+          sum(dec(col("value"))).over(byUser).cast("double"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("rolling_sum"))
+    }),
+
+    // Pivot (conditional aggregation onto a known column set).
+    "pivot_type_day" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // Set ops: purchasers who never hit an error / who also viewed.
     "set_except" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -267,6 +298,27 @@ object RelationalQueries {
                 CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)""",
+    "cube_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                count(*) AS n,
+                CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY CUBE (strftime(ts, '%Y-%m-%d'), event_type)""",
+    "window_rolling_sum" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+                CAST(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+                  AS rolling_sum
+         FROM events""",
+    "pivot_type_day" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1""",
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
          EXCEPT
