@@ -170,6 +170,19 @@ object RelationalQueries {
         .agg(count(lit(1)))
         .na.fill(0L)),
 
+    // Approximate aggregates (HLL++ distinct, quantile sketch) — the
+    // constant-memory forms that replace exact distinct/percentile at
+    // 100 TB. Sketches are engine-specific, so there is no DuckDB oracle;
+    // the driver records the weaker rows-only check, and AggSpec asserts
+    // accuracy bounds against exact values.
+    "approx_user_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000))
+            .as("approx_median_value"))),
+
     // Set ops: purchasers who never hit an error / who also viewed.
     "set_except" -> ((s, dir) => {
       val ev = t(s, dir, "events")
