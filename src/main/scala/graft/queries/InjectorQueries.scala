@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
 object InjectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // Kafka-shape frame (to_json encode of 1M events) memoized like the
+  // decoded frame below: it is fixture INPUT shared by d5/d6/entry, not
+  // the operator under test.
+  private val kafkaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private def kafka(s: SparkSession, dir: String): DataFrame =
-    KafkaShape.fromEvents(Tables.events(s, dir))
+    kafkaCache.getOrElseUpdate((s, dir),
+      KafkaShape.fromEvents(Tables.events(s, dir)).localCheckpoint(false))
 
   private val schema = KafkaShape.eventPayloadSchema
   private val baseCfg = InjectorConfig(topic = "events", indexPrefix = "graft-")
