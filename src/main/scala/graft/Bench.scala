@@ -19,38 +19,57 @@ object Bench {
       Tables.documents(spark, sfDir).count()
       Tables.embeddings(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    var errors = List.empty[(String, String)]
+    // one entry per query name (latest attempt wins) — a query failing on
+    // both passes must not emit duplicate JSON keys
+    val errors = scala.collection.mutable.Map.empty[String, String]
     def timed(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
-          org.apache.spark.sql.DataFrame): Double = {
+          org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors ::= (name, e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(160))
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            errors(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+            false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // The host throttles CPU in multi-minute windows (observed 4-7 s
     // queries reading 80+ s mid-window on identical code). Queries whose
-    // first attempt looks throttled get ONE re-run and report the min —
-    // min-of-n is the standard noise-robust estimator and a clean pass
-    // pays zero extra time. Retries run AFTER the full pass: an immediate
-    // re-run lands in the same throttle window that slowed the first
-    // attempt (adjacent queries were observed slowed together).
+    // first attempt looks throttled get ONE re-run and the min of the two
+    // samples is reported; BOTH samples are emitted under "retried" so the
+    // reported minimum is auditable (the metric is min-of-≤2, not
+    // single-pass, for exactly the names listed there). Retries run AFTER
+    // the full pass: an immediate re-run lands in the same throttle window
+    // that slowed the first attempt.
     val retryAbove = 10.0
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
-    val firstPass = qs0.map { case (name, fn) => name -> timed(name, fn) }
-    val byName = qs0.toMap
-    val results = firstPass.map { case (name, t1) =>
-      name -> (if (t1 > retryAbove) math.min(t1, timed(name, byName(name)))
-               else t1)
+    val firstPass = qs0.map { case (name, fn) =>
+      val (t1, ok) = timed(name, fn)
+      System.err.println(f"[bench] $name%-28s $t1%8.3f s${if (ok) "" else "  FAILED"}")
+      (name, t1, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    val byName = qs0.toMap
+    val retried = scala.collection.mutable.Map.empty[String, (Double, Double)]
+    val results = firstPass.map { case (name, t1, ok1) =>
+      if (t1 > retryAbove) {
+        val (t2, _) = timed(name, byName(name))
+        System.err.println(f"[bench] $name%-28s $t2%8.3f s  (retry; first was $t1%.3f)")
+        retried(name) = (t1, t2)
+        name -> math.min(t1, t2)
+      } else name -> t1
+    }
+    val failed = errors.keys.toSeq.sorted
+    def obj(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (k, v) => k -> v.toString })
+    val errs = obj(errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> ("\"" + v + "\"") })
+    val retr = obj(retried.toSeq.sortBy(_._1)
+      .map { case (k, (a, b)) => k -> s"[$a,$b]" })
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$failedArr,"retried":$retr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,7 +63,13 @@ object GraftExtensions {
         (args: Seq[Expression]) => TextExprs.SortedLongs(args(0))),
       ("intersect_count_sorted",
         new ExpressionInfo(classOf[TextExprs.IntersectCountSorted].getName,
-          "intersect_count_sorted"),
+          null, "intersect_count_sorted",
+          "intersect_count_sorted(a, b) - Count of distinct common values " +
+            "of two BIGINT arrays (= size(array_intersect(a, b))). Fast " +
+            "O(|a|+|b|) merge when both arrays are ASCENDING-sorted (build " +
+            "with sorted_longs); unsorted or null-bearing input is detected " +
+            "and recomputed via a hash intersect.",
+          ""),
         (args: Seq[Expression]) =>
           TextExprs.IntersectCountSorted(args(0), args(1))))
   }

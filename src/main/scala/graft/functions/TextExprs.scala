@@ -150,12 +150,17 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
-  /** |A ∩ B| of two ASCENDING-sorted long arrays by linear merge, counting
-    * distinct common values — same result as
-    * `size(array_intersect(a, b))` (which dedups), at O(|A|+|B|) primitive
-    * ops with zero allocation. This is the AllPairs/PPJoin verify kernel:
-    * the interpreted array_intersect was ~360 µs per candidate pair
-    * (boxed hash set per call), turning a 1 M-pair verify into minutes.
+  /** |A ∩ B| — count of distinct common values, same result as
+    * `size(array_intersect(a, b))` (which dedups). Fast path: when both
+    * arrays are ASCENDING-sorted (the normal case — build them with
+    * `sorted_longs`), a linear merge at O(|A|+|B|) primitive ops with zero
+    * allocation. The merge VALIDATES sortedness as it advances (including
+    * null elements and the unconsumed tails); any inversion or null makes
+    * it recompute via a hash intersect, so unsorted input degrades to the
+    * hash cost instead of silently returning a wrong count. This is the
+    * AllPairs/PPJoin verify kernel: the interpreted array_intersect was
+    * ~360 µs per candidate pair (boxed hash set per call), turning a
+    * 1 M-pair verify into minutes.
     */
   case class IntersectCountSorted(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -168,21 +173,70 @@ object TextExprs {
       val y = b.asInstanceOf[ArrayData]
       val nx = x.numElements(); val ny = y.numElements()
       var i = 0; var j = 0; var c = 0
-      while (i < nx && j < ny) {
-        val xv = x.getLong(i); val yv = y.getLong(j)
-        if (xv < yv) i += 1
-        else if (xv > yv) j += 1
+      var px = Long.MinValue; var py = Long.MinValue
+      var mergeable = true
+      while (mergeable && i < nx && j < ny) {
+        if (x.isNullAt(i) || y.isNullAt(j)) mergeable = false
         else {
-          c += 1
-          val v = xv
-          while (i < nx && x.getLong(i) == v) i += 1
-          while (j < ny && y.getLong(j) == v) j += 1
+          val xv = x.getLong(i); val yv = y.getLong(j)
+          if (xv < px || yv < py) mergeable = false
+          else {
+            px = xv; py = yv
+            if (xv < yv) i += 1
+            else if (xv > yv) j += 1
+            else {
+              c += 1
+              while (i < nx && !x.isNullAt(i) && x.getLong(i) == xv) i += 1
+              while (j < ny && !y.isNullAt(j) && y.getLong(j) == yv) j += 1
+            }
+          }
         }
       }
-      c
+      // an inversion (or null) in the unconsumed tail could hide matches
+      // the merge skipped — keep validating to the end before trusting c
+      while (mergeable && i < nx) {
+        if (x.isNullAt(i)) mergeable = false
+        else { val v = x.getLong(i)
+          if (v < px) mergeable = false else { px = v; i += 1 } }
+      }
+      while (mergeable && j < ny) {
+        if (y.isNullAt(j)) mergeable = false
+        else { val v = y.getLong(j)
+          if (v < py) mergeable = false else { py = v; j += 1 } }
+      }
+      if (mergeable) c else hashIntersectCount(x, y)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
+  }
+
+  /** Fallback for unsorted/null-bearing inputs — distinct-value intersect
+    * count with array_intersect's null semantics (null ∈ both sides counts
+    * once).
+    */
+  private def hashIntersectCount(x: ArrayData, y: ArrayData): Int = {
+    val leftVals = new java.util.HashSet[java.lang.Long]()
+    var leftNull = false
+    var i = 0
+    val nx = x.numElements()
+    while (i < nx) {
+      if (x.isNullAt(i)) leftNull = true
+      else leftVals.add(x.getLong(i))
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var c = 0; var bothNull = false
+    var j = 0
+    val ny = y.numElements()
+    while (j < ny) {
+      if (y.isNullAt(j)) { if (leftNull) bothNull = true }
+      else {
+        val v: java.lang.Long = y.getLong(j)
+        if (leftVals.contains(v) && seen.add(v)) c += 1
+      }
+      j += 1
+    }
+    if (bothNull) c + 1 else c
   }
 
   def shingleSet(tokens: Column, k: Int): Column =

@@ -349,26 +349,29 @@ object RelationalQueries {
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+    // carry travels as ONE struct through ONE last_value(IGNORE NULLS),
+    // mirroring AsofJoin's row-atomic semantics (a right row with a NULL
+    // in one carry column can never mix with fields of another right row)
     "asof_join_orders" ->
       """WITH l AS (SELECT user_id AS k, epoch_ms(ts) AS t_ms, 1 AS side,
                            event_id AS seq, event_id,
-                           NULL::BIGINT AS o_orderkey,
-                           NULL::DOUBLE AS o_totalprice
+                           NULL::STRUCT(o_orderkey BIGINT,
+                                        o_totalprice DOUBLE) AS c
                     FROM events),
               r AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t_ms,
                            0 AS side, o_orderkey AS seq, NULL::BIGINT AS event_id,
-                           o_orderkey, o_totalprice
+                           struct_pack(o_orderkey := o_orderkey,
+                                       o_totalprice := o_totalprice) AS c
                     FROM orders),
               u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
               wv AS (SELECT k, t_ms, side, event_id,
-                            last_value(o_orderkey IGNORE NULLS) OVER win
-                              AS o_orderkey,
-                            last_value(o_totalprice IGNORE NULLS) OVER win
-                              AS o_totalprice
+                            last_value(c IGNORE NULLS) OVER win AS c
                      FROM u
                      WINDOW win AS (PARTITION BY k ORDER BY t_ms, side, seq
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_id, k AS user_id, t_ms, o_orderkey, o_totalprice
+         SELECT event_id, k AS user_id, t_ms,
+                struct_extract(c, 'o_orderkey') AS o_orderkey,
+                struct_extract(c, 'o_totalprice') AS o_totalprice
          FROM wv WHERE side = 1"""
   )
 }

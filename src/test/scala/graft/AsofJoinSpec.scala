@@ -42,6 +42,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == "second")
   }
 
+  test("asof backward: carry columns are row-atomic when right has nulls") {
+    // r@200 has a NULL in one carry column; an implementation with
+    // independent per-column last(ignoreNulls) windows would emit the
+    // mixed row (a=r@200's a, b=r@100's b) — the whole-struct carry must
+    // return r@200's (a, NULL) as one piece
+    val r = Seq(
+      (1L, 100L, Some("a100"), Some("b100")),
+      (1L, 200L, Some("a200"), Option.empty[String])
+    ).toDF("rk", "rt", "a", "b").withColumn("rseq", col("rt"))
+    val l = Seq(("e", 1L, 250L, 0L)).toDF("ev", "k", "t", "seq")
+    val out = AsofJoin.asofBackward(
+      l, "k", "t", "seq", r, "rk", "rt", "rseq", Seq("a", "b"))
+      .select($"a", $"b").as[(Option[String], Option[String])].head()
+    assert(out == (Some("a200"), None))
+  }
+
   test("ivf top-k: neighbors come from the query's own cell") {
     // two well-separated clusters on orthogonal axes; centroids = one
     // vector from each cluster

@@ -27,6 +27,28 @@ class ExtensionsSpec extends SparkSpec {
         "sorted_longs(array(2L, 3L, 9L))) c").as[Int].head() == 2)
   }
 
+  test("intersect_count_sorted falls back to hash intersect on unsorted/null input") {
+    GraftExtensions.register(spark)
+    // unsorted inputs (no sorted_longs) — must still return the true
+    // distinct-intersection count instead of a silent wrong answer
+    assert(spark.sql(
+      "SELECT intersect_count_sorted(array(9L, 1L, 5L), array(5L, 9L, 2L)) c")
+      .as[Int].head() == 2)
+    // inversion hiding in the tail the merge would never scan
+    assert(spark.sql(
+      "SELECT intersect_count_sorted(array(1L, 2L), array(7L, 8L, 2L)) c")
+      .as[Int].head() == 1)
+    // null elements: no undefined getLong; null ∈ both sides counts once
+    // (array_intersect semantics)
+    assert(spark.sql(
+      "SELECT intersect_count_sorted(array(1L, NULL), array(NULL, 1L, 2L)) c")
+      .as[Int].head() == 2)
+    // duplicates still count once on the fallback path
+    assert(spark.sql(
+      "SELECT intersect_count_sorted(array(5L, 5L, 3L), array(3L, 5L, 5L)) c")
+      .as[Int].head() == 2)
+  }
+
   test("D1: decoderFor dispatches json vs avro and rejects unknown") {
     val jsonSchema = StructType(Seq(StructField("id", StringType)))
     val df = Seq((0, 1L)).toDF("partition", "offset")
