@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.InjectorQueries.all ++
       graft.queries.RelationalQueries.all ++
+      graft.queries.AnalyticQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.InjectorQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
+      graft.queries.AnalyticQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++

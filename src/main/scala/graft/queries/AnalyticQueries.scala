@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-4 analytical surface: the remaining classical TPC-H query shapes
+  * (existential semi-join aggregates, selective-filter revenue, group-join
+  * top-k, HAVING-filtered fact rollups, conditional-ratio joins), explicit
+  * GROUPING SETS, lag/lead/ntile windows, exact percentile selection,
+  * deterministic correlation, fixed-width histograms, and the banded
+  * interval join (graft.operators.BandJoin).
+  *
+  * Cross-engine determinism rules are the same as RelationalQueries:
+  * floating sums go through DECIMAL first (exact, order-independent),
+  * aggregate OUTPUTS are cast to DOUBLE/BIGINT on both engines, and every
+  * final double-valued formula is written with the identical expression
+  * tree in both engines so the IEEE arithmetic matches bit-for-bit.
+  */
+object AnalyticQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(28,10)")
+  private def dec38(c: Column): Column = c.cast("decimal(38,10)")
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    if (n == "events") Tables.events(s, dir)
+    else Tables.load(s, dir, n)
+
+  val all: Map[String, Q] = Map(
+    // TPC-H Q6 shape: selective scan + global aggregate — everything pushes
+    // into the parquet scan, one partial/final agg pair, no join.
+    "q6_revenue_delta" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.09) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice") * col("l_discount")))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q4 shape: existential subquery — orders with at least one line
+    // shipped after the order date, counted per priority. The EXISTS
+    // becomes a left-semi hash join on the order key (the extra inequality
+    // rides along as a join-side filter, no extra pass).
+    "q4_late_shipping" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20 — fact
+    // join shuffles once on the order key, dims broadcast, top-k decided
+    // on the exact decimal.
+    "q10_returned_items" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_dec"))
+        .orderBy(col("revenue_dec").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("revenue_dec").cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q18 shape: HAVING-filtered fact aggregate joined back to its
+    // dimensions. The aggregate side is fact-derived (too big to hint
+    // broadcast at 100 TB); it comes out of the groupBy already
+    // hash-partitioned on the join key, so only orders shuffles — and AQE
+    // still downgrades to broadcast at runtime when the filter leaves it
+    // small.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_dec"))
+        .filter(col("qty_dec") > 150)
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      ord.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"),
+          col("qty_dec").cast("double").as("sum_qty"))
+    }),
+
+    // TPC-H Q14 shape: conditional-ratio aggregate — promo revenue share
+    // per ship month. Both sums are exact decimals; the percentage is ONE
+    // double division (identical expression both engines).
+    "q14_promo_effect" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          sum(dec(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0)))).as("promo_dec"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("total_dec"))
+        .select(col("ship_month"),
+          (lit(100.0) * col("promo_dec").cast("double") /
+            col("total_dec").cast("double")).as("promo_pct"))
+    }),
+
+    // Explicit GROUPING SETS — (day), (event_type), and grand total; the
+    // lattice rollup/cube can't express (no (day, event_type) cell).
+    "grouping_sets_day_type" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("value"))
+      ev.groupingSets(
+          Seq(Seq(col("day")), Seq(col("event_type")), Seq()),
+          col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
+    // Value-offset windows: previous/next value and quartile bucket per
+    // user (lag/lead copy exact doubles; ntile is pure row arithmetic).
+    "window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // Exact percentile SELECTION (disc, lower-bound): the p50/p90 value
+    // per return flag picked by deterministic rank — no floating-point
+    // interpolation, so both engines return the identical source double.
+    // At scale this is one sort-shuffle per group (vs a full collect for
+    // naive exact percentiles); approximate duals live in
+    // approx_user_stats.
+    "percentile_price" -> ((s, dir) => {
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val ordered = byFlag.orderBy(col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(ordered).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(byFlag))
+        .withColumn("i50", (floor((col("cnt") - 1) * lit(0.5)) + 1).cast("long"))
+        .withColumn("i90", (floor((col("cnt") - 1) * lit(0.9)) + 1).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("rn") === col("i50"), col("l_extendedprice"))).as("p50"),
+          max(when(col("rn") === col("i90"), col("l_extendedprice"))).as("p90"))
+    }),
+
+    // Pearson correlation from exact decimal co-moments: the five sums are
+    // order-independent decimals; ONLY the final closed-form formula runs
+    // in doubles, written with the identical expression tree in both
+    // engines (a streaming corr() would be partition-order-dependent).
+    "corr_qty_price" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec38(col("l_quantity"))).as("sx"),
+          sum(dec38(col("l_extendedprice"))).as("sy"),
+          sum(dec38(col("l_quantity") * col("l_extendedprice"))).as("sxy"),
+          sum(dec38(col("l_quantity") * col("l_quantity"))).as("sxx"),
+          sum(dec38(col("l_extendedprice") * col("l_extendedprice"))).as("syy"))
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      agg.select(col("l_returnflag"), col("n"),
+        ((n * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(n * d("sxx") - d("sx") * d("sx")) *
+            sqrt(n * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"))
+    }),
+
+    // Fixed-width histogram of the event value distribution — integer
+    // bucket arithmetic, exact min/max doubles.
+    "histogram_value" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / lit(50.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))),
+
+    // Banded interval join: follow-up events within 2 h of each purchase
+    // by the same user — BandJoin turns the inequality join into an
+    // equi-join on (user, time-bucket).
+    "band_join_followups" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("t_ms"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.operators.BandJoin.bandJoin(
+          ev, "user_id", "t_ms",
+          purchases, "user_id", "t_ms", window = 7200000L)
+        .groupBy(col("anchor_event_id").as("purchase_id"))
+        .agg(count(lit(1)).as("n_follow"))
+    })
+  )
+
+  private val D = "CAST(CAST(%s AS VARCHAR) AS DOUBLE)"
+  private def dd(e: String) = D.format(e)
+
+  val oracles: Map[String, String] = Map(
+    "q6_revenue_delta" ->
+      s"""SELECT ${dd("sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))")}
+            AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_discount BETWEEN 0.02 AND 0.09
+            AND l_quantity < 24""",
+    "q4_late_shipping" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""",
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+                 ${dd("revenue_dec")} AS revenue
+          FROM (
+            SELECT c_custkey, c_name, n_name,
+                   sum(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(28,10))) AS revenue_dec
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_dec DESC, c_custkey LIMIT 20)""",
+    "q18_large_orders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey,
+                 strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                 o_totalprice, ${dd("qty_dec")} AS sum_qty
+          FROM (
+            SELECT l_orderkey,
+                   sum(CAST(l_quantity AS DECIMAL(28,10))) AS qty_dec
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(28,10))) > 150) big
+          JOIN orders ON o_orderkey = big.l_orderkey
+          JOIN customer ON o_custkey = c_custkey""",
+    "q14_promo_effect" ->
+      s"""SELECT ship_month,
+                 100.0 * ${dd("promo_dec")} / ${dd("total_dec")} AS promo_pct
+          FROM (
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   sum(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1.0 - l_discount)
+                     ELSE 0.0 END AS DECIMAL(28,10))) AS promo_dec,
+                   sum(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(28,10))) AS total_dec
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY 1)""",
+    "grouping_sets_day_type" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                 count(*) AS n,
+                 ${dd("sum(CAST(value AS DECIMAL(28,10)))")} AS sum_value
+          FROM events
+          GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d')),
+                                  (event_type), ())""",
+    "window_lag_lead" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+                lag(value) OVER w AS prev_value,
+                lead(value) OVER w AS next_value,
+                ntile(4) OVER w AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)""",
+    "percentile_price" ->
+      """SELECT l_returnflag,
+                max(CASE WHEN rn = i50 THEN l_extendedprice END) AS p50,
+                max(CASE WHEN rn = i90 THEN l_extendedprice END) AS p90
+         FROM (
+           SELECT l_returnflag, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                  CAST(floor((count(*) OVER (PARTITION BY l_returnflag) - 1)
+                    * 0.5) + 1 AS BIGINT) AS i50,
+                  CAST(floor((count(*) OVER (PARTITION BY l_returnflag) - 1)
+                    * 0.9) + 1 AS BIGINT) AS i90
+           FROM lineitem)
+         GROUP BY l_returnflag""",
+    "corr_qty_price" ->
+      s"""SELECT l_returnflag, n,
+                 (nd * sxy - sx * sy) /
+                   (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+                   AS corr_qty_price
+          FROM (
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(count(*) AS DOUBLE) AS nd,
+                   ${dd("sum(CAST(l_quantity AS DECIMAL(38,10)))")} AS sx,
+                   ${dd("sum(CAST(l_extendedprice AS DECIMAL(38,10)))")} AS sy,
+                   ${dd("sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10)))")} AS sxy,
+                   ${dd("sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))")} AS sxx,
+                   ${dd("sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10)))")} AS syy
+            FROM lineitem GROUP BY l_returnflag)""",
+    "histogram_value" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+                count(*) AS n, min(value) AS min_v, max(value) AS max_v
+         FROM events GROUP BY 1""",
+    "band_join_followups" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_follow
+         FROM events p JOIN events e
+           ON p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND epoch_ms(e.ts) > epoch_ms(p.ts)
+          AND epoch_ms(e.ts) <= epoch_ms(p.ts) + 7200000
+         GROUP BY 1"""
+  )
+}
