@@ -112,7 +112,9 @@ object Bench {
         (if (retried.nonEmpty) Seq("retried_n" -> retried.size.toString) else Nil) ++
         Seq("sf" -> ("\"" + sfDir + "\"")))
     }
-    val budget = 1700
+    // 2000-char tail minus sbt's ~80-char trailing "[success] ..." line,
+    // with slack for anything else sbt appends
+    val budget = 1800
     val line = Seq(compact(2, results.size), compact(1, results.size))
       .find(_.length <= budget)
       .getOrElse {

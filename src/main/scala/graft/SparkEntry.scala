@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.InjectorQueries.all ++
       graft.queries.RelationalQueries.all ++
       graft.queries.AnalyticQueries.all ++
+      graft.queries.TpchQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
@@ -33,6 +34,7 @@ object SparkEntry {
     graft.queries.InjectorQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.AnalyticQueries.oracles ++
+      graft.queries.TpchQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++

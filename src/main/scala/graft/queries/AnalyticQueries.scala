@@ -207,6 +207,22 @@ object AnalyticQueries {
           purchases, "user_id", "t_ms", window = 7200000L)
         .groupBy(col("anchor_event_id").as("purchase_id"))
         .agg(count(lit(1)).as("n_follow"))
+    }),
+
+    // Stratified deterministic sampling: a different keep-rate per event
+    // class (downsample the fire-hose `view`s, keep every rare
+    // `purchase`) decided by the portable 60-bit hash — reproducible
+    // across engines and partitionings, pushed down as a scan filter, the
+    // standard class-rebalancing step of a training-data pipeline.
+    "sample_stratified" -> ((s, dir) => {
+      val rate = typedLit(Map(
+        "view" -> 2L, "click" -> 10L, "error" -> 25L,
+        "signup" -> 50L, "purchase" -> 100L))
+      t(s, dir, "events")
+        .filter(pmod(graft.functions.PortableHash.h15(
+            concat(lit("strat:"), col("event_id").cast("string"))),
+          lit(100L)) < coalesce(rate(col("event_type")), lit(0L)))
+        .select(col("event_id"), col("user_id"), col("event_type"))
     })
   )
 
@@ -319,6 +335,12 @@ object AnalyticQueries {
            ON p.user_id = e.user_id AND p.event_type = 'purchase'
           AND epoch_ms(e.ts) > epoch_ms(p.ts)
           AND epoch_ms(e.ts) <= epoch_ms(p.ts) + 7200000
-         GROUP BY 1"""
+         GROUP BY 1""",
+    "sample_stratified" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+          WHERE ${Duck.h15("concat('strat:', event_id::VARCHAR)")} % 100 <
+            CASE event_type WHEN 'view' THEN 2 WHEN 'click' THEN 10
+              WHEN 'error' THEN 25 WHEN 'signup' THEN 50
+              WHEN 'purchase' THEN 100 ELSE 0 END"""
   )
 }

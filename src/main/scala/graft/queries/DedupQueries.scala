@@ -43,7 +43,32 @@ object DedupQueries {
     // Embedding-cosine near-dup via SRP-LSH buckets + exact verify.
     "dedup_embedding_cosine" -> ((s, dir) =>
       DedupOps.embeddingNearDupPairs(threshold = 0.35, planes = 4)(
-        embs(s, dir)))
+        embs(s, dir))),
+
+    // Cluster resolution: near-dup PAIRS (simhash banding) → per-document
+    // component id via distributed min-label connected components
+    // (graft.operators.GraphOps) — the step that turns pairwise matches
+    // into "keep one doc per cluster" at corpus scale.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(
+        docs(s, dir)).select(col("a"), col("b"))
+      graft.operators.GraphOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
+    // End-to-end dedup: the surviving corpus — every unclustered doc plus
+    // the minimum-id representative of each near-dup cluster (pairs →
+    // components → anti-join the non-canonical members away).
+    "dedup_canonical" -> ((s, dir) => {
+      val pairs = DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(
+        docs(s, dir)).select(col("a"), col("b"))
+      val losers = graft.operators.GraphOps.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id"))
+      docs(s, dir)
+        .join(losers, col("doc_id") === col("id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    })
   )
 
   import Duck._
@@ -133,6 +158,47 @@ object DedupQueries {
           SELECT x.vec_id AS a, y.vec_id AS b,
             ${cosine("x.embedding", "y.embedding")} AS cos
           FROM g x JOIN g y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-          WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35"""
+          WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35""",
+    // same simhash pair set, then min-label components as a recursive
+    // reachability closure (min over every reachable node ≡ the fixpoint
+    // GraphOps.connectedComponents converges to)
+    "dedup_clusters" ->
+      s"""${duckSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          bd2 AS (SELECT doc_id, sh, t.c AS chunk,
+                    (sh >> (t.c::INTEGER * 6)) & 63 AS chunk_val
+                  FROM shv CROSS JOIN range(0, 10) t(c)),
+          pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bd2 x JOIN bd2 y
+                   ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
+                     AND x.doc_id < y.doc_id
+                 WHERE bit_count(xor(x.sh, y.sh)) <= 8),
+          e AS (SELECT a AS src, b AS dst FROM pr
+                UNION SELECT b, a FROM pr),
+          n AS (SELECT DISTINCT src AS id FROM e),
+          reach(id, r) AS (
+            SELECT id, id FROM n
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
+    "dedup_canonical" ->
+      s"""${duckSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          bd2 AS (SELECT doc_id, sh, t.c AS chunk,
+                    (sh >> (t.c::INTEGER * 6)) & 63 AS chunk_val
+                  FROM shv CROSS JOIN range(0, 10) t(c)),
+          pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bd2 x JOIN bd2 y
+                   ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
+                     AND x.doc_id < y.doc_id
+                 WHERE bit_count(xor(x.sh, y.sh)) <= 8),
+          e AS (SELECT a AS src, b AS dst FROM pr
+                UNION SELECT b, a FROM pr),
+          n AS (SELECT DISTINCT src AS id FROM e),
+          reach(id, r) AS (
+            SELECT id, id FROM n
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+          SELECT doc_id, lang, source FROM documents
+          WHERE doc_id NOT IN (
+            SELECT id FROM reach GROUP BY id HAVING min(r) <> id)"""
   )
 }

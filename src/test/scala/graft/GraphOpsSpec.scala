@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.GraphOps
+
+/** Unit tests for distributed connected components (dedup cluster
+  * resolution).
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("singleton pair, chain, and separate component") {
+    // chain 1-2-3-4 takes several propagation rounds; 7-8 is disjoint
+    val cc = components(Seq((3L, 4L), (1L, 2L), (2L, 3L), (7L, 8L)))
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L))
+  }
+
+  test("long chain converges past a single round (diameter > 1)") {
+    val n = 40L
+    val cc = components((1L until n).map(i => (i, i + 1)))
+    assert(cc.size == n)
+    assert(cc.values.forall(_ == 1L))
+  }
+
+  test("star and triangle merge through a bridge edge") {
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val tri = Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val bridged = components(star ++ tri :+ (13L, 22L))
+    assert(bridged.values.toSet == Set(10L))
+    val separate = components(star ++ tri)
+    assert(separate.values.toSet == Set(10L, 20L))
+  }
+
+  test("empty edge list yields empty labeling") {
+    assert(components(Seq.empty).isEmpty)
+  }
+
+  test("edge direction is irrelevant (undirected symmetrization)") {
+    assert(components(Seq((5L, 2L), (2L, 9L))) ==
+      Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
+  }
+}
