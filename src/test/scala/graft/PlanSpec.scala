@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan shape regressions: the scale properties the queries are
+  * DESIGNED around (dimension joins broadcast, filters reaching the
+  * parquet scan, windowed operators shuffling exactly once) asserted on
+  * the sf0.001 plans, so a refactor that silently degrades a plan — a
+  * dropped broadcast hint turning into a sort-merge join, a projection
+  * stopping pushdown — fails the suite rather than only showing up as a
+  * bench delta. Plan SHAPE is scale-invariant: what broadcasts at
+  * sf0.001 by hint still broadcasts at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  /** executedPlan before execution wraps everything in an unresolved AQE
+    * node; formatted-string matching is version-stable enough here.
+    */
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan // force planning
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  private def count(haystack: String, needle: String): Int =
+    haystack.sliding(needle.length).count(_ == needle)
+
+  test("q5 star join: every dimension broadcast, no sort-merge join") {
+    val p = planString("q5_local_supplier")
+    assert(count(p, "BroadcastHashJoin") >= 4, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("q1 scan: shipdate filter and column pruning reach parquet") {
+    val p = planString("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    // projection pruned to the 7 referenced columns, not the full table
+    assert(p.contains("l_returnflag") && !p.contains("l_partkey"))
+  }
+
+  test("asof join: exactly one shuffle (union + single window pass)") {
+    val ev = Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.unix_millis(
+          org.apache.spark.sql.functions.col("ts")).as("t_ms"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.unix_millis(
+          org.apache.spark.sql.functions.col("o_orderdate")
+            .cast("timestamp")).as("o_ms"),
+        org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice"))
+    val df = graft.operators.AsofJoin.asofBackward(
+      ev, "user_id", "t_ms", "event_id",
+      ord, "o_custkey", "o_ms", "o_orderkey",
+      Seq("o_orderkey", "o_totalprice"))
+    // count ShuffleExchangeExec nodes in the executed plan tree, through
+    // whatever AQE wrapping is present, EXCLUDING the localCheckpoint'd
+    // input materialization (Tables.spread) above the scans
+    df.collect()
+    // AQE wraps materialized exchanges in ShuffleQueryStageExec whose
+    // child list is empty — count exchanges in the final plan STRING
+    // (each prints one "Exchange hashpartitioning" line; the adaptive
+    // toString repeats the plan under "== Initial Plan ==", so cut there)
+    val s = planOf(df).toString.split("== Initial Plan ==")(0)
+    val n = count(s, "Exchange hashpartitioning")
+    assert(n == 1, s"as-of join should shuffle exactly once, saw $n\n" +
+      s.take(2000))
+  }
+
+  test("topk_orders: global top-k plans as TakeOrderedAndProject") {
+    val p = planString("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k degraded to a global sort")
+  }
+
+  test("q8 star join: single fact-fact shuffle pair, dims broadcast") {
+    val p = planString("q8_market_share")
+    assert(count(p, "BroadcastHashJoin") >= 5, p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sample_stratified: hash filter is a scan-adjacent Filter") {
+    val p = planString("sample_stratified")
+    // no shuffle, no join — a pushable one-pass filter over the scan
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+}
