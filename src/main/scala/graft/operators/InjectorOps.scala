@@ -71,10 +71,14 @@ object InjectorOps {
   def jsonDecode(schema: StructType, valueCol: String = "value")(df: DataFrame): DataFrame = {
     val withCorrupt = StructType(
       schema.fields :+ StructField("_corrupt_record", StringType))
+    // PlanBarrier.opaque: without it the corrupt filter's alias gets
+    // inlined below the projection and the from_json parse runs TWICE per
+    // row (Filter + Project) — the dominant cost of the decode stage
     df.withColumn("payload",
-        from_json(col(valueCol).cast("string"), withCorrupt,
-          Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> "_corrupt_record")))
+        graft.functions.PlanBarrier.opaque(
+          from_json(col(valueCol).cast("string"), withCorrupt,
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt_record"))))
       .filter(col("payload").isNotNull &&
         col("payload._corrupt_record").isNull)
       .withColumn("payload", col("payload").dropFields("_corrupt_record"))
@@ -167,8 +171,9 @@ object InjectorOps {
       : DataFrame => DataFrame = recordType match {
     case "json" => jsonDecode(jsonSchema)
     case "avro" => df => df
-      .withColumn("payload", graft.functions.AvroWire.fromConfluentAvro(
-        col("value"), avroReaderSchema, avroWriterSchemas))
+      .withColumn("payload", graft.functions.PlanBarrier.opaque(
+        graft.functions.AvroWire.fromConfluentAvro(
+          col("value"), avroReaderSchema, avroWriterSchemas)))
       .filter(col("payload").isNotNull)
     case other =>
       throw new IllegalArgumentException(s"Invalid parser type $other")

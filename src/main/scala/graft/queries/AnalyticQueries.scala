@@ -209,6 +209,38 @@ object AnalyticQueries {
         .agg(count(lit(1)).as("n_follow"))
     }),
 
+    // Salted skew join (graft.operators.SkewOps): events fact ⋈ customer
+    // dim on a deliberately salted key — the whale-key remedy. Salting is
+    // a pure partitioning rewrite, so the oracle is the UNSALTED join:
+    // result equality IS the correctness property.
+    "skew_join_salted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.SkewOps.saltedJoin(
+          ev, "user_id", "event_id", cust, "c_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
+    // Rank-statistic windows beyond row_number: dense_rank (gapless),
+    // percent_rank and cume_dist (both pure rank/count arithmetic — the
+    // (rank-1)/(n-1) and rank/n divisions are single double ops identical
+    // in both engines).
+    "window_rank_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+    }),
+
     // Stratified deterministic sampling: a different keep-rate per event
     // class (downsample the fire-hose `view`s, keep every rare
     // `purchase`) decided by the portable 60-bit hash — reproducible
@@ -336,6 +368,18 @@ object AnalyticQueries {
           AND epoch_ms(e.ts) > epoch_ms(p.ts)
           AND epoch_ms(e.ts) <= epoch_ms(p.ts) + 7200000
          GROUP BY 1""",
+    "skew_join_salted" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+                 ${dd("sum(CAST(value AS DECIMAL(28,10)))")} AS sum_value
+          FROM events JOIN customer ON user_id = c_custkey
+          GROUP BY c_mktsegment""",
+    "window_rank_stats" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                percent_rank() OVER w AS prnk,
+                cume_dist() OVER w AS cdist
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""",
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
           WHERE ${Duck.h15("concat('strat:', event_id::VARCHAR)")} % 100 <
