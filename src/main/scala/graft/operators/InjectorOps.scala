@@ -104,6 +104,51 @@ object InjectorOps {
     if (!include) df
     else df.withColumn("payload", col("payload").withField("key", decodedKey))
 
+  /** T2 full semantics: decode the message key ITSELF and merge the decoded
+    * struct into the payload as field `key` — the reference decodes the key
+    * with its own registry lookup (Avro: encode_decode.go:66-72; JSON:
+    * encode_decode.go:99-105), so the key is a nested record, not a string.
+    * Reference semantics preserved exactly:
+    *  - nil key → record kept, `key` field omitted (null here — fixed
+    *    Catalyst schema; the to_json dual emits identical bytes);
+    *  - non-nil key that fails decode → the whole record errors; under our
+    *    D6 poison-drop policy that means the record is DROPPED.
+    * The PlanBarrier stops the decode expression being re-evaluated by the
+    * drop filter (one decode per row, same as the value path).
+    */
+  def includeDecodedKey(include: Boolean, decode: Column => Column)(
+      df: DataFrame): DataFrame =
+    if (!include) df
+    else df
+      .withColumn("__key_dec",
+        graft.functions.PlanBarrier.opaque(decode(col("key"))))
+      .filter(col("key").isNull || col("__key_dec").isNotNull)
+      .withColumn("payload", col("payload").withField("key", col("__key_dec")))
+      .drop("__key_dec")
+
+  /** Registry-dispatched Avro key decoder (encode_decode.go:66-72): the
+    * key is Confluent-wire-framed like the value, resolved through the
+    * same [[graft.functions.SchemaProvider]] seam.
+    */
+  def avroKeyDecoder(readerSchemaJson: String,
+      provider: graft.functions.SchemaProvider): Column => Column =
+    key => graft.functions.AvroWire.fromConfluentAvro(
+      key, readerSchemaJson, provider)
+
+  /** JSON key decoder (encode_decode.go:99-105): unmarshal the key bytes
+    * into a typed struct; syntactically broken JSON yields null (which
+    * [[includeDecodedKey]] turns into a record drop).
+    */
+  def jsonKeyDecoder(schema: StructType): Column => Column = { key =>
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType))
+    val parsed = from_json(key.cast("string"), withCorrupt,
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record"))
+    when(parsed.isNotNull && parsed.getField("_corrupt_record").isNull,
+      parsed.dropFields("_corrupt_record"))
+  }
+
   /** T3: drop blacklisted top-level payload fields (anti-projection).
     * Nested fields are deliberately not addressable, as in the reference.
     */

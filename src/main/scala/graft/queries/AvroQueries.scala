@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.AvroWire
+import graft.functions.{AvroWire, MapSchemaProvider}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,74 @@ object AvroQueries {
           col("value")).as("value"))
         .localCheckpoint(false))
 
+  // ------------------------------------------- rich type-surface fixture
+
+  /** Writer schema exercising the full goavro-equivalent type surface the
+    * reference carries (encode_decode.go:42-81): string-keyed map, decimal/
+    * date/timestamp logical types, enum, multi-branch union, nested
+    * records-in-array, fixed.
+    */
+  private[graft] val richSchema =
+    """{"type":"record","name":"Rich","fields":[
+       {"name":"event_type","type":"string"},
+       {"name":"tags","type":{"type":"map","values":"long"}},
+       {"name":"amount","type":{"type":"bytes","logicalType":"decimal","precision":18,"scale":2}},
+       {"name":"day","type":{"type":"int","logicalType":"date"}},
+       {"name":"ts_ms","type":{"type":"long","logicalType":"timestamp-millis"}},
+       {"name":"ts_us","type":{"type":"long","logicalType":"timestamp-micros"}},
+       {"name":"flag","type":{"type":"enum","name":"Flag","symbols":["A","B","C"]}},
+       {"name":"alt","type":["null","long","string"]},
+       {"name":"items","type":{"type":"array","items":
+         {"type":"record","name":"Item","fields":[
+           {"name":"k","type":"string"},{"name":"v","type":"long"}]}}},
+       {"name":"fid","type":{"type":"fixed","name":"Fid","size":4}}
+      ]}""".replaceAll("\n\\s*", "")
+  private val richId = 7
+
+  /** Deterministic rich-payload producer (the fixture dual): every field
+    * derived from (event_id, user_id, event_type, ts) so the DuckDB oracle
+    * can recompute it from the base table.
+    */
+  private[graft] def richEncode(eventId: Long, userId: Long,
+      eventType: String, tsUs: Long): Array[Byte] = {
+    val schema = AvroWire.schemaOf(richSchema)
+    val tags = new java.util.HashMap[String, java.lang.Long]()
+    tags.put("uid", userId)
+    tags.put("mod", eventId % 7)
+    val unscaled = eventId * 100 + userId % 100 // decimal(18,2) = eid.(uid%100)
+    val itemSchema = schema.getField("items").schema.getElementType
+    val item0 = new org.apache.avro.generic.GenericData.Record(itemSchema)
+    item0.put("k", "a"); item0.put("v", java.lang.Long.valueOf(eventId))
+    val item1 = new org.apache.avro.generic.GenericData.Record(itemSchema)
+    item1.put("k", "b"); item1.put("v", java.lang.Long.valueOf(userId))
+    AvroWire.encodeConfluent(richId, richSchema, Map(
+      "event_type" -> eventType,
+      "tags" -> tags,
+      "amount" -> java.nio.ByteBuffer.wrap(
+        java.math.BigInteger.valueOf(unscaled).toByteArray),
+      "day" -> java.lang.Integer.valueOf((tsUs / 86400000000L).toInt),
+      "ts_ms" -> java.lang.Long.valueOf(tsUs / 1000),
+      "ts_us" -> java.lang.Long.valueOf(tsUs),
+      "flag" -> new org.apache.avro.generic.GenericData.EnumSymbol(
+        schema.getField("flag").schema, Seq("A", "B", "C")((eventId % 3).toInt)),
+      "alt" -> (if (eventId % 10 == 0) null
+                else if (eventId % 2 == 0) java.lang.Long.valueOf(userId)
+                else eventType),
+      "items" -> java.util.List.of(item0, item1),
+      "fid" -> new org.apache.avro.generic.GenericData.Fixed(
+        schema.getField("fid").schema,
+        java.nio.ByteBuffer.allocate(4).putInt(eventId.toInt).array())))
+  }
+
+  private val richEncodeUdf = udf(richEncode _)
+
+  private def richWire(s: SparkSession, dir: String): DataFrame =
+    wireCache.getOrElseUpdate((s, dir + "#rich"),
+      Tables.events(s, dir).select(col("event_id"),
+        richEncodeUdf(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts"))).as("value"))
+        .localCheckpoint(false))
+
   val all: Map[String, Q] = Map(
     // D2: big-endian schema-id extraction from the wire header.
     "d2_schema_id" -> ((s, dir) =>
@@ -61,13 +129,54 @@ object AvroQueries {
             .as("payload"))
         .filter(col("payload").isNotNull)
         .select(col("event_id"), col("payload.event_type").as("event_type"),
-          col("payload.value").as("value")))
+          col("payload.value").as("value"))),
+
+    // D3 rich: full Avro type surface through the provider seam — map,
+    // decimal/date/timestamp logical types, enum, 3-branch union, nested
+    // records-in-array, fixed. Every output re-derivable by the oracle.
+    "d3_avro_rich" -> ((s, dir) =>
+      richWire(s, dir)
+        .select(col("event_id"),
+          AvroWire.fromConfluentAvro(col("value"), richSchema,
+            MapSchemaProvider(Map(richId -> richSchema))).as("p"))
+        .filter(col("p").isNotNull)
+        .select(
+          col("event_id"),
+          col("p.event_type").as("event_type"),
+          element_at(col("p.tags"), "uid").as("tag_uid"),
+          element_at(col("p.tags"), "mod").as("tag_mod"),
+          col("p.amount").cast("string").as("amount"),
+          col("p.day").cast("string").as("day"),
+          unix_millis(col("p.ts_ms")).as("ts_ms"),
+          unix_micros(col("p.ts_us")).as("ts_us"),
+          col("p.flag").as("flag"),
+          col("p.alt.member0").as("alt_num"),
+          col("p.alt.member1").as("alt_str"),
+          element_at(col("p.items"), 1).getField("v").as("item0_v"),
+          element_at(col("p.items"), 2).getField("k").as("item1_k"),
+          lower(hex(col("p.fid"))).as("fid_hex")))
   )
 
   val oracles: Map[String, String] = Map(
     "d2_schema_id" ->
       "SELECT event_id, (event_id % 2)::INTEGER AS schema_id, true AS magic_ok FROM events",
     "d3_avro_decode" ->
-      "SELECT event_id, event_type, value FROM events"
+      "SELECT event_id, event_type, value FROM events",
+    "d3_avro_rich" ->
+      """SELECT event_id,
+           event_type,
+           user_id AS tag_uid,
+           event_id % 7 AS tag_mod,
+           printf('%d.%02d', event_id, user_id % 100) AS amount,
+           strftime(ts, '%Y-%m-%d') AS day,
+           epoch_ms(ts) AS ts_ms,
+           epoch_us(ts) AS ts_us,
+           CASE event_id % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END AS flag,
+           CASE WHEN event_id % 10 <> 0 AND event_id % 2 = 0 THEN user_id END AS alt_num,
+           CASE WHEN event_id % 10 <> 0 AND event_id % 2 = 1 THEN event_type END AS alt_str,
+           event_id AS item0_v,
+           'b' AS item1_k,
+           printf('%08x', event_id) AS fid_hex
+         FROM events"""
   )
 }

@@ -53,6 +53,57 @@ class AvroWireSpec extends SparkSpec {
     assert(out.toSeq == Seq(true, true))
   }
 
+  test("rich type surface: map, logical types, enum, union, nested, fixed") {
+    val bytes = graft.queries.AvroQueries.richEncode(11L, 205L, "click",
+      1700000000123456L)
+    val row = wireDf(bytes).select(
+      AvroWire.fromConfluentAvro($"value", graft.queries.AvroQueries.richSchema,
+        Map(7 -> graft.queries.AvroQueries.richSchema)).as("p"))
+      .select($"p.tags"("uid"), $"p.amount".cast("string"),
+        $"p.day".cast("string"), unix_millis($"p.ts_ms"),
+        unix_micros($"p.ts_us"), $"p.flag", $"p.alt.member0",
+        $"p.alt.member1", $"p.items"(0)("v"), lower(hex($"p.fid")))
+      .head()
+    assert(row.getLong(0) == 205L)          // map value
+    assert(row.getString(1) == "11.05")     // decimal(18,2): 11*100+205%100
+    assert(row.getString(2) == "2023-11-14") // date from epoch-days
+    assert(row.getLong(3) == 1700000000123L) // timestamp-millis
+    assert(row.getLong(4) == 1700000000123456L) // timestamp-micros
+    assert(row.getString(5) == "C")         // enum: 11 % 3 = 2
+    assert(row.isNullAt(6))                 // union: odd id -> string branch
+    assert(row.getString(7) == "click")
+    assert(row.getLong(8) == 11L)           // nested record in array
+    assert(row.getString(9) == "0000000b")  // fixed(4), big-endian id
+  }
+
+  test("schema provider: http shape caches, miss is dropped not cached") {
+    import graft.functions.HttpSchemaProvider
+    // locals only: the lambda is serialized into the decode expression, so
+    // it must not capture the (non-serializable) test class
+    val response = s"""{"schema": ${com.fasterxml.jackson.databind.json
+      .JsonMapper.builder().build().writeValueAsString(fixtureSchema)}}"""
+    var calls = 0
+    val provider = new HttpSchemaProvider("http://registry:8081", url => {
+      calls += 1
+      if (url.endsWith("/schemas/ids/7")) response
+      else throw new RuntimeException(s"404 $url")
+    })
+    assert(provider.schemaFor(7).contains(fixtureSchema))
+    assert(provider.schemaFor(7).contains(fixtureSchema))
+    assert(calls == 1) // resolved schema cached forever
+    assert(provider.schemaFor(9).isEmpty)
+    assert(provider.schemaFor(9).isEmpty)
+    assert(calls == 3) // misses NOT cached (transient outage must retry)
+
+    // end-to-end: decode through the provider; unknown id -> null row
+    val good = AvroWire.encodeConfluent(7, fixtureSchema, Map("id" -> 5))
+    val unknown = AvroWire.encodeConfluent(9, fixtureSchema, Map("id" -> 6))
+    val out = wireDf(good, unknown).orderBy($"n").select(
+      AvroWire.fromConfluentAvro($"value", fixtureSchema, provider)("id"))
+      .as[Option[Int]].collect()
+    assert(out.toSeq == Seq(Some(5), None))
+  }
+
   test("multi-schema dispatch resolves different field orders") {
     val w0 = """{"type":"record","name":"R","fields":[
       {"name":"a","type":"int"},{"name":"b","type":"string"}]}"""
