@@ -204,21 +204,60 @@ object DedupOps {
     graft.functions.VectorExprs.simhash60(tokens(text))
 
   /** SimHash near-dup pairs: pigeonhole banding — split the 60 bits into
-    * `chunks` equal chunks; any pair within Hamming distance
-    * `chunks - 1` must agree on at least one chunk, so the equi-join on
-    * (chunk index, chunk value) finds all such pairs without n². Verified
-    * with exact `bit_count(xor) <= maxHamming`.
+    * `chunks` equal chunks; a pair within Hamming distance `maxHamming <
+    * chunks` mismatches at most `maxHamming` chunks, so it AGREES on at
+    * least `chunks - maxHamming`. Candidates come from an equi-join on a
+    * band key, verified with exact `bit_count(xor) <= maxHamming` — never
+    * an all-pairs pass.
+    *
+    * Band-key geometry is chosen for scale, not just correctness: with
+    * narrow chunks the single-chunk key has only `chunks · 2^bitsPer`
+    * distinct values (e.g. 10 chunks of 6 bits = 640 keys → candidate
+    * volume ~n²/64 per chunk — quadratic at corpus scale). Whenever the
+    * pigeonhole guarantees ≥ 2 agreeing chunks, we instead join on every
+    * *pair* of chunks (Manku et al., WWW'07 "combinations of blocks"):
+    * C(chunks,2) combos of width 2·bitsPer, e.g. (8,10) → 45·2^12 ≈ 184k
+    * distinct keys — a 288× smaller candidate volume for a 4.5× larger
+    * (still linear) posting table. Defaults (3,4) are the standard
+    * near-dup geometry: 15-bit bands, 4·2^15 ≈ 131k keys.
+    *
+    * The result is EXACT for any geometry (banding only affects the
+    * candidate set, which provably contains every qualifying pair).
     */
-  def simhashPairs(maxHamming: Int = 14, chunks: Int = 15)(
+  def simhashPairs(maxHamming: Int = 3, chunks: Int = 4)(
       df: DataFrame): DataFrame = {
+    val sh = df.select(col("doc_id"), simhash(col("text")).as("sh"))
+    simhashPairsFromSketch(maxHamming, chunks)(sh)
+  }
+
+  /** [[simhashPairs]] over a precomputed `(doc_id, sh)` sketch frame. */
+  def simhashPairsFromSketch(maxHamming: Int, chunks: Int)(
+      sh: DataFrame): DataFrame =
+    simhashCandidates(maxHamming, chunks)(sh)
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+
+  /** Candidate pairs from pigeonhole banding (pre-verification) — exposed
+    * so tests can assert the candidate-volume bound that makes the
+    * operator scale.
+    */
+  private[graft] def simhashCandidates(maxHamming: Int, chunks: Int)(
+      sh: DataFrame): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val bitsPer = 60 / chunks
-    val sh = df.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val agree = chunks - maxHamming
+    def chunkVal(c: Int): Column =
+      shiftright(col("sh"), c * bitsPer).bitwiseAND((1L << bitsPer) - 1)
+    // band keys: chunk pairs when ≥2 agreements are guaranteed and single
+    // chunks are too narrow to partition the corpus (< 12 bits)
+    val keys: Seq[Column] =
+      if (agree >= 2 && bitsPer < 12)
+        for (i <- 0 until chunks; j <- i + 1 until chunks)
+          yield chunkVal(i) * (1L << bitsPer) + chunkVal(j)
+      else (0 until chunks).map(chunkVal(_))
     val banded = sh.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftright(col("sh"), c * bitsPer)
-          .bitwiseAND((1L << bitsPer) - 1)): _*))
-        .as(Seq("chunk", "chunk_val")))
+      posexplode(array(keys: _*)).as(Seq("chunk", "chunk_val")))
     val a = banded.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("a"), col("sh").as("sh_a"))
     val b = banded.select(col("chunk"), col("chunk_val"),
@@ -226,9 +265,6 @@ object DedupOps {
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 
   // ---------------------------------------------- embedding-cosine near-dup

@@ -10,37 +10,71 @@ import org.apache.spark.sql.functions._
   * the reference (no joins at all, SURVEY.md §2.1) and from Spark SQL's
   * built-ins (GraphX is RDD-based and unmaintained).
   *
-  * Algorithm: iterated min-label propagation. Every node starts labeled
-  * with itself; each round, a node's label becomes the minimum label in
-  * its closed neighborhood (its own plus all neighbors'). The per-round
-  * plan is one shuffle (groupBy dst over the symmetrized edge list joined
-  * to current labels) plus a broadcast-free equi-join back to labels —
-  * hash-partitioned on node id throughout, no driver-side state, spill-
-  * friendly, AQE-skewable: exactly the shape that survives a 100 TB edge
-  * list. Convergence needs at most `diameter` rounds; near-dup graphs are
-  * tiny star/chain clusters (diameter ≤ ~6), and the loop exits as soon
-  * as a round changes nothing. The convergence probe is a single
-  * `sum(label)` aggregate — labels only ever decrease, so an unchanged
-  * sum IS a fixpoint (no expensive frame diff). Each round's result is
-  * `localCheckpoint`ed to truncate lineage (iterative plans otherwise
-  * grow exponentially in the optimizer).
+  * Two interchangeable algorithms behind one API, both pure DataFrame
+  * plans — hash-partitioned on node id, no driver-side state, spill-
+  * friendly, AQE-skewable:
   *
-  * For graphs with pathological diameters (long chains at billions of
-  * edges) the production-grade refinement is alternating large-star /
-  * small-star (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14), which converges in O(log n) rounds with the same
-  * per-round shuffle shape; min-label propagation is chosen here for its
-  * determinism-obvious single primitive.
+  *  - `minlabel` (default): iterated min-label propagation. Every node
+  *    starts labeled with itself; each round a node's label becomes the
+  *    minimum over its closed neighborhood. One shuffle per round,
+  *    converges in `diameter` rounds — the right choice for near-dup
+  *    graphs (tiny star/chain clusters, diameter ≤ ~6).
+  *  - `star`: alternating large-star / small-star contraction (Kiveris
+  *    et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+  *    Each round rewires edges toward local minima, so component trees
+  *    flatten multiplicatively: O(log n) rounds regardless of diameter —
+  *    the scale path for pathological chains in billion-edge graphs.
+  *
+  * Both converge to the identical labeling (component = min reachable
+  * id); `GraphOpsSpec` property-tests them equal on random graphs.
+  * Convergence probes are exact: label/edge-hash sums aggregate through
+  * DECIMAL(38,0), so a 2^64 wrap can never fake a fixpoint. Exhausting
+  * `maxIter` without reaching the fixpoint throws — a partially-merged
+  * labeling that LOOKS complete is the one failure mode a dedup pipeline
+  * cannot detect downstream. Each round's result is `localCheckpoint`ed
+  * to truncate lineage (iterative plans otherwise grow exponentially in
+  * the optimizer).
   */
 object GraphOps {
 
   /** @param edges two-column DataFrame of undirected edges
+    * @param algorithm "minlabel" (O(diameter) rounds, 1 shuffle/round) or
+    *                  "star" (Kiveris large-star/small-star, O(log n)
+    *                  rounds)
     * @return (id, component) — every node that appears in `edges`, labeled
     *         with the smallest node id reachable from it
+    * @throws IllegalStateException if `maxIter` rounds pass without
+    *         reaching the fixpoint (the result would be silently wrong)
     */
   def connectedComponents(
       edges: DataFrame, a: String = "a", b: String = "b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, algorithm: String = "minlabel"): DataFrame =
+    algorithm match {
+      case "minlabel" => minLabel(edges, a, b, maxIter)
+      case "star" => largeSmallStar(edges, a, b, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"unknown connected-components algorithm $other")
+    }
+
+  /** Exact sum probe: labels only ever decrease (minlabel) / edge targets
+    * only ever decrease (star), so an unchanged DECIMAL(38,0) sum IS a
+    * fixpoint — no expensive frame diff, and no 64-bit wrap collision.
+    */
+  private def decSum(df: DataFrame, expr: org.apache.spark.sql.Column) = {
+    val r = df.agg(sum(expr.cast("decimal(38,0)"))).head()
+    if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))
+  }
+
+  private def notConverged(algorithm: String, maxIter: Int): Nothing =
+    throw new IllegalStateException(
+      s"connectedComponents($algorithm) did not reach its fixpoint in " +
+        s"$maxIter rounds — raise maxIter (result would be partially " +
+        "merged components)")
+
+  // ------------------------------------------------- min-label propagation
+
+  private def minLabel(edges: DataFrame, a: String, b: String,
+      maxIter: Int): DataFrame = {
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
@@ -49,13 +83,9 @@ object GraphOps {
       .distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(false)
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("label"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // null ⇔ empty edge list
-    }
     var converged = false
     var iter = 0
-    var prevSum = labelSum(labels)
+    var prevSum = decSum(labels, col("label"))
     while (!converged && iter < maxIter) {
       // min over the closed neighborhood: neighbors' labels ∪ own label
       val nbrMin = sym
@@ -68,12 +98,75 @@ object GraphOps {
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint(false)
-      val nextSum = labelSum(next)
+      val nextSum = decSum(next, col("label"))
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
       iter += 1
     }
+    if (!converged) notConverged("minlabel", maxIter)
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  // ---------------------------------------- large-star/small-star (SoCC'14)
+
+  /** One large-star round: symmetrize, then for each node u with
+    * neighborhood N(u) and m = min(N(u) ∪ u), rewire every LARGER
+    * neighbor to m: emit (v, m) for v ∈ N(u), v > u.
+    */
+  private def largeStar(p: DataFrame): DataFrame = {
+    val sym = p.union(p.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val mins = sym.groupBy(col("u"))
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge (larger → smaller), then for
+    * each node u with smaller-neighborhood N(u) and m = min(N(u) ∪ u),
+    * link every member of N(u) ∪ {u} except m itself to m.
+    */
+  private def smallStar(p: DataFrame): DataFrame = {
+    val oriented = p.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v")).distinct()
+    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val withM = oriented.join(mins, Seq("u"))
+    withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  private def largeSmallStar(edges: DataFrame, a: String, b: String,
+      maxIter: Int): DataFrame = {
+    val nodes = edges.select(col(a).as("id"))
+      .union(edges.select(col(b).as("id")))
+      .distinct()
+      .localCheckpoint(false)
+    var p = edges.select(col(a).as("u"), col(b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(false)
+    def probe(df: DataFrame) =
+      (df.count(), decSum(df, xxhash64(col("u"), col("v"))))
+    var converged = false
+    var iter = 0
+    var prev = probe(p)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(p)).localCheckpoint(false)
+      val sig = probe(next)
+      converged = sig == prev
+      prev = sig
+      p = next
+      iter += 1
+    }
+    if (!converged) notConverged("star", maxIter)
+    // converged p is a star forest: (child, root). Roots and isolated
+    // nodes (self-edges only) label themselves.
+    nodes.join(p, nodes("id") === p("u"), "left_outer")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
   }
 }

@@ -40,7 +40,6 @@ object KMeansOps {
   def lloyd(corpus: DataFrame, idCol: String, vecCol: String,
       seedIds: Seq[Long], iters: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     var cents: Seq[(Int, Seq[Double])] = corpus
       .filter(col(idCol).isInCollection(seedIds))
       .orderBy(col(idCol))
@@ -50,9 +49,7 @@ object KMeansOps {
       .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
 
     for (_ <- 1 to iters)
-      cents = step(corpus, vecCol, cents).map {
-        case (cell, c) => (cell, c)
-      }
+      cents = step(corpus, vecCol, cents)
     toDF(spark, cents)
   }
 

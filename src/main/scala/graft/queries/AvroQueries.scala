@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{AvroWire, MapSchemaProvider}
+import graft.operators.{InjectorOps, KafkaShape}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -107,6 +108,21 @@ object AvroQueries {
 
   private val richEncodeUdf = udf(richEncode _)
 
+  // --------------------------------------------- T2 full: Avro-framed keys
+
+  /** Key schema for the registry-dispatched key decode (the reference
+    * Avro-decodes the message key with its own registry lookup,
+    * encode_decode.go:66-72).
+    */
+  private[graft] val keySchema =
+    """{"type":"record","name":"EvKey",
+       "fields":[{"name":"user_id","type":"long"}]}""".replaceAll("\n\\s*", "")
+  private val keyId = 3
+
+  private val keyEncodeUdf = udf { (uid: Long) =>
+    AvroWire.encodeConfluent(keyId, keySchema, Map("user_id" -> uid))
+  }
+
   private def richWire(s: SparkSession, dir: String): DataFrame =
     wireCache.getOrElseUpdate((s, dir + "#rich"),
       Tables.events(s, dir).select(col("event_id"),
@@ -154,7 +170,27 @@ object AvroQueries {
           col("p.alt.member1").as("alt_str"),
           element_at(col("p.items"), 1).getField("v").as("item0_v"),
           element_at(col("p.items"), 2).getField("k").as("item1_k"),
-          lower(hex(col("p.fid"))).as("fid_hex")))
+          lower(hex(col("p.fid"))).as("fid_hex"))),
+
+    // T2 full semantics: the message KEY itself is Confluent-Avro-framed
+    // and decoded through the registry seam (encode_decode.go:66-72).
+    // Three key shapes are exercised: nil key (row kept, key field null),
+    // valid Avro key (decoded struct merged into the payload), and a
+    // non-Avro key (decode fails -> whole record dropped, D6 policy).
+    "t2_key_avro" -> ((s, dir) => {
+      val framed = KafkaShape.fromEvents(Tables.events(s, dir))
+        .withColumn("key",
+          when(col("offset") % 89 === 0, lit(null).cast("binary"))
+            .when(col("offset") % 103 === 0, encode(lit("xx"), "UTF-8"))
+            .otherwise(keyEncodeUdf(decode(col("key"), "UTF-8").cast("long"))))
+      val decoded = InjectorOps.jsonDecode(KafkaShape.eventPayloadSchema)(
+        InjectorOps.nilMessageFilter()(framed))
+      InjectorOps.includeDecodedKey(include = true,
+        InjectorOps.avroKeyDecoder(keySchema,
+          MapSchemaProvider(Map(keyId -> keySchema))))(decoded)
+        .select(col("offset").as("event_id"),
+          col("payload.key.user_id").as("key_user_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +213,11 @@ object AvroQueries {
            event_id AS item0_v,
            'b' AS item1_k,
            printf('%08x', event_id) AS fid_hex
-         FROM events"""
+         FROM events""",
+    "t2_key_avro" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 89 <> 0 THEN user_id END AS key_user_id
+         FROM events
+         WHERE event_id % 89 = 0 OR event_id % 103 <> 0"""
   )
 }

@@ -172,16 +172,26 @@ object RelationalQueries {
 
     // Approximate aggregates (HLL++ distinct, quantile sketch) — the
     // constant-memory forms that replace exact distinct/percentile at
-    // 100 TB. Sketches are engine-specific, so there is no DuckDB oracle;
-    // the driver records the weaker rows-only check, and AggSpec asserts
-    // accuracy bounds against exact values.
+    // 100 TB. Sketch values are engine-specific, so the oracle-checkable
+    // surface is the ERROR BOUND, not the sketch: emit the exact anchor
+    // plus pass/fail booleans (HLL within 5% of exact distinct; approx
+    // median between exact p45 and p55). The oracle recomputes the exact
+    // anchor and asserts the booleans are true — a sketch regression in
+    // either aggregate flips a boolean and fails the hash compare.
     "approx_user_stats" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000))
-            .as("approx_median_value"))),
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
+          expr("percentile(value, 0.45)").as("p45"),
+          expr("percentile(value, 0.55)").as("p55"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("users_ok"),
+          (col("am") >= col("p45") && col("am") <= col("p55"))
+            .as("median_ok"))),
 
     // Set ops: purchasers who never hit an error / who also viewed.
     "set_except" -> ((s, dir) => {
@@ -240,6 +250,10 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "approx_user_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                true AS users_ok, true AS median_ok
+         FROM events GROUP BY 1""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,

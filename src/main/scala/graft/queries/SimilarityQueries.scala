@@ -37,17 +37,19 @@ object SimilarityQueries {
       SimilarityOps.ivfTopK(e, queriesOf(e), K, seedIds = SEEDS.map(_.toLong))
     }),
 
-    // Lloyd-trained centroid summary (graft.operators.KMeansOps): the IVF
-    // training step. Deterministic (exact-decimal means, seeded init) but
-    // k-means has no tractable SQL dual — the driver records the weaker
-    // rows-only check; KMeansSpec asserts convergence, determinism, and
-    // blob recovery.
+    // Lloyd-trained centroids (graft.operators.KMeansOps): the IVF
+    // training step, emitted as exploded (cell, dim, mean) rows. The
+    // operator is bit-deterministic by construction (seeded init,
+    // exact-DECIMAL(38,10) means, first-max tie break), which is exactly
+    // what makes a DuckDB dual expressible: the oracle replays both Lloyd
+    // iterations as CTEs with the same decimal sums.
     "sim_kmeans_cells" -> ((s, dir) => {
       val cents = graft.operators.KMeansOps.lloyd(
         embs(s, dir), "vec_id", "embedding",
         seedIds = SEEDS.map(_.toLong), iters = 2)
       cents.select(col("cell").cast("long").as("cell"),
-        size(col("centroid")).cast("long").as("dim"))
+        posexplode(col("centroid")).as(Seq("dim", "m")))
+        .select(col("cell"), col("dim").cast("long").as("dim"), col("m"))
     })
   )
 
@@ -107,6 +109,69 @@ object SimilarityQueries {
                 ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
           WHERE rank <= $K"""
+    },
+    // Lloyd replay: KMeansOps is bit-deterministic (seeded init, DECIMAL
+    // sums, one double division, first-max tie break), so both iterations
+    // are expressible as CTEs. Assignment mirrors array_position-of-max
+    // (row_number ORDER BY score DESC, cell); means mirror
+    // sum(x::DECIMAL(38,10))::DOUBLE / count; empty cells COALESCE to the
+    // previous centroid exactly like `means.getOrElse(cell, prev)`.
+    // The decimal cast goes through VARCHAR deliberately: Spark's
+    // double→decimal cast rounds the SHORTEST string representation
+    // (scala BigDecimal(double) = Double.toString), while DuckDB's direct
+    // ::DECIMAL rounds the exact binary expansion — the two differ by one
+    // 1e-10 unit on ~1/500 embedding values; ::VARCHAR::DECIMAL replays
+    // Spark's exact conversion (both engines print shortest round-trip).
+    "sim_kmeans_cells" -> {
+      val seedList = SEEDS.mkString("(", ", ", ")")
+      val dims = s"range(0, 64) d(i)"
+      s"""WITH c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                   embedding AS cent
+            FROM embeddings WHERE vec_id IN $seedList),
+          c0e AS (
+            SELECT cell, d.i AS dim, cent[d.i+1]::DOUBLE AS m
+            FROM c0 CROSS JOIN $dims),
+          a1 AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ${cosine("e.embedding", "c.cent")} AS s
+            FROM embeddings e CROSS JOIN c0 c),
+          g1 AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT vec_id, embedding, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY s DESC, cell) AS rn
+              FROM a1) WHERE rn = 1),
+          m1 AS (
+            SELECT cell, d.i AS dim,
+                   sum(embedding[d.i+1]::DOUBLE::VARCHAR::DECIMAL(38,10))::DOUBLE
+                     / count(*)::DOUBLE AS m
+            FROM g1 CROSS JOIN $dims GROUP BY cell, d.i),
+          c1e AS (
+            SELECT c0e.cell, c0e.dim, COALESCE(m1.m, c0e.m) AS m
+            FROM c0e LEFT JOIN m1
+              ON c0e.cell = m1.cell AND c0e.dim = m1.dim),
+          c1 AS (
+            SELECT cell, list(m ORDER BY dim) AS cent
+            FROM c1e GROUP BY cell),
+          a2 AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ${cosine("e.embedding", "c.cent")} AS s
+            FROM embeddings e CROSS JOIN c1 c),
+          g2 AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT vec_id, embedding, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY s DESC, cell) AS rn
+              FROM a2) WHERE rn = 1),
+          m2 AS (
+            SELECT cell, d.i AS dim,
+                   sum(embedding[d.i+1]::DOUBLE::VARCHAR::DECIMAL(38,10))::DOUBLE
+                     / count(*)::DOUBLE AS m
+            FROM g2 CROSS JOIN $dims GROUP BY cell, d.i)
+          SELECT c1e.cell, c1e.dim, COALESCE(m2.m, c1e.m) AS m
+          FROM c1e LEFT JOIN m2
+            ON c1e.cell = m2.cell AND c1e.dim = m2.dim"""
     }
   )
 }

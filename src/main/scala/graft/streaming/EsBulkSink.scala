@@ -27,9 +27,19 @@ import org.apache.spark.sql.functions._
   *  - M5 counters: conflicts / bad requests / retries, exposed for the
   *    listener.
   *
-  * Scale note: the anti-join is a broadcast-or-shuffle hash join on
-  * `doc_id`; the real deployment delegates it to ES and this class is only
-  * the offline-correctness harness for the semantics.
+  * Scale shape (this class is the offline-correctness harness — a live
+  * cluster delegates K2 to ES's per-doc version check — but every
+  * streaming test funnels through it, so it must not be the slow part):
+  *  - the batch is classified ONCE (bad / in-batch dup / index conflict /
+  *    fresh) and persisted; all three counters come from a single
+  *    aggregate over that cache, and the append reads the same cache —
+  *    one evaluation of the upstream micro-batch plan per write, not one
+  *    per counter.
+  *  - seen-ness is tracked in a compact append-only doc-id side store
+  *    (`<targetDir>_ids`, one column, distinct by construction since only
+  *    never-seen ids are appended) — per-batch work is O(ids), never a
+  *    re-read + distinct of the whole document index, whose width and
+  *    row count grow without bound.
   */
 class EsBulkSink(
     targetDir: String,
@@ -64,33 +74,51 @@ class EsBulkSink(
   }
 
   private def writeOnce(batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
-    // K3: bad-request drop
-    val (good, nBad) = badRecord match {
-      case Some(p) =>
-        val g = batch.filter(!p)
-        (g, batch.count() - g.count())
-      case None => (batch, 0L)
-    }
-    badRequests.add(nBad)
-    // K2: in-batch duplicate drop (first-by-doc_id, deterministic)
-    val inBatch = good.dropDuplicates("doc_id")
-    // K2: create-only vs existing index
-    val existing = existingIds(spark)
-    val fresh = existing match {
-      case Some(ids) => inBatch.join(ids, Seq("doc_id"), "left_anti")
-      case None => inBatch
-    }
-    val nFresh = fresh.count()
-    conflicts.add(good.count() - nFresh)
-    inserted.add(nFresh)
-    if (nFresh > 0)
-      fresh.write.mode(SaveMode.Append).parquet(targetDir)
+    // classify every row in ONE frame: bad (K3) / in-batch duplicate or
+    // index conflict (K2) / fresh. Good rows rank before bad ones within a
+    // doc_id so a bad duplicate can never shadow a good row.
+    val dupRank = row_number().over(Window.partitionBy(col("doc_id"))
+      .orderBy(col("__bad"), monotonically_increasing_id()))
+    val flagged = batch
+      .withColumn("__bad",
+        badRecord.map(p => coalesce(p, lit(false))).getOrElse(lit(false)))
+      .withColumn("__rn", dupRank)
+    val classified = existingIds(spark)
+      .map(ids => flagged.join(
+        ids.withColumn("__seen", lit(true)), Seq("doc_id"), "left_outer"))
+      .getOrElse(flagged.withColumn("__seen", lit(null).cast("boolean")))
+      .withColumn("__status",
+        when(col("__bad"), "bad")
+          .when(col("__rn") > 1 || col("__seen"), "conflict")
+          .otherwise("fresh"))
+      .persist()
+    try {
+      // single aggregate pass materializes the cache and yields all counters
+      val counts = classified.groupBy(col("__status"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      badRequests.add(counts.getOrElse("bad", 0L))
+      conflicts.add(counts.getOrElse("conflict", 0L))
+      val nFresh = counts.getOrElse("fresh", 0L)
+      inserted.add(nFresh)
+      if (nFresh > 0) {
+        val fresh = classified.filter(col("__status") === "fresh")
+          .drop("__bad", "__rn", "__seen", "__status")
+        fresh.write.mode(SaveMode.Append).parquet(targetDir)
+        // only never-seen ids are appended, so the store stays distinct
+        fresh.select(col("doc_id")).write.mode(SaveMode.Append)
+          .parquet(idsDir)
+      }
+    } finally classified.unpersist()
   }
 
+  private def idsDir = targetDir + "_ids"
+
   private def existingIds(spark: org.apache.spark.sql.SparkSession) =
-    if (new java.io.File(targetDir).exists())
-      Some(spark.read.parquet(targetDir).select(col("doc_id")).distinct())
+    if (new java.io.File(idsDir).exists())
+      Some(spark.read.parquet(idsDir))
     else None
 
   /** The documents currently in the simulated index. */

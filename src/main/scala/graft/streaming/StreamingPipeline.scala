@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.InjectorOps
 import graft.operators.InjectorOps.InjectorConfig
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -54,10 +54,13 @@ object StreamingPipeline {
     * the sink's create-op, exactly like the reference.
     */
   def streamingPipeline(cfg: InjectorConfig, schema: StructType,
-      dedupWatermark: Option[String] = None)(df: DataFrame): DataFrame = {
+      dedupWatermark: Option[String] = None,
+      keyDecoder: Option[Column => Column] = None)(df: DataFrame): DataFrame = {
     val routed = (InjectorOps.nilMessageFilter()(_: DataFrame))
       .andThen(InjectorOps.jsonDecode(schema))
       .andThen(InjectorOps.injectTimestamp)
+      .andThen(InjectorOps.includeDecodedKey(keyDecoder.isDefined,
+        keyDecoder.getOrElse(identity[Column] _)))
       .andThen(InjectorOps.blacklist(cfg.blacklist))
       .andThen(InjectorOps.indexName(cfg))
       .andThen(InjectorOps.docId(cfg))

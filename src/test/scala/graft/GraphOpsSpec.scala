@@ -39,6 +39,53 @@ class GraphOpsSpec extends SparkSpec {
     assert(components(Seq.empty).isEmpty)
   }
 
+  test("large-star/small-star equals min-label on random graphs (property)") {
+    // brute-force union-find ground truth on the driver
+    def bruteForce(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(50)
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter { case (a, b) => a != b }
+      val expect = bruteForce(edges)
+      val star = GraphOps.connectedComponents(edges.toDF("a", "b"),
+        algorithm = "star").as[(Long, Long)].collect().toMap
+      val minl = components(edges)
+      assert(star == expect, s"trial $trial: star != union-find")
+      assert(minl == expect, s"trial $trial: minlabel != union-find")
+    }
+  }
+
+  test("star contraction handles a long chain in O(log n) rounds") {
+    val n = 120L
+    val edges = (1L until n).map(i => (i, i + 1))
+    // diameter 120 would blow the round budget for propagation; star
+    // contraction must finish well inside it
+    val cc = GraphOps.connectedComponents(edges.toDF("a", "b"),
+      maxIter = 15, algorithm = "star").as[(Long, Long)].collect().toMap
+    assert(cc.size == n)
+    assert(cc.values.forall(_ == 1L))
+  }
+
+  test("exhausting maxIter throws instead of returning partial merges") {
+    val edges = (1L until 30L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      GraphOps.connectedComponents(edges.toDF("a", "b"), maxIter = 3)
+    }
+  }
+
   test("edge direction is irrelevant (undirected symmetrization)") {
     assert(components(Seq((5L, 2L), (2L, 9L))) ==
       Map(2L -> 2L, 5L -> 2L, 9L -> 2L))

@@ -58,6 +58,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_._1 == "my-topic-2024-03-05"))
   }
 
+  test("streaming pipeline decodes Avro-framed keys (T2 full)") {
+    import graft.functions.{AvroWire, MapSchemaProvider}
+    val keySchema = """{"type":"record","name":"K",
+      "fields":[{"name":"uid","type":"long"}]}""".replaceAll("\n\\s*", "")
+    def akey(uid: Long) = AvroWire.encodeConfluent(5, keySchema, Map("uid" -> uid))
+    val ts = Timestamp.valueOf("2024-03-05 10:11:12.345")
+    val msgs = Seq(
+      Msg(akey(7L), """{"id":"a","n":1}""".getBytes("UTF-8"), "my-topic", 0, 1L, ts, 0),
+      Msg(null, """{"id":"b","n":2}""".getBytes("UTF-8"), "my-topic", 0, 2L, ts, 0),
+      Msg("junk".getBytes("UTF-8"), """{"id":"c","n":3}""".getBytes("UTF-8"),
+        "my-topic", 1, 1L, ts, 0)) // undecodable key -> record dropped
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    stream.addData(msgs)
+    val dec = graft.operators.InjectorOps.avroKeyDecoder(keySchema,
+      MapSchemaProvider(Map(5 -> keySchema)))
+    val out = Files.createTempDirectory("graft-akey").toString
+    val q = StreamingPipeline.streamingPipeline(cfg, schema,
+        keyDecoder = Some(dec))(stream.toDF())
+      .writeStream.format("memory").queryName("akey_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("akey_out")
+      .select($"payload.id", $"payload.key.uid")
+      .as[(String, Option[Long])].collect().toSet
+    assert(rows == Set(("a", Some(7L)), ("b", None)))
+  }
+
   test("sink: redelivered micro-batch leaves exactly one doc per id (K2)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Msg]
@@ -106,6 +134,45 @@ class StreamingSpec extends SparkSpec {
     sink.write(StreamingPipeline.streamingPipeline(cfg, schema)(bad.toDF()), 0L)
     assert(sink.badRequests.sum() == 1L)
     assert(sink.contents(spark).count() == 3L)
+  }
+
+  test("sink: one evaluation per batch, no full-index rescan (K2 scale)") {
+    val dir = Files.createTempDirectory("graft-es5").toString
+    val index = s"$dir/index"
+    val sink = new EsBulkSink(index)
+    // probe column: counts per-row evaluations of the micro-batch plan
+    val evals = spark.sparkContext.longAccumulator("batch-evals")
+    val probe = udf { (id: String) => evals.add(1L); id }
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      def batch() = StreamingPipeline.streamingPipeline(cfg, schema)(
+        batch1.toDF()).withColumn("probe", probe($"payload.id"))
+      sink.write(batch(), 0L)   // 3 fresh
+      sink.write(batch(), 1L)   // 3 conflicts via the id store
+      assert(sink.inserted.sum() == 3L && sink.conflicts.sum() == 3L)
+      // one evaluation of the 3-row batch per write (cache-backed counters
+      // + append), not one per counter as the old 4-action shape did
+      assert(evals.value == 6L, s"batch evaluated ${evals.value / 3.0}x")
+      // conflict detection must read the compact id store, never re-scan
+      // the ever-growing document index
+      val deadline = System.currentTimeMillis() + 10000
+      while (plans.synchronized(plans.size) < 4 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val indexScans = plans.synchronized(plans.toList).filter(p =>
+        p.contains(s"$index]") && !p.contains("InsertIntoHadoopFsRelation"))
+      assert(indexScans.isEmpty,
+        s"found ${indexScans.size} plan(s) re-reading the full index")
+    } finally spark.listenerManager.unregister(ql)
   }
 
   test("metrics listener reports throughput and batch duration (M1-M3)") {

@@ -86,6 +86,34 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq(0))
   }
 
+  test("simhash combination banding is exact and bounds candidate volume") {
+    // 10k-doc skewed fixture: uniform 60-bit sketches (fixed seed), a
+    // 50-doc identical cluster (skew), and a planted near-pair at
+    // distance 5. Geometry (8,10): narrow 6-bit chunks, so the operator
+    // must switch to chunk-PAIR banding (45·2^12 keys) — single-chunk
+    // banding (640 keys) would generate ~n²/64 ≈ 8M candidates here.
+    val rnd = new java.util.SplittableRandom(42L)
+    val mask = (1L << 60) - 1
+    val base = Seq.tabulate(9948)(i => (i.toLong, rnd.nextLong() & mask))
+    val clusterHash = rnd.nextLong() & mask
+    val cluster = Seq.tabulate(50)(i => (20000L + i, clusterHash))
+    val near = Seq((30000L, base.head._2 ^ ((1L << 3) | (1L << 17) |
+      (1L << 29) | (1L << 41) | (1L << 53))))
+    val sk = (base ++ cluster ++ near).toDF("doc_id", "sh")
+
+    val cands = DedupOps.simhashCandidates(8, 10)(sk)
+    val nCands = cands.count()
+    assert(nCands < 1500000L,
+      s"candidate volume $nCands exceeds the scale bound")
+
+    val pairs = DedupOps.simhashPairsFromSketch(8, 10)(sk)
+      .select($"a", $"b", $"hamming").as[(Long, Long, Long)].collect()
+    // the planted pair and the full 50-clique must all be found (exactness)
+    assert(pairs.contains((0L, 30000L, 5L)))
+    assert(pairs.count { case (a, b, h) =>
+      a >= 20000L && b < 30000L && h == 0L } == 50 * 49 / 2)
+  }
+
   test("cosine: identical vectors similarity 1, orthogonal 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
