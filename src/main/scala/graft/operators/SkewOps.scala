@@ -35,6 +35,10 @@ object SkewOps {
       fact: DataFrame, factKey: String, saltSource: String,
       dim: DataFrame, dimKey: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // withColumn would silently OVERWRITE a caller's __salt column and the
+    // final drop would then remove caller data — refuse instead
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin inputs must not already contain a __salt column")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(col(saltSource)), lit(salts.toLong)))
     val explodedDim = dim.withColumn("__salt",
