@@ -13,13 +13,21 @@ object Logs {
     * blanket Level.OFF would hide real cluster-side diagnostics.
     */
   private final class DenyStaleAccumulatorNoise extends AbstractFilter {
-    private def check(msg: String): Filter.Result =
-      if (msg != null && msg.contains("non-existent accumulator"))
-        Filter.Result.DENY
-      else Filter.Result.NEUTRAL
-    override def filter(event: LogEvent): Filter.Result =
-      check(if (event.getMessage == null) null
-            else event.getMessage.getFormattedMessage)
+    override def filter(event: LogEvent): Filter.Result = {
+      val msg =
+        if (event.getMessage == null) null
+        else event.getMessage.getFormattedMessage
+      // the benign marker appears either in the message itself or (for
+      // "Failed to update accumulator N (Unknown class)" events) only in
+      // the attached SparkException
+      val thrown =
+        if (event.getThrown == null) null else event.getThrown.getMessage
+      val benign =
+        (msg != null && msg.contains("non-existent accumulator")) ||
+          (msg != null && msg.startsWith("Failed to update accumulator") &&
+            thrown != null && thrown.contains("non-existent accumulator"))
+      if (benign) Filter.Result.DENY else Filter.Result.NEUTRAL
+    }
   }
 
   /** Local-mode straggler tasks of already-finished jobs (e.g. after a

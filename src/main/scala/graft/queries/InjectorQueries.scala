@@ -5,6 +5,7 @@ import graft.operators.InjectorOps._
 import graft.operators.KafkaShape
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The faithful-port operator surface (SURVEY.md §2) as named batch queries
   * over the `events` table in Kafka shape, each with an ANSI-SQL DuckDB
@@ -88,6 +89,24 @@ object InjectorQueries {
       includeKey(include = true,
         decodedKey = decode(col("key"), "UTF-8").cast("long"))(df)
         .select(col("offset").as("event_id"), col("payload.key").as("key"))
+    }),
+
+    // T2 full, JSON path: the message key is itself JSON and is decoded
+    // into a typed struct merged into the payload
+    // (encode_decode.go:99-105). Nil keys keep the row with a null key
+    // field; undecodable keys drop the record (D6 poison policy where the
+    // reference errors the batch).
+    "t2_key_json" -> ((s, dir) => {
+      val framed = kafka(s, dir).withColumn("key",
+        when(col("offset") % 97 === 0, lit(null).cast("binary"))
+          .when(col("offset") % 101 === 0, encode(lit("{bad"), "UTF-8"))
+          .otherwise(encode(concat(lit("{\"uid\":"),
+            decode(col("key"), "UTF-8"), lit("}")), "UTF-8")))
+      includeDecodedKey(include = true,
+        jsonKeyDecoder(StructType(Seq(StructField("uid", LongType)))))(
+        jsonDecode(schema)(nilMessageFilter()(framed)))
+        .select(col("offset").as("event_id"),
+          col("payload.key.uid").as("key_uid"))
     }),
 
     // T3: top-level payload blacklist (anti-projection).
@@ -186,6 +205,11 @@ object InjectorQueries {
       "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
     "t2_key_include" ->
       "SELECT event_id, user_id AS key FROM events",
+    "t2_key_json" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 97 <> 0 THEN user_id END AS key_uid
+         FROM events
+         WHERE event_id % 97 = 0 OR event_id % 101 <> 0""",
     "t3_blacklist" ->
       "SELECT event_id, event_type, value FROM events",
     "r1_routing_value" ->

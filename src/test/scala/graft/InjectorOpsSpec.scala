@@ -83,6 +83,25 @@ class InjectorOpsSpec extends SparkSpec {
       .fieldNames.contains("key"))
   }
 
+  test("T2 full: JSON key decode — nil kept, valid merged, corrupt dropped") {
+    val keySchema = StructType(Seq(StructField("uid", LongType)))
+    val three = kafkaDf(Seq(
+      (0, 1L, """{"id":"a","n":1,"d":0.1}"""),
+      (0, 2L, """{"id":"b","n":2,"d":0.2}"""),
+      (0, 3L, """{"id":"c","n":3,"d":0.3}""")))
+      .withColumn("key",
+        when($"offset" === 1L, encode(lit("""{"uid":7}"""), "UTF-8"))
+          .when($"offset" === 2L, lit(null).cast("binary"))
+          .otherwise(encode(lit("{bad"), "UTF-8")))
+    val out = includeDecodedKey(include = true, jsonKeyDecoder(keySchema))(
+      jsonDecode(payloadSchema)(three))
+      .select($"offset", $"payload.key.uid").as[(Long, Option[Long])]
+      .collect().toSet
+    // offset 3's undecodable key drops the whole record (reference errors
+    // the batch there; our D6 poison policy drops the row)
+    assert(out == Set((1L, Some(7L)), (2L, None)))
+  }
+
   // ----- record_test.go: GetValueForField / FilteredFieldsJSON
 
   test("R1: routing on a string field passes through") {
