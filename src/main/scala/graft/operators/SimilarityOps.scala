@@ -77,42 +77,48 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), col("cos"))
   }
 
-  /** IVF (inverted-file) approximate top-k, nprobe=1: partition the corpus
-    * into cells around centroid vectors, then search only the query's own
-    * cell. Centroids here are a deterministic seed subset of the corpus
-    * (so the oracle can recompute the identical assignment); a production
-    * deployment would drop in k-means centroids from a sample — the
-    * operator shape (broadcast centroids → argmax-cosine cell assignment →
-    * equi-join on cell → per-query top-k) is unchanged and is the part
-    * that scales: the corpus is never shuffled except on the cell key, and
-    * cells are searched independently.
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * cells around centroid vectors, then search only the cells the query
+    * probes. Each corpus vector lives in exactly ONE cell (its argmax-
+    * cosine centroid); each query searches its `nprobe` nearest cells —
+    * THE recall/cost knob of every IVF index (recall rises with nprobe,
+    * scanned volume ≈ nprobe/k_cells of the corpus). Centroids here are a
+    * deterministic seed subset of the corpus (so the oracle can recompute
+    * the identical assignment); a production deployment would drop in
+    * k-means centroids from [[KMeansOps.lloyd]] — the operator shape
+    * (broadcast centroids → argmax-cosine cell assignment → equi-join on
+    * cell → per-query top-k) is unchanged and is the part that scales:
+    * the corpus is never shuffled except on the cell key, and cells are
+    * searched independently. A (query, neighbor) pair is scored at most
+    * once: the neighbor's single home cell either is probed or not.
     *
     * Determinism: cell = argmax cosine over centroids with ties to the
     * LOWEST centroid id; cosines come from the same sequential-fold dot
     * kernel the oracle reproduces bit-exactly.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      seedIds: Seq[Long]): DataFrame = {
+      seedIds: Seq[Long], nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, "nprobe must be >= 1")
     val cents = broadcast(corpus
       .filter(col("vec_id").isInCollection(seedIds))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         DedupOps.norm(col("embedding")).as("cent_nrm")))
-    def assignCell(df: DataFrame): DataFrame = {
+    def assignCells(df: DataFrame, probes: Int): DataFrame = {
       val byScore = Window.partitionBy(col("vec_id"))
         .orderBy(col("cscore").desc, col("cent_id"))
       df.crossJoin(cents)
         .withColumn("cscore", dot(col("embedding"), col("cent_emb")) /
           (col("nrm") * col("cent_nrm")))
         .withColumn("crn", row_number().over(byScore))
-        .filter(col("crn") === 1)
+        .filter(col("crn") <= probes)
         .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
     }
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
       DedupOps.norm(col("embedding")).as("nrm"))
-    val cells = assignCell(withNorm)
-    val qcells = assignCell(withNorm.join(
-      queries.select(col("vec_id")), Seq("vec_id")))
+    val cells = assignCells(withNorm, 1)
+    val qcells = assignCells(withNorm.join(
+      queries.select(col("vec_id")), Seq("vec_id")), nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cells.join(

@@ -36,6 +36,13 @@ object SimilarityQueries {
       val e = embs(s, dir)
       SimilarityOps.ivfTopK(e, queriesOf(e), K, seedIds = SEEDS.map(_.toLong))
     }),
+    // IVF with the recall knob turned: each query probes its 2 nearest
+    // cells instead of 1 — the standard recall/cost trade of an IVF index.
+    "sim_ivf_probe2" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.ivfTopK(e, queriesOf(e), K, seedIds = SEEDS.map(_.toLong),
+        nprobe = 2)
+    }),
 
     // Lloyd-trained centroids (graft.operators.KMeansOps): the IVF
     // training step, emitted as exploded (cell, dim, mean) rows. The
@@ -99,6 +106,31 @@ object SimilarityQueries {
                      FROM asn) WHERE crn = 1),
           q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
                 FROM cell WHERE vec_id < $NQ),
+          scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       ${cosine("q_emb", "c.embedding")} AS cos
+                     FROM q JOIN cell c USING (cell)
+                     WHERE c.vec_id <> query_id)
+          SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= $K"""
+    },
+    "sim_ivf_probe2" -> {
+      val seedList = (100 until 108).mkString("(", ", ", ")")
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                         FROM embeddings WHERE vec_id IN $seedList),
+          asn AS (SELECT vec_id, embedding, cent_id,
+                    ${cosine("embedding", "cent_emb")} AS cscore
+                  FROM embeddings CROSS JOIN cents),
+          ranked AS (SELECT vec_id, embedding, cent_id AS cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cscore DESC, cent_id) AS crn
+                     FROM asn),
+          cell AS (SELECT vec_id, embedding, cell FROM ranked WHERE crn = 1),
+          q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
+                FROM ranked WHERE crn <= 2 AND vec_id < $NQ),
           scored AS (SELECT query_id, c.vec_id AS neighbor_id,
                        ${cosine("q_emb", "c.embedding")} AS cos
                      FROM q JOIN cell c USING (cell)

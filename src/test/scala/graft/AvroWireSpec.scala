@@ -104,6 +104,37 @@ class AvroWireSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(5), None))
   }
 
+  test("http registry: decode resolves schemas over live HTTP (fixture server)") {
+    import com.sun.net.httpserver.HttpServer
+    val body = s"""{"schema": ${com.fasterxml.jackson.databind.json
+      .JsonMapper.builder().build().writeValueAsString(fixtureSchema)}}"""
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/schemas/ids/7", ex => {
+      val b = body.getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type",
+        "application/vnd.schemaregistry.v1+json")
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    // any other id: 404 like a real registry's unknown-schema answer
+    server.createContext("/", ex => {
+      ex.sendResponseHeaders(404, -1L); ex.close()
+    })
+    server.start()
+    try {
+      // DEFAULT transport — a real JDK GET against the fixture server
+      val provider = new graft.functions.HttpSchemaProvider(
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      val good = AvroWire.encodeConfluent(7, fixtureSchema, Map("id" -> 11))
+      val unknown = AvroWire.encodeConfluent(8, fixtureSchema, Map("id" -> 12))
+      val out = wireDf(good, unknown).orderBy($"n").select(
+        AvroWire.fromConfluentAvro($"value", fixtureSchema, provider)("id"))
+        .as[Option[Int]].collect()
+      assert(out.toSeq == Seq(Some(11), None)) // 404 id -> dropped row
+    } finally server.stop(0)
+  }
+
   test("multi-schema dispatch resolves different field orders") {
     val w0 = """{"type":"record","name":"R","fields":[
       {"name":"a","type":"int"},{"name":"b","type":"string"}]}"""

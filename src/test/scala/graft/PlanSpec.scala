@@ -93,4 +93,21 @@ class PlanSpec extends SparkSpec {
     // no shuffle, no join — a pushable one-pass filter over the scan
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
+
+  test("t2_key_avro: key decode expression appears exactly once") {
+    // the PlanBarrier must stop the drop-filter from inlining a second
+    // from_confluent_avro evaluation per row (Filter + Project)
+    val p = planString("t2_key_avro")
+    val n = count(p, "from_confluent_avro")
+    assert(n == 1, s"key decode evaluated $n times in the plan")
+  }
+
+  test("sim_ivf_probe2: centroids broadcast, corpus shuffled on cell only") {
+    val p = planString("sim_ivf_probe2")
+    // centroid cross join and the query side must both be broadcasts —
+    // a sort-merge join here would shuffle the corpus on a non-cell key
+    assert(count(p, "BroadcastNestedLoopJoin") >= 1 ||
+      count(p, "BroadcastHashJoin") >= 1, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "IVF corpus join degraded to SMJ")
+  }
 }
