@@ -52,12 +52,20 @@ object StreamingPipeline {
     * `dedupWatermark` of event time — the documented divergence
     * (SURVEY.md §7.5.4). `None` disables in-stream dedup and leaves K2 to
     * the sink's create-op, exactly like the reference.
+    *
+    * `decoder` is the D1 record-type dispatch seam
+    * (`InjectorOps.decoderFor`): the default is the JSON path; pass the
+    * avro decoder for Confluent-framed topics — every downstream
+    * transform is decode-agnostic, exactly like the reference's
+    * `Deserializer` interface (src/kafka/encode_decode.go:29-40).
     */
   def streamingPipeline(cfg: InjectorConfig, schema: StructType,
       dedupWatermark: Option[String] = None,
-      keyDecoder: Option[Column => Column] = None)(df: DataFrame): DataFrame = {
+      keyDecoder: Option[Column => Column] = None,
+      decoder: Option[DataFrame => DataFrame] = None)(
+      df: DataFrame): DataFrame = {
     val routed = (InjectorOps.nilMessageFilter()(_: DataFrame))
-      .andThen(InjectorOps.jsonDecode(schema))
+      .andThen(decoder.getOrElse(InjectorOps.jsonDecode(schema)(_)))
       .andThen(InjectorOps.injectTimestamp)
       .andThen(InjectorOps.includeDecodedKey(keyDecoder.isDefined,
         keyDecoder.getOrElse(identity[Column] _)))

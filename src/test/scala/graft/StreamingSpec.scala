@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("a", Some(7L)), ("b", None)))
   }
 
+  test("streaming pipeline decodes Confluent-Avro values (D1 avro dispatch)") {
+    import graft.functions.AvroWire
+    val avroSchema = """{"type":"record","name":"P","fields":[
+      {"name":"id","type":"string"},{"name":"n","type":"int"}]}"""
+      .replaceAll("\n\\s*", "")
+    def frame(id: String, n: Int) =
+      AvroWire.encodeConfluent(4, avroSchema, Map("id" -> id, "n" -> n))
+    val ts = Timestamp.valueOf("2024-03-05 10:11:12.345")
+    val msgs = Seq(
+      Msg(null, frame("a", 1), "my-topic", 0, 1L, ts, 0),
+      Msg(null, frame("b", 2), "my-topic", 0, 2L, ts, 0),
+      Msg(null, "not-avro".getBytes("UTF-8"), "my-topic", 1, 1L, ts, 0))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    stream.addData(msgs)
+    val avroDecoder = graft.operators.InjectorOps.decoderFor(
+      "avro", schema, avroSchema, Map(4 -> avroSchema))
+    val out = Files.createTempDirectory("graft-avro-stream").toString
+    val q = StreamingPipeline.streamingPipeline(cfg, schema,
+        decoder = Some(avroDecoder))(stream.toDF())
+      .writeStream.format("memory").queryName("avro_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("avro_out")
+      .select($"doc_id", $"payload.id", $"payload.n")
+      .as[(String, String, Int)].collect().toSet
+    // bad-magic value dropped (D6); the rest decode and route normally
+    assert(rows == Set(("0:1", "a", 1), ("0:2", "b", 2)))
+  }
+
   test("sink: redelivered micro-batch leaves exactly one doc per id (K2)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Msg]
