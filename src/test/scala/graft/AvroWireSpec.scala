@@ -104,6 +104,26 @@ class AvroWireSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(5), None))
   }
 
+  test("schema evolution mid-stream: defaulted reader fields fill from old writers") {
+    // a topic carrying BOTH schema generations at once — the case the
+    // registry dispatch exists for (schema_registry.go caches per id):
+    // v1 messages lack `tag`; the v2 reader's default must fill it.
+    val writerV1 = """{"type":"record","name":"E","fields":[
+      {"name":"id","type":"int"}]}""".replaceAll("\n\\s*", "")
+    val readerV2 = """{"type":"record","name":"E","fields":[
+      {"name":"id","type":"int"},
+      {"name":"tag","type":"string","default":"none"}]}"""
+      .replaceAll("\n\\s*", "")
+    val oldMsg = AvroWire.encodeConfluent(1, writerV1, Map("id" -> 5))
+    val newMsg = AvroWire.encodeConfluent(2, readerV2,
+      Map("id" -> 6, "tag" -> "fresh"))
+    val out = wireDf(oldMsg, newMsg).orderBy($"n")
+      .select(AvroWire.fromConfluentAvro($"value", readerV2,
+        Map(1 -> writerV1, 2 -> readerV2)).as("p"))
+      .select($"p.id", $"p.tag").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((5, "none"), (6, "fresh")))
+  }
+
   test("http registry: decode resolves schemas over live HTTP (fixture server)") {
     import com.sun.net.httpserver.HttpServer
     val body = s"""{"schema": ${com.fasterxml.jackson.databind.json
