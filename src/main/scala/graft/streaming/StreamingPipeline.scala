@@ -2,9 +2,17 @@ package graft.streaming
 
 import graft.operators.InjectorOps
 import graft.operators.InjectorOps.InjectorConfig
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types.StructType
+
+/** One state row per Kafka partition: the consumer-group progress the
+  * reference exports as gauges (M1, src/metrics/metrics.go) — highest
+  * offset seen and total records consumed, carried across micro-batches
+  * by the state store.
+  */
+case class PartitionProgress(partition: Int, highWater: Long, records: Long)
 
 /** The canonical deployment shape of the reference (SURVEY.md §3.2):
   * Kafka consumer-group source → decode/enrich/route → Elasticsearch bulk
@@ -95,6 +103,43 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"))
+
+  /** M1 streaming dual with CUSTOM state — per-partition high-water mark
+    * and cumulative record count via
+    * `KeyValueGroupedDataset.mapGroupsWithState`: the state store carries
+    * one `(highWater, records)` pair per Kafka partition across
+    * micro-batches (bounded state — one row per partition, no watermark
+    * needed), and every batch emits the refreshed progress row for the
+    * partitions it touched. Run with `outputMode("update")`.
+    */
+  def partitionProgress(df: DataFrame): Dataset[PartitionProgress] = {
+    import df.sparkSession.implicits._
+    df.select(col("partition").cast("int"), col("offset").cast("long"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (part: Int, rows: Iterator[(Int, Long)],
+         st: GroupState[(Long, Long)]) =>
+          var (hw, n) = st.getOption.getOrElse((-1L, 0L))
+          rows.foreach { case (_, off) =>
+            if (off > hw) hw = off
+            n += 1
+          }
+          st.update((hw, n))
+          PartitionProgress(part, hw, n)
+      }
+  }
+
+  /** M2 streaming dual — tumbling-window throughput with a watermark
+    * bounding the window state (late data beyond `watermarkDelay` is
+    * dropped, closed windows are evicted): counts per (window, topic).
+    */
+  def windowedThroughput(timeCol: String, windowLen: String,
+      watermarkDelay: String)(df: DataFrame): DataFrame =
+    df.withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen).as("w"), col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("topic"), col("n"))
 
   /** Start the stream into an [[EsBulkSink]] with a checkpoint — offsets
     * commit after sink success (K6).

@@ -243,6 +243,52 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted.toSeq == Seq("0:1", "0:2", "1:1"))
   }
 
+  test("mapGroupsWithState carries per-partition progress across batches (M1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    val out = Files.createTempDirectory("graft-state").toString
+    val q = StreamingPipeline.partitionProgress(stream.toDF())
+      .writeStream.format("memory").queryName("progress_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$out/cp").start()
+    try {
+      stream.addData(batch1) // partitions 0 (offsets 1,2) and 1 (offset 1)
+      q.processAllAvailable()
+      stream.addData(Seq(msg(0, 7L, """{"id":"d","n":4}"""))) // partition 0 only
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode appends each refresh; the LAST row per partition is the
+    // live state: partition 0 saw 3 records up to offset 7 (state carried
+    // across batches), partition 1 is untouched by batch 2
+    val last = spark.table("progress_out")
+      .groupBy($"partition")
+      .agg(expr("max_by(highWater, records)").as("hw"),
+        max($"records").as("n"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (p, hw, n) => (p, (hw, n)) }.toMap
+    assert(last == Map(0 -> ((7L, 3L)), 1 -> ((1L, 1L))))
+  }
+
+  test("windowed throughput: watermarked tumbling counts per window (M2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    stream.addData(Seq(
+      msg(0, 1L, """{"id":"a","n":1}""", "2024-03-05 10:05:00"),
+      msg(0, 2L, """{"id":"b","n":2}""", "2024-03-05 10:55:00"),
+      msg(1, 3L, """{"id":"c","n":3}""", "2024-03-05 11:05:00")))
+    val out = Files.createTempDirectory("graft-win").toString
+    val q = StreamingPipeline.windowedThroughput(
+        "timestamp", "1 hour", "10 minutes")(stream.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val wins = spark.table("win_out")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"n")
+      .as[(String, Long)].collect().toSet
+    assert(wins == Set(("10:00", 2L), ("11:00", 1L)))
+  }
+
   test("streaming sessionization merges events within the gap (session_window)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Msg]
