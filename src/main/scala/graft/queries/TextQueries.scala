@@ -44,10 +44,52 @@ object TextQueries {
     "sample_hash" -> ((s, dir) =>
       docs(s, dir)
         .filter(TextOps.hashSample(col("doc_id"), percent = 10))
-        .select(col("doc_id"), col("lang"), col("source")))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // End-to-end corpus curation — the composition a real training-data
+    // pipeline runs: language gate → quality gate → exact-dedup canonical
+    // → deterministic hash sample. Stages 1-2 are narrow scan-side
+    // filters (whole-stage codegen, column-pruned); the only shuffle is
+    // the dedup hash partition; the sample is a pushable filter. The
+    // same shape at 100 TB: filter early, shuffle once, sample free.
+    "corpus_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir)
+        .withColumn("lid", langId(tokens(col("text"))))
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("punct_ratio",
+          length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+            / length(col("text")).cast("double"))
+      val kept = base.filter(col("lid") =!= "und" &&
+        col("n_tokens") >= 5 && col("punct_ratio") < 0.2)
+      val canon = kept
+        .withColumn("content_hash", contentHash(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+      canon.filter(TextOps.hashSample(col("doc_id"), 50, "curation"))
+        .select(col("doc_id"), col("lid"), col("n_tokens"))
+    })
   )
 
   import Duck._
+
+  /** lang-ID CASE expression ≡ TextOps.langId (earlier language wins
+    * ties) — shared by the lang-id and curation oracles.
+    */
+  private def langCase: String = {
+    val scores = TextOps.langMarkers.map { case (l, ws) =>
+      l -> markerHits(toks, ws)
+    }
+    val cases = scores.zipWithIndex.map { case ((l, sc), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      val cond =
+        if (rest.isEmpty) s"$sc > 0"
+        else s"$sc > 0 AND $sc >= greatest(${rest.mkString(", ")})"
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
 
   val oracles: Map[String, String] = Map(
     "text_token_count" ->
@@ -64,20 +106,9 @@ object TextQueries {
           ${markerHits(toks, TextOps.langMarkers.flatMap(_._2))}::DOUBLE
             / length($toks)::DOUBLE AS stopword_ratio
           FROM documents""",
-    "text_lang_id" -> {
-      val scores = TextOps.langMarkers.map { case (l, ws) =>
-        l -> markerHits(toks, ws)
-      }
-      val cases = scores.zipWithIndex.map { case ((l, sc), i) =>
-        val rest = scores.drop(i + 1).map(_._2)
-        val cond =
-          if (rest.isEmpty) s"$sc > 0"
-          else s"$sc > 0 AND $sc >= greatest(${rest.mkString(", ")})"
-        s"WHEN $cond THEN '$l'"
-      }.mkString(" ")
-      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
-          FROM documents"""
-    },
+    "text_lang_id" ->
+      s"""SELECT doc_id, $langCase AS lang_guess
+          FROM documents""",
     "text_fingerprint" ->
       s"""SELECT doc_id,
           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
@@ -89,7 +120,24 @@ object TextQueries {
           FROM documents""",
     "sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
-          WHERE ${h15("concat('sample:', doc_id::VARCHAR)")} % 100 < 10"""
+          WHERE ${h15("concat('sample:', doc_id::VARCHAR)")} % 100 < 10""",
+    "corpus_curation" ->
+      s"""WITH t AS (SELECT doc_id, text,
+                       $langCase AS lid,
+                       length($toks) AS n_tokens,
+                       $nPunct::DOUBLE / length(text)::DOUBLE AS punct_ratio
+                     FROM documents),
+          k AS (SELECT doc_id, text, lid, n_tokens FROM t
+                WHERE lid <> 'und' AND n_tokens >= 5 AND punct_ratio < 0.2),
+          c AS (SELECT doc_id, lid, n_tokens,
+                  row_number() OVER (
+                    PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                    '\\s+', ' ', 'g'))
+                    ORDER BY doc_id) AS rn
+                FROM k)
+          SELECT doc_id, lid, n_tokens FROM c
+          WHERE rn = 1
+            AND ${h15("concat('curation:', doc_id::VARCHAR)")} % 100 < 50"""
   )
 }
 

@@ -94,6 +94,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
 
+  test("corpus_curation: one dedup shuffle, map-side group-limit, no joins") {
+    val p = planString("corpus_curation")
+    // the whole pipeline is narrow filters + ONE hash shuffle for the
+    // canonical-dedup window, with the rank<=1 limit applied map-side
+    assert(count(p, "Exchange (") == 1, p.take(2000))
+    assert(p.contains("WindowGroupLimit"), "map-side rank limit missing")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
   test("t2_key_avro: key decode expression appears exactly once") {
     // the PlanBarrier must stop the drop-filter from inlining a second
     // from_confluent_avro evaluation per row (Filter + Project)
