@@ -138,10 +138,15 @@ object AvroQueries {
         AvroWire.magicOk(col("value")).as("magic_ok"))),
 
     // D3: registry-dispatched multi-schema decode (codec cache per id).
+    // PlanBarrier: without it the isNotNull filter is pushed below the
+    // projection with the alias substituted, and the Avro decode runs
+    // TWICE per row (Filter + Project) — same trap as from_json in
+    // InjectorOps.jsonDecode.
     "d3_avro_decode" -> ((s, dir) =>
       wire(s, dir)
         .select(col("event_id"),
-          AvroWire.fromConfluentAvro(col("value"), reader, writers)
+          graft.functions.PlanBarrier.opaque(
+            AvroWire.fromConfluentAvro(col("value"), reader, writers))
             .as("payload"))
         .filter(col("payload").isNotNull)
         .select(col("event_id"), col("payload.event_type").as("event_type"),
@@ -153,8 +158,9 @@ object AvroQueries {
     "d3_avro_rich" -> ((s, dir) =>
       richWire(s, dir)
         .select(col("event_id"),
-          AvroWire.fromConfluentAvro(col("value"), richSchema,
-            MapSchemaProvider(Map(richId -> richSchema))).as("p"))
+          graft.functions.PlanBarrier.opaque(
+            AvroWire.fromConfluentAvro(col("value"), richSchema,
+              MapSchemaProvider(Map(richId -> richSchema)))).as("p"))
         .filter(col("p").isNotNull)
         .select(
           col("event_id"),

@@ -111,6 +111,13 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"key decode evaluated $n times in the plan")
   }
 
+  test("d3 avro decodes evaluate once per row (barrier vs filter inlining)") {
+    for (q <- Seq("d3_avro_decode", "d3_avro_rich")) {
+      val n = count(planString(q), "from_confluent_avro")
+      assert(n == 1, s"$q: value decode evaluated $n times in the plan")
+    }
+  }
+
   test("sim_ivf_probe2: centroids broadcast, corpus shuffled on cell only") {
     val p = planString("sim_ivf_probe2")
     // centroid cross join and the query side must both be broadcasts —
