@@ -224,6 +224,18 @@ object InjectorOps {
       throw new IllegalArgumentException(s"Invalid parser type $other")
   }
 
+  /** D1 avro branch against a live [[graft.functions.SchemaProvider]]
+    * (registry-resolved writer schemas) instead of a config-frozen map —
+    * the deployment shape (`cmd/injector.go:34-37`).
+    */
+  def decoderForProvider(avroReaderSchema: String,
+      provider: graft.functions.SchemaProvider): DataFrame => DataFrame =
+    df => df
+      .withColumn("payload", graft.functions.PlanBarrier.opaque(
+        graft.functions.AvroWire.fromConfluentAvro(
+          col("value"), avroReaderSchema, provider)))
+      .filter(col("payload").isNotNull)
+
   // ----------------------------------------------------------------- sink
 
   /** K2: the reference gets effective dedup from bulk `create` + a stable

@@ -50,15 +50,19 @@ class MetricsListener extends StreamingQueryListener {
   override def onQueryProgress(
       e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
-    totalRows.addAndGet(p.numInputRows)
+    // publish the snapshot BEFORE the counter: a reader that observes the
+    // new total must also observe a snapshot (events arrive sequentially
+    // on the listener bus, so the non-atomic pair is otherwise safe)
+    val total = totalRows.get() + p.numInputRows
     last.set(Some(Snapshot(
       batchId = p.batchId,
-      inputRows = totalRows.get(),
+      inputRows = total,
       lastBatchRows = p.numInputRows,
       lastAddBatchMs = Option(p.durationMs.get("addBatch"))
         .map(_.longValue).getOrElse(0L),
       inputRowsPerSecond = p.inputRowsPerSecond,
       processedRowsPerSecond = p.processedRowsPerSecond)))
+    totalRows.set(total)
   }
 
   override def onQueryTerminated(

@@ -219,7 +219,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // listener events are delivered asynchronously
       val deadline = System.currentTimeMillis() + 10000
-      while (listener.recordsConsumed < 3L &&
+      while ((listener.recordsConsumed < 3L || listener.snapshot.isEmpty) &&
         System.currentTimeMillis() < deadline) Thread.sleep(50)
     } finally { q.stop(); spark.streams.removeListener(listener) }
     assert(listener.recordsConsumed == 3L) // M2
