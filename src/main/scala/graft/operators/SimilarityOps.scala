@@ -137,17 +137,32 @@ object SimilarityOps {
 
   /** SRP-LSH approximate top-k: score only corpus vectors in the query's
     * bucket. Same output shape as [[bruteForceTopK]]; approximate recall.
+    *
+    * `multiProbe` turns on Hamming-1 probing — each query also searches
+    * the `planes` buckets one sign-flip away (the classic multi-probe LSH
+    * recall booster: near neighbors that land just across one hyperplane
+    * are recovered without adding tables). Corpus vectors still live in
+    * exactly one bucket and probe buckets are distinct, so no
+    * (query, neighbor) pair is scored twice; scanned volume grows
+    * ~(planes+1)/2^planes of the corpus per query, still a broadcast-side
+    * explode — the corpus side is untouched.
     */
   def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 6, dim: Int = 64): DataFrame = {
+      planes: Int = 6, dim: Int = 64, multiProbe: Boolean = false)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bc = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
       DedupOps.norm(col("embedding")).as("c_nrm"),
       srpBucket(col("embedding"), planes, dim).as("bucket"))
-    val bq = broadcast(queries.select(col("vec_id").as("query_id"),
+    val bq0 = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       DedupOps.norm(col("embedding")).as("q_nrm"),
-      srpBucket(col("embedding"), planes, dim).as("bucket")))
+      srpBucket(col("embedding"), planes, dim).as("bucket"))
+    val bq = broadcast(
+      if (!multiProbe) bq0
+      else bq0.withColumn("bucket", explode(array(
+        col("bucket") +:
+          (0 until planes).map(p => col("bucket").bitwiseXOR(1L << p)): _*))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     bc.join(bq, Seq("bucket"))

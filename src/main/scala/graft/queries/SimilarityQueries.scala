@@ -32,6 +32,13 @@ object SimilarityQueries {
       val e = embs(s, dir)
       SimilarityOps.srpTopK(e, queriesOf(e), K, planes = 6)
     }),
+    // multi-probe SRP: each query also searches its Hamming-1 buckets —
+    // higher recall at (planes+1)× probed buckets, corpus untouched.
+    "sim_srp_multiprobe" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.srpTopK(e, queriesOf(e), K, planes = 6,
+        multiProbe = true)
+    }),
     "sim_ivf_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       SimilarityOps.ivfTopK(e, queriesOf(e), K, seedIds = SEEDS.map(_.toLong))
@@ -82,6 +89,26 @@ object SimilarityQueries {
                 FROM embeddings),
           q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
                 FROM g WHERE vec_id < $NQ),
+          scored AS (SELECT query_id, g.vec_id AS neighbor_id,
+                       ${cosine("qe", "g.embedding")} AS cos
+                     FROM q JOIN g USING (bucket)
+                     WHERE g.vec_id <> query_id)
+          SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= $K""",
+    "sim_srp_multiprobe" ->
+      s"""WITH g AS (SELECT vec_id, embedding,
+                  ${srpBucket("embedding", 6, 64)} AS bucket
+                FROM embeddings),
+          q0 AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+                 FROM g WHERE vec_id < $NQ),
+          q AS (SELECT query_id, qe,
+                  CASE WHEN r.i = 6 THEN bucket
+                       ELSE xor(bucket, (1::BIGINT << r.i)) END AS bucket
+                FROM q0 CROSS JOIN range(0, 7) r(i)),
           scored AS (SELECT query_id, g.vec_id AS neighbor_id,
                        ${cosine("qe", "g.embedding")} AS cos
                      FROM q JOIN g USING (bucket)
