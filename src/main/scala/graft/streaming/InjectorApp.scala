@@ -107,17 +107,30 @@ object InjectorApp {
     *                         per-message writer schemas from the registry
     */
   def start(spark: SparkSession, cfg: AppConfig, jsonSchema: StructType,
-      avroReaderSchema: String = ""): (StreamingQuery, Probes) = {
+      avroReaderSchema: String = "",
+      avroKeyReaderSchema: String = "",
+      jsonKeySchema: Option[StructType] = None)
+      : (StreamingQuery, Probes) = {
+    def provider: SchemaProvider = new HttpSchemaProvider(
+      cfg.registryUrl.getOrElse(throw new IllegalArgumentException(
+        "SCHEMA_REGISTRY_URL is required for avro records")))
     val decoder = cfg.recordType match {
-      case "avro" =>
-        val provider: SchemaProvider = new HttpSchemaProvider(
-          cfg.registryUrl.getOrElse(throw new IllegalArgumentException(
-            "SCHEMA_REGISTRY_URL is required for avro records")))
-        InjectorOps.decoderForProvider(avroReaderSchema, provider)
+      case "avro" => InjectorOps.decoderForProvider(avroReaderSchema, provider)
       case _ => InjectorOps.decoderFor("json", jsonSchema)
     }
+    // T2 full: the key decodes with the value's record type — Avro keys
+    // through their own registry lookup (encode_decode.go:66-72), JSON
+    // keys into the supplied struct (encode_decode.go:99-105)
+    val keyDecoder =
+      if (!cfg.injector.includeKey) None
+      else cfg.recordType match {
+        case "avro" =>
+          Some(InjectorOps.avroKeyDecoder(avroKeyReaderSchema, provider))
+        case _ => jsonKeySchema.map(InjectorOps.jsonKeyDecoder)
+      }
     val assembled = StreamingPipeline.streamingPipeline(
-      cfg.injector, jsonSchema, decoder = Some(decoder))(
+      cfg.injector, jsonSchema, decoder = Some(decoder),
+      keyDecoder = keyDecoder)(
       StreamingPipeline.kafkaSource(spark, cfg.source))
     val query = EsConnectorSink.start(assembled, cfg.sink, cfg.checkpoint)
     val probes = new Probes(cfg.probesPort.getOrElse(8080))
