@@ -97,13 +97,30 @@ object SimilarityOps {
     * kernel the oracle reproduces bit-exactly.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      seedIds: Seq[Long], nprobe: Int = 1): DataFrame = {
+      seedIds: Seq[Long], nprobe: Int = 1): DataFrame =
+    ivfTopKWithCells(corpus, queries, k, nprobe,
+      corpus.filter(col("vec_id").isInCollection(seedIds))
+        .select(col("vec_id").as("cent_id"),
+          col("embedding").as("cent_emb")))
+
+  /** IVF over TRAINED centroids — the production index shape: cells come
+    * from [[KMeansOps.lloyd]] (or any (cell, centroid) frame) instead of
+    * corpus seed rows. Same scale skeleton: centroid table broadcast,
+    * corpus shuffled only on the cell key.
+    */
+  def ivfTopKCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: DataFrame, nprobe: Int = 1): DataFrame =
+    ivfTopKWithCells(corpus, queries, k, nprobe,
+      centroids.select(col("cell").cast("long").as("cent_id"),
+        col("centroid").as("cent_emb")))
+
+  private def ivfTopKWithCells(corpus: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, centFrame: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, "nprobe must be >= 1")
-    val cents = broadcast(corpus
-      .filter(col("vec_id").isInCollection(seedIds))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
-        DedupOps.norm(col("embedding")).as("cent_nrm")))
+    val cents = broadcast(centFrame
+      .select(col("cent_id"), col("cent_emb"),
+        DedupOps.norm(col("cent_emb")).as("cent_nrm")))
     def assignCells(df: DataFrame, probes: Int): DataFrame = {
       val byScore = Window.partitionBy(col("vec_id"))
         .orderBy(col("cscore").desc, col("cent_id"))

@@ -51,6 +51,16 @@ object SimilarityQueries {
         nprobe = 2)
     }),
 
+    // The production IVF shape: cells from the Lloyd-TRAINED centroids
+    // (KMeansOps → SimilarityOps.ivfTopKCentroids), not corpus seeds —
+    // training and search composed end-to-end, oracle replaying both.
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = graft.operators.KMeansOps.lloyd(
+        e, "vec_id", "embedding", seedIds = SEEDS.map(_.toLong), iters = 2)
+      SimilarityOps.ivfTopKCentroids(e, queriesOf(e), K, cents)
+    }),
+
     // Lloyd-trained centroids (graft.operators.KMeansOps): the IVF
     // training step, emitted as exploded (cell, dim, mean) rows. The
     // operator is bit-deterministic by construction (seeded init,
@@ -181,10 +191,54 @@ object SimilarityQueries {
     // ::DECIMAL rounds the exact binary expansion — the two differ by one
     // 1e-10 unit on ~1/500 embedding values; ::VARCHAR::DECIMAL replays
     // Spark's exact conversion (both engines print shortest round-trip).
-    "sim_kmeans_cells" -> {
-      val seedList = SEEDS.mkString("(", ", ", ")")
-      val dims = s"range(0, 64) d(i)"
-      s"""WITH c0 AS (
+    "sim_kmeans_cells" ->
+      s"""WITH $lloydCtes
+          SELECT c1e.cell, c1e.dim, COALESCE(m2.m, c1e.m) AS m
+          FROM c1e LEFT JOIN m2
+            ON c1e.cell = m2.cell AND c1e.dim = m2.dim""",
+    // IVF search over the Lloyd-trained centroids: the kmeans replay
+    // feeds the IVF assign/search CTEs — same composition as the Spark
+    // side (KMeansOps.lloyd → ivfTopKCentroids).
+    "sim_ivf_kmeans" ->
+      s"""WITH $lloydCtes,
+          fin AS (
+            SELECT c1e.cell, c1e.dim, COALESCE(m2.m, c1e.m) AS m
+            FROM c1e LEFT JOIN m2
+              ON c1e.cell = m2.cell AND c1e.dim = m2.dim),
+          tc AS (SELECT cell, list(m ORDER BY dim) AS cent
+                 FROM fin GROUP BY cell),
+          asn3 AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ${cosine("e.embedding", "c.cent")} AS cscore
+            FROM embeddings e CROSS JOIN tc c),
+          cell3 AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT vec_id, embedding, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cscore DESC, cell) AS rn
+              FROM asn3) WHERE rn = 1),
+          q3 AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
+                 FROM cell3 WHERE vec_id < $NQ),
+          scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       ${cosine("q_emb", "c.embedding")} AS cos
+                     FROM q3 JOIN cell3 c USING (cell)
+                     WHERE c.vec_id <> query_id)
+          SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+          WHERE rank <= $K"""
+  )
+
+  /** The 2-iteration Lloyd replay as a reusable CTE chain (ends at `m2`;
+    * consumers join `c1e`/`m2` for the final means). See the
+    * sim_kmeans_cells comment for the determinism contract.
+    */
+  private def lloydCtes: String = {
+    val seedList = SEEDS.mkString("(", ", ", ")")
+    val dims = s"range(0, 64) d(i)"
+    s"""c0 AS (
             SELECT row_number() OVER (ORDER BY vec_id) AS cell,
                    embedding AS cent
             FROM embeddings WHERE vec_id IN $seedList),
@@ -227,10 +281,6 @@ object SimilarityQueries {
             SELECT cell, d.i AS dim,
                    sum(embedding[d.i+1]::DOUBLE::VARCHAR::DECIMAL(38,10))::DOUBLE
                      / count(*)::DOUBLE AS m
-            FROM g2 CROSS JOIN $dims GROUP BY cell, d.i)
-          SELECT c1e.cell, c1e.dim, COALESCE(m2.m, c1e.m) AS m
-          FROM c1e LEFT JOIN m2
-            ON c1e.cell = m2.cell AND c1e.dim = m2.dim"""
-    }
-  )
+            FROM g2 CROSS JOIN $dims GROUP BY cell, d.i)"""
+  }
 }
