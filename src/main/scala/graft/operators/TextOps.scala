@@ -94,6 +94,41 @@ object TextOps {
       d.withColumn(n, c)
     }
 
+  // ------------------------------------------------------------- redaction
+
+  /** RE2-safe patterns (identical semantics in Java regex and DuckDB's
+    * RE2) so the redaction is oracle-replayable.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+
+  /** PII redaction for training corpora: emails and phone-shaped numbers
+    * become typed placeholder tokens. Pure regexp_replace chain — narrow,
+    * codegen'd, pushdown-transparent.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  // ----------------------------------------------- repetition / boilerplate
+
+  /** Repetition signals (gopher-style quality gates): share of distinct
+    * tokens, and the duplicate-bigram ratio (boilerplate text repeats
+    * n-grams). Array expressions per row, no shuffle.
+    */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val totalBi = greatest(n - 2, lit(0)) + 1
+    val distBi = size(graft.functions.TextExprs.shingleSet(toks, 2))
+    Seq(
+      "token_distinct_ratio" ->
+        (size(array_distinct(toks)).cast("double") / n.cast("double")),
+      "bigram_dup_ratio" ->
+        (lit(1.0) - distBi.cast("double") / totalBi.cast("double")))
+  }
+
   // -------------------------------------------------------- fingerprinting
 
   /** Canonical content normalization for exact dedup: lowercase, collapse

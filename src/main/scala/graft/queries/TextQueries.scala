@@ -46,6 +46,32 @@ object TextQueries {
         .filter(TextOps.hashSample(col("doc_id"), percent = 10))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // PII redaction: emails/phones → typed placeholders. The synthetic
+    // corpus has no PII, so deterministic PII is injected on doc_id % 3
+    // (both engines build the identical augmented string) — the redaction
+    // then does real work the oracle replays; output keeps counts + the
+    // hash of the redacted text.
+    "text_redact" -> ((s, dir) => {
+      val aug = docs(s, dir).withColumn("t",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com tel 555-123-4567")))
+          .otherwise(col("text")))
+      aug.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(TextOps.emailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(TextOps.phonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(TextOps.redact(col("t"))).as("redacted_hash"))
+    }),
+
+    // Repetition / boilerplate signals: distinct-token share and
+    // duplicate-bigram ratio.
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id") +:
+        TextOps.repetitionColumns(col("text")).map(p => p._2.as(p._1)): _*)),
+
     // End-to-end corpus curation — the composition a real training-data
     // pipeline runs: language gate → quality gate → exact-dedup canonical
     // → deterministic hash sample. Stages 1-2 are narrow scan-side
@@ -121,6 +147,30 @@ object TextQueries {
     "sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
           WHERE ${h15("concat('sample:', doc_id::VARCHAR)")} % 100 < 10""",
+    "text_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+      s"""WITH a AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact user' || doc_id::VARCHAR
+                         || '@example.com tel 555-123-4567'
+                    ELSE text END AS t
+             FROM documents)
+          SELECT doc_id,
+            length(regexp_extract_all(t, '$email')) AS n_emails,
+            length(regexp_extract_all(t, '$phone')) AS n_phones,
+            md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+                               '$phone', '<PHONE>', 'g')) AS redacted_hash
+          FROM a"""
+    },
+    "text_repetition" ->
+      s"""SELECT doc_id,
+            length(list_distinct($toks))::DOUBLE / length($toks)::DOUBLE
+              AS token_distinct_ratio,
+            1.0 - length(${shingles(2)})::DOUBLE
+                / (greatest(length($toks) - 2, 0) + 1)::DOUBLE
+              AS bigram_dup_ratio
+          FROM documents""",
     "corpus_curation" ->
       s"""WITH t AS (SELECT doc_id, text,
                        $langCase AS lid,

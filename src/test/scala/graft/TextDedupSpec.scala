@@ -35,6 +35,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("redaction replaces emails and phone numbers with placeholders") {
+    val df = docs((1L, "mail me at jo.doe+x@corp.example.org or 555-123-4567 ok"))
+    val out = df.select(TextOps.redact($"text")).as[String].head()
+    assert(out == "mail me at <EMAIL> or <PHONE> ok")
+  }
+
+  test("repetition signals: distinct-token share and duplicate bigrams") {
+    val df = docs((1L, "a a a b"))
+    val (tr, br) = df.select(
+      TextOps.repetitionColumns($"text").head._2,
+      TextOps.repetitionColumns($"text")(1)._2).as[(Double, Double)].head()
+    assert(tr == 0.5)                     // {a, b} of 4 tokens
+    assert(math.abs(br - (1.0 - 2.0 / 3.0)) < 1e-12) // "a a" ×2, "a b"
+  }
+
   test("content hash is normalization-invariant") {
     val df = docs((1L, "Hello   World"), (2L, "hello world"),
       (3L, "different"))
