@@ -73,6 +73,23 @@ object MultimodalOps {
     }.toDF("doc_id", "frame_no", "frame")
   }
 
+  /** Resize/resample plumbing: deterministic byte-stride downsample to at
+    * most `targetBytes` (stride k = ceil(n / target), keep every k-th
+    * byte). With a codec this seam is image resize / audio resample: the
+    * production shape — per-row narrow map, binary in/binary out, size
+    * metadata carried — is real; only the kernel is the byte fake.
+    */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    media.map { r =>
+      val n = r.content.length
+      val k = math.max(1, (n + targetBytes - 1) / targetBytes)
+      val out = Iterator.range(0, n, k).map(r.content(_)).toArray
+      (r.doc_id, r.media_type, n.toLong, out.length.toLong, out)
+    }.toDF("doc_id", "media_type", "orig_bytes", "new_bytes", "content")
+  }
+
   /** Rebalance partitions by cumulative blob size: bucket each row by its
     * size class, then range-repartition so large blobs spread evenly.
     * At 100 TB this is the difference between a straggler-free decode

@@ -24,7 +24,16 @@ object MultimodalQueries {
         MultimodalOps.documentsAsMedia(s, Tables.documents(s, dir)),
         frameSize = 32, stride = 4)
         .select(col("doc_id"), col("frame_no"), length(col("frame"))
-          .as("frame_len")))
+          .as("frame_len"))),
+
+    // resize seam: byte-stride downsample to ≤64 bytes, content verified
+    // by hash (the oracle rebuilds the identical stride sample).
+    "mm_resize" -> ((s, dir) =>
+      MultimodalOps.resize(
+        MultimodalOps.documentsAsMedia(s, Tables.documents(s, dir)),
+        targetBytes = 64)
+        .select(col("doc_id"), col("media_type"), col("orig_bytes"),
+          col("new_bytes"), md5(col("content")).as("content_hash")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -47,6 +56,24 @@ object MultimodalQueries {
          CROSS JOIN LATERAL (
            SELECT unnest(range(0,
              ((octet_length(encode(text)) + 32 * 4 - 1) // (32 * 4))::BIGINT))
-             AS i) f"""
+             AS i) f""",
+    "mm_resize" ->
+      """WITH t AS (SELECT doc_id, text,
+               octet_length(encode(text)) AS n,
+               greatest(1, (octet_length(encode(text)) + 63) // 64) AS k
+             FROM documents),
+          r AS (SELECT doc_id, n, k,
+                  array_to_string(list_transform(
+                    range(0, (n + k - 1) // k),
+                    i -> substring(text, (1 + i * k)::INTEGER, 1)), '') AS rs
+                FROM t)
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'image'
+                 WHEN doc_id % 3 = 1 THEN 'audio'
+                 ELSE 'video' END AS media_type,
+            n::BIGINT AS orig_bytes,
+            length(rs)::BIGINT AS new_bytes,
+            md5(rs) AS content_hash
+          FROM r"""
   )
 }
