@@ -38,11 +38,13 @@ object InjectorApp {
     val v = num.toDouble
     unit match {
       case "ms" => v.toLong
-      case "s" | "" => (v * 1000).toLong
+      case "s" => (v * 1000).toLong
       case "m" => (v * 60000).toLong
       case "h" => (v * 3600000).toLong
+      // Go's ParseDuration rejects unitless values too ("time: missing
+      // unit in duration") — same contract, config typos fail fast
       case other =>
-        throw new IllegalArgumentException(s"unsupported duration unit $other")
+        throw new IllegalArgumentException(s"unsupported duration unit '$other'")
     }
   }
 

@@ -72,5 +72,9 @@ class InjectorAppSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       InjectorApp.parseDurationMs("10fortnights")
     }
+    // Go rejects unitless durations ("time: missing unit") — so do we
+    intercept[IllegalArgumentException] {
+      InjectorApp.parseDurationMs("10")
+    }
   }
 }
