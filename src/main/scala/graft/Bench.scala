@@ -81,6 +81,7 @@ object Bench {
     // sample. ALL samples land in the detail file so the reported minima
     // are auditable.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (pass <- 1 to passes) {

@@ -137,18 +137,13 @@ object AvroQueries {
         AvroWire.schemaId(col("value")).as("schema_id"),
         AvroWire.magicOk(col("value")).as("magic_ok"))),
 
-    // D3: registry-dispatched multi-schema decode (codec cache per id).
-    // PlanBarrier: without it the isNotNull filter is pushed below the
-    // projection with the alias substituted, and the Avro decode runs
-    // TWICE per row (Filter + Project) — same trap as from_json in
-    // InjectorOps.jsonDecode.
+    // D3: registry-dispatched multi-schema decode (codec cache per id),
+    // through the ONE barrier-wrapped decode-then-drop implementation
+    // (InjectorOps.decoderFor) so the single-evaluation guarantee has a
+    // single home.
     "d3_avro_decode" -> ((s, dir) =>
-      wire(s, dir)
-        .select(col("event_id"),
-          graft.functions.PlanBarrier.opaque(
-            AvroWire.fromConfluentAvro(col("value"), reader, writers))
-            .as("payload"))
-        .filter(col("payload").isNotNull)
+      InjectorOps.decoderFor("avro", KafkaShape.eventPayloadSchema,
+        reader, writers)(wire(s, dir))
         .select(col("event_id"), col("payload.event_type").as("event_type"),
           col("payload.value").as("value"))),
 
@@ -156,12 +151,9 @@ object AvroQueries {
     // decimal/date/timestamp logical types, enum, 3-branch union, nested
     // records-in-array, fixed. Every output re-derivable by the oracle.
     "d3_avro_rich" -> ((s, dir) =>
-      richWire(s, dir)
-        .select(col("event_id"),
-          graft.functions.PlanBarrier.opaque(
-            AvroWire.fromConfluentAvro(col("value"), richSchema,
-              MapSchemaProvider(Map(richId -> richSchema)))).as("p"))
-        .filter(col("p").isNotNull)
+      InjectorOps.decoderForProvider(richSchema,
+        MapSchemaProvider(Map(richId -> richSchema)))(richWire(s, dir))
+        .withColumnRenamed("payload", "p")
         .select(
           col("event_id"),
           col("p.event_type").as("event_type"),

@@ -28,6 +28,9 @@ object MultimodalQueries {
 
     // resize seam: byte-stride downsample to ≤64 bytes, content verified
     // by hash (the oracle rebuilds the identical stride sample).
+    // NOTE: the oracle strides CHARACTERS while the operator strides
+    // UTF-8 BYTES — equivalent only because the documents fixture is
+    // ASCII (verified); a non-ASCII fixture would need a BLOB-based dual.
     "mm_resize" -> ((s, dir) =>
       MultimodalOps.resize(
         MultimodalOps.documentsAsMedia(s, Tables.documents(s, dir)),

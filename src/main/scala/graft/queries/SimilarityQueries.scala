@@ -23,17 +23,23 @@ object SimilarityQueries {
   private def queriesOf(df: DataFrame): DataFrame =
     df.filter(col("vec_id") < NQ)
 
-  /** Lloyd training memoized per (session, sf-dir): the centroid table is
-    * model output consumed by both the centroid dump and the IVF search —
-    * a real pipeline trains once and reuses (the frame is k rows).
+  /** Lloyd training memoized per (session, sf-dir) for the IVF-search
+    * consumer — a real pipeline trains once and reuses the k-row model.
+    * `sim_kmeans_cells` deliberately does NOT use the cache: it is in the
+    * bench's pinned standing basket, and letting a newer query absorb its
+    * training cost would turn cost-shifting into a fake round-over-round
+    * speedup.
     */
   private val lloydCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  private def train(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeansOps.lloyd(embs(s, dir), "vec_id", "embedding",
+      seedIds = SEEDS.map(_.toLong), iters = 2)
+
   private def trained(s: SparkSession, dir: String): DataFrame =
     lloydCache.getOrElseUpdate((s, dir),
-      graft.operators.KMeansOps.lloyd(embs(s, dir), "vec_id", "embedding",
-        seedIds = SEEDS.map(_.toLong), iters = 2).localCheckpoint(false))
+      train(s, dir).localCheckpoint(false))
 
   val all: Map[String, Q] = Map(
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -78,7 +84,7 @@ object SimilarityQueries {
     // what makes a DuckDB dual expressible: the oracle replays both Lloyd
     // iterations as CTEs with the same decimal sums.
     "sim_kmeans_cells" -> ((s, dir) =>
-      trained(s, dir)
+      train(s, dir) // uncached: standing-basket timing must include training
         .select(col("cell").cast("long").as("cell"),
           posexplode(col("centroid")).as(Seq("dim", "m")))
         .select(col("cell"), col("dim").cast("long").as("dim"), col("m")))

@@ -82,8 +82,10 @@ class EsBulkSink(
     val dupRank = row_number().over(Window.partitionBy(col("doc_id"))
       .orderBy(col("__bad"), monotonically_increasing_id()))
     val flagged = batch
+      // null predicate = bad (a missing field is exactly the malformed
+      // shape K3 exists for; the original filter(!p) dropped nulls too)
       .withColumn("__bad",
-        badRecord.map(p => coalesce(p, lit(false))).getOrElse(lit(false)))
+        badRecord.map(p => coalesce(p, lit(true))).getOrElse(lit(false)))
       .withColumn("__rn", dupRank)
     val classified = existingIds(spark)
       .map(ids => flagged.join(
@@ -116,10 +118,25 @@ class EsBulkSink(
 
   private def idsDir = targetDir + "_ids"
 
-  private def existingIds(spark: org.apache.spark.sql.SparkSession) =
+  // The index append and the id-store append are two writes; a crash
+  // between them would leave committed docs invisible to the store and
+  // re-inserted on redelivery. The index is authoritative, so each sink
+  // INSTANCE reconciles the store from it once before first use (one
+  // index scan per stream start, not per batch — restarts are exactly
+  // when the pair can be out of sync).
+  @transient private var idsReconciled = false
+
+  private def existingIds(spark: org.apache.spark.sql.SparkSession) = {
+    if (!idsReconciled) {
+      if (new java.io.File(targetDir).exists())
+        spark.read.parquet(targetDir).select(col("doc_id")).distinct()
+          .write.mode(SaveMode.Overwrite).parquet(idsDir)
+      idsReconciled = true
+    }
     if (new java.io.File(idsDir).exists())
       Some(spark.read.parquet(idsDir))
     else None
+  }
 
   /** The documents currently in the simulated index. */
   def contents(spark: org.apache.spark.sql.SparkSession): DataFrame =

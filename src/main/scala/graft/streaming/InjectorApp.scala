@@ -28,24 +28,32 @@ object InjectorApp {
       probesPort: Option[Int],
       checkpoint: String)
 
-  /** Go `time.ParseDuration`-style strings ("1s", "500ms", "2m") to
-    * millis — the reference's timeout/backoff env format
-    * (config.go:34-50).
+  /** Go `time.ParseDuration` strings to millis — the reference's
+    * timeout/backoff env format (config.go:34-50). Full contract:
+    * compound values ("1m30s"), optional sign, ns/us/µs/ms/s/m/h units;
+    * unitless or malformed input errors like Go's "missing unit".
     */
   def parseDurationMs(s: String): Long = {
     val t = s.trim
-    val (num, unit) = t.span(c => c.isDigit || c == '.')
-    val v = num.toDouble
-    unit match {
-      case "ms" => v.toLong
-      case "s" => (v * 1000).toLong
-      case "m" => (v * 60000).toLong
-      case "h" => (v * 3600000).toLong
-      // Go's ParseDuration rejects unitless values too ("time: missing
-      // unit in duration") — same contract, config typos fail fast
-      case other =>
-        throw new IllegalArgumentException(s"unsupported duration unit '$other'")
-    }
+    val (sign, body) =
+      if (t.startsWith("-")) (-1L, t.tail)
+      else if (t.startsWith("+")) (1L, t.tail) else (1L, t)
+    val token = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|ms|s|m|h)".r
+    val matches = token.findAllMatchIn(body).toSeq
+    require(matches.nonEmpty && matches.map(_.matched).mkString == body,
+      s"invalid duration '$s' (Go time.ParseDuration format)")
+    val ns = matches.map { m =>
+      val v = m.group(1).toDouble
+      m.group(2) match {
+        case "ns" => v
+        case "us" | "µs" => v * 1e3
+        case "ms" => v * 1e6
+        case "s" => v * 1e9
+        case "m" => v * 6e10
+        case "h" => v * 3.6e12
+      }
+    }.sum
+    sign * (ns / 1e6).toLong
   }
 
   /** Env-var surface, name-for-name with the reference. Unset/empty vars
@@ -91,7 +99,9 @@ object InjectorApp {
         backoffMs =
           get("ES_BULK_BACKOFF").map(parseDurationMs).getOrElse(1000L)),
       registryUrl = get("SCHEMA_REGISTRY_URL"),
-      recordType = get("KAFKA_CONSUMER_RECORD_TYPE").getOrElse("json"),
+      // the reference treats anything but "json" as avro
+      // (encode_decode.go:34-40) — unset means the avro default path
+      recordType = get("KAFKA_CONSUMER_RECORD_TYPE").getOrElse("avro"),
       probesPort = get("PROBES_PORT").map(_.toInt),
       checkpoint = get("CHECKPOINT_LOCATION")
         .getOrElse("/tmp/graft-injector-checkpoint"))
@@ -116,19 +126,26 @@ object InjectorApp {
     def provider: SchemaProvider = new HttpSchemaProvider(
       cfg.registryUrl.getOrElse(throw new IllegalArgumentException(
         "SCHEMA_REGISTRY_URL is required for avro records")))
+    // DeserializerFor semantics (encode_decode.go:34-40): "json" is the
+    // special case, EVERYTHING else takes the avro path
     val decoder = cfg.recordType match {
-      case "avro" => InjectorOps.decoderForProvider(avroReaderSchema, provider)
-      case _ => InjectorOps.decoderFor("json", jsonSchema)
+      case "json" => InjectorOps.decoderFor("json", jsonSchema)
+      case _ => InjectorOps.decoderForProvider(avroReaderSchema, provider)
     }
     // T2 full: the key decodes with the value's record type — Avro keys
     // through their own registry lookup (encode_decode.go:66-72), JSON
-    // keys into the supplied struct (encode_decode.go:99-105)
+    // keys into the supplied struct (encode_decode.go:99-105). A config
+    // the reference honors must not silently no-op: missing key schema
+    // with includeKey on is a caller error.
     val keyDecoder =
       if (!cfg.injector.includeKey) None
       else cfg.recordType match {
-        case "avro" =>
+        case "json" => Some(InjectorOps.jsonKeyDecoder(
+          jsonKeySchema.getOrElse(throw new IllegalArgumentException(
+            "jsonKeySchema is required when KAFKA_CONSUMER_INCLUDE_KEY=true " +
+              "with json records"))))
+        case _ =>
           Some(InjectorOps.avroKeyDecoder(avroKeyReaderSchema, provider))
-        case _ => jsonKeySchema.map(InjectorOps.jsonKeyDecoder)
       }
     val assembled = StreamingPipeline.streamingPipeline(
       cfg.injector, jsonSchema, decoder = Some(decoder),

@@ -60,7 +60,9 @@ class InjectorAppSpec extends AnyFunSuite {
     assert(cfg.sink.bulkTimeoutMs == 1000L) // ES_BULK_TIMEOUT default 1s
     assert(cfg.sink.backoffMs == 1000L)     // ES_BULK_BACKOFF default 1s
     assert(cfg.sink.scheme == "http" && !cfg.sink.disableSniffing)
-    assert(cfg.recordType == "json")
+    // DeserializerFor treats anything but "json" as avro — the reference
+    // default with the var unset is the avro path
+    assert(cfg.recordType == "avro")
     assert(cfg.source.maxOffsetsPerTrigger.isEmpty)
   }
 
@@ -69,12 +71,19 @@ class InjectorAppSpec extends AnyFunSuite {
     assert(InjectorApp.parseDurationMs("500ms") == 500L)
     assert(InjectorApp.parseDurationMs("2m") == 120000L)
     assert(InjectorApp.parseDurationMs("1.5s") == 1500L)
+    assert(InjectorApp.parseDurationMs("1m30s") == 90000L)   // compound
+    assert(InjectorApp.parseDurationMs("1h30m") == 5400000L)
+    assert(InjectorApp.parseDurationMs("1500us") == 1L)      // sub-ms
+    assert(InjectorApp.parseDurationMs("-2s") == -2000L)     // signed
     intercept[IllegalArgumentException] {
       InjectorApp.parseDurationMs("10fortnights")
     }
     // Go rejects unitless durations ("time: missing unit") — so do we
     intercept[IllegalArgumentException] {
       InjectorApp.parseDurationMs("10")
+    }
+    intercept[IllegalArgumentException] {
+      InjectorApp.parseDurationMs("ms")
     }
   }
 }

@@ -160,9 +160,12 @@ class StreamingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-es4").toString
     val sink = new EsBulkSink(s"$dir/index",
       badRecord = Some(col("payload.n") < 0))
-    val bad = batch1 :+ msg(2, 9L, """{"id":"z","n":-5}""")
+    // a record MISSING the predicate field (null n) is malformed too —
+    // the null predicate must classify bad, not slip through as good
+    val bad = batch1 :+ msg(2, 9L, """{"id":"z","n":-5}""") :+
+      msg(2, 10L, """{"id":"y"}""")
     sink.write(StreamingPipeline.streamingPipeline(cfg, schema)(bad.toDF()), 0L)
-    assert(sink.badRequests.sum() == 1L)
+    assert(sink.badRequests.sum() == 2L)
     assert(sink.contents(spark).count() == 3L)
   }
 
