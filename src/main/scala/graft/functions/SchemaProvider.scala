@@ -19,11 +19,14 @@ import scala.collection.concurrent.TrieMap
   *
   * An unknown id yields `None`, which the decode expression turns into a
   * null row (D6 drop semantics) — unlike the reference, which errors the
-  * whole poison batch (SURVEY.md §7.5.5). Lookup failures are NOT cached,
-  * so a transient registry outage doesn't permanently blind the decoder
-  * to an id (the reference stores the result even on error —
-  * schema_registry.go:24-26 — which pins an empty schema forever; that is
-  * a bug we deliberately do not reproduce).
+  * whole poison batch (SURVEY.md §7.5.5). Lookup failures are cached only
+  * NEGATIVELY with a short TTL: a transient registry outage doesn't
+  * permanently blind the decoder to an id (the reference stores the
+  * result even on error — schema_registry.go:24-26 — which pins an empty
+  * schema forever; that is a bug we deliberately do not reproduce), while
+  * a topic carrying a poison/unregistered id costs at most one registry
+  * GET per TTL per executor instead of one per record — bounded load on
+  * the registry at any scale.
   */
 trait SchemaProvider extends Serializable {
   /** Writer schema JSON for a registry id; None = unknown/unavailable. */
@@ -45,22 +48,38 @@ final case class MapSchemaProvider(schemas: Map[Int, String])
   *
   * @param fetch injectable transport: url => response body. The default
   *              is a plain JDK HTTP GET; tests inject a fake.
+  * @param negativeTtlMs how long a failed lookup suppresses re-fetching
+  *                      the same id (default 30 s — recovers quickly
+  *                      after a transient outage, bounds the request
+  *                      rate under a poison id)
+  * @param nowMs injectable clock, for deterministic TTL tests
   */
 final class HttpSchemaProvider(
     val baseUrl: String,
-    fetch: String => String = HttpSchemaProvider.httpGet)
+    fetch: String => String = HttpSchemaProvider.httpGet,
+    negativeTtlMs: Long = 30000L,
+    nowMs: () => Long = () => System.currentTimeMillis())
     extends SchemaProvider {
 
   @transient private lazy val cache = TrieMap.empty[Int, String]
+  // id -> wall-clock expiry of the suppression window
+  @transient private lazy val negative = TrieMap.empty[Int, Long]
 
   override def schemaFor(id: Int): Option[String] =
     cache.get(id).orElse {
-      try {
+      if (negative.get(id).exists(_ > nowMs())) None
+      else try {
         val body = fetch(s"$baseUrl/schemas/ids/$id")
         val schema = HttpSchemaProvider.extractSchema(body)
         cache.putIfAbsent(id, schema)
+        negative.remove(id)
         Some(schema)
-      } catch { case _: Exception => None } // not cached: retry next message
+      } catch {
+        case _: Exception =>
+          // negative-TTL, not cache-forever: retried after the window
+          negative.put(id, nowMs() + negativeTtlMs)
+          None
+      }
     }
 }
 

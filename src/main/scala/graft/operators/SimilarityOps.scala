@@ -86,10 +86,10 @@ object SimilarityOps {
     * deterministic seed subset of the corpus (so the oracle can recompute
     * the identical assignment); a production deployment would drop in
     * k-means centroids from [[KMeansOps.lloyd]] — the operator shape
-    * (broadcast centroids → argmax-cosine cell assignment → equi-join on
-    * cell → per-query top-k) is unchanged and is the part that scales:
-    * the corpus is never shuffled except on the cell key, and cells are
-    * searched independently. A (query, neighbor) pair is scored at most
+    * (centroids collected as k×dim model state → map-side literal-array
+    * argmax cell assignment → equi-join on cell → per-query top-k) is
+    * unchanged and is the part that scales: the corpus is never shuffled
+    * except on the cell key, and cells are searched independently. A (query, neighbor) pair is scored at most
     * once: the neighbor's single home cell either is probed or not.
     *
     * Determinism: cell = argmax cosine over centroids with ties to the
@@ -105,8 +105,8 @@ object SimilarityOps {
 
   /** IVF over TRAINED centroids — the production index shape: cells come
     * from [[KMeansOps.lloyd]] (or any (cell, centroid) frame) instead of
-    * corpus seed rows. Same scale skeleton: centroid table broadcast,
-    * corpus shuffled only on the cell key.
+    * corpus seed rows. Same scale skeleton: centroids as driver-side
+    * model state, corpus shuffled only on the cell key.
     */
   def ivfTopKCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
       centroids: DataFrame, nprobe: Int = 1): DataFrame =
@@ -118,24 +118,60 @@ object SimilarityOps {
       k: Int, nprobe: Int, centFrame: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, "nprobe must be >= 1")
-    val cents = broadcast(centFrame
-      .select(col("cent_id"), col("cent_emb"),
-        DedupOps.norm(col("cent_emb")).as("cent_nrm")))
-    def assignCells(df: DataFrame, probes: Int): DataFrame = {
-      val byScore = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cscore").desc, col("cent_id"))
-      df.crossJoin(cents)
-        .withColumn("cscore", dot(col("embedding"), col("cent_emb")) /
-          (col("nrm") * col("cent_nrm")))
-        .withColumn("crn", row_number().over(byScore))
-        .filter(col("crn") <= probes)
-        .select(df.columns.map(col) :+ col("cent_id").as("cell"): _*)
+    // Centroids are MODEL STATE (k×dim doubles), not data: materialize
+    // them once on the driver (the same collect lloyd performs between
+    // iterations) and carry them to executors as literal arrays. Cell
+    // assignment is then a PURE MAP — k codegen'd dot products and an
+    // argmax over a k-element array per row, the KMeansOps.step kernel —
+    // with zero row amplification and zero shuffle. (The previous
+    // crossJoin+window plan amplified the corpus ×k and hash-exchanged
+    // the amplified frame to compute the argmax: invisible at sf0.1,
+    // 512× the corpus through the wire at 100 TB.)
+    val cents: Seq[(Long, Seq[Double])] = centFrame
+      .select(col("cent_id").cast("long"),
+        col("cent_emb").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, "IVF needs at least one centroid")
+    val centIds = cents.map(_._1)
+    // the k cosine scores as ONE array expression; centroid norms are
+    // driver-side constants computed with the same left-to-right IEEE
+    // fold as the codegen'd dot kernel, so scores stay bit-identical to
+    // the old centroid-column plan (and to the oracle)
+    def cscores(v: Column, nrm: Column): Column = array(cents.map {
+      case (_, c) =>
+        dot(v, typedlit(c)) / (nrm * lit(math.sqrt(c.map(x => x * x).sum)))
+    }: _*)
+    // home cell = argmax: first maximum ≡ lowest cent_id on ties (ids
+    // ascending). Two-stage select keeps the k dots evaluated once
+    // (__s is non-cheap and referenced twice, so CollapseProject holds).
+    def assignHome(df: DataFrame): DataFrame = {
+      val keep = df.columns.map(col)
+      df.select(keep :+ cscores(col("embedding"), col("nrm")).as("__s"): _*)
+        .select(keep :+ element_at(typedlit(centIds),
+          array_position(col("__s"), array_max(col("__s"))).cast("int"))
+          .as("cell"): _*)
+    }
+    // query side: top-`probes` cells from the same k-array — sort
+    // (−score, id) structs ascending ≡ score desc / id asc, slice,
+    // explode. Still a pure map; the explode multiplies only the
+    // (broadcast-sized) query set by nprobe.
+    def assignProbes(df: DataFrame, probes: Int): DataFrame = {
+      val keep = df.columns.map(col)
+      val ranked = transform(
+        array_sort(zip_with(col("__s"), typedlit(centIds),
+          (s, id) => struct((-s).as("negs"), id.as("id")))),
+        e => e.getField("id"))
+      df.select(keep :+ cscores(col("embedding"), col("nrm")).as("__s"): _*)
+        .select(keep :+ explode(slice(ranked, 1, probes)).as("cell"): _*)
     }
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
       DedupOps.norm(col("embedding")).as("nrm"))
-    val cells = assignCells(withNorm, 1)
-    val qcells = assignCells(withNorm.join(
-      queries.select(col("vec_id")), Seq("vec_id")), nprobe)
+    val cells = assignHome(withNorm)
+    // queries are a broadcast-able probe batch by contract — pin it so
+    // the corpus is never shuffled on vec_id to find the query vectors
+    val qcells = assignProbes(withNorm.join(
+      broadcast(queries.select(col("vec_id"))), Seq("vec_id")), nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cells.join(

@@ -122,11 +122,17 @@ object TextOps {
     val n = size(toks)
     val totalBi = greatest(n - 2, lit(0)) + 1
     val distBi = size(graft.functions.TextExprs.shingleSet(toks, 2))
+    // Boundary semantics a quality gate can trust: an empty doc is
+    // vacuously all-distinct (ratio 1.0, not NaN), and a doc with <2
+    // tokens has zero bigrams so its duplicate-bigram ratio is 0.0 (not
+    // the maximally-repetitive 1.0 the raw formula degenerates to).
     Seq(
       "token_distinct_ratio" ->
-        (size(array_distinct(toks)).cast("double") / n.cast("double")),
+        when(n === 0, lit(1.0)).otherwise(
+          size(array_distinct(toks)).cast("double") / n.cast("double")),
       "bigram_dup_ratio" ->
-        (lit(1.0) - distBi.cast("double") / totalBi.cast("double")))
+        when(n < 2, lit(0.0)).otherwise(
+          lit(1.0) - distBi.cast("double") / totalBi.cast("double")))
   }
 
   // -------------------------------------------------------- fingerprinting

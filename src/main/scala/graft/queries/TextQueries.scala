@@ -165,10 +165,13 @@ object TextQueries {
     },
     "text_repetition" ->
       s"""SELECT doc_id,
-            length(list_distinct($toks))::DOUBLE / length($toks)::DOUBLE
+            CASE WHEN length($toks) = 0 THEN CAST(1.0 AS DOUBLE)
+                 ELSE length(list_distinct($toks))::DOUBLE
+                      / length($toks)::DOUBLE END
               AS token_distinct_ratio,
-            1.0 - length(${shingles(2)})::DOUBLE
-                / (greatest(length($toks) - 2, 0) + 1)::DOUBLE
+            CASE WHEN length($toks) < 2 THEN CAST(0.0 AS DOUBLE)
+                 ELSE 1.0 - length(${shingles(2)})::DOUBLE
+                      / (greatest(length($toks) - 2, 0) + 1)::DOUBLE END
               AS bigram_dup_ratio
           FROM documents""",
     "corpus_curation" ->

@@ -66,6 +66,10 @@ class EsBulkSink(
         case e: RuntimeException if attempt < maxRetries =>
           attempt += 1
           retries.increment()
+          // the failed attempt may have appended to the index but not the
+          // id store; re-derive seen ids from the authoritative index so
+          // the retry cannot re-insert the just-committed docs (K2)
+          idsReconciled = false
           Thread.sleep(backoffMs) // constant backoff, ES_BULK_BACKOFF
         case e: RuntimeException if attempt >= maxRetries =>
           throw e // fail the stream, never wedge (SURVEY.md §7.5.5)
@@ -126,14 +130,23 @@ class EsBulkSink(
   // when the pair can be out of sync).
   @transient private var idsReconciled = false
 
+  // Path existence through the Hadoop FileSystem API so the sink works
+  // against any supported store (local, HDFS, object stores), not only
+  // the local FS.
+  private def pathExists(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def existingIds(spark: org.apache.spark.sql.SparkSession) = {
     if (!idsReconciled) {
-      if (new java.io.File(targetDir).exists())
+      if (pathExists(spark, targetDir))
         spark.read.parquet(targetDir).select(col("doc_id")).distinct()
           .write.mode(SaveMode.Overwrite).parquet(idsDir)
       idsReconciled = true
     }
-    if (new java.io.File(idsDir).exists())
+    if (pathExists(spark, idsDir))
       Some(spark.read.parquet(idsDir))
     else None
   }

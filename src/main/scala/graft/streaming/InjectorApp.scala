@@ -26,7 +26,9 @@ object InjectorApp {
       registryUrl: Option[String],
       recordType: String,
       probesPort: Option[Int],
-      checkpoint: String)
+      livenessRoute: String = "/healthz",
+      readinessRoute: String = "/readiness",
+      checkpoint: String = "/tmp/graft-injector-checkpoint")
 
   /** Go `time.ParseDuration` strings to millis — the reference's
     * timeout/backoff env format (config.go:34-50). Full contract:
@@ -38,6 +40,9 @@ object InjectorApp {
     val (sign, body) =
       if (t.startsWith("-")) (-1L, t.tail)
       else if (t.startsWith("+")) (1L, t.tail) else (1L, t)
+    // Go special-cases a bare (optionally signed) "0" — the only unitless
+    // value ParseDuration accepts (time.go: `if s == "0" { return 0 }`)
+    if (body == "0") return 0L
     val token = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|ms|s|m|h)".r
     val matches = token.findAllMatchIn(body).toSeq
     require(matches.nonEmpty && matches.map(_.matched).mkString == body,
@@ -103,6 +108,10 @@ object InjectorApp {
       // (encode_decode.go:34-40) — unset means the avro default path
       recordType = get("KAFKA_CONSUMER_RECORD_TYPE").getOrElse("avro"),
       probesPort = get("PROBES_PORT").map(_.toInt),
+      // the reference reads probe paths from env (probes.go:9-11) — a
+      // deployment migrating env name-for-name keeps its configured routes
+      livenessRoute = get("K8S_LIVENESS_ROUTE").getOrElse("/healthz"),
+      readinessRoute = get("K8S_READINESS_ROUTE").getOrElse("/readiness"),
       checkpoint = get("CHECKPOINT_LOCATION")
         .getOrElse("/tmp/graft-injector-checkpoint"))
   }
@@ -145,6 +154,9 @@ object InjectorApp {
             "jsonKeySchema is required when KAFKA_CONSUMER_INCLUDE_KEY=true " +
               "with json records"))))
         case _ =>
+          require(avroKeyReaderSchema.nonEmpty,
+            "avroKeyReaderSchema is required when " +
+              "KAFKA_CONSUMER_INCLUDE_KEY=true with avro records")
           Some(InjectorOps.avroKeyDecoder(avroKeyReaderSchema, provider))
       }
     val assembled = StreamingPipeline.streamingPipeline(
@@ -152,7 +164,8 @@ object InjectorApp {
       keyDecoder = keyDecoder)(
       StreamingPipeline.kafkaSource(spark, cfg.source))
     val query = EsConnectorSink.start(assembled, cfg.sink, cfg.checkpoint)
-    val probes = new Probes(cfg.probesPort.getOrElse(8080))
+    val probes = new Probes(cfg.probesPort.getOrElse(8080),
+      cfg.livenessRoute, cfg.readinessRoute)
     probes.bind(query) // liveness up, readiness tracks the stream
     probes.serve()
     (query, probes)

@@ -93,7 +93,7 @@ class AvroWireSpec extends SparkSpec {
     assert(calls == 1) // resolved schema cached forever
     assert(provider.schemaFor(9).isEmpty)
     assert(provider.schemaFor(9).isEmpty)
-    assert(calls == 3) // misses NOT cached (transient outage must retry)
+    assert(calls == 2) // repeat miss inside the negative TTL: no re-fetch
 
     // end-to-end: decode through the provider; unknown id -> null row
     val good = AvroWire.encodeConfluent(7, fixtureSchema, Map("id" -> 5))
@@ -102,6 +102,30 @@ class AvroWireSpec extends SparkSpec {
       AvroWire.fromConfluentAvro($"value", fixtureSchema, provider)("id"))
       .as[Option[Int]].collect()
     assert(out.toSeq == Seq(Some(5), None))
+  }
+
+  test("schema provider: negative TTL bounds poison-id fetches, then recovers") {
+    import graft.functions.HttpSchemaProvider
+    var calls = 0
+    var registered = false // flips true to simulate late registration
+    var clock = 1000L
+    val response = s"""{"schema": ${com.fasterxml.jackson.databind.json
+      .JsonMapper.builder().build().writeValueAsString(fixtureSchema)}}"""
+    val provider = new HttpSchemaProvider("http://registry:8081", _ => {
+      calls += 1
+      if (registered) response else throw new RuntimeException("404")
+    }, negativeTtlMs = 30000L, nowMs = () => clock)
+    assert(provider.schemaFor(9).isEmpty && calls == 1) // first miss fetches
+    clock += 10000L
+    assert(provider.schemaFor(9).isEmpty && calls == 1) // inside TTL: no fetch
+    clock += 25000L // 35 s past the miss — window expired
+    assert(provider.schemaFor(9).isEmpty && calls == 2) // re-fetches
+    registered = true
+    clock += 35000L
+    // after the outage ends, the id resolves and is then cached forever
+    assert(provider.schemaFor(9).contains(fixtureSchema) && calls == 3)
+    clock += 60000L
+    assert(provider.schemaFor(9).contains(fixtureSchema) && calls == 3)
   }
 
   test("schema evolution mid-stream: defaulted reader fields fill from old writers") {

@@ -118,12 +118,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("sim_ivf_probe2: centroids broadcast, corpus shuffled on cell only") {
-    val p = planString("sim_ivf_probe2")
-    // centroid cross join and the query side must both be broadcasts —
-    // a sort-merge join here would shuffle the corpus on a non-cell key
-    assert(count(p, "BroadcastNestedLoopJoin") >= 1 ||
-      count(p, "BroadcastHashJoin") >= 1, p.take(2000))
-    assert(!p.contains("SortMergeJoin"), "IVF corpus join degraded to SMJ")
+  test("sim_ivf: cell assignment is a pure map — one shuffle total") {
+    // the r6 pin ("no SortMergeJoin") missed the scale-killer: the old
+    // crossJoin+window assignment amplified the corpus ×k and
+    // hash-exchanged it on vec_id to compute the argmax. Centroids are
+    // literal model state now, so the assignment must plan as a pure
+    // map: NO Exchange between the corpus scan and cell assignment —
+    // the ONLY shuffle in the whole plan is the per-query top-k window.
+    for (q <- Seq("sim_ivf_topk", "sim_ivf_probe2")) {
+      val p = planString(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: centroid crossJoin is back")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: corpus shuffled on a non-cell key")
+      // "Exchange (" alone also matches inside "BroadcastExchange (" —
+      // broadcasts are fine (query side), shuffles are what's pinned
+      val n = count(p, "Exchange (") - count(p, "BroadcastExchange (")
+      assert(n == 1,
+        s"$q: expected exactly 1 shuffle (top-k window), saw $n\n" +
+          p.take(2000))
+    }
   }
 }
