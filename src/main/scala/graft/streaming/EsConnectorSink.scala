@@ -94,4 +94,80 @@ object EsConnectorSink {
   def start(assembled: DataFrame, es: EsConnectorConfig,
       checkpoint: String) =
     writer(assembled, es, checkpoint).start(resource)
+
+  // -------------------------------------------------------- index template
+
+  /** The reference delegates mapping control to an index template
+    * installed BEFORE the first insert (`src/elasticsearch/
+    * elasticsearch_test.go:34-61,135-146`; README.md:44-67): without one,
+    * the first bulk create lets ES dynamic mapping guess every field
+    * type. Default body in the reference's shape — wildcard pattern,
+    * `_source` enabled, strings dynamic-mapped to exact-match fields
+    * (`keyword` is the current ES spelling of the reference's
+    * `not_analyzed string`), `@timestamp` typed date for Kibana.
+    */
+  def defaultTemplate(indexPattern: String): String =
+    s"""{
+       |  "template": "$indexPattern",
+       |  "settings": {},
+       |  "mappings": {
+       |    "_source": {"enabled": true},
+       |    "dynamic_templates": [
+       |      {"strings": {
+       |        "match_mapping_type": "string",
+       |        "mapping": {"type": "keyword"}}}
+       |    ],
+       |    "properties": {
+       |      "@timestamp": {"type": "date"}
+       |    }
+       |  },
+       |  "aliases": {}
+       |}""".stripMargin
+
+  /** Idempotent pre-create step, the code form of the reference's
+    * check-then-install (`IndexTemplateExists` → `IndexPutTemplate`,
+    * elasticsearch_test.go:135-146): HEAD `_template/{name}`, PUT the
+    * body only when absent. Returns true iff this call installed it.
+    *
+    * @param transport injectable (method, url, body) => HTTP status for
+    *                  offline tests; the default is a JDK client
+    *                  honoring the config's scheme/auth/timeout
+    */
+  def ensureTemplate(es: EsConnectorConfig, name: String,
+      body: Option[String] = None,
+      transport: Option[(String, String, Option[String]) => Int] = None)
+      : Boolean = {
+    val url = s"${es.scheme}://${es.host}:${es.port}/_template/$name"
+    val send = transport.getOrElse(jdkTransport(es))
+    if (send("HEAD", url, None) == 200) false
+    else {
+      val st = send("PUT", url,
+        Some(body.getOrElse(defaultTemplate(s"$name-*"))))
+      require(st / 100 == 2, s"template PUT $url failed with HTTP $st")
+      true
+    }
+  }
+
+  private def jdkTransport(es: EsConnectorConfig)
+      : (String, String, Option[String]) => Int = (method, url, body) => {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(es.bulkTimeoutMs.toInt)
+    conn.setReadTimeout(es.bulkTimeoutMs.toInt)
+    (es.user, es.password) match {
+      case (Some(u), Some(p)) =>
+        conn.setRequestProperty("Authorization", "Basic " +
+          java.util.Base64.getEncoder.encodeToString(
+            s"$u:$p".getBytes("UTF-8")))
+      case _ => ()
+    }
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val os = conn.getOutputStream
+      try os.write(b.getBytes("UTF-8")) finally os.close()
+    }
+    try conn.getResponseCode finally conn.disconnect()
+  }
 }

@@ -116,9 +116,14 @@ object InjectorApp {
         .getOrElse("/tmp/graft-injector-checkpoint"))
   }
 
-  /** Compose and start the full deployment (live Kafka/ES/registry —
-    * the cluster-mode path; the offline harness exercises each seam
-    * separately with MemoryStream/fixture servers).
+  /** Compose and start the full deployment. The defaults are the
+    * cluster-mode path (live Kafka source, es-hadoop connector sink,
+    * HTTP schema registry); each is an injectable seam so the SAME
+    * assembly — record-type dispatch, key decode, probe wiring and all —
+    * runs end-to-end in-process against a MemoryStream source, a fixture
+    * registry server, and an [[EsBulkSink]] (StreamingSpec), the way the
+    * reference proves its composition against docker-compose services
+    * (`src/kafka/consumer_test.go:106-147`).
     *
     * @param jsonSchema payload schema for `KAFKA_CONSUMER_RECORD_TYPE=
     *                   json` (the reference infers none either — JSON
@@ -126,15 +131,26 @@ object InjectorApp {
     *                   needs the shape up front)
     * @param avroReaderSchema reader schema for `=avro`, resolved against
     *                         per-message writer schemas from the registry
+    * @param source injected Kafka-shaped streaming frame (default: the
+    *               live Kafka source built from `cfg.source`)
+    * @param startSink starts the assembled stream into a sink (default:
+    *                  the ES connector with `cfg.sink` + `cfg.checkpoint`)
+    * @param schemaProvider registry override (default: HTTP client
+    *                       against `cfg.registryUrl`)
     */
   def start(spark: SparkSession, cfg: AppConfig, jsonSchema: StructType,
       avroReaderSchema: String = "",
       avroKeyReaderSchema: String = "",
-      jsonKeySchema: Option[StructType] = None)
+      jsonKeySchema: Option[StructType] = None,
+      source: Option[org.apache.spark.sql.DataFrame] = None,
+      startSink: Option[org.apache.spark.sql.DataFrame => StreamingQuery] =
+        None,
+      schemaProvider: Option[SchemaProvider] = None)
       : (StreamingQuery, Probes) = {
-    def provider: SchemaProvider = new HttpSchemaProvider(
-      cfg.registryUrl.getOrElse(throw new IllegalArgumentException(
-        "SCHEMA_REGISTRY_URL is required for avro records")))
+    def provider: SchemaProvider = schemaProvider.getOrElse(
+      new HttpSchemaProvider(
+        cfg.registryUrl.getOrElse(throw new IllegalArgumentException(
+          "SCHEMA_REGISTRY_URL is required for avro records"))))
     // DeserializerFor semantics (encode_decode.go:34-40): "json" is the
     // special case, EVERYTHING else takes the avro path
     val decoder = cfg.recordType match {
@@ -162,8 +178,9 @@ object InjectorApp {
     val assembled = StreamingPipeline.streamingPipeline(
       cfg.injector, jsonSchema, decoder = Some(decoder),
       keyDecoder = keyDecoder)(
-      StreamingPipeline.kafkaSource(spark, cfg.source))
-    val query = EsConnectorSink.start(assembled, cfg.sink, cfg.checkpoint)
+      source.getOrElse(StreamingPipeline.kafkaSource(spark, cfg.source)))
+    val query = startSink.getOrElse((a: org.apache.spark.sql.DataFrame) =>
+      EsConnectorSink.start(a, cfg.sink, cfg.checkpoint)).apply(assembled)
     val probes = new Probes(cfg.probesPort.getOrElse(8080),
       cfg.livenessRoute, cfg.readinessRoute)
     probes.bind(query) // liveness up, readiness tracks the stream

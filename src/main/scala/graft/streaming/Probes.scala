@@ -59,6 +59,12 @@ final class Probes(port: Int,
 
   def stop(): Unit = { server.foreach(_.stop(0)); server = None }
 
+  /** Port actually bound (ephemeral when constructed with port 0);
+    * requires [[serve]] to have been called.
+    */
+  def boundPort: Int = server.map(_.getAddress.getPort).getOrElse(
+    throw new IllegalStateException("probes server not started"))
+
   /** Canonical wiring: alive once the stream is started, ready while the
     * query is active and healthy (`exception` empty). A wedged or failed
     * stream turns the pod unready so the orchestrator recycles it —

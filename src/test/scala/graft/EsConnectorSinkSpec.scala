@@ -43,4 +43,43 @@ class EsConnectorSinkSpec extends AnyFunSuite {
   test("dynamic resource routes on the per-row es_index column (R3)") {
     assert(EsConnectorSink.resource == "{es_index}")
   }
+
+  test("ensureTemplate installs once, idempotently, before first insert") {
+    import com.sun.net.httpserver.HttpServer
+    // fixture "cluster" tracking template state like the reference's
+    // IndexTemplateExists → IndexPutTemplate check-then-install
+    @volatile var installed: Option[String] = None
+    var puts = 0
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/_template/my-topic", ex => {
+      ex.getRequestMethod match {
+        case "HEAD" =>
+          ex.sendResponseHeaders(if (installed.isDefined) 200 else 404, -1L)
+        case "PUT" =>
+          puts += 1
+          installed = Some(new String(
+            ex.getRequestBody.readAllBytes(), "UTF-8"))
+          ex.sendResponseHeaders(200, -1L)
+        case _ => ex.sendResponseHeaders(405, -1L)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      // default JDK transport against the fixture server — the real path
+      val cfg = EsConnectorConfig(host = "127.0.0.1",
+        port = server.getAddress.getPort)
+      assert(EsConnectorSink.ensureTemplate(cfg, "my-topic"))
+      assert(puts == 1)
+      // reference-shaped default body: wildcard pattern over the routed
+      // day/hour indices, exact-match strings, typed @timestamp
+      val body = installed.get
+      assert(body.contains("\"template\": \"my-topic-*\""))
+      assert(body.contains("\"match_mapping_type\": \"string\""))
+      assert(body.contains("\"@timestamp\": {\"type\": \"date\"}"))
+      // second call sees it installed and does NOT re-PUT
+      assert(!EsConnectorSink.ensureTemplate(cfg, "my-topic"))
+      assert(puts == 1)
+    } finally server.stop(0)
+  }
 }

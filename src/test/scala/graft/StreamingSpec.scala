@@ -116,6 +116,161 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("0:1", "a", 1), ("0:2", "b", 2)))
   }
 
+  test("end-to-end: InjectorApp assembles source→registry decode→route→sink→probes") {
+    import com.sun.net.httpserver.HttpServer
+    import graft.functions.AvroWire
+    import graft.streaming.{InjectorApp, StreamingPipeline => SP}
+    val valueSchema = """{"type":"record","name":"P","fields":[
+      {"name":"id","type":"string"},{"name":"n","type":"int"}]}"""
+      .replaceAll("\n\\s*", "")
+    val keySchema = """{"type":"record","name":"K",
+      "fields":[{"name":"uid","type":"long"}]}""".replaceAll("\n\\s*", "")
+    // fixture schema registry: the app's DEFAULT HttpSchemaProvider
+    // resolves writer schemas over live HTTP, like a real deployment
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build()
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    def serveSchema(path: String, schema: String): Unit =
+      server.createContext(path, ex => {
+        val b = s"""{"schema": ${mapper.writeValueAsString(schema)}}"""
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length.toLong)
+        ex.getResponseBody.write(b)
+        ex.close()
+      })
+    serveSchema("/schemas/ids/4", valueSchema)
+    serveSchema("/schemas/ids/5", keySchema)
+    server.createContext("/", ex => {
+      ex.sendResponseHeaders(404, -1L); ex.close()
+    })
+    server.start()
+    val dir = Files.createTempDirectory("graft-app").toString
+    // the whole deployment from the reference's env vars, name-for-name
+    val cfg = InjectorApp.fromEnv(Map(
+      "KAFKA_TOPICS" -> "my-topic",
+      "KAFKA_CONSUMER_RECORD_TYPE" -> "avro",
+      "KAFKA_CONSUMER_INCLUDE_KEY" -> "true",
+      "SCHEMA_REGISTRY_URL" ->
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+      "K8S_LIVENESS_ROUTE" -> "/live",
+      "K8S_READINESS_ROUTE" -> "/ready",
+      "PROBES_PORT" -> "0",
+      "CHECKPOINT_LOCATION" -> s"$dir/cp"))
+    val ts = Timestamp.valueOf("2024-03-05 10:11:12.345")
+    def frame(id: String, n: Int) =
+      AvroWire.encodeConfluent(4, valueSchema, Map("id" -> id, "n" -> n))
+    def akey(uid: Long) =
+      AvroWire.encodeConfluent(5, keySchema, Map("uid" -> uid))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    stream.addData(Seq(
+      Msg(akey(7L), frame("a", 1), "my-topic", 0, 1L, ts, 0),
+      Msg(null, frame("b", 2), "my-topic", 0, 2L, ts, 0),
+      Msg(akey(8L), "not-avro".getBytes("UTF-8"), "my-topic", 1, 1L, ts, 0),
+      Msg("junk".getBytes("UTF-8"), frame("c", 3), "my-topic", 1, 2L, ts, 0)))
+    val sink = new EsBulkSink(s"$dir/index")
+    val (q, probes) = InjectorApp.start(spark, cfg, jsonSchema = schema,
+      avroReaderSchema = valueSchema, avroKeyReaderSchema = keySchema,
+      source = Some(stream.toDF()),
+      startSink = Some(a => SP.start(a, sink, s"$dir/cp")))
+    def probe(path: String): Int = {
+      val c = new java.net.URL(
+        s"http://127.0.0.1:${probes.boundPort}$path").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try c.getResponseCode finally c.disconnect()
+    }
+    try {
+      q.processAllAvailable()
+      // probes answer on the CONFIGURED routes; defaults are not mounted
+      assert(probe("/live") == 200 && probe("/ready") == 200)
+      assert(probe("/healthz") == 404)
+      val docs = sink.contents(spark)
+        .select($"es_index", $"doc_id", $"payload.id",
+          $"payload.n", $"payload.key.uid")
+        .as[(String, String, String, Int, Option[Long])].collect().toSet
+      // bad-magic value dropped (D6), undecodable avro key dropped (T2);
+      // the rest decode through the live registry, route on topic+day,
+      // and land once each under partition:offset ids
+      assert(docs == Set(
+        ("my-topic-2024-03-05", "0:1", "a", 1, Some(7L)),
+        ("my-topic-2024-03-05", "0:2", "b", 2, None)))
+    } finally {
+      q.stop()
+      server.stop(0)
+    }
+    // a stopped stream flips the pod unready; liveness stays up so the
+    // orchestrator restarts rather than force-kills (reference semantics)
+    assert(probe("/ready") == 500 && probe("/live") == 200)
+    probes.stop()
+  }
+
+  test("streaming dual: rich Avro surface (maps/unions/decimals) through the HTTP registry") {
+    import com.sun.net.httpserver.HttpServer
+    import graft.functions.HttpSchemaProvider
+    import graft.queries.AvroQueries
+    // fixture registry serving the RICH writer schema (id 7) over live
+    // HTTP — proves batch ≡ streaming for the full goavro-equivalent
+    // type surface, resolved through the same provider a deployment uses
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build()
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/schemas/ids/7", ex => {
+      val b = s"""{"schema": ${
+        mapper.writeValueAsString(AvroQueries.richSchema)}}"""
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length.toLong)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    val ts = Timestamp.valueOf("2024-03-05 10:11:12.345")
+    // ids 10/11/12 hit all three union branches (null / long / string)
+    // and two enum symbols; payloads carry maps, decimal(18,2), date,
+    // ts-millis/micros, nested records-in-array, fixed(4)
+    val msgs = Seq(
+      Msg(null, AvroQueries.richEncode(10L, 205L, "click",
+        1700000000123456L), "my-topic", 0, 1L, ts, 0),
+      Msg(null, AvroQueries.richEncode(11L, 206L, "view",
+        1700000000123456L), "my-topic", 0, 2L, ts, 0),
+      Msg(null, AvroQueries.richEncode(12L, 207L, "buy",
+        1700000000123456L), "my-topic", 1, 1L, ts, 0))
+    val decoder = graft.operators.InjectorOps.decoderForProvider(
+      AvroQueries.richSchema, new HttpSchemaProvider(
+        s"http://127.0.0.1:${server.getAddress.getPort}"))
+    def pick(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"doc_id", $"payload.event_type",
+      element_at($"payload.tags", "uid"),
+      $"payload.amount".cast("string"),
+      $"payload.day".cast("string"),
+      unix_micros($"payload.ts_us"),
+      $"payload.flag", $"payload.alt.member0", $"payload.alt.member1")
+      .as[(String, String, Long, String, String, Long, String,
+        Option[Long], Option[String])]
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    stream.addData(msgs)
+    val out = Files.createTempDirectory("graft-rich-stream").toString
+    val q = StreamingPipeline.streamingPipeline(cfg, schema,
+        decoder = Some(decoder))(stream.toDF())
+      .writeStream.format("memory").queryName("rich_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = pick(spark.table("rich_out")).collect().toSet
+    // batch dual resolves through the same (still-running) registry
+    val batched =
+      try pick(StreamingPipeline.streamingPipeline(cfg, schema,
+        decoder = Some(decoder))(msgs.toDF())).collect().toSet
+      finally server.stop(0)
+    assert(streamed == batched)
+    assert(streamed == Set(
+      ("0:1", "click", 205L, "10.05", "2023-11-14", 1700000000123456L,
+        "B", None, None),                          // alt: id%10==0 → null
+      ("0:2", "view", 206L, "11.06", "2023-11-14", 1700000000123456L,
+        "C", None, Some("view")),                  // alt: odd id → string
+      ("1:1", "buy", 207L, "12.07", "2023-11-14", 1700000000123456L,
+        "A", Some(207L), None)))                   // alt: even id → long
+  }
+
   test("sink: redelivered micro-batch leaves exactly one doc per id (K2)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Msg]
