@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * per-partition in batches (the Scala analogue of `mapInPandas` — a typed
   * `Dataset.mapPartitions` whose iterator is the batch stream).
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * environment): [[StubDecoder]] derives deterministic fake features from
-  * the bytes. Everything *around* the stub is the real production shape —
-  * schema, encoders, partition-batched iteration, size-aware
-  * repartitioning — so swapping in a real decoder is a one-function
-  * change.
+  * Container HEADERS are parsed for real at byte offsets ([[MediaHeaders]]:
+  * PNG IHDR, JPEG SOF0, WAV fmt) — no codec library needed for
+  * width/height/sample-rate. Only the pixel/sample decode is STUBBED (no
+  * image/audio codecs in this environment): [[StubDecoder.decode]]'s
+  * `n_frames` for raw video payloads is a deterministic stand-in.
+  * Everything else — schema, encoders, partition-batched iteration,
+  * size-aware repartitioning — is the real production shape, so swapping
+  * in a real codec is a one-function change.
   *
   * Scale notes: media blobs are large and skewed; [[repartitionBySize]]
   * rebalances partitions by cumulative byte size (range partition on a
@@ -26,28 +28,46 @@ object MultimodalOps {
   final case class MediaRow(doc_id: Long, media_type: String,
       content: Array[Byte])
 
-  /** Extracted features (what a real decoder would emit). */
+  /** Extracted features. Container-level fields (width/height for
+    * PNG/JPEG, channels/sample-rate for WAV) come from REAL byte-offset
+    * header parsing ([[MediaHeaders]]); `payload_sha256` hashes the bytes
+    * after the recognized header (0 for unrecognized blobs, so the whole
+    * content). Zero means "not this modality / no header recognized".
+    */
   final case class MediaFeatures(doc_id: Long, media_type: String,
-      n_bytes: Long, sha256: String, width: Int, height: Int,
-      n_frames: Int)
+      n_bytes: Long, payload_sha256: String, width: Int, height: Int,
+      sample_rate: Int, channels: Int, n_frames: Int)
 
-  /** ======== STUB ========
-    * Deterministic fake decode: real decoders (JPEG/PNG/ffmpeg) are not
-    * available offline. Features are pure functions of the bytes so tests
-    * and oracles are exact. Replace `decode` with a codec call to go live.
+  /** Header fields are parsed for real; ONLY the pixel/sample decode
+    * (`n_frames` for headerless video payloads) remains the deterministic
+    * stand-in — actual frame decoding needs a codec library this
+    * environment doesn't ship. Swapping it in is this one function.
     */
   object StubDecoder {
     def decode(r: MediaRow): MediaFeatures = {
-      val n = r.content.length.toLong
+      val b = r.content
+      val img = MediaHeaders.png(b).orElse(MediaHeaders.jpeg(b))
+      val aud = if (img.isEmpty) MediaHeaders.wav(b) else None
+      val headerLen = img.map(_._3).orElse(aud.map(_._3)).getOrElse(0)
+      val payload =
+        if (headerLen == 0) b
+        else java.util.Arrays.copyOfRange(b, headerLen, b.length)
       MediaFeatures(
         doc_id = r.doc_id,
         media_type = r.media_type,
-        n_bytes = n,
-        sha256 = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(r.content).map("%02x".format(_)).mkString,
-        width = (n % 640L).toInt,      // fake: a real decoder reads headers
-        height = ((n / 7L) % 480L).toInt,
-        n_frames = (n / 100L).toInt + 1)
+        n_bytes = b.length.toLong,
+        payload_sha256 = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(payload).map("%02x".format(_)).mkString,
+        width = img.map(_._1).getOrElse(0),
+        height = img.map(_._2).getOrElse(0),
+        channels = aud.map(_._1).getOrElse(0),
+        sample_rate = aud.map(_._2).getOrElse(0),
+        // ======== STUB ======== a real codec would count decoded frames;
+        // images are single-frame, audio has none, video is the fake
+        n_frames =
+          if (img.isDefined) 1
+          else if (aud.isDefined) 0
+          else (payload.length / 100) + 1)
     }
   }
 
@@ -90,17 +110,58 @@ object MultimodalOps {
     }.toDF("doc_id", "media_type", "orig_bytes", "new_bytes", "content")
   }
 
-  /** Rebalance partitions by cumulative blob size: bucket each row by its
-    * size class, then range-repartition so large blobs spread evenly.
-    * At 100 TB this is the difference between a straggler-free decode
-    * stage and one task holding every feature-length movie.
+  /** Rebalance partitions by cumulative blob BYTES, not row counts: each
+    * input partition deals its rows onto `partitions` buckets with an
+    * online least-loaded greedy over running byte totals (start offset
+    * rotated by the input partition id so co-arriving large blobs from
+    * different inputs don't all open on bucket 0), and bucket i maps to
+    * output partition i EXACTLY via a direct partitioner — hashing the
+    * bucket id would fold several buckets together and re-skew. Every
+    * output partition receives one ≈byte-equal share from every input
+    * partition, so a handful of feature-length movies can never pile onto
+    * one decode task. One exchange, no range-sampling pass.
+    *
+    * (The r6 version range-partitioned on a STRING `"<size>:<doc_id>"`
+    * key — lexicographic, so "1000" < "999" interleaved size classes by
+    * leading digit — and equal-ROW range bounds concentrate the biggest
+    * blobs in the top partition anyway. Byte-aware dealing is the shape
+    * that actually survives skewed media at 100 TB.)
+    *
+    * RDD mapPartitions is deliberate: per-partition mutable byte counters
+    * are genuine imperative partition state no Column expression carries.
     */
   def repartitionBySize(df: DataFrame, partitions: Int,
-      contentCol: String = "content"): DataFrame =
-    df.withColumn("__size_key",
-        concat(length(col(contentCol)), lit(":"), col("doc_id")))
-      .repartitionByRange(partitions, col("__size_key"))
-      .drop("__size_key")
+      contentCol: String = "content"): DataFrame = {
+    require(partitions > 0, "partitions must be positive")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idx = schema.fieldIndex(contentCol)
+    val dealt = df.rdd.mapPartitions { it =>
+      val off = org.apache.spark.TaskContext.getPartitionId()
+      val loads = new Array[Long](partitions)
+      it.map { row =>
+        val n = row.get(idx) match {
+          case b: Array[Byte] => b.length.toLong
+          case s: String => s.length.toLong
+          case _ => 1L
+        }
+        var best = off % partitions
+        var j = 1
+        while (j < partitions) {
+          val cand = (off + j) % partitions
+          if (loads(cand) < loads(best)) best = cand
+          j += 1
+        }
+        loads(best) += n
+        (best, row)
+      }
+    }
+    val placed = dealt.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = partitions
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }).values
+    spark.createDataFrame(placed, schema)
+  }
 
   /** Wrap the documents table as fake media (UTF-8 bytes of the text) —
     * fixture for the offline harness, exercising the full plumbing.
@@ -112,5 +173,38 @@ object MultimodalOps {
         .when(col("doc_id") % 3 === 1, lit("audio"))
         .otherwise(lit("video")).as("media_type"),
       encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+  }
+
+  /** Documents as media with REAL container headers prepended (the
+    * producer dual of [[MediaHeaders]]): images alternate PNG/JPEG with
+    * doc_id-derived dimensions, audio gets a canonical WAV preamble with
+    * doc_id-derived channels/rate, video stays a raw payload (real video
+    * containers need a codec to even index). The decode stage must read
+    * every field back from the BYTES — the oracle recomputes the same
+    * values from doc_id closed-form, so a parser reading the wrong offset
+    * hash-mismatches immediately.
+    */
+  def documentsAsEncodedMedia(spark: SparkSession, docs: DataFrame)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        (id % 3) match {
+          case 0 =>
+            val w = 16 + (id % 624).toInt
+            val h = 16 + (id % 464).toInt
+            val hdr = if (id % 6 == 0) MediaHeaders.pngBytes(w, h)
+                      else MediaHeaders.jpegBytes(w, h)
+            MediaRow(id, "image", hdr ++ payload)
+          case 1 =>
+            val hdr = MediaHeaders.wavBytes(
+              channels = 1 + (id % 2).toInt,
+              sampleRate = 8000 + (id % 8).toInt * 4000,
+              dataLen = payload.length)
+            MediaRow(id, "audio", hdr ++ payload)
+          case _ => MediaRow(id, "video", payload)
+        }
+    }
   }
 }

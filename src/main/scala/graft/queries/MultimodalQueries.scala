@@ -5,11 +5,12 @@ import graft.operators.MultimodalOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing as oracle-checked queries: the stub decoder's
-  * features are pure functions of the bytes, so DuckDB can recompute them
-  * (octet_length / sha256 / modular fake dimensions) — verifying the
-  * Spark-side schema, UDF seam, and batch shape even though the codec is
-  * stubbed.
+/** Multimodal plumbing as oracle-checked queries. The decode fixture
+  * carries REAL container headers (PNG/JPEG/WAV, built by the
+  * [[graft.operators.MediaHeaders]] producer dual with doc_id-derived
+  * fields), and the decode stage parses them back from the bytes; the
+  * oracle recomputes every field closed-form from doc_id + text, so a
+  * parser reading the wrong byte offset fails the hash compare.
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -17,7 +18,8 @@ object MultimodalQueries {
   val all: Map[String, Q] = Map(
     "mm_decode_features" -> ((s, dir) =>
       MultimodalOps.extractFeatures(
-        MultimodalOps.documentsAsMedia(s, Tables.documents(s, dir))).toDF()),
+        MultimodalOps.documentsAsEncodedMedia(
+          s, Tables.documents(s, dir))).toDF()),
 
     "mm_frame_sample" -> ((s, dir) =>
       MultimodalOps.sampleFrames(
@@ -45,11 +47,24 @@ object MultimodalQueries {
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS sha256,
-           (octet_length(encode(text)) % 640)::INTEGER AS width,
-           ((octet_length(encode(text)) // 7) % 480)::INTEGER AS height,
-           (octet_length(encode(text)) // 100 + 1)::INTEGER AS n_frames
+           (octet_length(encode(text)) +
+            CASE WHEN doc_id % 3 = 0
+                 THEN (CASE WHEN doc_id % 6 = 0 THEN 33 ELSE 15 END)
+                 WHEN doc_id % 3 = 1 THEN 44
+                 ELSE 0 END)::BIGINT AS n_bytes,
+           sha256(text) AS payload_sha256,
+           (CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 624
+                 ELSE 0 END)::INTEGER AS width,
+           (CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 464
+                 ELSE 0 END)::INTEGER AS height,
+           (CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 4000
+                 ELSE 0 END)::INTEGER AS sample_rate,
+           (CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+                 ELSE 0 END)::INTEGER AS channels,
+           (CASE WHEN doc_id % 3 = 2
+                 THEN octet_length(encode(text)) // 100 + 1
+                 WHEN doc_id % 3 = 0 THEN 1
+                 ELSE 0 END)::INTEGER AS n_frames
          FROM documents""",
     "mm_frame_sample" ->
       """SELECT doc_id, (f.i * 4)::INTEGER AS frame_no,

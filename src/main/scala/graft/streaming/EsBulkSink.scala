@@ -40,6 +40,10 @@ import org.apache.spark.sql.functions._
   *    never-seen ids are appended) — per-batch work is O(ids), never a
   *    re-read + distinct of the whole document index, whose width and
   *    row count grow without bound.
+  *  - a driver-held BLOOM FILTER over the store fronts even that: a batch
+  *    whose ids all miss the filter (no false negatives) skips the store
+  *    read entirely, so the steady-state all-fresh batch costs O(batch)
+  *    regardless of how large the id store has grown.
   */
 class EsBulkSink(
     targetDir: String,
@@ -67,9 +71,11 @@ class EsBulkSink(
           attempt += 1
           retries.increment()
           // the failed attempt may have appended to the index but not the
-          // id store; re-derive seen ids from the authoritative index so
-          // the retry cannot re-insert the just-committed docs (K2)
+          // id store; re-derive seen ids (and the Bloom filter) from the
+          // authoritative index so the retry cannot re-insert the
+          // just-committed docs (K2)
           idsReconciled = false
+          bloom = null
           Thread.sleep(backoffMs) // constant backoff, ES_BULK_BACKOFF
         case e: RuntimeException if attempt >= maxRetries =>
           throw e // fail the stream, never wedge (SURVEY.md §7.5.5)
@@ -91,33 +97,59 @@ class EsBulkSink(
       .withColumn("__bad",
         badRecord.map(p => coalesce(p, lit(true))).getOrElse(lit(false)))
       .withColumn("__rn", dupRank)
-    val classified = existingIds(spark)
-      .map(ids => flagged.join(
-        ids.withColumn("__seen", lit(true)), Seq("doc_id"), "left_outer"))
-      .getOrElse(flagged.withColumn("__seen", lit(null).cast("boolean")))
-      .withColumn("__status",
-        when(col("__bad"), "bad")
-          .when(col("__rn") > 1 || col("__seen"), "conflict")
-          .otherwise("fresh"))
       .persist()
     try {
-      // single aggregate pass materializes the cache and yields all counters
-      val counts = classified.groupBy(col("__status"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      badRequests.add(counts.getOrElse("bad", 0L))
-      conflicts.add(counts.getOrElse("conflict", 0L))
-      val nFresh = counts.getOrElse("fresh", 0L)
-      inserted.add(nFresh)
-      if (nFresh > 0) {
-        val fresh = classified.filter(col("__status") === "fresh")
-          .drop("__bad", "__rn", "__seen", "__status")
-        fresh.write.mode(SaveMode.Append).parquet(targetDir)
-        // only never-seen ids are appended, so the store stays distinct
-        fresh.select(col("doc_id")).write.mode(SaveMode.Append)
-          .parquet(idsDir)
-      }
-    } finally classified.unpersist()
+      // Bloom gate in front of the id store: the filter covers every id
+      // ever appended and has NO false negatives, so a batch with zero
+      // possible hits skips the store read entirely — the common
+      // all-fresh batch costs O(batch) instead of O(store). A false
+      // positive only costs the join every batch paid before the gate.
+      // (The probe is a scalar UDF over the SMALL cached batch side, not
+      // a data-path operator; beyond capacity the fpp degrades to more
+      // store consults, never to wrong results.)
+      val bfBc = spark.sparkContext.broadcast(ensureBloom(spark))
+      val probe = udf((id: String) =>
+        id != null && bfBc.value.mightContainString(id))
+      val mustConsultStore =
+        flagged.filter(probe(col("doc_id"))).limit(1).count() > 0
+      val joined =
+        if (mustConsultStore)
+          existingIds(spark).map(ids => flagged.join(
+            ids.withColumn("__seen", lit(true)), Seq("doc_id"),
+            "left_outer"))
+            .getOrElse(flagged.withColumn("__seen",
+              lit(null).cast("boolean")))
+        else flagged.withColumn("__seen", lit(null).cast("boolean"))
+      val classified = joined
+        .withColumn("__status",
+          when(col("__bad"), "bad")
+            .when(col("__rn") > 1 || col("__seen"), "conflict")
+            .otherwise("fresh"))
+        .persist()
+      try {
+        // single aggregate pass materializes the cache and yields all
+        // counters
+        val counts = classified.groupBy(col("__status"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        badRequests.add(counts.getOrElse("bad", 0L))
+        conflicts.add(counts.getOrElse("conflict", 0L))
+        val nFresh = counts.getOrElse("fresh", 0L)
+        inserted.add(nFresh)
+        if (nFresh > 0) {
+          val fresh = classified.filter(col("__status") === "fresh")
+            .drop("__bad", "__rn", "__seen", "__status")
+          fresh.write.mode(SaveMode.Append).parquet(targetDir)
+          // only never-seen ids are appended, so the store stays distinct
+          fresh.select(col("doc_id")).write.mode(SaveMode.Append)
+            .parquet(idsDir)
+          // fold the fresh ids into the filter (distributed build over
+          // the cache, driver merge — same capacity so sizes line up)
+          ensureBloom(spark).mergeInPlace(fresh.stat.bloomFilter(
+            "doc_id", EsBulkSink.BloomCapacity, EsBulkSink.BloomFpp))
+        }
+      } finally classified.unpersist()
+    } finally flagged.unpersist()
   }
 
   private def idsDir = targetDir + "_ids"
@@ -129,6 +161,24 @@ class EsBulkSink(
   // index scan per stream start, not per batch — restarts are exactly
   // when the pair can be out of sync).
   @transient private var idsReconciled = false
+  @transient private var bloom: org.apache.spark.util.sketch.BloomFilter = _
+
+  /** Driver-held Bloom filter over every id in the store, built once per
+    * instance (alongside reconciliation) and folded forward per batch.
+    * Rebuilt from the authoritative store after a retry, like the store
+    * itself.
+    */
+  private def ensureBloom(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    if (bloom == null)
+      bloom = existingIds(spark) match {
+        case Some(ids) => ids.stat.bloomFilter("doc_id",
+          EsBulkSink.BloomCapacity, EsBulkSink.BloomFpp)
+        case None => org.apache.spark.util.sketch.BloomFilter.create(
+          EsBulkSink.BloomCapacity, EsBulkSink.BloomFpp)
+      }
+    bloom
+  }
 
   // Path existence through the Hadoop FileSystem API so the sink works
   // against any supported store (local, HDFS, object stores), not only
@@ -154,4 +204,15 @@ class EsBulkSink(
   /** The documents currently in the simulated index. */
   def contents(spark: org.apache.spark.sql.SparkSession): DataFrame =
     spark.read.parquet(targetDir)
+}
+
+object EsBulkSink {
+  /** Bloom sizing: fixed so per-batch filters merge into the instance
+    * filter (merge requires identical bit geometry). ~2.6 MB of driver
+    * memory for 4M ids at 3% fpp; a store outgrowing the capacity only
+    * raises the false-positive rate (more store consults), never
+    * correctness.
+    */
+  val BloomCapacity: Long = 4000000L
+  val BloomFpp: Double = 0.03
 }

@@ -345,21 +345,37 @@ class StreamingSpec extends SparkSpec {
     try {
       def batch() = StreamingPipeline.streamingPipeline(cfg, schema)(
         batch1.toDF()).withColumn("probe", probe($"payload.id"))
-      sink.write(batch(), 0L)   // 3 fresh
-      sink.write(batch(), 1L)   // 3 conflicts via the id store
-      assert(sink.inserted.sum() == 3L && sink.conflicts.sum() == 3L)
+      val fresh2 = Seq(
+        msg(3, 1L, """{"id":"x","n":7}"""),
+        msg(3, 2L, """{"id":"y","n":8}"""),
+        msg(4, 1L, """{"id":"z","n":9}"""))
+      def batchFresh() = StreamingPipeline.streamingPipeline(cfg, schema)(
+        fresh2.toDF()).withColumn("probe", probe($"payload.id"))
+      sink.write(batch(), 0L)      // 3 fresh (bloom empty: store skipped)
+      sink.write(batch(), 1L)      // 3 conflicts — bloom hit, store consulted
+      sink.write(batchFresh(), 2L) // 3 fresh — bloom miss, store skipped
+      assert(sink.inserted.sum() == 6L && sink.conflicts.sum() == 3L)
       // one evaluation of the 3-row batch per write (cache-backed counters
       // + append), not one per counter as the old 4-action shape did
-      assert(evals.value == 6L, s"batch evaluated ${evals.value / 3.0}x")
+      assert(evals.value == 9L, s"batch evaluated ${evals.value / 3.0}x")
+      val deadline = System.currentTimeMillis() + 10000
+      while (plans.synchronized(plans.size) < 6 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val seen = plans.synchronized(plans.toList)
       // conflict detection must read the compact id store, never re-scan
       // the ever-growing document index
-      val deadline = System.currentTimeMillis() + 10000
-      while (plans.synchronized(plans.size) < 4 &&
-        System.currentTimeMillis() < deadline) Thread.sleep(50)
-      val indexScans = plans.synchronized(plans.toList).filter(p =>
+      val indexScans = seen.filter(p =>
         p.contains(s"$index]") && !p.contains("InsertIntoHadoopFsRelation"))
       assert(indexScans.isEmpty,
         s"found ${indexScans.size} plan(s) re-reading the full index")
+      // with the bloom gate engaged, even the ID STORE is consulted only
+      // for the one batch whose ids might be present (write 1) — the two
+      // all-fresh batches never read it
+      val idScans = seen.filter(p =>
+        p.contains(s"${index}_ids") &&
+          !p.contains("InsertIntoHadoopFsRelation"))
+      assert(idScans.size == 1,
+        s"id store consulted ${idScans.size}x, want 1 (bloom-gated)")
     } finally spark.listenerManager.unregister(ql)
   }
 
