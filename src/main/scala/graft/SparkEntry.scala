@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
       graft.queries.AvroQueries.all ++
-      graft.queries.MultimodalQueries.all
+      graft.queries.MultimodalQueries.all ++
+      graft.queries.CorpusQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.AvroQueries.oracles ++
-      graft.queries.MultimodalQueries.oracles
+      graft.queries.MultimodalQueries.oracles ++
+      graft.queries.CorpusQueries.oracles
 }

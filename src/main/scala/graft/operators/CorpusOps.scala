@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.operators.TextOps.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * between curation and the trainer: boilerplate segment removal,
+  * sequence packing, and benchmark-contamination detection. Not in the
+  * reference (SURVEY.md §2.1 absence audit) — scale-extension surface,
+  * same determinism discipline as [[TextOps]] so every query is strictly
+  * oracle-checked.
+  */
+object CorpusOps {
+
+  // ------------------------------------------ boilerplate segment removal
+
+  /** Fixed-width token segments — the dedup unit of line/paragraph
+    * boilerplate removal (CCNet-style). Real corpora segment on newlines;
+    * the synthetic fixture is single-line, so the unit is every
+    * `segTokens` consecutive tokens. Pure array expression, no explode.
+    */
+  def segments(text: Column, segTokens: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), ((size(toks) - 1) / segTokens).cast("int")),
+      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+  }
+
+  /** Remove segments that occur in >= `maxDf` DISTINCT documents (the
+    * "frequent line" boilerplate rule). Returns one row per doc with the
+    * segment counts and the md5 of the re-joined kept text.
+    *
+    * Scale shape: segment df is ONE hash aggregate (map-side partial);
+    * the boilerplate set joins back on the segment key (AQE may broadcast
+    * it — boilerplate is small by construction since each entry repeats
+    * across >= maxDf docs); doc reassembly is the final hash aggregate on
+    * doc_id. Three shuffles total, none keyed on anything that grows
+    * faster than the corpus. The exploded segment table is checkpointed
+    * once because two branches (df count + join-back) consume it.
+    */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 16, maxDf: Int = 2)
+      : DataFrame = {
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(segments(col("text"), segTokens)).as(Seq("seg_no", "seg")))
+      .localCheckpoint(false)
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= maxDf)
+      .select(col("seg"), lit(true).as("__boiler"))
+    segs.join(boiler, Seq("seg"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("__boiler").isNull, 1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("seg_no"), col("seg"))))),
+          e => e.getField("seg")))).as("kept_hash"))
+  }
+
+  // ------------------------------------------------------ sequence packing
+
+  /** GPT-style concat-and-chunk sequence packing: documents are
+    * concatenated in doc_id order and cut into fixed `budget`-token
+    * training sequences; each doc reports the sequence span it lands on
+    * and its token offset inside the first one.
+    *
+    * The global running token sum is computed as a TWO-PHASE DISTRIBUTED
+    * SCAN — per-bucket window prefix sums (each window partition-local
+    * over a monotone doc_id bucketing) plus a bucket-total table collected
+    * as model state (one row per bucket) and folded into cumulative
+    * offsets applied map-side. No single-partition global window
+    * anywhere, which is what a naive `Window.orderBy(doc_id)` with no
+    * partitioning degenerates to at 100 TB.
+    *
+    * @param bucketWidth doc_ids per scan bucket: ~corpus_size/bucketWidth
+    *                    driver rows; pick so both the bucket count and
+    *                    the per-bucket row count stay comfortable
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+      bucketWidth: Long = 1000L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketWidth").as("__b"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__cum", sum(col("n_tokens")).over(w))
+    // bucket totals are model state: one (bucket, total) row per bucket
+    val totals = local.groupBy(col("__b"))
+      .agg(max(col("__cum")).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Long, Long] = totals.map(_._1)
+      .zip(totals.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    local
+      .withColumn("__before",
+        element_at(typedlit(offsets), col("__b")) +
+          col("__cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__before div $budget").as("seq_first"),
+        expr(s"(__before + n_tokens - 1) div $budget").as("seq_last"),
+        (col("__before") % budget).as("tok_offset"))
+  }
+
+  // ------------------------------------------------- contamination check
+
+  /** Benchmark-contamination detection: training documents sharing at
+    * least one `k`-token shingle with any document of the eval set
+    * (`evalPred` rows). Returns (doc_id, n_shared) for contaminated
+    * training docs only.
+    *
+    * Scale shape: the eval side is a benchmark — small by definition —
+    * so its distinct shingle set is BROADCAST and the corpus side is a
+    * narrow explode + broadcast-hash semi-join + per-doc count: the
+    * corpus is never shuffled on the shingle key. Per-doc shingles are
+    * already distinct (shingleSet), so the per-doc match count is a
+    * plain count.
+    */
+  def contamination(docs: DataFrame, evalPred: Column, k: Int = 8)
+      : DataFrame = {
+    val withShingles = docs.select(col("doc_id"),
+      evalPred.as("__eval"),
+      graft.functions.TextExprs.shingleSet(tokens(col("text")), k)
+        .as("__sh"))
+    val evalShingles = withShingles.filter(col("__eval"))
+      .select(explode(col("__sh")).as("sh")).distinct()
+    withShingles.filter(!col("__eval"))
+      .select(col("doc_id"), explode(col("__sh")).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

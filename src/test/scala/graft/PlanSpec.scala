@@ -118,6 +118,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus_pack_sequences: two-phase scan, no single-partition window") {
+    val p = planString("corpus_pack_sequences")
+    // the global prefix sum must run as per-bucket windows + broadcast
+    // offsets; a naive Window.orderBy with no partitioning plans an
+    // Exchange SinglePartition — the one shape that cannot scale
+    assert(!p.contains("Exchange SinglePartition"),
+      "global window degenerated to a single partition")
+    assert(p.contains("Window"), p.take(1000))
+  }
+
+  test("corpus_contamination: eval shingles broadcast, corpus not shuffled on shingle") {
+    val p = planString("corpus_contamination")
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "contamination join degraded to a corpus shuffle on the shingle key")
+  }
+
   test("sim_ivf: cell assignment is a pure map — one shuffle total") {
     // the r6 pin ("no SortMergeJoin") missed the scale-killer: the old
     // crossJoin+window assignment amplified the corpus ×k and
