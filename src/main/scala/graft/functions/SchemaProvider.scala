@@ -76,7 +76,17 @@ final class HttpSchemaProvider(
         Some(schema)
       } catch {
         case _: Exception =>
-          // negative-TTL, not cache-forever: retried after the window
+          // negative-TTL, not cache-forever: retried after the window.
+          // Bound the map too: corrupted frames can carry effectively
+          // random ids, so sweep expired entries (and, still over the
+          // cap, drop the map — worst case is pre-cache behavior) rather
+          // than grow one entry per distinct poison id forever.
+          if (negative.size >= HttpSchemaProvider.MaxNegativeEntries) {
+            val now = nowMs()
+            negative.filterInPlace((_, expiry) => expiry > now)
+            if (negative.size >= HttpSchemaProvider.MaxNegativeEntries)
+              negative.clear()
+          }
           negative.put(id, nowMs() + negativeTtlMs)
           None
       }
@@ -84,6 +94,9 @@ final class HttpSchemaProvider(
 }
 
 object HttpSchemaProvider {
+  /** Cap on tracked unresolvable ids (per JVM); ~16 bytes each. */
+  val MaxNegativeEntries: Int = 65536
+
   /** Minimal JDK transport (no extra dependencies). */
   def httpGet(url: String): String = {
     val conn = new java.net.URL(url).openConnection()

@@ -80,15 +80,27 @@ object CorpusOps {
     *                    driver rows; pick so both the bucket count and
     *                    the per-bucket row count stay comfortable
     */
-  def packSequences(docs: DataFrame, budget: Int,
-      bucketWidth: Long = 1000L): DataFrame = {
-    require(budget > 0, "budget must be positive")
+  /** Phase 1 of the scan: per-bucket local prefix sums. Package-visible
+    * so PlanSpec can pin its shape (the localCheckpoint in
+    * [[packSequences]] truncates the published plan).
+    */
+  private[graft] def packPrefix(docs: DataFrame, bucketWidth: Long)
+      : DataFrame = {
     val base = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       expr(s"doc_id div $bucketWidth").as("__b"))
     val w = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base.withColumn("__cum", sum(col("n_tokens")).over(w))
+    base.withColumn("__cum", sum(col("n_tokens")).over(w))
+  }
+
+  def packSequences(docs: DataFrame, budget: Int,
+      bucketWidth: Long = 1000L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    // checkpointed once: BOTH the bucket-totals collect and the final
+    // select consume it, and without the cut the tokenize + shuffle +
+    // window would run twice (the most expensive stage at scale)
+    val local = packPrefix(docs, bucketWidth).localCheckpoint(false)
     // bucket totals are model state: one (bucket, total) row per bucket
     val totals = local.groupBy(col("__b"))
       .agg(max(col("__cum")).as("__t"))

@@ -79,6 +79,10 @@ object MediaHeaders {
     while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
       val marker = b(i + 1) & 0xff
       val segLen = be16(b, i + 2)
+      // a declared segment length below 2 (it includes itself) or past
+      // the end of the buffer is corrupt — drop, and never return a
+      // header length beyond the bytes we actually have
+      if (segLen < 2 || i + 2 + segLen > b.length) return None
       if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
         if (i + 9 > b.length) return None
         return Some((be16(b, i + 7), be16(b, i + 5), i + 2 + segLen))
@@ -116,8 +120,11 @@ object MediaHeaders {
     while (i + 8 <= b.length) {
       val id = ascii(b, i, i + 4)
       val size = le32(b, i + 4)
+      // a negative (sign-bit) or past-the-end declared chunk size is
+      // corrupt: bail rather than loop forever / index out of bounds
+      if (size < 0 || i + 8 + size > b.length) return None
       if (id == "fmt ") {
-        if (i + 16 > b.length) return None
+        if (size < 8 || i + 16 > b.length) return None
         val channels = le16(b, i + 10)
         val rate = le32(b, i + 12)
         val fmtEnd = i + 8 + size
@@ -128,7 +135,9 @@ object MediaHeaders {
           else fmtEnd
         return Some((channels, rate, hdrLen))
       }
-      i += 8 + size
+      // RIFF chunks are word-aligned: odd sizes carry a pad byte the
+      // size field excludes
+      i += 8 + size + (size & 1)
     }
     None
   }

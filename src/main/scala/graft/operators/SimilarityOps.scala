@@ -137,30 +137,50 @@ object SimilarityOps {
     // the k cosine scores as ONE array expression; centroid norms are
     // driver-side constants computed with the same left-to-right IEEE
     // fold as the codegen'd dot kernel, so scores stay bit-identical to
-    // the old centroid-column plan (and to the oracle)
+    // the old centroid-column plan (and to the oracle). Zero norms
+    // (degenerate centroid or corpus vector) are NaN explicitly: under
+    // ANSI mode a double division by zero ERRORS the job instead of
+    // yielding the NaN the pre-ANSI plan produced.
     def cscores(v: Column, nrm: Column): Column = array(cents.map {
       case (_, c) =>
-        dot(v, typedlit(c)) / (nrm * lit(math.sqrt(c.map(x => x * x).sum)))
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0.0) lit(Double.NaN)
+        else when(nrm === 0.0, lit(Double.NaN))
+          .otherwise(dot(v, typedlit(c)) / (nrm * lit(n)))
     }: _*)
     // home cell = argmax: first maximum ≡ lowest cent_id on ties (ids
     // ascending). Two-stage select keeps the k dots evaluated once
     // (__s is non-cheap and referenced twice, so CollapseProject holds).
+    // A NaN score (degenerate zero-norm centroid) must rank FIRST like
+    // ORDER BY score DESC in both engines, and codegen'd array_position
+    // would MISS a NaN needle (Java NaN == NaN is false) leaving
+    // element_at an invalid 0 index — so NaN maps to +∞ (unreachable by
+    // a real cosine) before the argmax.
     def assignHome(df: DataFrame): DataFrame = {
       val keep = df.columns.map(col)
+      val safe = transform(col("__s"),
+        s => when(isnan(s), lit(Double.PositiveInfinity)).otherwise(s))
       df.select(keep :+ cscores(col("embedding"), col("nrm")).as("__s"): _*)
         .select(keep :+ element_at(typedlit(centIds),
-          array_position(col("__s"), array_max(col("__s"))).cast("int"))
+          array_position(safe, array_max(safe)).cast("int"))
           .as("cell"): _*)
     }
     // query side: top-`probes` cells from the same k-array — sort
     // (−score, id) structs ascending ≡ score desc / id asc, slice,
     // explode. Still a pure map; the explode multiplies only the
-    // (broadcast-sized) query set by nprobe.
+    // (broadcast-sized) query set by nprobe. A NaN score (degenerate
+    // zero-norm centroid) must rank FIRST like both engines' ORDER BY
+    // score DESC (NaN above +∞ in their total orders) — plain negation
+    // would leave NaN ranked last, so it maps to −∞ (unreachable by a
+    // real cosine) instead.
     def assignProbes(df: DataFrame, probes: Int): DataFrame = {
       val keep = df.columns.map(col)
       val ranked = transform(
         array_sort(zip_with(col("__s"), typedlit(centIds),
-          (s, id) => struct((-s).as("negs"), id.as("id")))),
+          (s, id) => struct(
+            when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
+              .as("negs"),
+            id.as("id")))),
         e => e.getField("id"))
       df.select(keep :+ cscores(col("embedding"), col("nrm")).as("__s"): _*)
         .select(keep :+ explode(slice(ranked, 1, probes)).as("cell"): _*)
@@ -180,8 +200,11 @@ object SimilarityOps {
           col("cell"))),
         Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("q_emb"), col("embedding")) /
-        (col("q_nrm") * col("nrm")))
+      // same ANSI zero-norm guard as cscores: NaN, not a thrown error
+      .withColumn("cos", when(col("q_nrm") * col("nrm") === 0.0,
+          lit(Double.NaN))
+        .otherwise(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

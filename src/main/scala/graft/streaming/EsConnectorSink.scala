@@ -152,6 +152,26 @@ object EsConnectorSink {
       : (String, String, Option[String]) => Int = (method, url, body) => {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
+    // honor the config's self-signed-cert escape hatch on the https
+    // path, like the connector's es.net.ssl.cert.allow.self.signed
+    (conn, es.ignoreCertificate) match {
+      case (https: javax.net.ssl.HttpsURLConnection, true) =>
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(null, Array[javax.net.ssl.TrustManager](
+          new javax.net.ssl.X509TrustManager {
+            override def checkClientTrusted(
+                c: Array[java.security.cert.X509Certificate],
+                a: String): Unit = ()
+            override def checkServerTrusted(
+                c: Array[java.security.cert.X509Certificate],
+                a: String): Unit = ()
+            override def getAcceptedIssuers
+                : Array[java.security.cert.X509Certificate] = Array.empty
+          }), new java.security.SecureRandom)
+        https.setSSLSocketFactory(ctx.getSocketFactory)
+        https.setHostnameVerifier((_, _) => true)
+      case _ => ()
+    }
     conn.setRequestMethod(method)
     conn.setConnectTimeout(es.bulkTimeoutMs.toInt)
     conn.setReadTimeout(es.bulkTimeoutMs.toInt)

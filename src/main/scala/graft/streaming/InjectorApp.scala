@@ -28,6 +28,7 @@ object InjectorApp {
       probesPort: Option[Int],
       livenessRoute: String = "/healthz",
       readinessRoute: String = "/readiness",
+      installTemplate: Boolean = false,
       checkpoint: String = "/tmp/graft-injector-checkpoint")
 
   /** Go `time.ParseDuration` strings to millis — the reference's
@@ -112,6 +113,11 @@ object InjectorApp {
       // deployment migrating env name-for-name keeps its configured routes
       livenessRoute = get("K8S_LIVENESS_ROUTE").getOrElse("/healthz"),
       readinessRoute = get("K8S_READINESS_ROUTE").getOrElse("/readiness"),
+      // EXTENSION var (not in the reference env surface): the reference
+      // leaves template install to a manual PUT its README prescribes
+      // (README.md:53-67); ES_INDEX_TEMPLATE=true makes that documented
+      // pre-create step part of startup
+      installTemplate = get("ES_INDEX_TEMPLATE").exists(_.toBoolean),
       checkpoint = get("CHECKPOINT_LOCATION")
         .getOrElse("/tmp/graft-injector-checkpoint"))
   }
@@ -179,8 +185,15 @@ object InjectorApp {
       cfg.injector, jsonSchema, decoder = Some(decoder),
       keyDecoder = keyDecoder)(
       source.getOrElse(StreamingPipeline.kafkaSource(spark, cfg.source)))
-    val query = startSink.getOrElse((a: org.apache.spark.sql.DataFrame) =>
-      EsConnectorSink.start(a, cfg.sink, cfg.checkpoint)).apply(assembled)
+    val query = startSink.getOrElse { (a: org.apache.spark.sql.DataFrame) =>
+      // the documented pre-create step, BEFORE the first insert: without
+      // a template, dynamic mapping guesses every field type
+      if (cfg.installTemplate)
+        EsConnectorSink.ensureTemplate(cfg.sink,
+          cfg.injector.indexPrefix +
+            cfg.injector.esIndex.getOrElse(cfg.injector.topic))
+      EsConnectorSink.start(a, cfg.sink, cfg.checkpoint)
+    }.apply(assembled)
     val probes = new Probes(cfg.probesPort.getOrElse(8080),
       cfg.livenessRoute, cfg.readinessRoute)
     probes.bind(query) // liveness up, readiness tracks the stream

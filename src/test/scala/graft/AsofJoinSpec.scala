@@ -74,6 +74,35 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Set((0L, 1L), (0L, 2L), (10L, 11L), (10L, 12L)))
   }
 
+  test("ivf: zero-norm centroid (NaN cosine) ranks first like ORDER BY DESC, no crash") {
+    // a zero vector seeded as centroid makes every cell score NaN for
+    // that cell; both engines' ORDER BY score DESC rank NaN first, so it
+    // becomes everyone's home cell — and the literal-array argmax must
+    // reproduce that (codegen array_position would MISS a NaN needle and
+    // element_at(…, 0) would throw)
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val emb = Seq(
+      0L -> v(1.0, 0.05), 1L -> v(1.0, 0.1), 2L -> v(0.9, 0.0),
+      10L -> v(0.05, 1.0), 11L -> v(0.0, 0.95), 12L -> v(0.1, 1.0),
+      20L -> v(0.0, 0.0) // zero-norm: NaN against everything
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(emb,
+      emb.filter($"vec_id" === 0L || $"vec_id" === 10L), k = 2,
+      seedIds = Seq(2L, 12L, 20L), nprobe = 2)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 4)
+    // every real vector homes to cell 20 (NaN ≡ DESC-first); the zero
+    // vector itself scores NaN against ALL cells so its all-tie argmax
+    // homes to the LOWEST cent id (cell 2) — both exactly what the old
+    // window plan (cscore DESC, cent_id ASC) produced. Query 0 probes
+    // cells [20, 2] and meets the zero vector (NaN cosine → rank 1);
+    // query 10 probes [20, 12], never meets it, ranks its real cluster
+    // neighbor first.
+    assert(out.filter(_._3 == 1L).map(t => (t._1, t._2)).toSet ==
+      Set((0L, 20L), (10L, 12L)))
+  }
+
   test("hash sampling is deterministic, salted, and monotone in percent") {
     val ids = (0L until 1000L).toDF("doc_id")
     def sample(pct: Int, salt: String) = ids

@@ -32,6 +32,9 @@ class InjectorAppSpec extends AnyFunSuite {
       "ES_BLACKLISTED_COLUMNS" -> "secret,internal",
       "ES_BULK_TIMEOUT" -> "2s",
       "ES_BULK_BACKOFF" -> "500ms",
+      "ES_INDEX_TEMPLATE" -> "true",
+      "K8S_LIVENESS_ROUTE" -> "/live",
+      "K8S_READINESS_ROUTE" -> "/ready",
       "PROBES_PORT" -> "9100"))
     assert(cfg.source.bootstrapServers == "broker:9092")
     assert(cfg.source.topics == Seq("clicks", "views"))
@@ -51,6 +54,8 @@ class InjectorAppSpec extends AnyFunSuite {
     assert(cfg.registryUrl.contains("http://registry:8081"))
     assert(cfg.recordType == "avro")
     assert(cfg.probesPort.contains(9100))
+    assert(cfg.livenessRoute == "/live" && cfg.readinessRoute == "/ready")
+    assert(cfg.installTemplate)
   }
 
   test("unset env falls back to the reference defaults") {

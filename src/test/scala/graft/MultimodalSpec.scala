@@ -50,6 +50,45 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("poison container sizes: no hang, no out-of-bounds, decode drops to zeros") {
+    // WAV with a leading chunk whose LE size is -8: naive `i += 8 + size`
+    // is a no-op → infinite loop. Must return None promptly instead.
+    val loopWav = ("RIFF".getBytes("US-ASCII") :+ 0.toByte) ++
+      Array[Byte](0, 0, 0) ++ "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      Array.fill(24)(0.toByte)
+    assert(MediaHeaders.wav(loopWav).isEmpty)
+    // fmt chunk size larger than the buffer: header length must never
+    // point past the end (decode would crash in copyOfRange)
+    val overWav = MediaHeaders.wavBytes(1, 8000, 4).take(20) ++
+      Array.fill(20)(0.toByte)
+    assert(MediaHeaders.wav(overWav).forall(_._3 <= overWav.length))
+    // JPEG SOF0 declaring a 0xFFFF segment length on an 11-byte buffer
+    val lyingJpeg = Array(0xff, 0xd8, 0xff, 0xc0, 0xff, 0xff,
+      1, 2, 3, 4, 5).map(_.toByte)
+    assert(MediaHeaders.jpeg(lyingJpeg).isEmpty)
+    // all three poison shapes survive the full decode as droppable zeros
+    for (bytes <- Seq(loopWav, lyingJpeg)) {
+      val f = MultimodalOps.StubDecoder.decode(MediaRow(9L, "image", bytes))
+      assert(f.width == 0 && f.sample_rate == 0 && f.n_bytes == bytes.length)
+    }
+  }
+
+  test("WAV chunk walk honors the RIFF pad byte after odd-sized chunks") {
+    // odd-sized LIST chunk before fmt: the size field excludes the pad
+    // byte, so a walk ignoring alignment reads garbage chunk ids
+    val fmtTail = MediaHeaders.wavBytes(2, 22050, 7).drop(12) // fmt+data
+    val infoOdd = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](73, 78, 70) :+ 0.toByte // pad
+    val riffLen = 4 + infoOdd.length + fmtTail.length
+    val b = "RIFF".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(riffLen).array() ++
+      "WAVE".getBytes("US-ASCII") ++ infoOdd ++ fmtTail
+    assert(MediaHeaders.wav(b).map(f => (f._1, f._2)).contains((2, 22050)))
+  }
+
   test("decode reads header fields back from the BYTES, payload hashed after header") {
     val payload = "media payload".getBytes("UTF-8")
     val sha = java.security.MessageDigest.getInstance("SHA-256")

@@ -119,7 +119,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("corpus_pack_sequences: two-phase scan, no single-partition window") {
-    val p = planString("corpus_pack_sequences")
+    // pin phase 1 directly — the localCheckpoint inside packSequences
+    // truncates the published plan, hiding the window stage
+    val df = graft.operators.CorpusOps.packPrefix(
+      Tables.documents(spark, dir), 100L)
+    df.queryExecution.executedPlan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
     // the global prefix sum must run as per-bucket windows + broadcast
     // offsets; a naive Window.orderBy with no partitioning plans an
     // Exchange SinglePartition — the one shape that cannot scale
