@@ -114,84 +114,96 @@ object SimilarityOps {
       centroids.select(col("cell").cast("long").as("cent_id"),
         col("centroid").as("cent_emb")))
 
-  private def ivfTopKWithCells(corpus: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int, centFrame: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nprobe >= 1, "nprobe must be >= 1")
-    // Centroids are MODEL STATE (k×dim doubles), not data: materialize
-    // them once on the driver (the same collect lloyd performs between
-    // iterations) and carry them to executors as literal arrays. Cell
-    // assignment is then a PURE MAP — k codegen'd dot products and an
-    // argmax over a k-element array per row, the KMeansOps.step kernel —
-    // with zero row amplification and zero shuffle. (The previous
-    // crossJoin+window plan amplified the corpus ×k and hash-exchanged
-    // the amplified frame to compute the argmax: invisible at sf0.1,
-    // 512× the corpus through the wire at 100 TB.)
-    val cents: Seq[(Long, Seq[Double])] = centFrame
+  /** Centroids as MODEL STATE (k×dim doubles): materialized once on the
+    * driver (the same collect lloyd performs between iterations) and
+    * carried to executors as literal arrays. Cell assignment is then a
+    * PURE MAP — k codegen'd dot products and an argmax over a k-element
+    * array per row, the KMeansOps.step kernel — with zero row
+    * amplification and zero shuffle. (A crossJoin+window plan amplifies
+    * the corpus ×k and hash-exchanges the amplified frame: invisible at
+    * sf0.1, 512× the corpus through the wire at 100 TB.)
+    */
+  private type Cents = Seq[(Long, Seq[Double])]
+
+  private def collectCents(centFrame: DataFrame): Cents = {
+    val cents = centFrame
       .select(col("cent_id").cast("long"),
         col("cent_emb").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
     require(cents.nonEmpty, "IVF needs at least one centroid")
-    val centIds = cents.map(_._1)
-    // the k cosine scores as ONE array expression; centroid norms are
-    // driver-side constants computed with the same left-to-right IEEE
-    // fold as the codegen'd dot kernel, so scores stay bit-identical to
-    // the old centroid-column plan (and to the oracle). Zero norms
-    // (degenerate centroid or corpus vector) are NaN explicitly: under
-    // ANSI mode a double division by zero ERRORS the job instead of
-    // yielding the NaN the pre-ANSI plan produced.
-    def cscores(v: Column, nrm: Column): Column = array(cents.map {
-      case (_, c) =>
-        val n = math.sqrt(c.map(x => x * x).sum)
-        if (n == 0.0) lit(Double.NaN)
-        else when(nrm === 0.0, lit(Double.NaN))
-          .otherwise(dot(v, typedlit(c)) / (nrm * lit(n)))
+    cents
+  }
+
+  /** The k cosine scores as ONE array expression; centroid norms are
+    * driver-side constants computed with the same left-to-right IEEE
+    * fold as the codegen'd dot kernel, so scores stay bit-identical to
+    * a centroid-column plan (and to the oracle). Zero norms (degenerate
+    * centroid or corpus vector) are NaN explicitly: under ANSI mode a
+    * double division by zero ERRORS the job instead of yielding the NaN
+    * the pre-ANSI plan produced.
+    */
+  private def cscores(cents: Cents)(v: Column, nrm: Column): Column =
+    array(cents.map { case (_, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) lit(Double.NaN)
+      else when(nrm === 0.0, lit(Double.NaN))
+        .otherwise(dot(v, typedlit(c)) / (nrm * lit(n)))
     }: _*)
-    // home cell = argmax: first maximum ≡ lowest cent_id on ties (ids
-    // ascending). Two-stage select keeps the k dots evaluated once
-    // (__s is non-cheap and referenced twice, so CollapseProject holds).
-    // A NaN score (degenerate zero-norm centroid) must rank FIRST like
-    // ORDER BY score DESC in both engines, and codegen'd array_position
-    // would MISS a NaN needle (Java NaN == NaN is false) leaving
-    // element_at an invalid 0 index — so NaN maps to +∞ (unreachable by
-    // a real cosine) before the argmax.
-    def assignHome(df: DataFrame): DataFrame = {
-      val keep = df.columns.map(col)
-      val safe = transform(col("__s"),
-        s => when(isnan(s), lit(Double.PositiveInfinity)).otherwise(s))
-      df.select(keep :+ cscores(col("embedding"), col("nrm")).as("__s"): _*)
-        .select(keep :+ element_at(typedlit(centIds),
-          array_position(safe, array_max(safe)).cast("int"))
-          .as("cell"): _*)
-    }
-    // query side: top-`probes` cells from the same k-array — sort
-    // (−score, id) structs ascending ≡ score desc / id asc, slice,
-    // explode. Still a pure map; the explode multiplies only the
-    // (broadcast-sized) query set by nprobe. A NaN score (degenerate
-    // zero-norm centroid) must rank FIRST like both engines' ORDER BY
-    // score DESC (NaN above +∞ in their total orders) — plain negation
-    // would leave NaN ranked last, so it maps to −∞ (unreachable by a
-    // real cosine) instead.
-    def assignProbes(df: DataFrame, probes: Int): DataFrame = {
-      val keep = df.columns.map(col)
-      val ranked = transform(
-        array_sort(zip_with(col("__s"), typedlit(centIds),
-          (s, id) => struct(
-            when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
-              .as("negs"),
-            id.as("id")))),
-        e => e.getField("id"))
-      df.select(keep :+ cscores(col("embedding"), col("nrm")).as("__s"): _*)
-        .select(keep :+ explode(slice(ranked, 1, probes)).as("cell"): _*)
-    }
-    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+
+  /** Home cell = argmax: first maximum ≡ lowest cent_id on ties (ids
+    * ascending). Two-stage select keeps the k dots evaluated once
+    * (__s is non-cheap and referenced twice, so CollapseProject holds).
+    * A NaN score (degenerate zero-norm centroid) must rank FIRST like
+    * ORDER BY score DESC in both engines, and codegen'd array_position
+    * would MISS a NaN needle (Java NaN == NaN is false) leaving
+    * element_at an invalid 0 index — so NaN maps to +∞ (unreachable by
+    * a real cosine) before the argmax.
+    */
+  private def assignHome(cents: Cents)(df: DataFrame): DataFrame = {
+    val keep = df.columns.map(col)
+    val safe = transform(col("__s"),
+      s => when(isnan(s), lit(Double.PositiveInfinity)).otherwise(s))
+    df.select(keep :+
+        cscores(cents)(col("embedding"), col("nrm")).as("__s"): _*)
+      .select(keep :+ element_at(typedlit(cents.map(_._1)),
+        array_position(safe, array_max(safe)).cast("int"))
+        .as("cell"): _*)
+  }
+
+  /** Query side: top-`probes` cells from the same k-array — sort
+    * (−score, id) structs ascending ≡ score desc / id asc, slice,
+    * explode. Still a pure map; the explode multiplies only the
+    * (broadcast-sized) query set by nprobe. NaN maps to −∞ so it ranks
+    * first like both engines' ORDER BY score DESC (NaN above +∞ in
+    * their total orders) — plain negation would leave it ranked last.
+    */
+  private def assignProbes(cents: Cents, probes: Int)(df: DataFrame)
+      : DataFrame = {
+    val keep = df.columns.map(col)
+    val ranked = transform(
+      array_sort(zip_with(col("__s"), typedlit(cents.map(_._1)),
+        (s, id) => struct(
+          when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
+            .as("negs"),
+          id.as("id")))),
+      e => e.getField("id"))
+    df.select(keep :+
+        cscores(cents)(col("embedding"), col("nrm")).as("__s"): _*)
+      .select(keep :+ explode(slice(ranked, 1, probes)).as("cell"): _*)
+  }
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
       DedupOps.norm(col("embedding")).as("nrm"))
-    val cells = assignHome(withNorm)
-    // queries are a broadcast-able probe batch by contract — pin it so
-    // the corpus is never shuffled on vec_id to find the query vectors
-    val qcells = assignProbes(withNorm.join(
-      broadcast(queries.select(col("vec_id"))), Seq("vec_id")), nprobe)
+
+  /** The search tail shared by in-memory and persisted-index IVF:
+    * equi-join assigned cells against the broadcast probe set, exact
+    * cosine, per-query top-k.
+    */
+  private def searchCells(cells: DataFrame, qcells: DataFrame, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     cells.join(
@@ -210,6 +222,59 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cos"))
   }
+
+  private def ivfTopKWithCells(corpus: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, centFrame: DataFrame): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cents = collectCents(centFrame)
+    val cells = assignHome(cents)(withNorm(corpus))
+    // queries are a broadcast-able probe batch by contract — pin it so
+    // the corpus is never shuffled on vec_id to find the query vectors
+    val qcells = assignProbes(cents, nprobe)(withNorm(corpus).join(
+      broadcast(queries.select(col("vec_id"))), Seq("vec_id")))
+    searchCells(cells, qcells, k)
+  }
+
+  /** Materialize the IVF index on disk — the build-once/search-many
+    * shape of a production ANN deployment: corpus rows (+ their
+    * precomputed norms) written PARTITIONED BY home cell, centroids
+    * alongside as a k-row side table. A search then reads ONLY the
+    * probed cell directories via partition pruning: cost is
+    * ~nprobe/k_cells of the corpus per query batch, and the assignment
+    * map never re-runs.
+    */
+  def buildIndex(corpus: DataFrame, centFrame: DataFrame, dir: String)
+      : Unit = {
+    val cents = collectCents(centFrame)
+    assignHome(cents)(withNorm(corpus))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toDF("cent_id", "cent_emb")
+      .write.mode("overwrite").parquet(centroidsDir(dir))
+  }
+
+  /** Search a [[buildIndex]] directory: assign probe cells to the query
+    * vectors map-side (centroids reloaded as model state), then scan
+    * only those cells. `queries` supplies (vec_id, embedding).
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cents = collectCents(spark.read.parquet(centroidsDir(dir)))
+    val qcells = assignProbes(cents, nprobe)(withNorm(queries))
+    // the probed cell ids are |Q|·nprobe values — driver-side model
+    // scale — and as an IN literal they prune the partition directories
+    val probed = qcells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(dir)
+      .filter(col("cell").isInCollection(probed))
+      .withColumn("cell", col("cell").cast("long"))
+    searchCells(cells, qcells, k)
+  }
+
+  private def centroidsDir(dir: String): String =
+    dir.stripSuffix("/") + "_centroids"
 
   /** SRP-LSH approximate top-k: score only corpus vectors in the query's
     * bucket. Same output shape as [[bruteForceTopK]]; approximate recall.

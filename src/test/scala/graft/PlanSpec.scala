@@ -141,6 +141,18 @@ class PlanSpec extends SparkSpec {
       "contamination join degraded to a corpus shuffle on the shingle key")
   }
 
+  test("sim_ivf_persisted: search scans only the probed cell partitions") {
+    val p = planString("sim_ivf_persisted")
+    // the whole point of the persisted index: the probed cells arrive as
+    // partition filters on the scan, so the search never reads the other
+    // cell directories
+    assert(p.contains("PartitionFilters: [") &&
+      !p.contains("PartitionFilters: []"),
+      "probed-cell filter did not reach the index scan as partition " +
+        "pruning\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("sim_ivf: cell assignment is a pure map — one shuffle total") {
     // the r6 pin ("no SortMergeJoin") missed the scale-killer: the old
     // crossJoin+window assignment amplified the corpus ×k and
