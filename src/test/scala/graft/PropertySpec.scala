@@ -55,4 +55,73 @@ class PropertySpec extends SparkSpec {
       pairs.toSeq == Seq((1L, 2L, 1.0))
     })
   }
+
+  test("∀ dims/rates: media headers round-trip through their parsers") {
+    import graft.operators.MediaHeaders
+    val genDims = for {
+      w <- Gen.choose(1, 65535); h <- Gen.choose(1, 65535)
+    } yield (w, h)
+    // pure byte-level codecs: no Spark jobs, so crank the sample count
+    val p = SCTest.Parameters.default.withMinSuccessfulTests(200)
+    val r = SCTest.check(p, Prop.forAll(genDims) { case (w, h) =>
+      MediaHeaders.png(MediaHeaders.pngBytes(w, h)).contains((w, h, 33)) &&
+        MediaHeaders.jpeg(MediaHeaders.jpegBytes(w, h))
+          .contains((w, h, 15))
+    })
+    assert(r.passed, r.status.toString)
+    val genFmt = for {
+      ch <- Gen.choose(1, 8); rate <- Gen.choose(1, 384000)
+      dataLen <- Gen.choose(0, 1 << 20)
+    } yield (ch, rate, dataLen)
+    val r2 = SCTest.check(p, Prop.forAll(genFmt) { case (ch, rate, n) =>
+      MediaHeaders.wav(MediaHeaders.wavBytes(ch, rate, n))
+        .contains((ch, rate, 44))
+    })
+    assert(r2.passed, r2.status.toString)
+  }
+
+  test("∀ corpora: packed sequences are contiguous and offsets stay in budget") {
+    import graft.operators.CorpusOps
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val genDocs = Gen.nonEmptyListOf(
+      Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    check(Prop.forAll(genDocs) { texts =>
+      val budget = 16
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = CorpusOps.packSequences(docs, budget, bucketWidth = 3L)
+        .orderBy($"doc_id")
+        .select($"doc_id", $"n_tokens", $"seq_first", $"seq_last",
+          $"tok_offset")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // reconstruct the global stream position doc by doc: each doc must
+      // start exactly where the previous ended (two-phase scan ≡ the
+      // naive global prefix sum), offsets inside the budget, spans sane
+      var pos = 0L
+      out.forall { case (_, n, first, last, off) =>
+        val ok = off == pos % budget &&
+          first == pos / budget &&
+          last == (pos + n - 1) / budget &&
+          first <= last && off < budget
+        pos += n
+        ok
+      }
+    })
+  }
+
+  test("∀ corpora: segment dedup keeps unique docs whole, counts bounded") {
+    import graft.operators.CorpusOps
+    val word = Gen.oneOf("xx", "yy", "zz", "ww")
+    val genDocs = Gen.nonEmptyListOf(
+      Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    check(Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = CorpusOps.segmentDedup(docs, segTokens = 4, maxDf = 2)
+        .select($"doc_id", $"n_segments", $"n_kept")
+        .as[(Long, Long, Long)].collect()
+      out.length == texts.length &&
+        out.forall { case (_, n, kept) => kept >= 0 && kept <= n && n > 0 }
+    })
+  }
 }
