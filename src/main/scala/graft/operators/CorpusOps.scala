@@ -40,6 +40,41 @@ object CorpusOps {
     * faster than the corpus. The exploded segment table is checkpointed
     * once because two branches (df count + join-back) consume it.
     */
+  /** The offline boilerplate MODEL: the distinct segments occurring in
+    * >= `maxDf` distinct documents. One hash aggregate; the output is
+    * small by construction (every entry repeats across docs).
+    */
+  def boilerplateSegments(docs: DataFrame, segTokens: Int = 16,
+      maxDf: Int = 2): DataFrame =
+    docs.select(col("doc_id"),
+        explode(segments(col("text"), segTokens)).as("seg"))
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= maxDf)
+      .select(col("seg"))
+
+  /** ONLINE application of the offline-built model: rewrite each document
+    * with its boilerplate segments removed. The model ships as a
+    * broadcast hash set probed O(1) per segment — the same
+    * executor-resident shape as a broadcast-join build side, which is
+    * why this is a scalar UDF rather than `array_contains` over a
+    * literal array (O(|model|) per segment) or a join (an explode +
+    * re-aggregate that a streaming plan would need extra state for).
+    * Pure per-row map ⇒ runs unchanged in Structured Streaming — the
+    * batch-built model gating a live stream, the standard
+    * train-offline/apply-online split.
+    */
+  def stripBoilerplate(boiler: Set[String], segTokens: Int = 16)(
+      docs: DataFrame): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(boiler)
+    val strip = udf { (text: String) =>
+      if (text == null) null
+      else text.trim.split("\\s+").grouped(segTokens)
+        .map(_.mkString(" ")).filterNot(bc.value).mkString(" ")
+    }
+    docs.withColumn("text", strip(col("text")))
+  }
+
   def segmentDedup(docs: DataFrame, segTokens: Int = 16, maxDf: Int = 2)
       : DataFrame = {
     val segs = docs

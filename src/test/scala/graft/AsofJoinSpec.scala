@@ -103,6 +103,28 @@ class AsofJoinSpec extends SparkSpec {
       Set((0L, 20L), (10L, 12L)))
   }
 
+  test("persisted index over trained centroids ≡ in-memory search") {
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val emb = Seq(
+      0L -> v(1.0, 0.05), 1L -> v(1.0, 0.1), 2L -> v(0.9, 0.0),
+      10L -> v(0.05, 1.0), 11L -> v(0.0, 0.95), 12L -> v(0.1, 1.0)
+    ).toDF("vec_id", "embedding")
+    val cents = graft.operators.KMeansOps.lloyd(
+      emb, "vec_id", "embedding", seedIds = Seq(2L, 12L), iters = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-built").toString + "/idx"
+    SimilarityOps.buildIndex(emb,
+      cents.select(col("cell").cast("long").as("cent_id"),
+        col("centroid").as("cent_emb")), dir)
+    val q = emb.filter($"vec_id" === 0L || $"vec_id" === 10L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"rank", $"cos")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val inMem = rows(SimilarityOps.ivfTopKCentroids(emb, q, 2, cents))
+    val onDisk = rows(SimilarityOps.searchIndex(spark, dir, q, 2))
+    assert(inMem.nonEmpty && inMem.sameElements(onDisk))
+  }
+
   test("hash sampling is deterministic, salted, and monotone in percent") {
     val ids = (0L until 1000L).toDF("doc_id")
     def sample(pct: Int, salt: String) = ids

@@ -204,6 +204,53 @@ class StreamingSpec extends SparkSpec {
     probes.stop()
   }
 
+  test("end-to-end: InjectorApp json record type with json keys") {
+    import graft.streaming.{InjectorApp, StreamingPipeline => SP}
+    import org.apache.spark.sql.types.{LongType, StructField => SF}
+    val dir = Files.createTempDirectory("graft-app-json").toString
+    val cfg = InjectorApp.fromEnv(Map(
+      "KAFKA_TOPICS" -> "my-topic",
+      "KAFKA_CONSUMER_RECORD_TYPE" -> "json",
+      "KAFKA_CONSUMER_INCLUDE_KEY" -> "true",
+      "PROBES_PORT" -> "0",
+      "CHECKPOINT_LOCATION" -> s"$dir/cp"))
+    val ts = Timestamp.valueOf("2024-03-05 10:11:12.345")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Msg]
+    stream.addData(Seq(
+      Msg("""{"uid":5}""".getBytes("UTF-8"),
+        """{"id":"a","n":1}""".getBytes("UTF-8"), "my-topic", 0, 1L, ts, 0),
+      Msg(null, """{"id":"b","n":2}""".getBytes("UTF-8"),
+        "my-topic", 0, 2L, ts, 0)))
+    val sink = new EsBulkSink(s"$dir/index")
+    val (q, probes) = InjectorApp.start(spark, cfg, jsonSchema = schema,
+      jsonKeySchema = Some(StructType(Seq(SF("uid", LongType)))),
+      source = Some(stream.toDF()),
+      startSink = Some(a => SP.start(a, sink, s"$dir/cp")))
+    try {
+      q.processAllAvailable()
+      val docs = sink.contents(spark)
+        .select($"doc_id", $"payload.id", $"payload.key.uid")
+        .as[(String, String, Option[Long])].collect().toSet
+      assert(docs == Set(("0:1", "a", Some(5L)), ("0:2", "b", None)))
+    } finally q.stop()
+    probes.stop()
+    // fail-fast contract: include-key without a key schema is a caller
+    // error at ASSEMBLY time for both record types, never a silent no-op
+    intercept[IllegalArgumentException] {
+      InjectorApp.start(spark, cfg, jsonSchema = schema,
+        source = Some(stream.toDF()),
+        startSink = Some(a => SP.start(a, sink, s"$dir/cp2")))
+    }
+    intercept[IllegalArgumentException] {
+      InjectorApp.start(spark,
+        cfg.copy(recordType = "avro",
+          registryUrl = Some("http://registry:8081")),
+        jsonSchema = schema, source = Some(stream.toDF()),
+        startSink = Some(a => SP.start(a, sink, s"$dir/cp3")))
+    }
+  }
+
   test("streaming dual: rich Avro surface (maps/unions/decimals) through the HTTP registry") {
     import com.sun.net.httpserver.HttpServer
     import graft.functions.HttpSchemaProvider
@@ -269,6 +316,44 @@ class StreamingSpec extends SparkSpec {
         "C", None, Some("view")),                  // alt: odd id → string
       ("1:1", "buy", 207L, "12.07", "2023-11-14", 1700000000123456L,
         "A", Some(207L), None)))                   // alt: even id → long
+  }
+
+  test("offline-built boilerplate model gates a live stream (train/apply split)") {
+    import graft.operators.CorpusOps
+    // offline: build the model on a batch corpus where one 4-token
+    // segment repeats across docs
+    val boiler4 = "the same legal footer"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma delta $boiler4"),
+      (2L, s"epsilon zeta eta theta $boiler4"),
+      (3L, "iota kappa lambda mu unique tail words here")
+    ).toDF("doc_id", "text")
+    val model = CorpusOps.boilerplateSegments(corpus, segTokens = 4,
+      maxDf = 2).as[String].collect().toSet
+    assert(model == Set(boiler4))
+    // online: the SAME pure map applied to a stream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq(
+      (10L, s"fresh words one two $boiler4"),
+      (11L, "fully unique document four")))
+    val out = Files.createTempDirectory("graft-boiler").toString
+    val q = CorpusOps.stripBoilerplate(model, segTokens = 4)(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("boiler_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("boiler_out")
+      .as[(Long, String)].collect().toMap
+    assert(streamed == Map(
+      10L -> "fresh words one two",   // footer stripped mid-stream
+      11L -> "fully unique document four"))
+    // batch ≡ streaming for the application function
+    val batched = CorpusOps.stripBoilerplate(model, segTokens = 4)(
+      Seq((10L, s"fresh words one two $boiler4"),
+        (11L, "fully unique document four")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(batched == streamed)
   }
 
   test("sink: redelivered micro-batch leaves exactly one doc per id (K2)") {
