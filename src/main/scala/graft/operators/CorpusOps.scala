@@ -28,18 +28,6 @@ object CorpusOps {
       i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
   }
 
-  /** Remove segments that occur in >= `maxDf` DISTINCT documents (the
-    * "frequent line" boilerplate rule). Returns one row per doc with the
-    * segment counts and the md5 of the re-joined kept text.
-    *
-    * Scale shape: segment df is ONE hash aggregate (map-side partial);
-    * the boilerplate set joins back on the segment key (AQE may broadcast
-    * it — boilerplate is small by construction since each entry repeats
-    * across >= maxDf docs); doc reassembly is the final hash aggregate on
-    * doc_id. Three shuffles total, none keyed on anything that grows
-    * faster than the corpus. The exploded segment table is checkpointed
-    * once because two branches (df count + join-back) consume it.
-    */
   /** The offline boilerplate MODEL: the distinct segments occurring in
     * >= `maxDf` distinct documents. One hash aggregate; the output is
     * small by construction (every entry repeats across docs).
@@ -75,12 +63,26 @@ object CorpusOps {
     docs.withColumn("text", strip(col("text")))
   }
 
+  /** Remove segments that occur in >= `maxDf` DISTINCT documents (the
+    * "frequent line" boilerplate rule). Returns one row per doc with the
+    * segment counts and the md5 of the re-joined kept text.
+    *
+    * Scale shape: segment df is ONE hash aggregate (map-side partial);
+    * the boilerplate set joins back on the segment key (AQE may broadcast
+    * it — boilerplate is small by construction since each entry repeats
+    * across >= maxDf docs); doc reassembly is the final hash aggregate on
+    * doc_id. Three shuffles total, none keyed on anything that grows
+    * faster than the corpus. The exploded segment view is deliberately
+    * NOT checkpointed even though two branches (df count + join-back)
+    * consume it: tokenize+slice is a narrow codegen'd map, so scanning
+    * the corpus twice is far cheaper at scale than materializing a
+    * corpus-sized exploded table onto executor disks.
+    */
   def segmentDedup(docs: DataFrame, segTokens: Int = 16, maxDf: Int = 2)
       : DataFrame = {
     val segs = docs
       .select(col("doc_id"),
         posexplode(segments(col("text"), segTokens)).as(Seq("seg_no", "seg")))
-      .localCheckpoint(false)
     val boiler = segs.groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= maxDf)
@@ -97,6 +99,20 @@ object CorpusOps {
   }
 
   // ------------------------------------------------------ sequence packing
+
+  /** Phase 1 of the scan: per-bucket local prefix sums. Package-visible
+    * so PlanSpec can pin its shape (the localCheckpoint in
+    * [[packSequences]] truncates the published plan).
+    */
+  private[graft] def packPrefix(docs: DataFrame, bucketWidth: Long)
+      : DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketWidth").as("__b"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("__cum", sum(col("n_tokens")).over(w))
+  }
 
   /** GPT-style concat-and-chunk sequence packing: documents are
     * concatenated in doc_id order and cut into fixed `budget`-token
@@ -115,20 +131,6 @@ object CorpusOps {
     *                    driver rows; pick so both the bucket count and
     *                    the per-bucket row count stay comfortable
     */
-  /** Phase 1 of the scan: per-bucket local prefix sums. Package-visible
-    * so PlanSpec can pin its shape (the localCheckpoint in
-    * [[packSequences]] truncates the published plan).
-    */
-  private[graft] def packPrefix(docs: DataFrame, bucketWidth: Long)
-      : DataFrame = {
-    val base = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
-      expr(s"doc_id div $bucketWidth").as("__b"))
-    val w = Window.partitionBy(col("__b")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.withColumn("__cum", sum(col("n_tokens")).over(w))
-  }
-
   def packSequences(docs: DataFrame, budget: Int,
       bucketWidth: Long = 1000L): DataFrame = {
     require(budget > 0, "budget must be positive")
