@@ -254,6 +254,20 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(centroidsDir(dir))
   }
 
+  /** Append new vectors to an existing [[buildIndex]] directory: assign
+    * home cells with the STORED centroids (the model is unchanged — the
+    * standard IVF maintenance path; re-train and rebuild when centroid
+    * drift accumulates) and append into the cell partitions. A pure map
+    * plus a partitioned append; searches pick the rows up with no other
+    * change.
+    */
+  def appendToIndex(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = collectCents(spark.read.parquet(centroidsDir(dir)))
+    assignHome(cents)(withNorm(newVecs))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
   /** Search a [[buildIndex]] directory: assign probe cells to the query
     * vectors map-side (centroids reloaded as model state), then scan
     * only those cells. `queries` supplies (vec_id, embedding).

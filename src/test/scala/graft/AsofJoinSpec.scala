@@ -125,6 +125,35 @@ class AsofJoinSpec extends SparkSpec {
     assert(inMem.nonEmpty && inMem.sameElements(onDisk))
   }
 
+  test("index append: build on half, append the rest ≡ build on everything") {
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val all = Seq(
+      0L -> v(1.0, 0.05), 1L -> v(1.0, 0.1), 2L -> v(0.9, 0.0),
+      10L -> v(0.05, 1.0), 11L -> v(0.0, 0.95), 12L -> v(0.1, 1.0))
+    val (half, rest) = all.partition(_._1 <= 2L)
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"vec_id" === 2L || $"vec_id" === 12L)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
+    val full = all.toDF("vec_id", "embedding")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-ivf-appA").toString + "/idx"
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-ivf-appB").toString + "/idx"
+    SimilarityOps.buildIndex(full, cents(full), dirA)
+    // B: built on the x-cluster half only (centroid 12 supplied
+    // explicitly — centroids are model state, not corpus rows), then the
+    // y-cluster appended through the STORED model
+    SimilarityOps.buildIndex(half.toDF("vec_id", "embedding"),
+      cents(full), dirB)
+    SimilarityOps.appendToIndex(rest.toDF("vec_id", "embedding"), dirB)
+    val q = full.filter($"vec_id" === 0L || $"vec_id" === 10L)
+    def rows(dir: String) =
+      SimilarityOps.searchIndex(spark, dir, q, 2)
+        .select($"query_id", $"neighbor_id", $"rank", $"cos")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(rows(dirA).nonEmpty && rows(dirA).sameElements(rows(dirB)))
+  }
+
   test("hash sampling is deterministic, salted, and monotone in percent") {
     val ids = (0L until 1000L).toDF("doc_id")
     def sample(pct: Int, salt: String) = ids

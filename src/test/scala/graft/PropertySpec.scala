@@ -56,6 +56,29 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("∀ byte blobs: Confluent-Avro decode never throws — null or a valid row (D6)") {
+    import graft.functions.AvroWire
+    val schema =
+      """{"type":"record","name":"F","fields":[{"name":"id","type":"int"}]}"""
+    val genBlob = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      // adversarial shape: correct magic + registered id + garbage body
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(tail =>
+        Array[Byte](0, 0, 0, 0, 7) ++ tail))
+    check(Prop.forAll(Gen.listOfN(8, genBlob)) { blobs =>
+      val rows = blobs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("n", "value")
+        .select($"n", AvroWire.fromConfluentAvro($"value", schema,
+          Map(7 -> schema)).as("p"))
+        .select($"n", $"p".isNull, $"p.id")
+        .as[(Long, Boolean, Option[Int])].collect()
+      // the poison-record contract: every blob yields a row — either a
+      // dropped null or a decoded struct — and the query never throws
+      rows.length == blobs.length &&
+        rows.forall { case (_, isNull, id) => isNull || id.isDefined }
+    })
+  }
+
   test("∀ dims/rates: media headers round-trip through their parsers") {
     import graft.operators.MediaHeaders
     val genDims = for {
