@@ -290,6 +290,70 @@ object SimilarityOps {
   private def centroidsDir(dir: String): String =
     dir.stripSuffix("/") + "_centroids"
 
+  /** Product-quantization (PQ) max-inner-product top-k — the compression
+    * half of the billion-scale ANN recipe (IVF prunes WHICH vectors get
+    * scored; PQ compresses HOW each one is scored): the embedding splits
+    * into `m` subspaces, each encoded as the L2-nearest of the `nc`
+    * codebook entries, and a query scores a vector as the sum of m table
+    * lookups (asymmetric distance computation) instead of a dim-length
+    * dot product. The m·log2(nc)-bit code per vector (vs 4·dim bytes of
+    * floats) is what lets a 100 TB corpus's index fit in cluster RAM.
+    *
+    * Codebooks here are deterministic seed-row slices so the oracle can
+    * replay encode+search exactly; production trains each subspace with
+    * [[KMeansOps.lloyd]] over the sliced column — identical shapes.
+    *
+    * Scale shape: encoding is ONE pure map over the corpus (m argmins
+    * over nc-entry literal arrays — model state, like the IVF
+    * centroids); queries broadcast with their m lookup tables; the only
+    * shuffle is the per-query top-k window. Assignment is L2
+    * (`||c||² − 2·x_j·c`, the row's own norm cancels in the argmin) —
+    * subtraction only, so no ANSI division guards needed.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      seedIds: Seq[Long], m: Int = 4, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && dim % m == 0, "dim must divide into m subspaces")
+    val sub = dim / m
+    // codebooks: m × nc × sub doubles of driver-side model state
+    val seeds: Seq[Seq[Double]] = corpus
+      .filter(col("vec_id").isInCollection(seedIds))
+      .orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    require(seeds.nonEmpty, "PQ needs at least one codebook seed")
+    val books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+    def subVec(j: Int): Column = slice(col("embedding"), j * sub + 1, sub)
+    // corpus code per subspace: argmin over (||c||² − 2·x_j·c), first
+    // minimum ≡ lowest code id on ties
+    def codeCol(j: Int): Column = {
+      val dists = array(books(j).map { c =>
+        lit(c.map(x => x * x).sum) - lit(2.0) * dot(subVec(j), typedlit(c))
+      }: _*)
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    val coded = corpus.select(col("vec_id") +:
+      (0 until m).map(j => codeCol(j).as(s"__c$j")): _*)
+    // query-side ADC lookup tables: t_j[c] = q_j · codebook_j[c]
+    def tableCol(j: Int): Column =
+      array(books(j).map(c => dot(subVec(j), typedlit(c))): _*)
+    val qt = broadcast(queries.select(col("vec_id").as("query_id") +:
+      (0 until m).map(j => tableCol(j).as(s"__t$j")): _*))
+    // left-associated sum of the m lookups (IEEE order fixed for the
+    // oracle replay)
+    val score = (0 until m)
+      .map(j => element_at(col(s"__t$j"), col(s"__c$j"))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    coded.join(qt, col("vec_id") =!= col("query_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
   /** SRP-LSH approximate top-k: score only corpus vectors in the query's
     * bucket. Same output shape as [[bruteForceTopK]]; approximate recall.
     *

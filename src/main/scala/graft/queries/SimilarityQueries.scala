@@ -89,6 +89,15 @@ object SimilarityQueries {
         nprobe = 2)
     }),
 
+    // Product quantization: m=4 subspaces of 16 dims, 8-entry seed
+    // codebooks, asymmetric-distance top-k — the compressed-scoring half
+    // of the IVF+PQ recipe. Oracle replays encode + table lookups.
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.pqTopK(e, queriesOf(e), K,
+        seedIds = SEEDS.map(_.toLong))
+    }),
+
     // The build-once/search-many index shape: the cell assignment is
     // materialized partitionBy(cell) on disk and the search reads ONLY
     // the probed cell directories (partition pruning — pinned in
@@ -175,6 +184,7 @@ object SimilarityQueries {
     "sim_ivf_topk" -> ivfTopkSql,
     // persisted index: same cells, same search tail — same replay
     "sim_ivf_persisted" -> ivfTopkSql,
+    "sim_pq_topk" -> pqTopkSql,
     "sim_ivf_probe2" -> {
       val seedList = (100 until 108).mkString("(", ", ", ")")
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
@@ -278,6 +288,49 @@ object SimilarityQueries {
             row_number() OVER (PARTITION BY query_id
               ORDER BY cos DESC, neighbor_id) AS rank
           FROM scored)
+        WHERE rank <= $K"""
+  }
+
+  /** PQ replay: seed-slice codebooks, L2 code assignment (norm-cancelled
+    * `cc − 2·x·c`, subtraction only), asymmetric table-lookup scores
+    * summed left-associated exactly like the Spark reduce.
+    */
+  private def pqTopkSql: String = {
+    val seedList = SEEDS.mkString("(", ", ", ")")
+    val (m, sub) = (4, 16)
+    def slice(e: String) = s"$e[c.j*$sub+1 : c.j*$sub+$sub]"
+    s"""WITH js AS (SELECT unnest(range(0, $m)) AS j),
+        cb AS (SELECT j.j AS j,
+                 row_number() OVER (PARTITION BY j.j ORDER BY e.vec_id)
+                   AS code,
+                 e.embedding[j.j*$sub+1 : j.j*$sub+$sub] AS cvec
+               FROM embeddings e CROSS JOIN js j
+               WHERE e.vec_id IN $seedList),
+        cb2 AS (SELECT j, code, cvec, ${dot("cvec", "cvec")} AS cc
+                FROM cb),
+        enc AS (SELECT vec_id, j, code FROM (
+                  SELECT e.vec_id, c.j, c.code,
+                    row_number() OVER (PARTITION BY e.vec_id, c.j
+                      ORDER BY c.cc
+                        - 2 * ${dot(slice("e.embedding"), "c.cvec")},
+                        c.code) AS rn
+                  FROM embeddings e CROSS JOIN cb2 c) WHERE rn = 1),
+        qt AS (SELECT e.vec_id AS query_id, c.j, c.code,
+                 ${dot(slice("e.embedding"), "c.cvec")} AS t
+               FROM embeddings e CROSS JOIN cb2 c WHERE e.vec_id < $NQ),
+        sc AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+                 ((max(CASE WHEN x.j = 0 THEN q.t END)
+                   + max(CASE WHEN x.j = 1 THEN q.t END))
+                   + max(CASE WHEN x.j = 2 THEN q.t END))
+                   + max(CASE WHEN x.j = 3 THEN q.t END) AS score
+               FROM enc x JOIN qt q ON q.j = x.j AND q.code = x.code
+               WHERE x.vec_id <> q.query_id
+               GROUP BY q.query_id, x.vec_id)
+        SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT query_id, neighbor_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+          FROM sc)
         WHERE rank <= $K"""
   }
 

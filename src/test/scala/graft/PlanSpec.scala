@@ -153,6 +153,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("sim_pq_topk: PQ encode is a pure map — one shuffle total") {
+    val p = planString("sim_pq_topk")
+    // codebooks are literal model state: encoding adds no join and no
+    // exchange; queries broadcast (nested-loop on the ≠ predicate like
+    // brute force); the only shuffle is the per-query top-k window
+    assert(!p.contains("SortMergeJoin"), "PQ corpus side got shuffled")
+    val n = count(p, "Exchange (") - count(p, "BroadcastExchange (")
+    assert(n == 1,
+      s"expected exactly 1 shuffle (top-k window), saw $n\n" + p.take(2000))
+  }
+
   test("sim_ivf: cell assignment is a pure map — one shuffle total") {
     // the r6 pin ("no SortMergeJoin") missed the scale-killer: the old
     // crossJoin+window assignment amplified the corpus ×k and
