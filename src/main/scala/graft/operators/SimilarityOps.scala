@@ -310,44 +310,99 @@ object SimilarityOps {
     * (`||c||² − 2·x_j·c`, the row's own norm cancels in the argmin) —
     * subtraction only, so no ANSI division guards needed.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      seedIds: Seq[Long], m: Int = 4, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Codebooks: m × nc × sub doubles of driver-side model state, sliced
+    * from the seed rows in vec_id order.
+    */
+  private def pqBooks(corpus: DataFrame, seedIds: Seq[Long], m: Int,
+      dim: Int): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && dim % m == 0, "dim must divide into m subspaces")
     val sub = dim / m
-    // codebooks: m × nc × sub doubles of driver-side model state
     val seeds: Seq[Seq[Double]] = corpus
       .filter(col("vec_id").isInCollection(seedIds))
       .orderBy(col("vec_id"))
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0)).toSeq
     require(seeds.nonEmpty, "PQ needs at least one codebook seed")
-    val books: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
-    def subVec(j: Int): Column = slice(col("embedding"), j * sub + 1, sub)
-    // corpus code per subspace: argmin over (||c||² − 2·x_j·c), first
-    // minimum ≡ lowest code id on ties
-    def codeCol(j: Int): Column = {
-      val dists = array(books(j).map { c =>
-        lit(c.map(x => x * x).sum) - lit(2.0) * dot(subVec(j), typedlit(c))
-      }: _*)
-      array_position(dists, array_min(dists)).cast("int")
-    }
+    (0 until m).map(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  private def pqSubVec(books: Seq[Seq[Seq[Double]]], j: Int): Column = {
+    val sub = books(j).head.length
+    slice(col("embedding"), j * sub + 1, sub)
+  }
+
+  /** Corpus code per subspace: argmin over (||c||² − 2·x_j·c) — the
+    * row's own norm cancels in the argmin, so subtraction only; first
+    * minimum ≡ lowest code id on ties.
+    */
+  private def pqCodeCol(books: Seq[Seq[Seq[Double]]], j: Int): Column = {
+    val dists = array(books(j).map { c =>
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * dot(pqSubVec(books, j), typedlit(c))
+    }: _*)
+    array_position(dists, array_min(dists)).cast("int")
+  }
+
+  /** Query-side ADC lookup table: t_j[c] = q_j · codebook_j[c]. */
+  private def pqTableCol(books: Seq[Seq[Seq[Double]]], j: Int): Column =
+    array(books(j).map(c => dot(pqSubVec(books, j), typedlit(c))): _*)
+
+  /** Left-associated sum of the m lookups (IEEE order fixed for the
+    * oracle replay).
+    */
+  private def pqScore(m: Int): Column = (0 until m)
+    .map(j => element_at(col(s"__t$j"), col(s"__c$j"))).reduce(_ + _)
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      seedIds: Seq[Long], m: Int = 4, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqBooks(corpus, seedIds, m, dim)
     val coded = corpus.select(col("vec_id") +:
-      (0 until m).map(j => codeCol(j).as(s"__c$j")): _*)
-    // query-side ADC lookup tables: t_j[c] = q_j · codebook_j[c]
-    def tableCol(j: Int): Column =
-      array(books(j).map(c => dot(subVec(j), typedlit(c))): _*)
+      (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
     val qt = broadcast(queries.select(col("vec_id").as("query_id") +:
-      (0 until m).map(j => tableCol(j).as(s"__t$j")): _*))
-    // left-associated sum of the m lookups (IEEE order fixed for the
-    // oracle replay)
-    val score = (0 until m)
-      .map(j => element_at(col(s"__t$j"), col(s"__c$j"))).reduce(_ + _)
+      (0 until m).map(j => pqTableCol(books, j).as(s"__t$j")): _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     coded.join(qt, col("vec_id") =!= col("query_id"))
-      .withColumn("score", score)
+      .withColumn("score", pqScore(m))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** IVF+PQ composed — the canonical billion-scale index (faiss
+    * IVFPQ): the IVF side prunes WHICH vectors are scored (each query
+    * searches its nprobe cells), the PQ side compresses HOW (m table
+    * lookups per candidate instead of a dim-length dot). The corpus
+    * pass computes home cell + m codes in ONE pure map over literal
+    * model state; candidates equi-join on the cell key; the only other
+    * shuffle is the per-query top-k window.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      ivfSeedIds: Seq[Long], pqSeedIds: Seq[Long], nprobe: Int = 1,
+      m: Int = 4, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cents = collectCents(corpus
+      .filter(col("vec_id").isInCollection(ivfSeedIds))
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").as("cent_emb")))
+    val books = pqBooks(corpus, pqSeedIds, m, dim)
+    // one corpus pass: home cell + the m PQ codes
+    val coded = assignHome(cents)(withNorm(corpus))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
+    val qcells = assignProbes(cents, nprobe)(withNorm(corpus).join(
+      broadcast(queries.select(col("vec_id"))), Seq("vec_id")))
+    val qt = broadcast(qcells.select(col("vec_id").as("query_id") +:
+      col("cell") +:
+      (0 until m).map(j => pqTableCol(books, j).as(s"__t$j")): _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    coded.join(qt, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", pqScore(m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -98,6 +98,14 @@ object SimilarityQueries {
         seedIds = SEEDS.map(_.toLong))
     }),
 
+    // IVF+PQ composed — the canonical billion-scale index: IVF prunes
+    // candidates to the probed cell, PQ scores them by table lookups.
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.ivfPqTopK(e, queriesOf(e), K,
+        ivfSeedIds = SEEDS.map(_.toLong), pqSeedIds = SEEDS.map(_.toLong))
+    }),
+
     // The build-once/search-many index shape: the cell assignment is
     // materialized partitionBy(cell) on disk and the search reads ONLY
     // the probed cell directories (partition pruning — pinned in
@@ -185,6 +193,7 @@ object SimilarityQueries {
     // persisted index: same cells, same search tail — same replay
     "sim_ivf_persisted" -> ivfTopkSql,
     "sim_pq_topk" -> pqTopkSql,
+    "sim_ivfpq_topk" -> ivfPqTopkSql,
     "sim_ivf_probe2" -> {
       val seedList = (100 until 108).mkString("(", ", ", ")")
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
@@ -324,6 +333,64 @@ object SimilarityQueries {
                    + max(CASE WHEN x.j = 2 THEN q.t END))
                    + max(CASE WHEN x.j = 3 THEN q.t END) AS score
                FROM enc x JOIN qt q ON q.j = x.j AND q.code = x.code
+               WHERE x.vec_id <> q.query_id
+               GROUP BY q.query_id, x.vec_id)
+        SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT query_id, neighbor_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+          FROM sc)
+        WHERE rank <= $K"""
+  }
+
+  /** IVFPQ replay: the IVF home-cell CTEs composed with the PQ
+    * encode/table CTEs — candidates are same-cell pairs, scores are the
+    * left-associated ADC lookup sums.
+    */
+  private def ivfPqTopkSql: String = {
+    val seedList = SEEDS.mkString("(", ", ", ")")
+    val (m, sub) = (4, 16)
+    def slice(e: String) = s"$e[c.j*$sub+1 : c.j*$sub+$sub]"
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                       FROM embeddings WHERE vec_id IN $seedList),
+        asn AS (SELECT vec_id, cent_id,
+                  ${cosine("embedding", "cent_emb")} AS cscore
+                FROM embeddings CROSS JOIN cents),
+        cellv AS (SELECT vec_id, cent_id AS cell FROM (
+                    SELECT vec_id, cent_id, cscore,
+                      row_number() OVER (PARTITION BY vec_id
+                        ORDER BY cscore DESC, cent_id) AS crn
+                    FROM asn) WHERE crn = 1),
+        js AS (SELECT unnest(range(0, $m)) AS j),
+        cb AS (SELECT j.j AS j,
+                 row_number() OVER (PARTITION BY j.j ORDER BY e.vec_id)
+                   AS code,
+                 e.embedding[j.j*$sub+1 : j.j*$sub+$sub] AS cvec
+               FROM embeddings e CROSS JOIN js j
+               WHERE e.vec_id IN $seedList),
+        cb2 AS (SELECT j, code, cvec, ${dot("cvec", "cvec")} AS cc
+                FROM cb),
+        enc AS (SELECT vec_id, j, code FROM (
+                  SELECT e.vec_id, c.j, c.code,
+                    row_number() OVER (PARTITION BY e.vec_id, c.j
+                      ORDER BY c.cc
+                        - 2 * ${dot(slice("e.embedding"), "c.cvec")},
+                        c.code) AS rn
+                  FROM embeddings e CROSS JOIN cb2 c) WHERE rn = 1),
+        qt AS (SELECT e.vec_id AS query_id, c.j, c.code,
+                 ${dot(slice("e.embedding"), "c.cvec")} AS t
+               FROM embeddings e CROSS JOIN cb2 c WHERE e.vec_id < $NQ),
+        sc AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+                 ((max(CASE WHEN x.j = 0 THEN q.t END)
+                   + max(CASE WHEN x.j = 1 THEN q.t END))
+                   + max(CASE WHEN x.j = 2 THEN q.t END))
+                   + max(CASE WHEN x.j = 3 THEN q.t END) AS score
+               FROM enc x
+               JOIN cellv cx ON cx.vec_id = x.vec_id
+               JOIN (SELECT vec_id AS query_id, cell FROM cellv
+                     WHERE vec_id < $NQ) qc ON qc.cell = cx.cell
+               JOIN qt q ON q.query_id = qc.query_id
+                        AND q.j = x.j AND q.code = x.code
                WHERE x.vec_id <> q.query_id
                GROUP BY q.query_id, x.vec_id)
         SELECT query_id, neighbor_id, rank, score FROM (

@@ -171,7 +171,7 @@ class PlanSpec extends SparkSpec {
     // literal model state now, so the assignment must plan as a pure
     // map: NO Exchange between the corpus scan and cell assignment —
     // the ONLY shuffle in the whole plan is the per-query top-k window.
-    for (q <- Seq("sim_ivf_topk", "sim_ivf_probe2")) {
+    for (q <- Seq("sim_ivf_topk", "sim_ivf_probe2", "sim_ivfpq_topk")) {
       val p = planString(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q: centroid crossJoin is back")
