@@ -98,6 +98,39 @@ object CorpusOps {
           e => e.getField("seg")))).as("kept_hash"))
   }
 
+  // ------------------------------------------------------- vocabulary gate
+
+  /** The vocabulary MODEL: the top-`v` tokens by corpus frequency (ties
+    * to the lexicographically smaller token — deterministic). One hash
+    * aggregate + a global top-v (TakeOrderedAndProject — v rows to the
+    * driver, never a full sort).
+    */
+  def vocabulary(docs: DataFrame, v: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(v)
+      .select(col("token"))
+
+  /** ONLINE application: per-doc out-of-vocabulary token share — the
+    * deterministic stand-in for an LM-perplexity quality gate (CCNet
+    * trains a KenLM; an engine-exact oracle needs no transcendentals, and
+    * OOV share ranks garbage/wrong-language docs the same direction).
+    * Same broadcast-set O(1)-probe shape as [[stripBoilerplate]]; pure
+    * per-row map ⇒ batch ≡ streaming.
+    */
+  def oovRatio(vocab: Set[String])(docs: DataFrame): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    val ratio = udf { (text: String) =>
+      if (text == null) 1.0
+      else {
+        val toks = text.trim.split("\\s+")
+        toks.count(t => !bc.value.contains(t)).toDouble / toks.length
+      }
+    }
+    docs.withColumn("oov_ratio", ratio(col("text")))
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Phase 1 of the scan: per-bucket local prefix sums. Package-visible

@@ -17,6 +17,7 @@ object CorpusQueries {
   private val PackBudget = 512
   private val EvalPct = 10
   private val ShingleK = 8
+  private val VocabV = 24
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -37,7 +38,17 @@ object CorpusQueries {
     // 10% eval hash-sample.
     "corpus_contamination" -> ((s, dir) =>
       CorpusOps.contamination(docs(s, dir),
-        TextOps.hashSample(col("doc_id"), EvalPct, "eval"), ShingleK))
+        TextOps.hashSample(col("doc_id"), EvalPct, "eval"), ShingleK)),
+
+    // OOV-ratio quality gate: train the top-V vocabulary on the corpus
+    // (model state), score every doc's out-of-vocabulary share.
+    "corpus_oov_ratio" -> ((s, dir) => {
+      val d = docs(s, dir)
+      import s.implicits._
+      val vocab = CorpusOps.vocabulary(d, VocabV)
+        .as[String].collect().toSet
+      CorpusOps.oovRatio(vocab)(d).select(col("doc_id"), col("oov_ratio"))
+    })
   )
 
   import Duck.{h15, toks}
@@ -99,6 +110,16 @@ object CorpusQueries {
           SELECT s.doc_id, count(*)::BIGINT AS n_shared
           FROM sh s JOIN e USING (sh)
           WHERE NOT s.is_eval
-          GROUP BY s.doc_id"""
+          GROUP BY s.doc_id""",
+    "corpus_oov_ratio" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+          v AS (SELECT t FROM (
+                  SELECT t, count(*) AS f FROM tok GROUP BY t
+                  ORDER BY f DESC, t LIMIT $VocabV))
+          SELECT tok.doc_id,
+            (count(*) FILTER (WHERE v.t IS NULL))::DOUBLE
+              / count(*)::DOUBLE AS oov_ratio
+          FROM tok LEFT JOIN v ON tok.t = v.t
+          GROUP BY tok.doc_id"""
   )
 }
