@@ -354,9 +354,14 @@ object SimilarityOps {
     .map(j => element_at(col(s"__t$j"), col(s"__c$j"))).reduce(_ + _)
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      seedIds: Seq[Long], m: Int = 4, dim: Int = 64): DataFrame = {
+      seedIds: Seq[Long], m: Int = 4, dim: Int = 64): DataFrame =
+    pqTopKWithBooks(corpus, queries, k, pqBooks(corpus, seedIds, m, dim))
+
+  /** PQ search over explicit codebooks (seeded or trained). */
+  def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val books = pqBooks(corpus, seedIds, m, dim)
+    val m = books.length
     val coded = corpus.select(col("vec_id") +:
       (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
     val qt = broadcast(queries.select(col("vec_id").as("query_id") +:
@@ -369,6 +374,26 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** TRAIN the per-subspace codebooks with [[KMeansOps.lloyd]] over the
+    * sliced embedding column (spherical k-means — the same
+    * cosine-assignment/decimal-mean trainer the IVF path composes, run
+    * once per subspace). Returns m × nc × sub doubles of model state,
+    * codebook entries ordered by cell id so code indices are stable.
+    */
+  def trainPqBooks(corpus: DataFrame, seedIds: Seq[Long], m: Int,
+      dim: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, "dim must divide into m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sliced = corpus.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
+      KMeansOps.lloyd(sliced, "vec_id", "embedding", seedIds, iters)
+        .orderBy(col("cell"))
+        .select(col("centroid"))
+        .collect().map(_.getSeq[Double](0): Seq[Double]).toSeq
+    }
   }
 
   /** IVF+PQ composed — the canonical billion-scale index (faiss

@@ -61,6 +61,18 @@ object SimilarityQueries {
       tmp
     })
 
+  /** Per-subspace PQ codebook training, memoized per (session, sf-dir)
+    * like the Lloyd model (4 × 1-iteration trainings on first use).
+    */
+  private val pqBookCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Seq[Seq[Double]]]]
+
+  private def trainedBooks(s: SparkSession, dir: String)
+      : Seq[Seq[Seq[Double]]] =
+    pqBookCache.getOrElseUpdate((s, dir),
+      SimilarityOps.trainPqBooks(embs(s, dir),
+        seedIds = SEEDS.map(_.toLong), m = 4, dim = 64, iters = 1))
+
   val all: Map[String, Q] = Map(
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -96,6 +108,16 @@ object SimilarityQueries {
       val e = embs(s, dir)
       SimilarityOps.pqTopK(e, queriesOf(e), K,
         seedIds = SEEDS.map(_.toLong))
+    }),
+
+    // PQ over TRAINED codebooks: per-subspace spherical k-means
+    // (KMeansOps.lloyd on the sliced column, 1 iteration) supplies the
+    // model; encode + ADC identical to sim_pq_topk. The oracle replays
+    // all four subspace trainings AND the search.
+    "sim_pq_kmeans" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.pqTopKWithBooks(e, queriesOf(e), K,
+        trainedBooks(s, dir))
     }),
 
     // IVF+PQ composed — the canonical billion-scale index: IVF prunes
@@ -193,6 +215,7 @@ object SimilarityQueries {
     // persisted index: same cells, same search tail — same replay
     "sim_ivf_persisted" -> ivfTopkSql,
     "sim_pq_topk" -> pqTopkSql,
+    "sim_pq_kmeans" -> pqKmeansSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql,
     "sim_ivf_probe2" -> {
       val seedList = (100 until 108).mkString("(", ", ", ")")
@@ -391,6 +414,88 @@ object SimilarityQueries {
                      WHERE vec_id < $NQ) qc ON qc.cell = cx.cell
                JOIN qt q ON q.query_id = qc.query_id
                         AND q.j = x.j AND q.code = x.code
+               WHERE x.vec_id <> q.query_id
+               GROUP BY q.query_id, x.vec_id)
+        SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT query_id, neighbor_id, score,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rank
+          FROM sc)
+        WHERE rank <= $K"""
+  }
+
+  /** One-iteration spherical-k-means replay for PQ subspace `j` (the
+    * KMeansOps contract on the 16-dim slice: seeded init, cosine argmax
+    * assignment with DESC/cell tie-break, DECIMAL(38,10) means through
+    * VARCHAR, empty cells keep their seed). Ends at `cbk_j` =
+    * (code, cvec double-list).
+    */
+  private def pqLloydCtes(j: Int): String = {
+    val sub = 16
+    val lo = j * sub
+    val seedList = SEEDS.mkString("(", ", ", ")")
+    val dims = s"range(0, $sub) d(i)"
+    def sl(e: String) = s"$e[$lo+1 : $lo+$sub]"
+    s"""c0_$j AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+                 ${sl("embedding")} AS cent
+          FROM embeddings WHERE vec_id IN $seedList),
+        c0e_$j AS (
+          SELECT cell, d.i AS dim, cent[d.i+1]::DOUBLE AS m
+          FROM c0_$j CROSS JOIN $dims),
+        a1_$j AS (
+          SELECT e.vec_id, ${sl("e.embedding")} AS sv, c.cell,
+                 ${cosine(sl("e.embedding"), "c.cent")} AS s
+          FROM embeddings e CROSS JOIN c0_$j c),
+        g1_$j AS (
+          SELECT vec_id, sv, cell FROM (
+            SELECT vec_id, sv, cell,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, cell) AS rn
+            FROM a1_$j) WHERE rn = 1),
+        m1_$j AS (
+          SELECT cell, d.i AS dim,
+                 sum(sv[d.i+1]::DOUBLE::VARCHAR::DECIMAL(38,10))::DOUBLE
+                   / count(*)::DOUBLE AS m
+          FROM g1_$j CROSS JOIN $dims GROUP BY cell, d.i),
+        cbk_$j AS (
+          SELECT c0e.cell AS code,
+                 list(COALESCE(m1.m, c0e.m) ORDER BY c0e.dim) AS cvec
+          FROM c0e_$j c0e LEFT JOIN m1_$j m1
+            ON c0e.cell = m1.cell AND c0e.dim = m1.dim
+          GROUP BY c0e.cell)"""
+  }
+
+  /** Trained-PQ replay: four subspace trainings feeding the same
+    * encode/table/score CTEs as [[pqTopkSql]].
+    */
+  private def pqKmeansSql: String = {
+    val (m, sub) = (4, 16)
+    def slice(e: String) = s"$e[c.j*$sub+1 : c.j*$sub+$sub]"
+    val training = (0 until m).map(pqLloydCtes).mkString(",\n        ")
+    val cbUnion = (0 until m).map(j =>
+      s"SELECT $j AS j, code, cvec FROM cbk_$j").mkString(
+      "\n               UNION ALL ")
+    s"""WITH $training,
+        cbu AS ($cbUnion),
+        cb2 AS (SELECT j, code, cvec, ${dot("cvec", "cvec")} AS cc
+                FROM cbu),
+        enc AS (SELECT vec_id, j, code FROM (
+                  SELECT e.vec_id, c.j, c.code,
+                    row_number() OVER (PARTITION BY e.vec_id, c.j
+                      ORDER BY c.cc
+                        - 2 * ${dot(slice("e.embedding"), "c.cvec")},
+                        c.code) AS rn
+                  FROM embeddings e CROSS JOIN cb2 c) WHERE rn = 1),
+        qt AS (SELECT e.vec_id AS query_id, c.j, c.code,
+                 ${dot(slice("e.embedding"), "c.cvec")} AS t
+               FROM embeddings e CROSS JOIN cb2 c WHERE e.vec_id < $NQ),
+        sc AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+                 ((max(CASE WHEN x.j = 0 THEN q.t END)
+                   + max(CASE WHEN x.j = 1 THEN q.t END))
+                   + max(CASE WHEN x.j = 2 THEN q.t END))
+                   + max(CASE WHEN x.j = 3 THEN q.t END) AS score
+               FROM enc x JOIN qt q ON q.j = x.j AND q.code = x.code
                WHERE x.vec_id <> q.query_id
                GROUP BY q.query_id, x.vec_id)
         SELECT query_id, neighbor_id, rank, score FROM (
