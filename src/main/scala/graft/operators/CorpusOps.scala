@@ -41,6 +41,18 @@ object CorpusOps {
       .filter(col("df") >= maxDf)
       .select(col("seg"))
 
+  /** Scala replica of [[TextOps.tokens]]' EXACT semantics, for the
+    * broadcast-set UDFs: Spark's `trim` strips ONLY spaces (Java
+    * `String.trim` strips every char <= U+0020) and Spark's `split`
+    * keeps trailing empty tokens (Java's default drops them). A
+    * different tokenizer here would shift the offline model's segment
+    * grid against the online apply and silently stop matching.
+    */
+  private def tokenizeLikeSpark(text: String): Array[String] = {
+    val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    t.split("\\s+", -1)
+  }
+
   /** ONLINE application of the offline-built model: rewrite each document
     * with its boilerplate segments removed. The model ships as a
     * broadcast hash set probed O(1) per segment — the same
@@ -57,7 +69,7 @@ object CorpusOps {
     val bc = docs.sparkSession.sparkContext.broadcast(boiler)
     val strip = udf { (text: String) =>
       if (text == null) null
-      else text.trim.split("\\s+").grouped(segTokens)
+      else tokenizeLikeSpark(text).grouped(segTokens)
         .map(_.mkString(" ")).filterNot(bc.value).mkString(" ")
     }
     docs.withColumn("text", strip(col("text")))
@@ -122,13 +134,13 @@ object CorpusOps {
   def oovRatio(vocab: Set[String])(docs: DataFrame): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(vocab)
     val ratio = udf { (text: String) =>
-      if (text == null) 1.0
-      else {
-        val toks = text.trim.split("\\s+")
-        toks.count(t => !bc.value.contains(t)).toDouble / toks.length
-      }
+      val toks = tokenizeLikeSpark(text)
+      toks.count(t => !bc.value.contains(t)).toDouble / toks.length
     }
-    docs.withColumn("oov_ratio", ratio(col("text")))
+    // null-text docs carry no tokens: dropped, matching the oracle's
+    // unnest (which emits no rows for them)
+    docs.filter(col("text").isNotNull)
+      .withColumn("oov_ratio", ratio(col("text")))
   }
 
   // ------------------------------------------------------ sequence packing

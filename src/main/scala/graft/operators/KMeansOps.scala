@@ -59,17 +59,29 @@ object KMeansOps {
     */
   private def step(corpus: DataFrame, vecCol: String,
       cents: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    // zero norms (degenerate centroid or row — e.g. an all-zero PQ
+    // subspace slice) are NaN explicitly: under ANSI mode the raw double
+    // division THROWS instead of yielding NaN
     val scores = array(cents.map { case (_, v) =>
-      dot(col("__v"), typedlit(v)) /
-        (norm(col("__v")) * lit(math.sqrt(v.map(x => x * x).sum)))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) lit(Double.NaN)
+      else when(norm(col("__v")) === 0.0, lit(Double.NaN))
+        .otherwise(dot(col("__v"), typedlit(v)) /
+          (norm(col("__v")) * lit(n)))
     }: _*)
+    // NaN must rank FIRST like ORDER BY s DESC (the oracle's replay) and
+    // codegen array_position MISSES a NaN needle (Java NaN == NaN is
+    // false), so NaN maps to +∞ before the argmax — same discipline as
+    // SimilarityOps.assignHome.
+    val safe = transform(col("__s"),
+      s => when(isnan(s), lit(Double.PositiveInfinity)).otherwise(s))
     // two-stage select: __s holds the k dot products ONCE; CollapseProject
     // keeps the stages apart because __s is non-cheap and referenced twice
     val assigned = corpus
       .select(col(vecCol).as("__v"))
       .select(col("__v"), scores.as("__s"))
       .select(col("__v"),
-        array_position(col("__s"), array_max(col("__s"))).cast("int")
+        array_position(safe, array_max(safe)).cast("int")
           .as("__cell"))
     val means = assigned
       .select(col("__cell"), posexplode(col("__v")).as(Seq("__d", "__x")))

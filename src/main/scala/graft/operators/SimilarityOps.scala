@@ -357,23 +357,31 @@ object SimilarityOps {
       seedIds: Seq[Long], m: Int = 4, dim: Int = 64): DataFrame =
     pqTopKWithBooks(corpus, queries, k, pqBooks(corpus, seedIds, m, dim))
 
-  /** PQ search over explicit codebooks (seeded or trained). */
-  def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
-      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+  /** Shared ADC ranking tail: score the joined (codes × query tables)
+    * candidates by the m lookups, per-query top-k. One home for the
+    * tie-break and output dtypes both PQ paths' oracles depend on.
+    */
+  private def pqRank(candidates: DataFrame, m: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = books.length
-    val coded = corpus.select(col("vec_id") +:
-      (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
-    val qt = broadcast(queries.select(col("vec_id").as("query_id") +:
-      (0 until m).map(j => pqTableCol(books, j).as(s"__t$j")): _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    coded.join(qt, col("vec_id") =!= col("query_id"))
+    candidates
       .withColumn("score", pqScore(m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** PQ search over explicit codebooks (seeded or trained). */
+  def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = books.length
+    val coded = corpus.select(col("vec_id") +:
+      (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
+    val qt = broadcast(queries.select(col("vec_id").as("query_id") +:
+      (0 until m).map(j => pqTableCol(books, j).as(s"__t$j")): _*))
+    pqRank(coded.join(qt, col("vec_id") =!= col("query_id")), m, k)
   }
 
   /** TRAIN the per-subspace codebooks with [[KMeansOps.lloyd]] over the
@@ -407,7 +415,6 @@ object SimilarityOps {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       ivfSeedIds: Seq[Long], pqSeedIds: Seq[Long], nprobe: Int = 1,
       m: Int = 4, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1, "nprobe must be >= 1")
     val cents = collectCents(corpus
       .filter(col("vec_id").isInCollection(ivfSeedIds))
@@ -423,15 +430,8 @@ object SimilarityOps {
     val qt = broadcast(qcells.select(col("vec_id").as("query_id") +:
       col("cell") +:
       (0 until m).map(j => pqTableCol(books, j).as(s"__t$j")): _*))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    coded.join(qt, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", pqScore(m))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), col("score"))
+    pqRank(coded.join(qt, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id")), m, k)
   }
 
   /** SRP-LSH approximate top-k: score only corpus vectors in the query's

@@ -66,4 +66,20 @@ class KMeansSpec extends SparkSpec {
     assert(cents.length == 2)
     assert(cents.forall(_._2.forall(x => !x.isNaN && !x.isInfinite)))
   }
+
+  test("zero-norm vector and centroid survive training (no ANSI throw)") {
+    // a zero vector both IN the corpus and AS a seed: every cosine
+    // against it is NaN, which must rank first (ORDER BY DESC parity)
+    // instead of throwing DIVIDE_BY_ZERO under ANSI or being missed by
+    // codegen array_position — the trap trainPqBooks' 16-dim slices can
+    // hit on sparse embeddings
+    val pts = Seq(
+      0L -> Array(1.0, 0.0), 1L -> Array(0.9, 0.1),
+      2L -> Array(0.0, 0.0), 3L -> Array(0.1, 1.0)
+    ).toDF("vec_id", "embedding")
+    val cents = KMeansOps.lloyd(pts, "vec_id", "embedding",
+      seedIds = Seq(0L, 2L), iters = 2)
+      .as[(Int, Seq[Double])].collect()
+    assert(cents.length == 2) // completed, one row per cell
+  }
 }
