@@ -290,6 +290,64 @@ object SimilarityOps {
   private def centroidsDir(dir: String): String =
     dir.stripSuffix("/") + "_centroids"
 
+  private def booksDir(dir: String): String =
+    dir.stripSuffix("/") + "_books"
+
+  /** Persisted IVF+PQ index: one corpus pass computes home cell + the m
+    * PQ codes, written partitionBy(cell); centroids AND codebooks live
+    * alongside as model-state side tables. A search reads ONLY the
+    * probed cell partitions and scores candidates by ADC table lookups —
+    * at 100 TB the scan is nprobe/k_cells of a table that holds m small
+    * ints per vector instead of the embeddings themselves.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, centFrame: DataFrame,
+      books: Seq[Seq[Seq[Double]]], dir: String): Unit = {
+    val cents = collectCents(centFrame)
+    val m = books.length
+    assignHome(cents)(withNorm(corpus))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toDF("cent_id", "cent_emb")
+      .write.mode("overwrite").parquet(centroidsDir(dir))
+    books.zipWithIndex
+      .flatMap { case (b, j) => b.zipWithIndex.map { case (c, i) =>
+        (j, i + 1, c) } }
+      .toDF("j", "code", "cvec")
+      .write.mode("overwrite").parquet(booksDir(dir))
+  }
+
+  /** Search a [[buildIvfPqIndex]] directory: probe cells + ADC tables
+    * are computed map-side from the reloaded model state; only the
+    * probed cell partitions are scanned (partition pruning), and the
+    * candidates carry codes, not vectors.
+    */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, nprobe: Int = 1)
+      : DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cents = collectCents(spark.read.parquet(centroidsDir(dir)))
+    val books: Seq[Seq[Seq[Double]]] = spark.read.parquet(booksDir(dir))
+      .orderBy(col("j"), col("code"))
+      .select(col("j"), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1): Seq[Double]))
+      .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq)
+    val m = books.length
+    val qcells = assignProbes(cents, nprobe)(withNorm(queries))
+    val qt = broadcast(qcells.select(col("vec_id").as("query_id") +:
+      col("cell") +:
+      (0 until m).map(j => pqTableCol(books, j).as(s"__t$j")): _*))
+    val probed = qcells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val coded = spark.read.parquet(dir)
+      .filter(col("cell").isInCollection(probed))
+      .withColumn("cell", col("cell").cast("long"))
+    pqRank(coded.join(qt, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id")), m, k)
+  }
+
   /** Product-quantization (PQ) max-inner-product top-k — the compression
     * half of the billion-scale ANN recipe (IVF prunes WHICH vectors get
     * scored; PQ compresses HOW each one is scored): the embedding splits
@@ -352,6 +410,12 @@ object SimilarityOps {
     */
   private def pqScore(m: Int): Column = (0 until m)
     .map(j => element_at(col(s"__t$j"), col(s"__c$j"))).reduce(_ + _)
+
+  /** Public accessor for seed-sliced codebooks (the model an index
+    * build persists).
+    */
+  def pqBooksOf(corpus: DataFrame, seedIds: Seq[Long], m: Int, dim: Int)
+      : Seq[Seq[Seq[Double]]] = pqBooks(corpus, seedIds, m, dim)
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       seedIds: Seq[Long], m: Int = 4, dim: Int = 64): DataFrame =

@@ -61,6 +61,23 @@ object SimilarityQueries {
       tmp
     })
 
+  private val ivfPqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def builtIvfPqIndex(s: SparkSession, dir: String): String =
+    ivfPqIndexCache.getOrElseUpdate((s, dir), {
+      val e = embs(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-index").toString + "/idx"
+      SimilarityOps.buildIvfPqIndex(e,
+        e.filter(col("vec_id").isInCollection(SEEDS.map(_.toLong)))
+          .select(col("vec_id").as("cent_id"),
+            col("embedding").as("cent_emb")),
+        SimilarityOps.pqBooksOf(e, SEEDS.map(_.toLong), m = 4, dim = 64),
+        tmp)
+      tmp
+    })
+
   /** Per-subspace PQ codebook training, memoized per (session, sf-dir)
     * like the Lloyd model (4 × 1-iteration trainings on first use).
     */
@@ -126,6 +143,16 @@ object SimilarityQueries {
       val e = embs(s, dir)
       SimilarityOps.ivfPqTopK(e, queriesOf(e), K,
         ivfSeedIds = SEEDS.map(_.toLong), pqSeedIds = SEEDS.map(_.toLong))
+    }),
+
+    // ...and its PERSISTED form: codes live partitionBy(cell) on disk,
+    // the search scans only probed cells and never touches a raw
+    // embedding on the corpus side. Same cells/codes/tail ⇒ the
+    // composed oracle replays it unchanged.
+    "sim_ivfpq_persisted" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.searchIvfPqIndex(s, builtIvfPqIndex(s, dir),
+        queriesOf(e), K)
     }),
 
     // The build-once/search-many index shape: the cell assignment is
@@ -217,6 +244,7 @@ object SimilarityQueries {
     "sim_pq_topk" -> pqTopkSql,
     "sim_pq_kmeans" -> pqKmeansSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql,
+    "sim_ivfpq_persisted" -> ivfPqTopkSql,
     "sim_ivf_probe2" -> {
       val seedList = (100 until 108).mkString("(", ", ", ")")
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb

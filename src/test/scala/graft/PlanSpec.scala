@@ -141,16 +141,18 @@ class PlanSpec extends SparkSpec {
       "contamination join degraded to a corpus shuffle on the shingle key")
   }
 
-  test("sim_ivf_persisted: search scans only the probed cell partitions") {
-    val p = planString("sim_ivf_persisted")
-    // the whole point of the persisted index: the probed cells arrive as
+  test("persisted indexes: search scans only the probed cell partitions") {
+    // the whole point of a persisted index: the probed cells arrive as
     // partition filters on the scan, so the search never reads the other
     // cell directories
-    assert(p.contains("PartitionFilters: [") &&
-      !p.contains("PartitionFilters: []"),
-      "probed-cell filter did not reach the index scan as partition " +
-        "pruning\n" + p.take(2000))
-    assert(!p.contains("SortMergeJoin"))
+    for (q <- Seq("sim_ivf_persisted", "sim_ivfpq_persisted")) {
+      val p = planString(q)
+      assert(p.contains("PartitionFilters: [") &&
+        !p.contains("PartitionFilters: []"),
+        s"$q: probed-cell filter did not reach the index scan as " +
+          "partition pruning\n" + p.take(2000))
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus side shuffled")
+    }
   }
 
   test("sim_pq_topk: PQ encode is a pure map — one shuffle total") {
