@@ -110,6 +110,24 @@ object CorpusOps {
           e => e.getField("seg")))).as("kept_hash"))
   }
 
+  /** ONLINE contamination gate: drop documents sharing any `k`-token
+    * shingle with the (broadcast) eval-set shingles — the streaming
+    * counterpart of [[contamination]], for keeping benchmark text out of
+    * a live ingestion path. Same broadcast-set probe + pure per-row map
+    * as [[stripBoilerplate]], with the early-exit `exists` so a clean
+    * doc stops at the first non-match set miss it can.
+    */
+  def contaminationGate(evalShingles: Set[String], k: Int = 8)(
+      docs: DataFrame): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(evalShingles)
+    val contaminated = udf { (text: String) =>
+      text != null &&
+        tokenizeLikeSpark(text).sliding(k).map(_.mkString(" "))
+          .exists(bc.value)
+    }
+    docs.filter(!contaminated(col("text")))
+  }
+
   // ------------------------------------------------------- vocabulary gate
 
   /** The vocabulary MODEL: the top-`v` tokens by corpus frequency (ties

@@ -356,6 +356,29 @@ class StreamingSpec extends SparkSpec {
     assert(batched == streamed)
   }
 
+  test("contamination gate drops benchmark-overlapping docs in-stream") {
+    import graft.operators.CorpusOps
+    // offline: the eval set's distinct 4-shingles (tiny here; a real
+    // benchmark set is also broadcast-sized)
+    val evalText = "alpha beta gamma delta epsilon"
+    val evalShingles = evalText.split(" ").sliding(4)
+      .map(_.mkString(" ")).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq(
+      (1L, s"prefix words beta gamma delta epsilon suffix"), // overlaps
+      (2L, "entirely unrelated training document text here")))
+    val out = Files.createTempDirectory("graft-contam").toString
+    val q = CorpusOps.contaminationGate(evalShingles, k = 4)(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("contam_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("contam_out").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(2L)) // the doc sharing "beta gamma delta epsilon" dropped
+  }
+
   test("sink: redelivered micro-batch leaves exactly one doc per id (K2)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Msg]
