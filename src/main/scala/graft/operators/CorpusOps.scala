@@ -114,8 +114,10 @@ object CorpusOps {
     * shingle with the (broadcast) eval-set shingles — the streaming
     * counterpart of [[contamination]], for keeping benchmark text out of
     * a live ingestion path. Same broadcast-set probe + pure per-row map
-    * as [[stripBoilerplate]], with the early-exit `exists` so a clean
-    * doc stops at the first non-match set miss it can.
+    * as [[stripBoilerplate]]; `exists` short-circuits on the first HIT,
+    * so contaminated docs are cheap while a clean doc pays the full
+    * shingle scan — the per-row cost on a mostly-clean stream is
+    * O(tokens) set probes.
     */
   def contaminationGate(evalShingles: Set[String], k: Int = 8)(
       docs: DataFrame): DataFrame = {

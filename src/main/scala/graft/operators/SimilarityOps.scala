@@ -268,6 +268,21 @@ object SimilarityOps {
       .write.mode("append").partitionBy("cell").parquet(dir)
   }
 
+  /** Scan of an index directory restricted to the probed cells: the
+    * probed ids are |Q|·nprobe values — driver-side model scale — and as
+    * an IN literal they prune the partition directories. (The partition
+    * column comes back as the inferred int type; normalized to long for
+    * the join key.) Shared by both persisted-index search paths.
+    */
+  private def probedCellScan(spark: org.apache.spark.sql.SparkSession,
+      dir: String, qcells: DataFrame): DataFrame = {
+    val probed = qcells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(dir)
+      .filter(col("cell").isInCollection(probed))
+      .withColumn("cell", col("cell").cast("long"))
+  }
+
   /** Search a [[buildIndex]] directory: assign probe cells to the query
     * vectors map-side (centroids reloaded as model state), then scan
     * only those cells. `queries` supplies (vec_id, embedding).
@@ -277,14 +292,7 @@ object SimilarityOps {
     require(nprobe >= 1, "nprobe must be >= 1")
     val cents = collectCents(spark.read.parquet(centroidsDir(dir)))
     val qcells = assignProbes(cents, nprobe)(withNorm(queries))
-    // the probed cell ids are |Q|·nprobe values — driver-side model
-    // scale — and as an IN literal they prune the partition directories
-    val probed = qcells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val cells = spark.read.parquet(dir)
-      .filter(col("cell").isInCollection(probed))
-      .withColumn("cell", col("cell").cast("long"))
-    searchCells(cells, qcells, k)
+    searchCells(probedCellScan(spark, dir, qcells), qcells, k)
   }
 
   private def centroidsDir(dir: String): String =
@@ -339,12 +347,7 @@ object SimilarityOps {
     val qt = broadcast(qcells.select(col("vec_id").as("query_id") +:
       col("cell") +:
       (0 until m).map(j => pqTableCol(books, j).as(s"__t$j")): _*))
-    val probed = qcells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val coded = spark.read.parquet(dir)
-      .filter(col("cell").isInCollection(probed))
-      .withColumn("cell", col("cell").cast("long"))
-    pqRank(coded.join(qt, Seq("cell"))
+    pqRank(probedCellScan(spark, dir, qcells).join(qt, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id")), m, k)
   }
 

@@ -49,34 +49,37 @@ object SimilarityQueries {
   private val indexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  private def builtIndex(s: SparkSession, dir: String): String =
-    indexCache.getOrElseUpdate((s, dir), {
-      val e = embs(s, dir)
+  /** Seed-centroid frame shared by every seeded-index builder. */
+  private def seedCents(e: DataFrame): DataFrame =
+    e.filter(col("vec_id").isInCollection(SEEDS.map(_.toLong)))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+
+  private def memoTempIndex(cache: scala.collection.concurrent.TrieMap[
+        (SparkSession, String), String],
+      s: SparkSession, dir: String, prefix: String)(
+      build: (DataFrame, String) => Unit): String =
+    cache.getOrElseUpdate((s, dir), {
       val tmp = java.nio.file.Files
-        .createTempDirectory("graft-ivf-index").toString + "/idx"
-      SimilarityOps.buildIndex(e,
-        e.filter(col("vec_id").isInCollection(SEEDS.map(_.toLong)))
-          .select(col("vec_id").as("cent_id"),
-            col("embedding").as("cent_emb")), tmp)
+        .createTempDirectory(prefix).toString + "/idx"
+      build(embs(s, dir), tmp)
       tmp
     })
+
+  private def builtIndex(s: SparkSession, dir: String): String =
+    memoTempIndex(indexCache, s, dir, "graft-ivf-index") { (e, tmp) =>
+      SimilarityOps.buildIndex(e, seedCents(e), tmp)
+    }
 
   private val ivfPqIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
   private def builtIvfPqIndex(s: SparkSession, dir: String): String =
-    ivfPqIndexCache.getOrElseUpdate((s, dir), {
-      val e = embs(s, dir)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-index").toString + "/idx"
-      SimilarityOps.buildIvfPqIndex(e,
-        e.filter(col("vec_id").isInCollection(SEEDS.map(_.toLong)))
-          .select(col("vec_id").as("cent_id"),
-            col("embedding").as("cent_emb")),
-        SimilarityOps.pqBooksOf(e, SEEDS.map(_.toLong), m = 4, dim = 64),
-        tmp)
-      tmp
-    })
+    memoTempIndex(ivfPqIndexCache, s, dir, "graft-ivfpq-index") {
+      (e, tmp) =>
+        SimilarityOps.buildIvfPqIndex(e, seedCents(e),
+          SimilarityOps.pqBooksOf(e, SEEDS.map(_.toLong), m = 4, dim = 64),
+          tmp)
+    }
 
   /** Per-subspace PQ codebook training, memoized per (session, sf-dir)
     * like the Lloyd model (4 × 1-iteration trainings on first use).
