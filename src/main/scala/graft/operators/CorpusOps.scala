@@ -48,7 +48,7 @@ object CorpusOps {
     * different tokenizer here would shift the offline model's segment
     * grid against the online apply and silently stop matching.
     */
-  private def tokenizeLikeSpark(text: String): Array[String] = {
+  private[graft] def tokenizeLikeSpark(text: String): Array[String] = {
     val t = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
     t.split("\\s+", -1)
   }

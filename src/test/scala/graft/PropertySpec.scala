@@ -79,6 +79,20 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("∀ texts: the UDF tokenizer replicates Spark split(trim) exactly") {
+    // the root cause behind two review findings: Java trim/split strip
+    // \t/\n and drop trailing empties where Spark's trim is space-only
+    // and split keeps them — the corpus UDFs must match TextOps.tokens
+    // bit-for-bit or offline models silently stop matching online
+    val genText = Gen.listOfN(12, Gen.oneOf(
+      "w", "xy", " ", "\t", "\n", "  ", "\r")).map(_.mkString)
+    check(Prop.forAll(genText) { text =>
+      val viaSpark = Seq(text).toDF("text")
+        .select(TextOps.tokens($"text")).as[Seq[String]].head()
+      viaSpark == graft.operators.CorpusOps.tokenizeLikeSpark(text).toSeq
+    })
+  }
+
   test("∀ dims/rates: media headers round-trip through their parsers") {
     import graft.operators.MediaHeaders
     val genDims = for {
