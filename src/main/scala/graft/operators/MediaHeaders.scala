@@ -76,18 +76,32 @@ object MediaHeaders {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return None
     var i = 2
-    while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+    while (i + 2 <= b.length && (b(i) & 0xff) == 0xff) {
       val marker = b(i + 1) & 0xff
-      val segLen = be16(b, i + 2)
-      // a declared segment length below 2 (it includes itself) or past
-      // the end of the buffer is corrupt — drop, and never return a
-      // header length beyond the bytes we actually have
-      if (segLen < 2 || i + 2 + segLen > b.length) return None
-      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
-        if (i + 9 > b.length) return None
-        return Some((be16(b, i + 7), be16(b, i + 5), i + 2 + segLen))
+      if (marker == 0xff) {
+        // 0xFF fill byte before a marker (T.81 §B.1.1.2): skip one byte
+        i += 1
+      } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+        // standalone markers carry no length field: TEM (01), RST0-7
+        // (D0-D7), and a repeated SOI (D8) — reading payload bytes as a
+        // segment length here would misparse unusual-but-valid streams
+        i += 2
+      } else if (marker == 0xd9) {
+        // EOI before any SOF: no frame header in this stream
+        return None
+      } else {
+        if (i + 4 > b.length) return None
+        val segLen = be16(b, i + 2)
+        // a declared segment length below 2 (it includes itself) or past
+        // the end of the buffer is corrupt — drop, and never return a
+        // header length beyond the bytes we actually have
+        if (segLen < 2 || segLen > b.length - i - 2) return None
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+          if (i + 9 > b.length) return None
+          return Some((be16(b, i + 7), be16(b, i + 5), i + 2 + segLen))
+        }
+        i += 2 + segLen
       }
-      i += 2 + segLen
     }
     None
   }
@@ -121,8 +135,10 @@ object MediaHeaders {
       val id = ascii(b, i, i + 4)
       val size = le32(b, i + 4)
       // a negative (sign-bit) or past-the-end declared chunk size is
-      // corrupt: bail rather than loop forever / index out of bounds
-      if (size < 0 || i + 8 + size > b.length) return None
+      // corrupt: bail rather than loop forever / index out of bounds.
+      // Compare against the remaining bytes — `i + 8 + size` wraps
+      // negative for sizes near Int.MaxValue and would dodge the check
+      if (size < 0 || size > b.length - i - 8) return None
       if (id == "fmt ") {
         if (size < 8 || i + 16 > b.length) return None
         val channels = le16(b, i + 10)

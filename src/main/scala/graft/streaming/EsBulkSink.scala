@@ -104,52 +104,82 @@ class EsBulkSink(
       // possible hits skips the store read entirely — the common
       // all-fresh batch costs O(batch) instead of O(store). A false
       // positive only costs the join every batch paid before the gate.
-      // (The probe is a scalar UDF over the SMALL cached batch side, not
-      // a data-path operator; beyond capacity the fpp degrades to more
-      // store consults, never to wrong results.)
+      // The probe rides INSIDE the single counters aggregate below (no
+      // separate probe job), and both the probe and every filter build
+      // go through an explicit string cast so the two hash encodings
+      // always agree whatever the native doc_id type — a type mismatch
+      // would mean false NEGATIVES, i.e. silent duplicate inserts.
       val bfBc = spark.sparkContext.broadcast(ensureBloom(spark))
       val probe = udf((id: String) =>
         id != null && bfBc.value.mightContainString(id))
-      val mustConsultStore =
-        flagged.filter(probe(col("doc_id"))).limit(1).count() > 0
-      val joined =
-        if (mustConsultStore)
-          existingIds(spark).map(ids => flagged.join(
-            ids.withColumn("__seen", lit(true)), Seq("doc_id"),
-            "left_outer"))
-            .getOrElse(flagged.withColumn("__seen",
-              lit(null).cast("boolean")))
-        else flagged.withColumn("__seen", lit(null).cast("boolean"))
-      val classified = joined
-        .withColumn("__status",
-          when(col("__bad"), "bad")
-            .when(col("__rn") > 1 || col("__seen"), "conflict")
-            .otherwise("fresh"))
-        .persist()
-      try {
-        // single aggregate pass materializes the cache and yields all
-        // counters
-        val counts = classified.groupBy(col("__status"))
-          .agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        badRequests.add(counts.getOrElse("bad", 0L))
-        conflicts.add(counts.getOrElse("conflict", 0L))
-        val nFresh = counts.getOrElse("fresh", 0L)
-        inserted.add(nFresh)
-        if (nFresh > 0) {
-          val fresh = classified.filter(col("__status") === "fresh")
-            .drop("__bad", "__rn", "__seen", "__status")
-          fresh.write.mode(SaveMode.Append).parquet(targetDir)
-          // only never-seen ids are appended, so the store stays distinct
-          fresh.select(col("doc_id")).write.mode(SaveMode.Append)
-            .parquet(idsDir)
-          // fold the fresh ids into the filter (distributed build over
-          // the cache, driver merge — same capacity so sizes line up)
-          ensureBloom(spark).mergeInPlace(fresh.stat.bloomFilter(
-            "doc_id", EsBulkSink.BloomCapacity, EsBulkSink.BloomFpp))
-        }
-      } finally classified.unpersist()
+      val maybeSeen = probe(col("doc_id").cast("string"))
+      // ONE aggregate pass materializes the cache and yields the K3/K2
+      // in-batch counters plus the store-consult flag. Only rows that
+      // would otherwise be fresh (good, first-in-batch) matter for the
+      // flag — bad rows and in-batch dups are dropped regardless.
+      val agg0 = flagged.agg(
+        count(when(col("__bad"), 1)).as("bad"),
+        count(when(!col("__bad") && col("__rn") > 1, 1)).as("dup"),
+        count(when(!col("__bad") && col("__rn") === 1, 1)).as("cand"),
+        count(when(!col("__bad") && col("__rn") === 1 && maybeSeen, 1))
+          .as("maybe")).collect()(0)
+      val (nBad, nDup, nCand, nMaybe) =
+        (agg0.getLong(0), agg0.getLong(1), agg0.getLong(2), agg0.getLong(3))
+      badRequests.add(nBad)
+      if (nMaybe == 0) {
+        // no candidate id can be in the store: counters are already in
+        // hand and the whole batch's survivors append without touching
+        // the store — the steady-state all-fresh shape
+        conflicts.add(nDup)
+        inserted.add(nCand)
+        if (nCand > 0)
+          appendFresh(spark, flagged
+            .filter(!col("__bad") && col("__rn") === 1)
+            .drop("__bad", "__rn"))
+      } else {
+        val joined = existingIds(spark).map(ids => flagged.join(
+          ids.withColumn("__seen", lit(true)), Seq("doc_id"),
+          "left_outer"))
+          .getOrElse(flagged.withColumn("__seen",
+            lit(null).cast("boolean")))
+        val classified = joined
+          .withColumn("__status",
+            when(col("__bad"), "bad")
+              .when(col("__rn") > 1 || col("__seen"), "conflict")
+              .otherwise("fresh"))
+          .persist()
+        try {
+          // post-join aggregate splits the candidates into seen
+          // conflicts vs fresh (the join reads the batch from cache)
+          val counts = classified.groupBy(col("__status"))
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          conflicts.add(counts.getOrElse("conflict", 0L))
+          val nFresh = counts.getOrElse("fresh", 0L)
+          inserted.add(nFresh)
+          if (nFresh > 0)
+            appendFresh(spark, classified
+              .filter(col("__status") === "fresh")
+              .drop("__bad", "__rn", "__seen", "__status"))
+        } finally classified.unpersist()
+      }
     } finally flagged.unpersist()
+  }
+
+  /** Append never-seen docs to the index, their ids to the side store
+    * (stays distinct by construction), and fold them into the Bloom
+    * filter (distributed build over the cache, driver merge — same
+    * capacity so the bit geometries line up; built over the STRING cast
+    * to match the probe encoding).
+    */
+  private def appendFresh(
+      spark: org.apache.spark.sql.SparkSession, fresh: DataFrame): Unit = {
+    fresh.write.mode(SaveMode.Append).parquet(targetDir)
+    fresh.select(col("doc_id")).write.mode(SaveMode.Append).parquet(idsDir)
+    ensureBloom(spark).mergeInPlace(fresh
+      .select(col("doc_id").cast("string").as("doc_id"))
+      .stat.bloomFilter("doc_id",
+        EsBulkSink.BloomCapacity, EsBulkSink.BloomFpp))
   }
 
   private def idsDir = targetDir + "_ids"
@@ -172,8 +202,10 @@ class EsBulkSink(
       : org.apache.spark.util.sketch.BloomFilter = {
     if (bloom == null)
       bloom = existingIds(spark) match {
-        case Some(ids) => ids.stat.bloomFilter("doc_id",
-          EsBulkSink.BloomCapacity, EsBulkSink.BloomFpp)
+        case Some(ids) => ids
+          .select(col("doc_id").cast("string").as("doc_id"))
+          .stat.bloomFilter("doc_id",
+            EsBulkSink.BloomCapacity, EsBulkSink.BloomFpp)
         case None => org.apache.spark.util.sketch.BloomFilter.create(
           EsBulkSink.BloomCapacity, EsBulkSink.BloomFpp)
       }

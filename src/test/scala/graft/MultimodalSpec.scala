@@ -75,6 +75,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV overflow-sized chunk and JPEG standalone markers stay total") {
+    // positive chunk size near Int.MaxValue: `i + 8 + size` wraps
+    // negative, so a naive `> b.length` check passes and the walk
+    // indexes with a negative offset — must return None, never throw
+    def withChunkSize(size: Int): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+        "WAVE".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++
+        java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(size).array() ++
+        Array.fill(24)(0.toByte)
+    assert(MediaHeaders.wav(withChunkSize(0x7ffffff0)).isEmpty)
+    assert(MediaHeaders.wav(withChunkSize(Int.MaxValue)).isEmpty)
+    // same overflow declared on the fmt chunk itself
+    val overFmt = withChunkSize(0).patch(12,
+      "fmt ".getBytes("US-ASCII") ++ java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x7ffffff0).array(),
+      8)
+    assert(MediaHeaders.wav(overFmt).isEmpty)
+    // JPEG: 0xFF fill bytes, TEM (01) and RST0 (D0) standalone markers
+    // before SOF0 carry no length field — a walk reading their payload
+    // bytes as a segment length would misparse this valid stream
+    val standalone = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0x01,
+      0xff, 0xd0).map(_.toByte) ++ MediaHeaders.jpegBytes(320, 200).drop(2)
+    assert(MediaHeaders.jpeg(standalone).map(d => (d._1, d._2))
+      .contains((320, 200)))
+    // EOI before any SOF: stream has no frame header
+    val eoiFirst = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) ++
+      MediaHeaders.jpegBytes(320, 200).drop(2)
+    assert(MediaHeaders.jpeg(eoiFirst).isEmpty)
+    // every poison shape survives the full decode as droppable zeros
+    for (bytes <- Seq(withChunkSize(0x7ffffff0), overFmt, eoiFirst)) {
+      val f = MultimodalOps.StubDecoder.decode(MediaRow(9L, "audio", bytes))
+      assert(f.sample_rate == 0 && f.width == 0)
+    }
+  }
+
   test("WAV chunk walk honors the RIFF pad byte after odd-sized chunks") {
     // odd-sized LIST chunk before fmt: the size field excludes the pad
     // byte, so a walk ignoring alignment reads garbage chunk ids
