@@ -5,10 +5,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-5 TPC-H completion: the remaining classical query shapes
-  * expressible on the driver's star schema (TESTDATA.md has no `partsupp`,
-  * `l_shipmode`, or `l_commitdate`/`l_receiptdate`, so Q2/Q11/Q16/Q20 are
-  * out of reach and Q12/Q21 use `l_shipdate > o_orderdate` as the "late"
-  * predicate).
+  * expressible on the driver's star schema (TESTDATA.md has no
+  * `l_shipmode` or `l_commitdate`/`l_receiptdate`, so Q12/Q21 use
+  * `l_shipdate > o_orderdate` as the "late" predicate).
+  *
+  * TESTDATA also has no `partsupp`, so Q2/Q11/Q16/Q20 run against a
+  * partsupp DERIVED deterministically from the part×supplier keys — both
+  * engines build the identical table (see [[partsupp]] / `psCte`), so
+  * the four classic supplier/part join shapes are still oracle-checked.
   *
   * Shapes covered here: two-sided nation-pair join with disjunctive
   * dimension predicate (Q7), market-share ratio over a star join (Q8),
@@ -39,6 +43,38 @@ object TpchQueries {
     Tables.load(s, dir, n)
   private val rev = () =>
     dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  /** Derived `partsupp`: dbgen's 4-suppliers-per-part bridge (TPC-H spec
+    * §4.2.3, adapted to this dataset's 0-based keys) with availqty /
+    * supplycost drawn from the portable hash, so Spark and the DuckDB
+    * oracle CTE construct bit-identical tables from `part` × `supplier`
+    * alone. Supplycost is exact at 2 decimal places (integer cents / 100
+    * in both engines — the same IEEE division), so Q2's min-equality
+    * join is safe on the double.
+    *
+    * Scale: one row per (part, i<4) — a pure flatMap over the part scan
+    * plus a 1-row broadcast for the supplier count; no shuffle. At 100 TB
+    * a real partsupp would be a stored table; the derivation stands in
+    * for the scan.
+    */
+  private def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val scnt = t(s, dir, "supplier").agg(count(lit(1)).as("s_cnt"))
+    t(s, dir, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(scnt))
+      .select(col("p_partkey").as("ps_partkey"), col("s_cnt"),
+        explode(array((0L until 4L).map(lit): _*)).as("i"))
+      .withColumn("ps_suppkey",
+        (col("ps_partkey") + col("i") *
+          (expr("s_cnt div 4") + expr("ps_partkey div s_cnt"))) %
+          col("s_cnt"))
+      .withColumn("__h", graft.functions.PortableHash.h15(
+        concat(col("ps_partkey").cast("string"), lit(":"),
+          col("ps_suppkey").cast("string"))))
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (col("__h") % 9999 + 1).as("ps_availqty"),
+        ((col("__h") % 99901 + 100).cast("double") / 100.0)
+          .as("ps_supplycost"))
+  }
 
   val all: Map[String, Q] = Map(
     // Q7 volume shipping: revenue between two specific nations, either
@@ -241,12 +277,137 @@ object TpchQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+    }),
+
+    // Q2 minimum-cost supplier: for STANDARD size-15 parts, the EUROPE
+    // supplier(s) achieving the per-part minimum supplycost. Both
+    // dimension sides (filtered parts, region suppliers) broadcast; the
+    // per-part min is an aggregate over the already-filtered eligible
+    // set, broadcast back — one shuffle total, partsupp never moves.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name")))
+      val suppRegion = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name")))
+      val eligible = partsupp(s, dir)
+        .join(parts, col("ps_partkey") === col("p_partkey"))
+        .join(suppRegion, col("ps_suppkey") === col("s_suppkey"))
+      val minCost = eligible.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      eligible.join(broadcast(minCost),
+          col("ps_partkey") === col("mk") &&
+            col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("ps_supplycost"))
+    }),
+
+    // Q11 important stock: a nation's partsupp value per part, kept when
+    // above a fraction of the nation's total. Exact decimal sums on both
+    // branches of the HAVING; the global total is a 1-row broadcast.
+    "q11_important_stock" -> ((s, dir) => {
+      val natSupp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val stock = partsupp(s, dir)
+        .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+        .withColumn("val_dec",
+          dec38(col("ps_supplycost") * col("ps_availqty")))
+      val perPart = stock.groupBy(col("ps_partkey"))
+        .agg(sum(col("val_dec")).as("part_dec"))
+      val total = stock.agg(sum(col("val_dec")).as("total_dec"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("part_dec").cast("double") >
+          col("total_dec").cast("double") * 0.001)
+        .select(col("ps_partkey"),
+          col("part_dec").cast("double").as("value"))
+    }),
+
+    // Q16 part-supplier counts: distinct suppliers per (brand, type,
+    // size) bucket, excluding negative-balance suppliers (the dataset's
+    // stand-in for the spec's complaints filter) via a broadcast
+    // anti-join. One shuffle: the distinct-count aggregate.
+    "q16_part_supplier_counts" -> ((s, dir) => {
+      val complainers = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "ECONOMY" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size")))
+      partsupp(s, dir)
+        .join(broadcast(complainers),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(parts, col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Q20 promo suppliers: ASIA suppliers holding excess stock
+    // (availqty > half the 1997 shipped quantity) of 'red' parts. The
+    // correlated EXISTS is rewritten as a grouped lineitem join on the
+    // composite (part, supplier) key; `> half` multiplies instead of
+    // dividing. Shuffles: the lineitem group-by and the partsupp⋈shipped
+    // equi-join, both on the same composite key.
+    "q20_promo_suppliers" -> ((s, dir) => {
+      val redParts = broadcast(t(s, dir, "part")
+        .filter(col("p_name").startsWith("red")).select(col("p_partkey")))
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec38(col("l_quantity"))).as("qty_dec"))
+      val promo = partsupp(s, dir)
+        .join(redParts, col("ps_partkey") === col("p_partkey"))
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty").cast("double") * 2.0 >
+          col("qty_dec").cast("double"))
+        .select(col("ps_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(promo, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
     })
   )
 
   private val D = "CAST(CAST(%s AS VARCHAR) AS DOUBLE)"
   private def dd(e: String) = D.format(e)
   private val revSql = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))"
+
+  /** The DuckDB dual of [[partsupp]]: same bridge formula, same hash
+    * attributes. DOUBLE-origin decimals go through VARCHAR so both
+    * engines round the shortest decimal representation.
+    */
+  private val psCte =
+    s"""scnt AS (SELECT count(*) AS s_cnt FROM supplier),
+        ps0 AS (
+          SELECT p_partkey AS ps_partkey,
+                 (p_partkey + i.i * (s_cnt // 4 + p_partkey // s_cnt))
+                   % s_cnt AS ps_suppkey
+          FROM part, scnt, (VALUES (0),(1),(2),(3)) i(i)),
+        partsupp AS (
+          SELECT ps_partkey, ps_suppkey,
+                 h % 9999 + 1 AS ps_availqty,
+                 CAST(h % 99901 + 100 AS DOUBLE) / 100.0 AS ps_supplycost
+          FROM (SELECT ps_partkey, ps_suppkey,
+                  ${graft.functions.PortableHash.duckH15(
+                    "CAST(ps_partkey AS VARCHAR) || ':' || " +
+                      "CAST(ps_suppkey AS VARCHAR)")} AS h
+                FROM ps0))"""
 
   val oracles: Map[String, String] = Map(
     "q7_volume_shipping" ->
@@ -373,6 +534,81 @@ object TpchQueries {
             AND NOT EXISTS (SELECT 1 FROM orders
                             WHERE o_custkey = c_custkey
                               AND o_orderdate >= TIMESTAMP '2000-01-01')
-          GROUP BY c_nationkey"""
+          GROUP BY c_nationkey""",
+    "q2_min_cost_supplier" ->
+      s"""WITH $psCte,
+          supp_region AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+          eligible AS (
+            SELECT ps_partkey, ps_supplycost, p_partkey, p_name,
+                   s_name, s_acctbal, n_name
+            FROM partsupp
+            JOIN part ON ps_partkey = p_partkey
+            JOIN supp_region ON ps_suppkey = s_suppkey
+            WHERE p_size <= 10 AND p_type = 'STANDARD'),
+          min_cost AS (
+            SELECT ps_partkey AS mk, min(ps_supplycost) AS min_cost
+            FROM eligible GROUP BY 1)
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                 ps_supplycost
+          FROM eligible
+          JOIN min_cost ON ps_partkey = mk AND ps_supplycost = min_cost""",
+    "q11_important_stock" ->
+      s"""WITH $psCte,
+          nat_supp AS (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'),
+          stock AS (
+            SELECT ps_partkey,
+                   CAST(CAST(ps_supplycost * ps_availqty AS VARCHAR)
+                     AS DECIMAL(38,10)) AS val_dec
+            FROM partsupp JOIN nat_supp ON ps_suppkey = s_suppkey),
+          per_part AS (
+            SELECT ps_partkey, sum(val_dec) AS part_dec
+            FROM stock GROUP BY 1),
+          total AS (SELECT sum(val_dec) AS total_dec FROM stock)
+          SELECT ps_partkey, ${dd("part_dec")} AS value
+          FROM per_part, total
+          WHERE ${dd("part_dec")} > ${dd("total_dec")} * 0.001""",
+    "q16_part_supplier_counts" ->
+      s"""WITH $psCte
+          SELECT p_brand, p_type, p_size,
+                 count(DISTINCT ps_suppkey) AS supplier_cnt
+          FROM partsupp
+          JOIN part ON ps_partkey = p_partkey
+          WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+            AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+            AND ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+          GROUP BY 1, 2, 3""",
+    "q20_promo_suppliers" ->
+      s"""WITH $psCte,
+          red_parts AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+          shipped AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(38,10))) AS qty_dec
+            FROM lineitem JOIN red_parts ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2),
+          promo AS (
+            SELECT DISTINCT ps_suppkey
+            FROM partsupp
+            JOIN red_parts ON ps_partkey = p_partkey
+            JOIN shipped ON ps_partkey = l_partkey
+                        AND ps_suppkey = l_suppkey
+            WHERE CAST(ps_availqty AS DOUBLE) * 2.0 > ${dd("qty_dec")})
+          SELECT s_suppkey, s_name, s_acctbal
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND s_suppkey IN (SELECT ps_suppkey FROM promo)"""
   )
 }
