@@ -15,6 +15,23 @@ object SimilarityQueries {
 
   private val K = 5
   private val NQ = 8
+  /** PQ codebook seed range for the recall gate: 64 entries per subspace
+    * (vs the 8-entry oracle-replay configuration) — the resolution a
+    * production index would use, and the measured recalls below depend
+    * on it.
+    */
+  private val PQSEEDS = 100 until 164
+  /** Pinned recall@K floors for `sim_recall_at_k`, per index family.
+    * The synthetic embeddings are near-random, so absolute recall is
+    * bounded by cell coverage (nprobe/ncells) and quantizer resolution:
+    * measured at sf0.01 — ivf_probe2 (exact in-cell scoring) 0.275,
+    * pq64 (codes only) 0.25, ivfpq64_probe2 0.075, vs a random-retrieval
+    * baseline of K/N ≈ 0.01. The floors are REGRESSION TRIPWIRES 2.5-12×
+    * above chance, not absolute quality claims: any candidate-join /
+    * encode / ranking bug drives recall to ~chance and flips recall_ok.
+    */
+  private val RecallFloors: Seq[(String, Double)] = Seq(
+    "ivf_probe2" -> 0.12, "pq64" -> 0.10, "ivfpq64_probe2" -> 0.025)
   // IVF centroid seeds: a fixed corpus subset, disjoint from the queries
   private val SEEDS = 100 until 108
 
@@ -176,6 +193,47 @@ object SimilarityQueries {
       SimilarityOps.ivfTopKCentroids(e, queriesOf(e), K, trained(s, dir))
     }),
 
+    // Recall gate: CORRECTNESS entries prove the approximate algorithms
+    // replay exactly, not that they retrieve well. This query measures
+    // macro recall@K against the brute-force anchor for the three index
+    // families (exact-scored IVF at nprobe=2; PQ-only with 64-entry
+    // books; composed IVF+PQ) and pins per-family floors as error-bound
+    // booleans (same pattern as approx_user_stats) — an index-quality
+    // regression flips `recall_ok` to false and fails the oracle hash.
+    // See RecallFloors for why the floors sit where they do.
+    "sim_recall_at_k" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val exact = SimilarityOps.bruteForceTopK(e, queriesOf(e), K)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false) // consumed by all three families
+      def recallOf(family: String, floor: Double, approx: DataFrame)
+          : DataFrame = {
+        val total = lit((K * NQ).toDouble)
+        exact.join(approx
+            .select(col("query_id").as("a_qid"),
+              col("neighbor_id").as("a_nid"), lit(1L).as("hit")),
+            col("query_id") === col("a_qid") &&
+              col("neighbor_id") === col("a_nid"), "left_outer")
+          .agg(count(col("hit")).as("hits"))
+          .select(lit(family).as("family"), col("hits"),
+            (col("hits").cast("double") / total).as("recall"),
+            lit(floor).as("floor"),
+            (col("hits").cast("double") / total >= lit(floor))
+              .as("recall_ok"))
+      }
+      val floors = RecallFloors.toMap
+      recallOf("ivf_probe2", floors("ivf_probe2"),
+          SimilarityOps.ivfTopK(e, queriesOf(e), K,
+            seedIds = SEEDS.map(_.toLong), nprobe = 2))
+        .unionAll(recallOf("pq64", floors("pq64"),
+          SimilarityOps.pqTopK(e, queriesOf(e), K,
+            seedIds = PQSEEDS.map(_.toLong))))
+        .unionAll(recallOf("ivfpq64_probe2", floors("ivfpq64_probe2"),
+          SimilarityOps.ivfPqTopK(e, queriesOf(e), K,
+            ivfSeedIds = SEEDS.map(_.toLong),
+            pqSeedIds = PQSEEDS.map(_.toLong), nprobe = 2)))
+    }),
+
     // Lloyd-trained centroids (graft.operators.KMeansOps): the IVF
     // training step, emitted as exploded (cell, dim, mean) rows. The
     // operator is bit-deterministic by construction (seeded init,
@@ -248,6 +306,7 @@ object SimilarityQueries {
     "sim_pq_kmeans" -> pqKmeansSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql,
     "sim_ivfpq_persisted" -> ivfPqTopkSql,
+    "sim_recall_at_k" -> recallSql,
     "sim_ivf_probe2" -> {
       val seedList = (100 until 108).mkString("(", ", ", ")")
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
@@ -401,58 +460,171 @@ object SimilarityQueries {
     * encode/table CTEs — candidates are same-cell pairs, scores are the
     * left-associated ADC lookup sums.
     */
-  private def ivfPqTopkSql: String = {
-    val seedList = SEEDS.mkString("(", ", ", ")")
+  private def ivfPqTopkSql: String =
+    s"""WITH ${ivfPqCtes(nprobe = 1)}
+        SELECT query_id, neighbor_id, rank, score FROM apx"""
+
+  /** PQ code CTEs (codebooks from `seeds`, corpus encode, query lookup
+    * tables); every CTE name carries prefix `p` so multiple chains can
+    * coexist in one WITH. Ends at `${p}qt`.
+    */
+  private def pqCodeCtes(p: String, seeds: Seq[Int]): String = {
+    val seedList = seeds.mkString("(", ", ", ")")
     val (m, sub) = (4, 16)
     def slice(e: String) = s"$e[c.j*$sub+1 : c.j*$sub+$sub]"
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-                       FROM embeddings WHERE vec_id IN $seedList),
-        asn AS (SELECT vec_id, cent_id,
-                  ${cosine("embedding", "cent_emb")} AS cscore
-                FROM embeddings CROSS JOIN cents),
-        cellv AS (SELECT vec_id, cent_id AS cell FROM (
-                    SELECT vec_id, cent_id, cscore,
-                      row_number() OVER (PARTITION BY vec_id
-                        ORDER BY cscore DESC, cent_id) AS crn
-                    FROM asn) WHERE crn = 1),
-        js AS (SELECT unnest(range(0, $m)) AS j),
-        cb AS (SELECT j.j AS j,
+    s"""${p}js AS (SELECT unnest(range(0, $m)) AS j),
+        ${p}cb AS (SELECT j.j AS j,
                  row_number() OVER (PARTITION BY j.j ORDER BY e.vec_id)
                    AS code,
                  e.embedding[j.j*$sub+1 : j.j*$sub+$sub] AS cvec
-               FROM embeddings e CROSS JOIN js j
+               FROM embeddings e CROSS JOIN ${p}js j
                WHERE e.vec_id IN $seedList),
-        cb2 AS (SELECT j, code, cvec, ${dot("cvec", "cvec")} AS cc
-                FROM cb),
-        enc AS (SELECT vec_id, j, code FROM (
+        ${p}cb2 AS (SELECT j, code, cvec, ${dot("cvec", "cvec")} AS cc
+                FROM ${p}cb),
+        ${p}enc AS (SELECT vec_id, j, code FROM (
                   SELECT e.vec_id, c.j, c.code,
                     row_number() OVER (PARTITION BY e.vec_id, c.j
                       ORDER BY c.cc
                         - 2 * ${dot(slice("e.embedding"), "c.cvec")},
                         c.code) AS rn
-                  FROM embeddings e CROSS JOIN cb2 c) WHERE rn = 1),
-        qt AS (SELECT e.vec_id AS query_id, c.j, c.code,
+                  FROM embeddings e CROSS JOIN ${p}cb2 c) WHERE rn = 1),
+        ${p}qt AS (SELECT e.vec_id AS query_id, c.j, c.code,
                  ${dot(slice("e.embedding"), "c.cvec")} AS t
-               FROM embeddings e CROSS JOIN cb2 c WHERE e.vec_id < $NQ),
-        sc AS (SELECT q.query_id, x.vec_id AS neighbor_id,
-                 ((max(CASE WHEN x.j = 0 THEN q.t END)
-                   + max(CASE WHEN x.j = 1 THEN q.t END))
-                   + max(CASE WHEN x.j = 2 THEN q.t END))
-                   + max(CASE WHEN x.j = 3 THEN q.t END) AS score
-               FROM enc x
-               JOIN cellv cx ON cx.vec_id = x.vec_id
-               JOIN (SELECT vec_id AS query_id, cell FROM cellv
-                     WHERE vec_id < $NQ) qc ON qc.cell = cx.cell
-               JOIN qt q ON q.query_id = qc.query_id
+               FROM embeddings e CROSS JOIN ${p}cb2 c
+               WHERE e.vec_id < $NQ)"""
+  }
+
+  /** Left-associated 4-subspace ADC sum (the Spark reduce order). */
+  private def adcScore: String =
+    """((max(CASE WHEN x.j = 0 THEN q.t END)
+         + max(CASE WHEN x.j = 1 THEN q.t END))
+         + max(CASE WHEN x.j = 2 THEN q.t END))
+         + max(CASE WHEN x.j = 3 THEN q.t END)"""
+
+  /** The IVFPQ CTE chain, parameterized by the query-side probe count
+    * (corpus vectors always live in their home cell; a query at
+    * nprobe=n searches its n nearest cells), the PQ codebook seeds, and
+    * a name prefix. Ends at `${p}apx(query_id, neighbor_id, rank,
+    * score)`.
+    */
+  private def ivfPqCtes(nprobe: Int, pqSeeds: Seq[Int] = SEEDS,
+      p: String = ""): String = {
+    val seedList = SEEDS.mkString("(", ", ", ")")
+    s"""${p}cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                  FROM embeddings WHERE vec_id IN $seedList),
+        ${p}asn AS (SELECT vec_id, cent_id,
+                  ${cosine("embedding", "cent_emb")} AS cscore
+                FROM embeddings CROSS JOIN ${p}cents),
+        ${p}rnk AS (SELECT vec_id, cent_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cscore DESC, cent_id) AS crn
+                FROM ${p}asn),
+        ${p}cellv AS (SELECT vec_id, cent_id AS cell FROM ${p}rnk
+                      WHERE crn = 1),
+        ${p}qcell AS (SELECT vec_id AS query_id, cent_id AS cell
+                  FROM ${p}rnk WHERE crn <= $nprobe AND vec_id < $NQ),
+        ${pqCodeCtes(p, pqSeeds)},
+        ${p}sc AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+                 $adcScore AS score
+               FROM ${p}enc x
+               JOIN ${p}cellv cx ON cx.vec_id = x.vec_id
+               JOIN ${p}qcell qc ON qc.cell = cx.cell
+               JOIN ${p}qt q ON q.query_id = qc.query_id
                         AND q.j = x.j AND q.code = x.code
                WHERE x.vec_id <> q.query_id
-               GROUP BY q.query_id, x.vec_id)
-        SELECT query_id, neighbor_id, rank, score FROM (
-          SELECT query_id, neighbor_id, score,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY score DESC, neighbor_id) AS rank
-          FROM sc)
-        WHERE rank <= $K"""
+               GROUP BY q.query_id, x.vec_id),
+        ${p}apx AS (
+          SELECT query_id, neighbor_id, rank, score FROM (
+            SELECT query_id, neighbor_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+            FROM ${p}sc)
+          WHERE rank <= $K)"""
+  }
+
+  /** PQ-only chain (all-corpus ADC, no cell pruning), prefix `p`; ends
+    * at `${p}apx`.
+    */
+  private def pqOnlyCtes(p: String, seeds: Seq[Int]): String =
+    s"""${pqCodeCtes(p, seeds)},
+        ${p}sc AS (SELECT q.query_id, x.vec_id AS neighbor_id,
+                 $adcScore AS score
+               FROM ${p}enc x
+               JOIN ${p}qt q ON q.j = x.j AND q.code = x.code
+               WHERE x.vec_id <> q.query_id
+               GROUP BY q.query_id, x.vec_id),
+        ${p}apx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+            FROM ${p}sc)
+          WHERE rank <= $K)"""
+
+  /** Exact-cosine IVF chain at `nprobe` probed cells, prefix `p`; ends
+    * at `${p}apx` (the sim_ivf_probe2 replay, renamed).
+    */
+  private def ivfExactCtes(p: String, nprobe: Int): String = {
+    val seedList = SEEDS.mkString("(", ", ", ")")
+    s"""${p}cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                  FROM embeddings WHERE vec_id IN $seedList),
+        ${p}asn AS (SELECT vec_id, embedding, cent_id,
+                  ${cosine("embedding", "cent_emb")} AS cscore
+                FROM embeddings CROSS JOIN ${p}cents),
+        ${p}rnk AS (SELECT vec_id, embedding, cent_id AS cell,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cscore DESC, cent_id) AS crn
+                FROM ${p}asn),
+        ${p}cell AS (SELECT vec_id, embedding, cell FROM ${p}rnk
+                     WHERE crn = 1),
+        ${p}q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
+              FROM ${p}rnk WHERE crn <= $nprobe AND vec_id < $NQ),
+        ${p}scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                     ${cosine("q_emb", "c.embedding")} AS cos
+                   FROM ${p}q JOIN ${p}cell c USING (cell)
+                   WHERE c.vec_id <> query_id),
+        ${p}apx AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM ${p}scored) WHERE rank <= $K)"""
+  }
+
+  /** Recall replay: brute-force top-k left-joined to each family's
+    * top-k, macro hits over K·NQ, per-family floor booleans.
+    */
+  private def recallSql: String = {
+    val floors = RecallFloors.toMap
+    def famRow(p: String, fam: String, floor: Double): String =
+      s"""SELECT '$fam' AS family, count(a.neighbor_id) AS hits,
+            CAST(count(a.neighbor_id) AS DOUBLE)
+              / CAST(${K * NQ} AS DOUBLE) AS recall,
+            CAST($floor AS DOUBLE) AS floor,
+            CAST(count(a.neighbor_id) AS DOUBLE)
+              / CAST(${K * NQ} AS DOUBLE)
+              >= CAST($floor AS DOUBLE) AS recall_ok
+          FROM bft b LEFT JOIN ${p}apx a
+            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"""
+    s"""WITH bq AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < $NQ),
+        bscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      ${cosine("qe", "e.embedding")} AS cos
+                    FROM bq CROSS JOIN embeddings e
+                    WHERE e.vec_id <> query_id),
+        bft AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM bscored)
+               WHERE rank <= $K),
+        ${ivfExactCtes("i_", nprobe = 2)},
+        ${pqOnlyCtes("p_", PQSEEDS)},
+        ${ivfPqCtes(nprobe = 2, pqSeeds = PQSEEDS, p = "v_")}
+        ${famRow("i_", "ivf_probe2", floors("ivf_probe2"))}
+        UNION ALL
+        ${famRow("p_", "pq64", floors("pq64"))}
+        UNION ALL
+        ${famRow("v_", "ivfpq64_probe2", floors("ivfpq64_probe2"))}"""
   }
 
   /** One-iteration spherical-k-means replay for PQ subspace `j` (the
