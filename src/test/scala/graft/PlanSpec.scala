@@ -31,6 +31,15 @@ class PlanSpec extends SparkSpec {
   private def count(haystack: String, needle: String): Int =
     haystack.sliding(needle.length).count(_ == needle)
 
+  /** SinglePartition exchanges in a FORMATTED plan string. Formatted
+    * mode prints the node as `(n) Exchange` with the partitioning on a
+    * separate `Arguments: SinglePartition, ...` line — matching the
+    * simple-mode spelling "Exchange SinglePartition" finds nothing and
+    * silently turns the assertion vacuous.
+    */
+  private def singlePartitionCount(p: String): Int =
+    count(p, "Arguments: SinglePartition")
+
   test("q5 star join: every dimension broadcast, no sort-merge join") {
     val p = planString("q5_local_supplier")
     assert(count(p, "BroadcastHashJoin") >= 4, p.take(2000))
@@ -129,7 +138,7 @@ class PlanSpec extends SparkSpec {
     // the global prefix sum must run as per-bucket windows + broadcast
     // offsets; a naive Window.orderBy with no partitioning plans an
     // Exchange SinglePartition — the one shape that cannot scale
-    assert(!p.contains("Exchange SinglePartition"),
+    assert(singlePartitionCount(p) == 0,
       "global window degenerated to a single partition")
     assert(p.contains("Window"), p.take(1000))
   }
@@ -166,6 +175,26 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 shuffle (top-k window), saw $n\n" + p.take(2000))
   }
 
+  test("global sweep: no registered query plans Exchange SinglePartition") {
+    // Exchange SinglePartition funnels the full upstream through ONE
+    // task — the #1 accidental scale-killer (a Window.orderBy with no
+    // partitioning, a coalesce(1), a global sort). Sweep EVERY
+    // registered batch query; the allowlist names the justified
+    // exceptions with their exact count, all of which are 1-row global
+    // aggregates (partial→final where the single partition receives one
+    // pre-aggregated row per upstream partition, not the data).
+    val allowed: Map[String, Int] = PlanSpec.singlePartitionAllowlist
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = planString(name)
+      val n = singlePartitionCount(p)
+      val ok = allowed.getOrElse(name, 0)
+      if (n != ok) offenders += s"$name: $n (allowed $ok)"
+    }
+    assert(offenders.isEmpty,
+      "Exchange SinglePartition count drift:\n" + offenders.mkString("\n"))
+  }
+
   test("sim_ivf: cell assignment is a pure map — one shuffle total") {
     // the r6 pin ("no SortMergeJoin") missed the scale-killer: the old
     // crossJoin+window assignment amplified the corpus ×k and
@@ -187,4 +216,30 @@ class PlanSpec extends SparkSpec {
           p.take(2000))
     }
   }
+}
+
+object PlanSpec {
+  /** Queries allowed to plan `Exchange SinglePartition`, with the exact
+    * count — each one a 1-row global aggregate (scalar avg/sum/max/count
+    * used as a broadcast comparand) where the single partition receives
+    * one partial-aggregate row per upstream partition, never the data.
+    *
+    * The derived-partsupp queries carry one per partsupp SUBTREE COPY
+    * (the 1-row supplier count that parameterizes the bridge formula):
+    * q2 evaluates `eligible` twice (min + final join), q11 evaluates
+    * `stock` twice (per-part + total, its third being the global total
+    * aggregate itself). sim_recall_at_k has one 1-row hit-count
+    * aggregate per index family.
+    */
+  val singlePartitionAllowlist: Map[String, Int] = Map(
+    "q6_revenue_delta" -> 1,      // global revenue sum (1 row)
+    "q15_top_supplier" -> 1,      // global max comparand
+    "q17_small_qty_revenue" -> 1, // final global avg_yearly
+    "q19_disjunctive" -> 1,       // global revenue sum
+    "q22_idle_balance" -> 1,      // global avg-balance comparand
+    "q2_min_cost_supplier" -> 2,  // supplier count ×2 subtree copies
+    "q11_important_stock" -> 3,   // supplier count ×2 + global total
+    "q16_part_supplier_counts" -> 1, // supplier count
+    "q20_promo_suppliers" -> 1,   // supplier count
+    "sim_recall_at_k" -> 3)       // per-family hit counts
 }
