@@ -48,6 +48,70 @@ object CorpusQueries {
       val vocab = CorpusOps.vocabulary(d, VocabV)
         .as[String].collect().toSet
       CorpusOps.oovRatio(vocab)(d).select(col("doc_id"), col("oov_ratio"))
+    }),
+
+    // Per-source quality dashboard — the rollup a curation team reads:
+    // every text_* signal plus OOV, grouped by source. Per-doc signals
+    // are narrow scan-side expressions (WSCG); ratio averages go
+    // through exact DECIMAL sums so the group aggregate is
+    // order-independent; the only data shuffle is the rollup itself
+    // (countDistinct adds its expand pass over the same exchange).
+    // PII share uses the same deterministic doc_id%3 augmentation as
+    // text_redact so the redaction signal does real work on the
+    // synthetic corpus.
+    "corpus_source_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      import s.implicits._
+      val vocab = CorpusOps.vocabulary(d, VocabV)
+        .as[String].collect().toSet
+      val aug = CorpusOps.oovRatio(vocab)(d).withColumn("t",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com tel 555-123-4567")))
+          .otherwise(col("text")))
+      val q = TextOps.qualityColumns(col("text")).toMap
+      val r = TextOps.repetitionColumns(col("text")).toMap
+      def dec38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,10)")
+      val perDoc = aug.select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lid"),
+        TextOps.contentHash(col("text")).as("content_hash"),
+        q("punct_ratio").as("punct_ratio"),
+        q("stopword_ratio").as("stopword_ratio"),
+        r("token_distinct_ratio").as("token_distinct_ratio"),
+        ((size(regexp_extract_all(col("t"),
+            lit(TextOps.emailPattern), lit(0))) +
+          size(regexp_extract_all(col("t"),
+            lit(TextOps.phonePattern), lit(0)))) > 0).as("has_pii"),
+        col("oov_ratio"))
+      perDoc.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("content_hash")).as("n_distinct"),
+          sum(when(col("lid") =!= "und", 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii"),
+          sum(dec38(col("punct_ratio"))).as("punct_dec"),
+          sum(dec38(col("stopword_ratio"))).as("stop_dec"),
+          sum(dec38(col("token_distinct_ratio"))).as("dist_dec"),
+          sum(dec38(col("oov_ratio"))).as("oov_dec"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          (col("total_tokens").cast("double") /
+            col("n_docs").cast("double")).as("avg_tokens"),
+          (col("n_lang").cast("double") /
+            col("n_docs").cast("double")).as("lang_known_share"),
+          (lit(1.0) - col("n_distinct").cast("double") /
+            col("n_docs").cast("double")).as("exact_dup_share"),
+          (col("n_pii").cast("double") /
+            col("n_docs").cast("double")).as("pii_doc_share"),
+          (col("punct_dec").cast("double") /
+            col("n_docs").cast("double")).as("avg_punct_ratio"),
+          (col("stop_dec").cast("double") /
+            col("n_docs").cast("double")).as("avg_stopword_ratio"),
+          (col("dist_dec").cast("double") /
+            col("n_docs").cast("double")).as("avg_distinct_ratio"),
+          (col("oov_dec").cast("double") /
+            col("n_docs").cast("double")).as("avg_oov_ratio"))
     })
   )
 
@@ -120,6 +184,66 @@ object CorpusQueries {
             (count(*) FILTER (WHERE v.t IS NULL))::DOUBLE
               / count(*)::DOUBLE AS oov_ratio
           FROM tok LEFT JOIN v ON tok.t = v.t
-          GROUP BY tok.doc_id"""
+          GROUP BY tok.doc_id""",
+    "corpus_source_quality" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+      val nPunct = Duck.nPunct
+      def dec(e: String) = s"CAST(CAST($e AS VARCHAR) AS DECIMAL(38,10))"
+      def dd(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+          v AS (SELECT t FROM (
+                  SELECT t, count(*) AS f FROM tok GROUP BY t
+                  ORDER BY f DESC, t LIMIT $VocabV)),
+          oov AS (SELECT tok.doc_id,
+                    (count(*) FILTER (WHERE v.t IS NULL))::DOUBLE
+                      / count(*)::DOUBLE AS oov_ratio
+                  FROM tok LEFT JOIN v ON tok.t = v.t
+                  GROUP BY tok.doc_id),
+          a AS (SELECT doc_id, source, text,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN text || ' contact user' || doc_id::VARCHAR
+                            || '@example.com tel 555-123-4567'
+                       ELSE text END AS t
+                FROM documents),
+          pd AS (SELECT a.source,
+                   length($toks)::BIGINT AS n_tokens,
+                   ${TextQueries.langCase} AS lid,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS content_hash,
+                   $nPunct::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+                   ${Duck.markerHits(toks,
+                     graft.operators.TextOps.langMarkers.flatMap(_._2))
+                   }::DOUBLE / length($toks)::DOUBLE AS stopword_ratio,
+                   CASE WHEN length($toks) = 0 THEN CAST(1.0 AS DOUBLE)
+                        ELSE length(list_distinct($toks))::DOUBLE
+                             / length($toks)::DOUBLE END
+                     AS token_distinct_ratio,
+                   (length(regexp_extract_all(t, '$email'))
+                     + length(regexp_extract_all(t, '$phone'))) > 0
+                     AS has_pii,
+                   o.oov_ratio
+                 FROM a JOIN oov o ON a.doc_id = o.doc_id)
+          SELECT source,
+            count(*)::BIGINT AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(sum(n_tokens) AS BIGINT)::DOUBLE
+              / count(*)::DOUBLE AS avg_tokens,
+            CAST(sum(CASE WHEN lid <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
+              ::DOUBLE / count(*)::DOUBLE AS lang_known_share,
+            CAST(1 AS DOUBLE) - count(DISTINCT content_hash)::DOUBLE
+              / count(*)::DOUBLE AS exact_dup_share,
+            CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+              ::DOUBLE / count(*)::DOUBLE AS pii_doc_share,
+            ${dd(s"sum(${dec("punct_ratio")})")}
+              / count(*)::DOUBLE AS avg_punct_ratio,
+            ${dd(s"sum(${dec("stopword_ratio")})")}
+              / count(*)::DOUBLE AS avg_stopword_ratio,
+            ${dd(s"sum(${dec("token_distinct_ratio")})")}
+              / count(*)::DOUBLE AS avg_distinct_ratio,
+            ${dd(s"sum(${dec("oov_ratio")})")}
+              / count(*)::DOUBLE AS avg_oov_ratio
+          FROM pd GROUP BY source"""
+    }
   )
 }

@@ -101,9 +101,10 @@ object TextQueries {
   import Duck._
 
   /** lang-ID CASE expression ≡ TextOps.langId (earlier language wins
-    * ties) — shared by the lang-id and curation oracles.
+    * ties) — shared by the lang-id and curation oracles, and by the
+    * per-source quality dashboard in [[CorpusQueries]].
     */
-  private def langCase: String = {
+  private[queries] def langCase: String = {
     val scores = TextOps.langMarkers.map { case (l, ws) =>
       l -> markerHits(toks, ws)
     }
