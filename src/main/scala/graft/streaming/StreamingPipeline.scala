@@ -89,6 +89,38 @@ object StreamingPipeline {
     InjectorOps.assemble(deduped)
   }
 
+  /** Streaming dual of the batch `dedup_exact` family: canonical-doc
+    * selection by CONTENT hash (normalized text) on a live stream. The
+    * batch operator's canonical window is unbounded; a stream needs
+    * bounded state, so duplicate content is dropped only within
+    * `watermarkDelay` of event time via `dropDuplicatesWithinWatermark`
+    * on the content hash — the same bounded-state divergence documented
+    * for the K2 id dedup (SURVEY.md §7.5.4). State is one row per
+    * distinct in-watermark hash; the hash itself is a narrow scan-side
+    * expression, so the only stateful work is the dedup store.
+    */
+  def streamingExactDedup(timeCol: String, watermarkDelay: String,
+      textCol: String = "text")(df: DataFrame): DataFrame =
+    df.withColumn("content_hash",
+        graft.operators.TextOps.contentHash(col(textCol)))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Near-dup streaming gate on the segment fingerprint: documents whose
+    * k-token min-shingle rolling hash ([[graft.operators.TextOps
+    * .shingleFingerprint]], a 1-permutation MinHash) collides within the
+    * watermark are dropped — the streaming counterpart of the batch
+    * shingle prefilter feeding `dedup_ngram_jaccard`. Catches
+    * near-duplicates that exact content hashing misses (same core text,
+    * trailing additions) at the same bounded per-key state cost.
+    */
+  def streamingFingerprintDedup(timeCol: String, watermarkDelay: String,
+      k: Int = 5, textCol: String = "text")(df: DataFrame): DataFrame =
+    df.withColumn("shingle_fp",
+        graft.operators.TextOps.shingleFingerprint(col(textCol), k))
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("shingle_fp")
+
   /** Streaming sessionization: the streaming dual of the batch
     * `events_sessionize` query (gaps-and-islands, same inactivity gap),
     * expressed with `session_window` so state is merged incrementally per

@@ -525,6 +525,68 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted.toSeq == Seq("0:1", "0:2", "1:1"))
   }
 
+  test("in-stream exact dedup drops duplicate content (batch ≡ streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-03-05 10:00:00")
+    val b1 = Seq(
+      (1L, "Alpha Beta  Gamma", t0),
+      (2L, "alpha beta gamma", t0), // same NORMALIZED content as doc 1
+      (3L, "a different document", t0))
+    val b2 = Seq((4L, "ALPHA   beta gamma", t0)) // redelivered content
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(b1)
+    val out = Files.createTempDirectory("graft-cdedup").toString
+    val q = StreamingPipeline.streamingExactDedup("ts", "1 hour")(
+        stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("cdedup_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(b2) // within the watermark: state still live
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("cdedup_out").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // first arrival per content hash wins
+    // batch ≡ streaming: the batch operator's canonical winners (lowest
+    // id per hash = the stream's arrival order here) are the same docs
+    val canon = graft.operators.DedupOps.exactDedup()(
+        (b1 ++ b2).toDF("doc_id", "text", "ts"))
+      .select($"canonical_id").as[Long].collect().toSet
+    assert(canon == kept)
+  }
+
+  test("in-stream near-dup dedup drops shared-fingerprint docs exact dedup misses") {
+    // d2 is a TRUE near-dup of d1: one trailing token appended, so the
+    // normalized content hashes differ but the min 5-token-shingle
+    // rolling hash (the 1-perm MinHash sketch) is identical
+    val d1 = "orange kiwi mango papaya lychee guava"
+    val d2 = d1 + " durian"
+    val d3 = "completely different set of unrelated tokens here"
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-03-05 10:00:00")
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    stream.addData(Seq((1L, d1, t0), (2L, d2, t0), (3L, d3, t0)))
+    val out = Files.createTempDirectory("graft-fpdedup").toString
+    val q = StreamingPipeline.streamingFingerprintDedup("ts", "1 hour")(
+        stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("fpdedup_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("fpdedup_out").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // anchor the premise in the batch expressions: all three content
+    // hashes are distinct (exact dedup keeps d2), while d1/d2 share the
+    // fingerprint (near-dup dedup drops it)
+    val sig = Seq(d1, d2, d3).toDF("text")
+      .select(graft.operators.TextOps.contentHash($"text").as("ch"),
+        graft.operators.TextOps.shingleFingerprint($"text", 5).as("fp"))
+      .as[(String, Long)].collect()
+    assert(sig.map(_._1).distinct.length == 3)
+    assert(sig(0)._2 == sig(1)._2 && sig(0)._2 != sig(2)._2)
+  }
+
   test("mapGroupsWithState carries per-partition progress across batches (M1)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Msg]
