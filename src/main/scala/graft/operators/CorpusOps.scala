@@ -75,6 +75,56 @@ object CorpusOps {
     docs.withColumn("text", strip(col("text")))
   }
 
+  /** JOIN-based apply of the boilerplate model, for models too large to
+    * ship as a driver Set ([[stripBoilerplate]] assumes the model fits
+    * in driver memory — true for bounded top-V vocabularies and eval
+    * shingles, but a web-corpus boilerplate table can reach GBs). The
+    * corpus explodes to (doc_id, seg_no, seg), LEFT-ANTI joins the model
+    * frame on the segment key (Catalyst/AQE picks broadcast while the
+    * model fits, degrading to a sort-merge anti-join — the only case
+    * where the exploded corpus shuffles on the segment key — beyond
+    * that), and each doc's kept segments reassemble in order. Output ≡
+    * the UDF path bit-for-bit (parity-tested), including all-boilerplate
+    * docs ("") and null text (null).
+    *
+    * Scale shape with a broadcast-able model: the anti-join is map-side;
+    * the corpus shuffles only on doc_id (rebuild + restore join, same
+    * key both times). The UDF path stays preferable for small models —
+    * zero shuffles and streaming-safe — which is why [[stripBoilerplateAuto]]
+    * switches on model size.
+    */
+  def stripBoilerplateJoin(model: DataFrame, segTokens: Int = 16)(
+      docs: DataFrame): DataFrame = {
+    val segs = docs.select(col("doc_id"),
+      posexplode(segments(col("text"), segTokens)).as(Seq("seg_no", "seg")))
+    val rebuilt = segs
+      .join(model.select(col("seg")), Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+        e => e.getField("seg"))).as("__kept"))
+    docs.join(rebuilt, Seq("doc_id"), "left_outer")
+      .withColumn("text",
+        when(col("text").isNotNull, coalesce(col("__kept"), lit(""))))
+      .drop("__kept")
+  }
+
+  /** Size-aware model apply: the broadcast-set UDF (zero shuffles,
+    * streaming-safe) while the model fits comfortably on the driver,
+    * the frame join beyond `maxDriverModel` entries. The size probe is
+    * bounded — it counts at most maxDriverModel+1 model rows, never the
+    * full model.
+    */
+  def stripBoilerplateAuto(model: DataFrame, segTokens: Int = 16,
+      maxDriverModel: Long = 1000000L)(docs: DataFrame): DataFrame = {
+    val probe = model.limit(
+      math.min(maxDriverModel + 1, Int.MaxValue.toLong).toInt).count()
+    if (probe <= maxDriverModel)
+      stripBoilerplate(model.collect().map(_.getString(0)).toSet,
+        segTokens)(docs)
+    else stripBoilerplateJoin(model, segTokens)(docs)
+  }
+
   /** Remove segments that occur in >= `maxDf` DISTINCT documents (the
     * "frequent line" boilerplate rule). Returns one row per doc with the
     * segment counts and the md5 of the re-joined kept text.

@@ -143,6 +143,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1000))
   }
 
+  test("stripBoilerplateJoin: corpus never shuffles on the segment key") {
+    // the large-model apply path: with a broadcast-able model frame the
+    // anti-join must be map-side and the only corpus shuffles keyed on
+    // doc_id (rebuild + restore) — an Exchange on `seg` would mean the
+    // exploded corpus is being hashed on text-sized keys
+    import org.apache.spark.sql.functions.lit
+    val model = spark.range(1)
+      .select(lit("shared legal footer line").as("seg"))
+    val df = graft.operators.CorpusOps.stripBoilerplateJoin(model, 16)(
+      Tables.documents(spark, dir))
+    df.queryExecution.executedPlan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("hashpartitioning(seg"),
+      "exploded corpus shuffled on the segment key\n" + p.take(2000))
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "model anti-join did not broadcast")
+    assert(singlePartitionCount(p) == 0)
+  }
+
   test("corpus_contamination: eval shingles broadcast, corpus not shuffled on shingle") {
     val p = planString("corpus_contamination")
     assert(count(p, "BroadcastHashJoin") >= 1, p.take(2000))

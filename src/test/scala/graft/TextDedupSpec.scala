@@ -166,4 +166,31 @@ class TextDedupSpec extends SparkSpec {
       .select($"neighbor_id").as[Long].collect().toSet
     assert(out.contains(1L) && !out.contains(2L))
   }
+
+  test("stripBoilerplate: join path ≡ UDF path, auto selects by model size") {
+    import graft.operators.CorpusOps
+    val boiler = "shared legal footer line"
+    val in = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"epsilon zeta eta theta $boiler"),
+      (3L, "iota kappa lambda mu"),
+      (4L, boiler),                        // all-boilerplate doc → ""
+      (5L, null.asInstanceOf[String]))     // null text → null
+      .toDF("doc_id", "text")
+    val model = CorpusOps.boilerplateSegments(in, segTokens = 4, maxDf = 2)
+    def asMap(df: DataFrame): Map[Long, String] =
+      df.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val viaUdf = asMap(CorpusOps.stripBoilerplate(
+      model.collect().map(_.getString(0)).toSet, 4)(in))
+    val viaJoin = asMap(CorpusOps.stripBoilerplateJoin(model, 4)(in))
+    assert(viaUdf == viaJoin)
+    assert(viaUdf == Map(
+      1L -> "alpha beta gamma delta", 2L -> "epsilon zeta eta theta",
+      3L -> "iota kappa lambda mu", 4L -> "", 5L -> null))
+    // the auto selector lands on the same answer from both sides of the
+    // threshold (UDF below, join above — threshold 0 forces the join)
+    assert(asMap(CorpusOps.stripBoilerplateAuto(model, 4)(in)) == viaUdf)
+    assert(asMap(CorpusOps.stripBoilerplateAuto(model, 4,
+      maxDriverModel = 0L)(in)) == viaUdf)
+  }
 }
