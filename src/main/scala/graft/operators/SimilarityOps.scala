@@ -327,6 +327,36 @@ object SimilarityOps {
       .write.mode("overwrite").parquet(booksDir(dir))
   }
 
+  /** Reload the codebooks side table as driver model state (m × nc ×
+    * sub doubles), in (j, code) order.
+    */
+  private def loadBooks(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(booksDir(dir))
+      .orderBy(col("j"), col("code"))
+      .select(col("j"), col("cvec"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1): Seq[Double]))
+      .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq)
+
+  /** Append new vectors to an existing [[buildIvfPqIndex]] directory:
+    * home cells AND codes are computed with the STORED model (centroids
+    * + codebooks unchanged — the standard maintenance path for a daily
+    * growing corpus; re-train and rebuild when drift accumulates), one
+    * pure map plus a partitioned append. Append ≡ rebuild bit-exact
+    * because a vector's cell and codes depend only on the model, never
+    * on the rest of the corpus.
+    */
+  def appendToIvfPqIndex(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = collectCents(spark.read.parquet(centroidsDir(dir)))
+    val books = loadBooks(spark, dir)
+    val m = books.length
+    assignHome(cents)(withNorm(newVecs))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
   /** Search a [[buildIvfPqIndex]] directory: probe cells + ADC tables
     * are computed map-side from the reloaded model state; only the
     * probed cell partitions are scanned (partition pruning), and the
@@ -337,11 +367,7 @@ object SimilarityOps {
       : DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val cents = collectCents(spark.read.parquet(centroidsDir(dir)))
-    val books: Seq[Seq[Seq[Double]]] = spark.read.parquet(booksDir(dir))
-      .orderBy(col("j"), col("code"))
-      .select(col("j"), col("cvec"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1): Seq[Double]))
-      .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2).toSeq)
+    val books = loadBooks(spark, dir)
     val m = books.length
     val qcells = assignProbes(cents, nprobe)(withNorm(queries))
     val qt = broadcast(qcells.select(col("vec_id").as("query_id") +:

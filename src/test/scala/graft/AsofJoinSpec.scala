@@ -154,6 +154,35 @@ class AsofJoinSpec extends SparkSpec {
     assert(rows(dirA).nonEmpty && rows(dirA).sameElements(rows(dirB)))
   }
 
+  test("ivfpq index append: build on half, append the rest ≡ build on everything") {
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val all = Seq(
+      0L -> v(1.0, 0.05), 1L -> v(1.0, 0.1), 2L -> v(0.9, 0.0),
+      10L -> v(0.05, 1.0), 11L -> v(0.0, 0.95), 12L -> v(0.1, 1.0))
+    val (half, rest) = all.partition(_._1 <= 2L)
+    val full = all.toDF("vec_id", "embedding")
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"vec_id" === 2L || $"vec_id" === 12L)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
+    // codebooks are model state trained once on the seed rows — the
+    // appended half must encode through the SAME stored books
+    val books = SimilarityOps.pqBooksOf(full, Seq(2L, 12L), m = 2, dim = 4)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-appA").toString + "/idx"
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-appB").toString + "/idx"
+    SimilarityOps.buildIvfPqIndex(full, cents(full), books, dirA)
+    SimilarityOps.buildIvfPqIndex(half.toDF("vec_id", "embedding"),
+      cents(full), books, dirB)
+    SimilarityOps.appendToIvfPqIndex(rest.toDF("vec_id", "embedding"), dirB)
+    val q = full.filter($"vec_id" === 0L || $"vec_id" === 10L)
+    def rows(dir: String) =
+      SimilarityOps.searchIvfPqIndex(spark, dir, q, 2)
+        .select($"query_id", $"neighbor_id", $"rank", $"score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(rows(dirA).nonEmpty && rows(dirA).sameElements(rows(dirB)))
+  }
+
   test("hash sampling is deterministic, salted, and monotone in percent") {
     val ids = (0L until 1000L).toDF("doc_id")
     def sample(pct: Int, salt: String) = ids
