@@ -268,6 +268,30 @@ object SimilarityOps {
       .write.mode("append").partitionBy("cell").parquet(dir)
   }
 
+  /** Compact an index directory after repeated [[appendToIndex]] /
+    * [[appendToIvfPqIndex]] calls: each append adds at least one file
+    * per touched cell partition, and a daily-growing corpus accretes
+    * thousands of small files per cell — the classic small-files tax on
+    * every subsequent probed-cell scan. Hash-repartitioning on the cell
+    * key lands each cell wholly in one task, so the rewrite leaves ONE
+    * file per cell (rows vec_id-sorted for scan locality); the swap is
+    * write-aside + delete + rename — a maintenance-window operation,
+    * like the rebuild it replaces. Model side tables are untouched.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val tmp = dir.stripSuffix("/") + "_compacting"
+    spark.read.parquet(dir)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hconf)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
   /** Scan of an index directory restricted to the probed cells: the
     * probed ids are |Q|·nprobe values — driver-side model scale — and as
     * an IN literal they prune the partition directories. (The partition

@@ -185,6 +185,15 @@ object SimilarityQueries {
       SimilarityOps.searchIndex(s, builtIndex(s, dir), queriesOf(e), K)
     }),
 
+    // ...and the persisted search with the recall knob turned: nprobe=2
+    // reads two cell directories per query instead of one — same
+    // cells/tail as sim_ivf_probe2, so the same oracle replays it.
+    "sim_ivf_persisted_probe2" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.searchIndex(s, builtIndex(s, dir), queriesOf(e), K,
+        nprobe = 2)
+    }),
+
     // The production IVF shape: cells from the Lloyd-TRAINED centroids
     // (KMeansOps → SimilarityOps.ivfTopKCentroids), not corpus seeds —
     // training and search composed end-to-end, oracle replaying both.
@@ -307,31 +316,9 @@ object SimilarityQueries {
     "sim_ivfpq_topk" -> ivfPqTopkSql,
     "sim_ivfpq_persisted" -> ivfPqTopkSql,
     "sim_recall_at_k" -> recallSql,
-    "sim_ivf_probe2" -> {
-      val seedList = (100 until 108).mkString("(", ", ", ")")
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-                         FROM embeddings WHERE vec_id IN $seedList),
-          asn AS (SELECT vec_id, embedding, cent_id,
-                    ${cosine("embedding", "cent_emb")} AS cscore
-                  FROM embeddings CROSS JOIN cents),
-          ranked AS (SELECT vec_id, embedding, cent_id AS cell,
-                       row_number() OVER (PARTITION BY vec_id
-                         ORDER BY cscore DESC, cent_id) AS crn
-                     FROM asn),
-          cell AS (SELECT vec_id, embedding, cell FROM ranked WHERE crn = 1),
-          q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
-                FROM ranked WHERE crn <= 2 AND vec_id < $NQ),
-          scored AS (SELECT query_id, c.vec_id AS neighbor_id,
-                       ${cosine("q_emb", "c.embedding")} AS cos
-                     FROM q JOIN cell c USING (cell)
-                     WHERE c.vec_id <> query_id)
-          SELECT query_id, neighbor_id, rank, cos FROM (
-            SELECT query_id, neighbor_id, cos,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored)
-          WHERE rank <= $K"""
-    },
+    "sim_ivf_probe2" -> ivfProbe2Sql,
+    // persisted nprobe=2 search: same cells, same tail — same replay
+    "sim_ivf_persisted_probe2" -> ivfProbe2Sql,
     // Lloyd replay: KMeansOps is bit-deterministic (seeded init, DECIMAL
     // sums, one double division, first-max tie break), so both iterations
     // are expressible as CTEs. Assignment mirrors array_position-of-max
@@ -383,6 +370,35 @@ object SimilarityQueries {
             FROM scored)
           WHERE rank <= $K"""
   )
+
+  /** The nprobe=2 seed-centroid IVF replay, shared by `sim_ivf_probe2`
+    * and the persisted-index variant.
+    */
+  private def ivfProbe2Sql: String = {
+    val seedList = SEEDS.mkString("(", ", ", ")")
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                       FROM embeddings WHERE vec_id IN $seedList),
+        asn AS (SELECT vec_id, embedding, cent_id,
+                  ${cosine("embedding", "cent_emb")} AS cscore
+                FROM embeddings CROSS JOIN cents),
+        ranked AS (SELECT vec_id, embedding, cent_id AS cell,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cscore DESC, cent_id) AS crn
+                   FROM asn),
+        cell AS (SELECT vec_id, embedding, cell FROM ranked WHERE crn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
+              FROM ranked WHERE crn <= 2 AND vec_id < $NQ),
+        scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                     ${cosine("q_emb", "c.embedding")} AS cos
+                   FROM q JOIN cell c USING (cell)
+                   WHERE c.vec_id <> query_id)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= $K"""
+  }
 
   /** The seed-centroid IVF replay, shared by `sim_ivf_topk` and the
     * persisted-index variant (same cells, same tail, same result).

@@ -183,6 +183,39 @@ class AsofJoinSpec extends SparkSpec {
     assert(rows(dirA).nonEmpty && rows(dirA).sameElements(rows(dirB)))
   }
 
+  test("index compaction: one file per cell, search unchanged after appends") {
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val all = Seq(
+      0L -> v(1.0, 0.05), 1L -> v(1.0, 0.1), 2L -> v(0.9, 0.0),
+      10L -> v(0.05, 1.0), 11L -> v(0.0, 0.95), 12L -> v(0.1, 1.0))
+    val cents = all.toDF("vec_id", "embedding")
+      .filter($"vec_id" === 2L || $"vec_id" === 12L)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-compact").toString + "/idx"
+    // three appends on top of the build: every touched cell accretes
+    // files — the small-files shape compaction exists to undo
+    SimilarityOps.buildIndex(
+      all.take(2).toDF("vec_id", "embedding"), cents, dir)
+    all.drop(2).grouped(2).foreach(g =>
+      SimilarityOps.appendToIndex(g.toDF("vec_id", "embedding"), dir))
+    val q = all.toDF("vec_id", "embedding")
+      .filter($"vec_id" === 0L || $"vec_id" === 10L)
+    def rows() = SimilarityOps.searchIndex(spark, dir, q, 2)
+      .select($"query_id", $"neighbor_id", $"rank", $"cos")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    def filesPerCell() = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("cell=")).map(d =>
+        d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+      .toMap
+    val before = rows()
+    assert(filesPerCell().values.exists(_ > 1), "appends made no files")
+    SimilarityOps.compactIndex(spark, dir)
+    val fpc = filesPerCell()
+    assert(fpc.nonEmpty && fpc.values.forall(_ == 1), fpc.toString)
+    assert(rows().sameElements(before), "compaction changed the result")
+  }
+
   test("hash sampling is deterministic, salted, and monotone in percent") {
     val ids = (0L until 1000L).toDF("doc_id")
     def sample(pct: Int, salt: String) = ids

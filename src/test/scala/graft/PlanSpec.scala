@@ -174,7 +174,8 @@ class PlanSpec extends SparkSpec {
     // the whole point of a persisted index: the probed cells arrive as
     // partition filters on the scan, so the search never reads the other
     // cell directories
-    for (q <- Seq("sim_ivf_persisted", "sim_ivfpq_persisted")) {
+    for (q <- Seq("sim_ivf_persisted", "sim_ivf_persisted_probe2",
+        "sim_ivfpq_persisted")) {
       val p = planString(q)
       assert(p.contains("PartitionFilters: [") &&
         !p.contains("PartitionFilters: []"),
