@@ -117,11 +117,12 @@ object CorpusOps {
     */
   def stripBoilerplateAuto(model: DataFrame, segTokens: Int = 16,
       maxDriverModel: Long = 1000000L)(docs: DataFrame): DataFrame = {
+    // one model evaluation: the probe rows ARE the collected model when
+    // they fit (limit+1 proves over/under without counting the world)
     val probe = model.limit(
-      math.min(maxDriverModel + 1, Int.MaxValue.toLong).toInt).count()
-    if (probe <= maxDriverModel)
-      stripBoilerplate(model.collect().map(_.getString(0)).toSet,
-        segTokens)(docs)
+      math.min(maxDriverModel + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= maxDriverModel)
+      stripBoilerplate(probe.map(_.getString(0)).toSet, segTokens)(docs)
     else stripBoilerplateJoin(model, segTokens)(docs)
   }
 

@@ -281,9 +281,13 @@ object SimilarityOps {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val tmp = dir.stripSuffix("/") + "_compacting"
+    // cell leads the sort: the partitioned write REQUIRES task rows
+    // ordered by the partition column (V1Writes would insert a second
+    // sort otherwise), and vec_id within it makes the per-file order
+    // contractual rather than an artifact of sort stability
     spark.read.parquet(dir)
       .repartition(col("cell"))
-      .sortWithinPartitions(col("vec_id"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)

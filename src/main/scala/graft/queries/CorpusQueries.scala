@@ -186,8 +186,10 @@ object CorpusQueries {
           FROM tok LEFT JOIN v ON tok.t = v.t
           GROUP BY tok.doc_id""",
     "corpus_source_quality" -> {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+      // the SAME pattern objects the Spark side evaluates — a drifted
+      // copy would silently break has_pii parity
+      val email = TextOps.emailPattern
+      val phone = TextOps.phonePattern
       val nPunct = Duck.nPunct
       def dec(e: String) = s"CAST(CAST($e AS VARCHAR) AS DECIMAL(38,10))"
       def dd(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"

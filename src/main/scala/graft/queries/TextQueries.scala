@@ -149,8 +149,9 @@ object TextQueries {
       s"""SELECT doc_id, lang, source FROM documents
           WHERE ${h15("concat('sample:', doc_id::VARCHAR)")} % 100 < 10""",
     "text_redact" -> {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+      // the SAME pattern objects the Spark side evaluates
+      val email = TextOps.emailPattern
+      val phone = TextOps.phonePattern
       s"""WITH a AS (SELECT doc_id,
                CASE WHEN doc_id % 3 = 0
                     THEN text || ' contact user' || doc_id::VARCHAR

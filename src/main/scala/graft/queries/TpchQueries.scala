@@ -279,7 +279,9 @@ object TpchQueries {
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
     }),
 
-    // Q2 minimum-cost supplier: for STANDARD size-15 parts, the EUROPE
+    // Q2 minimum-cost supplier: for small STANDARD parts (size <= 10 —
+    // the classic predicate is size = 15, widened so the fixture yields
+    // a non-trivial result set), the EUROPE
     // supplier(s) achieving the per-part minimum supplycost. Both
     // dimension sides (filtered parts, region suppliers) broadcast; the
     // per-part min is an aggregate over the already-filtered eligible
