@@ -214,6 +214,44 @@ object CorpusOps {
       .withColumn("oov_ratio", ratio(col("text")))
   }
 
+  // ------------------------------------------------------ mixture sampling
+
+  /** Data-mixture rebalancing: downsample each source so every source
+    * contributes (up to rounding) the SAME token count — the uniform
+    * case of the mixture-weighting step a training pipeline runs before
+    * packing (heavier web crawls get thinned; the smallest source sets
+    * the budget). Deterministic end to end:
+    *
+    *  - per-source token totals are one hash aggregate (model state,
+    *    one row per source);
+    *  - the keep rate for source s is `minTotal·10000 div total_s`
+    *    basis points — INTEGER arithmetic only, so both engines derive
+    *    identical rates with no float rounding to disagree on;
+    *  - membership is the salted portable hash of the doc id against
+    *    that rate (same reproducible-subset contract as
+    *    [[TextOps.hashSample]] — stable across runs, clusters, engines).
+    *
+    * The apply is a pure per-row filter against a broadcast rate map ⇒
+    * batch ≡ streaming, and at 100 TB the only distributed work is the
+    * totals aggregate plus a scan-side filter.
+    */
+  def mixtureSample(docs: DataFrame, salt: String = "mix"): DataFrame = {
+    val totals = docs
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(totals.nonEmpty, "mixtureSample needs at least one source")
+    val minTotal = totals.map(_._2).min
+    val bp: Map[String, Long] = totals.toMap.map { case (s, t) =>
+      s -> (minTotal * 10000L / t)
+    }
+    docs.filter(
+      pmod(graft.functions.PortableHash.h15(
+          concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+        lit(10000L)) <
+        element_at(typedlit(bp), col("source")))
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Phase 1 of the scan: per-bucket local prefix sums. Package-visible

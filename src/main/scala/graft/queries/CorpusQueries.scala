@@ -50,6 +50,14 @@ object CorpusQueries {
       CorpusOps.oovRatio(vocab)(d).select(col("doc_id"), col("oov_ratio"))
     }),
 
+    // Mixture rebalancing: every source downsampled to the smallest
+    // source's token budget via integer basis-point rates + the salted
+    // hash-sample contract — the deterministic uniform-mixture step
+    // before packing.
+    "corpus_mixture_sample" -> ((s, dir) =>
+      CorpusOps.mixtureSample(docs(s, dir))
+        .select(col("doc_id"), col("source"))),
+
     // Per-source quality dashboard — the rollup a curation team reads:
     // every text_* signal plus OOV, grouped by source. Per-doc signals
     // are narrow scan-side expressions (WSCG); ratio averages go
@@ -185,6 +193,16 @@ object CorpusQueries {
               / count(*)::DOUBLE AS oov_ratio
           FROM tok LEFT JOIN v ON tok.t = v.t
           GROUP BY tok.doc_id""",
+    "corpus_mixture_sample" ->
+      s"""WITH n AS (SELECT doc_id, source, length($toks)::BIGINT AS nt
+                     FROM documents),
+          tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS ts
+                  FROM n GROUP BY source),
+          mn AS (SELECT min(ts) AS mt FROM tot),
+          bp AS (SELECT source, (mt * 10000) // ts AS bp FROM tot, mn)
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN bp USING (source)
+          WHERE ${h15("concat('mix:', doc_id::VARCHAR)")} % 10000 < bp.bp""",
     "corpus_source_quality" -> {
       // the SAME pattern objects the Spark side evaluates — a drifted
       // copy would silently break has_pii parity

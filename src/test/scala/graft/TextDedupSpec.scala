@@ -167,6 +167,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out.contains(1L) && !out.contains(2L))
   }
 
+  test("mixtureSample rebalances sources toward the smallest token budget") {
+    import graft.operators.CorpusOps
+    // skewed corpus: a=50 tokens, b=150, c=500 (5 tokens per doc)
+    val in = (
+      (1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 40).map(i => (i.toLong, "b")) ++
+      (41 to 140).map(i => (i.toLong, "c"))
+    ).map { case (id, s) => (id, s, "one two three four five") }
+      .toDF("doc_id", "source", "text")
+    val kept = CorpusOps.mixtureSample(in)
+      .groupBy($"source")
+      .agg(sum(size(TextOps.tokens($"text"))).as("t"))
+      .as[(String, Long)].collect().toMap
+    // the binding (smallest) source is fully kept; the others thin to
+    // roughly its budget (hash granularity leaves slack, but nothing
+    // like their original totals)
+    assert(kept("a") == 50L, kept.toString)
+    assert(kept("b") >= 20L && kept("b") <= 100L, kept.toString)
+    assert(kept("c") >= 20L && kept("c") <= 100L, kept.toString)
+  }
+
   test("stripBoilerplate: join path ≡ UDF path, auto selects by model size") {
     import graft.operators.CorpusOps
     val boiler = "shared legal footer line"
