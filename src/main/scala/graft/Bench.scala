@@ -71,6 +71,51 @@ object Bench {
     "text_token_count", "topk_orders", "window_lag_lead",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
+  /** The round-8 registered set (106 queries), pinned for rounds 9+
+    * (`standing_r8_total`) — adds the derived-partsupp TPC-H quartet,
+    * the recall gate, the source-quality/mixture corpus queries, and
+    * the persisted nprobe=2 search on top of the r7 basket.
+    */
+  val standingSetR8: Set[String] = Set(
+    "anti_join_customers", "approx_user_stats", "asof_join_orders",
+    "band_join_followups", "corpus_contamination",
+    "corpus_curation", "corpus_mixture_sample", "corpus_oov_ratio",
+    "corpus_pack_sequences", "corpus_segment_dedup",
+    "corpus_source_quality", "corr_qty_price", "cube_daily",
+    "d2_schema_id", "d3_avro_decode", "d3_avro_rich",
+    "d4_json_decode", "d5_nil_filter", "d6_malformed_skip",
+    "dedup_canonical", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "entry_pipeline",
+    "events_sessionize", "grouping_sets_day_type",
+    "histogram_value", "k2_dedup_create", "k2_dedup_window",
+    "m1_consumer_lag", "m2_throughput", "mm_decode_features",
+    "mm_frame_sample", "mm_resize", "percentile_price",
+    "pivot_type_day", "q10_returned_items", "q11_important_stock",
+    "q12_priority_lines", "q13_order_counts", "q14_promo_effect",
+    "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive",
+    "q1_pricing_summary", "q20_promo_suppliers",
+    "q21_sole_late_supplier", "q22_idle_balance",
+    "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_late_shipping", "q5_local_supplier", "q6_revenue_delta",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "r1_routing_value", "r2_bucket_day", "r2_bucket_hour",
+    "r3_index_column_route", "r3_index_route", "r4_doc_id",
+    "r4_doc_id_column", "rollup_daily", "sample_hash",
+    "sample_stratified", "semi_join_parts", "set_except",
+    "set_intersect", "sim_bruteforce_topk", "sim_ivf_kmeans",
+    "sim_ivf_persisted", "sim_ivf_persisted_probe2",
+    "sim_ivf_probe2", "sim_ivf_topk", "sim_ivfpq_persisted",
+    "sim_ivfpq_topk", "sim_kmeans_cells", "sim_pq_kmeans",
+    "sim_pq_topk", "sim_recall_at_k", "sim_srp_multiprobe",
+    "sim_srp_topk", "skew_join_salted", "t1_timestamp_inject",
+    "t2_key_avro", "t2_key_include", "t2_key_json", "t3_blacklist",
+    "text_fingerprint", "text_lang_id", "text_quality",
+    "text_redact", "text_repetition", "text_token_count",
+    "topk_orders", "window_lag_lead", "window_rank_stats",
+    "window_rolling_sum", "window_supplier_rank")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -133,6 +178,8 @@ object Bench {
       .collect { case (n, t) if standingSet(n) => t }.sum
     val standingR7Total = results
       .collect { case (n, t) if standingSetR7(n) => t }.sum
+    val standingR8Total = results
+      .collect { case (n, t) if standingSetR8(n) => t }.sum
     val failed = errors.keys.toSeq.sorted
     def num(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
@@ -154,6 +201,7 @@ object Bench {
       "passes" -> passes.toString,
       "standing_total" -> standingTotal.toString,
       "standing_r7_total" -> standingR7Total.toString,
+      "standing_r8_total" -> standingR8Total.toString,
       "queries" -> obj(results.map { case (k, v) => k -> v.toString }),
       "samples" -> obj(results.map { case (k, _) =>
         k -> samples(k).mkString("[", ",", "]") }),
@@ -178,6 +226,7 @@ object Bench {
         "min_of" -> passes.toString,
         "standing_total" -> num(standingTotal, 3),
         "standing_r7_total" -> num(standingR7Total, 3),
+        "standing_r8_total" -> num(standingR8Total, 3),
         "queries" -> obj(kept.map { case (k, v) => k -> num(v, dec) })) ++
         (if (omitted > 0) Seq("queries_omitted" -> omitted.toString) else Nil) ++
         (if (failed.nonEmpty)

@@ -25,13 +25,15 @@ object SimilarityQueries {
     * The synthetic embeddings are near-random, so absolute recall is
     * bounded by cell coverage (nprobe/ncells) and quantizer resolution:
     * measured at sf0.01 — ivf_probe2 (exact in-cell scoring) 0.275,
-    * pq64 (codes only) 0.25, ivfpq64_probe2 0.075, vs a random-retrieval
+    * pq64 (codes only) 0.25, ivfpq64_probe2 0.075, srp_multiprobe 0.175
+    * (7 of 64 buckets probed), vs a random-retrieval
     * baseline of K/N ≈ 0.01. The floors are REGRESSION TRIPWIRES 2.5-12×
     * above chance, not absolute quality claims: any candidate-join /
     * encode / ranking bug drives recall to ~chance and flips recall_ok.
     */
   private val RecallFloors: Seq[(String, Double)] = Seq(
-    "ivf_probe2" -> 0.12, "pq64" -> 0.10, "ivfpq64_probe2" -> 0.025)
+    "ivf_probe2" -> 0.12, "pq64" -> 0.10, "ivfpq64_probe2" -> 0.025,
+    "srp_multiprobe" -> 0.05)
   // IVF centroid seeds: a fixed corpus subset, disjoint from the queries
   private val SEEDS = 100 until 108
 
@@ -204,12 +206,13 @@ object SimilarityQueries {
 
     // Recall gate: CORRECTNESS entries prove the approximate algorithms
     // replay exactly, not that they retrieve well. This query measures
-    // macro recall@K against the brute-force anchor for the three index
+    // macro recall@K against the brute-force anchor for the four index
     // families (exact-scored IVF at nprobe=2; PQ-only with 64-entry
-    // books; composed IVF+PQ) and pins per-family floors as error-bound
-    // booleans (same pattern as approx_user_stats) — an index-quality
-    // regression flips `recall_ok` to false and fails the oracle hash.
-    // See RecallFloors for why the floors sit where they do.
+    // books; composed IVF+PQ; SRP multi-probe) and pins per-family
+    // floors as error-bound booleans (same pattern as
+    // approx_user_stats) — an index-quality regression flips
+    // `recall_ok` to false and fails the oracle hash. See RecallFloors
+    // for why the floors sit where they do.
     "sim_recall_at_k" -> ((s, dir) => {
       val e = embs(s, dir)
       val exact = SimilarityOps.bruteForceTopK(e, queriesOf(e), K)
@@ -241,6 +244,9 @@ object SimilarityQueries {
           SimilarityOps.ivfPqTopK(e, queriesOf(e), K,
             ivfSeedIds = SEEDS.map(_.toLong),
             pqSeedIds = PQSEEDS.map(_.toLong), nprobe = 2)))
+        .unionAll(recallOf("srp_multiprobe", floors("srp_multiprobe"),
+          SimilarityOps.srpTopK(e, queriesOf(e), K, planes = 6,
+            multiProbe = true)))
     }),
 
     // Lloyd-trained centroids (graft.operators.KMeansOps): the IVF
@@ -606,6 +612,30 @@ object SimilarityQueries {
                  FROM ${p}scored) WHERE rank <= $K)"""
   }
 
+  /** SRP multi-probe chain (6 planes, home + 6 Hamming-1 buckets),
+    * prefix `p`; ends at `${p}apx` — the sim_srp_multiprobe replay,
+    * renamed.
+    */
+  private def srpMultiprobeCtes(p: String): String =
+    s"""${p}g AS (SELECT vec_id, embedding,
+              ${srpBucket("embedding", 6, 64)} AS bucket
+            FROM embeddings),
+        ${p}q0 AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+               FROM ${p}g WHERE vec_id < $NQ),
+        ${p}q AS (SELECT query_id, qe,
+                CASE WHEN r.i = 6 THEN bucket
+                     ELSE xor(bucket, (1::BIGINT << r.i)) END AS bucket
+              FROM ${p}q0 CROSS JOIN range(0, 7) r(i)),
+        ${p}scored AS (SELECT query_id, g.vec_id AS neighbor_id,
+                     ${cosine("qe", "g.embedding")} AS cos
+                   FROM ${p}q JOIN ${p}g g USING (bucket)
+                   WHERE g.vec_id <> query_id),
+        ${p}apx AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM ${p}scored) WHERE rank <= $K)"""
+
   /** Recall replay: brute-force top-k left-joined to each family's
     * top-k, macro hits over K·NQ, per-family floor booleans.
     */
@@ -635,12 +665,15 @@ object SimilarityQueries {
                WHERE rank <= $K),
         ${ivfExactCtes("i_", nprobe = 2)},
         ${pqOnlyCtes("p_", PQSEEDS)},
-        ${ivfPqCtes(nprobe = 2, pqSeeds = PQSEEDS, p = "v_")}
+        ${ivfPqCtes(nprobe = 2, pqSeeds = PQSEEDS, p = "v_")},
+        ${srpMultiprobeCtes("s_")}
         ${famRow("i_", "ivf_probe2", floors("ivf_probe2"))}
         UNION ALL
         ${famRow("p_", "pq64", floors("pq64"))}
         UNION ALL
-        ${famRow("v_", "ivfpq64_probe2", floors("ivfpq64_probe2"))}"""
+        ${famRow("v_", "ivfpq64_probe2", floors("ivfpq64_probe2"))}
+        UNION ALL
+        ${famRow("s_", "srp_multiprobe", floors("srp_multiprobe"))}"""
   }
 
   /** One-iteration spherical-k-means replay for PQ subspace `j` (the

@@ -121,6 +121,44 @@ object StreamingPipeline {
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("shingle_fp")
 
+  /** Streaming dual of the batch `corpus_source_quality` dashboard:
+    * per-source quality signals over watermarked tumbling windows — the
+    * live monitoring view of a continuously-ingesting corpus. Per-doc
+    * signals are the SAME pure column expressions as the batch rollup
+    * (token count, lang-id, punct ratio, content hash); ratio averages
+    * go through exact DECIMAL sums so window merges stay
+    * order-independent; the dup share uses approx_count_distinct (HLL)
+    * because exact distinct aggregation is unsupported — and unbounded —
+    * in streaming state. State: one row per (window, source).
+    */
+  def streamingSourceQuality(timeCol: String, windowLen: String,
+      watermarkDelay: String)(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val dec38 = (c: Column) => c.cast("decimal(38,10)")
+    docs
+      .withColumn("__nt", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("__lid", TextOps.langId(TextOps.tokens(col("text"))))
+      .withColumn("__ch", TextOps.contentHash(col("text")))
+      .withColumn("__punct",
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
+          / length(col("text")).cast("double"))
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(when(col("__lid") =!= "und", 1L).otherwise(0L)).as("n_lang"),
+        approx_count_distinct(col("__ch")).as("approx_distinct"),
+        sum(dec38(col("__punct"))).as("punct_dec"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("total_tokens"),
+        (col("n_lang").cast("double") / col("n_docs").cast("double"))
+          .as("lang_known_share"),
+        col("approx_distinct"),
+        (col("punct_dec").cast("double") / col("n_docs").cast("double"))
+          .as("avg_punct_ratio"))
+  }
+
   /** Streaming sessionization: the streaming dual of the batch
     * `events_sessionize` query (gaps-and-islands, same inactivity gap),
     * expressed with `session_window` so state is merged incrementally per

@@ -262,5 +262,5 @@ object PlanSpec {
     "q11_important_stock" -> 3,   // supplier count ×2 + global total
     "q16_part_supplier_counts" -> 1, // supplier count
     "q20_promo_suppliers" -> 1,   // supplier count
-    "sim_recall_at_k" -> 3)       // per-family hit counts
+    "sim_recall_at_k" -> 4)       // per-family hit counts (4 families)
 }

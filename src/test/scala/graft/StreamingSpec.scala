@@ -587,6 +587,40 @@ class StreamingSpec extends SparkSpec {
     assert(sig(0)._2 == sig(1)._2 && sig(0)._2 != sig(2)._2)
   }
 
+  test("streaming source-quality dashboard: windowed per-source rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String, Timestamp)]
+    def t(s: String) = Timestamp.valueOf(s)
+    stream.addData(Seq(
+      (1L, "a", "the and is quick fox", t("2024-03-05 10:01:00")),
+      (2L, "a", "the and is quick fox", t("2024-03-05 10:02:00")), // dup
+      (3L, "b", "zz yy xx ww", t("2024-03-05 10:03:00")),
+      (4L, "a", "le la et un deux", t("2024-03-05 11:01:00")))) // next window
+    val out = Files.createTempDirectory("graft-squality").toString
+    val q = StreamingPipeline.streamingSourceQuality(
+        "ts", "1 hour", "2 hours")(
+        stream.toDF().toDF("doc_id", "source", "text", "ts"))
+      .writeStream.format("memory").queryName("squality_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq( // advance the watermark far enough to close both
+        (9L, "a", "flush row", t("2024-03-05 23:00:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("squality_out")
+      .select($"window_start".cast("string"), $"source", $"n_docs",
+        $"total_tokens", $"lang_known_share", $"approx_distinct")
+      .as[(String, String, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // window 10:00, source a: 2 docs (1 exact dup pair), 10 tokens, both
+    // english-identified; HLL distinct on 1 unique hash = 1
+    assert(rows(("2024-03-05 10:00:00", "a")) == ((2L, 10L, 1.0, 1L)))
+    // window 10:00, source b: one doc, und language (no markers)
+    assert(rows(("2024-03-05 10:00:00", "b")) == ((1L, 4L, 0.0, 1L)))
+    // window 11:00, source a: french markers → lang known
+    assert(rows(("2024-03-05 11:00:00", "a")) == ((1L, 5L, 1.0, 1L)))
+  }
+
   test("mapGroupsWithState carries per-partition progress across batches (M1)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Msg]
