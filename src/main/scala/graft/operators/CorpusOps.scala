@@ -235,22 +235,38 @@ object CorpusOps {
     * batch ≡ streaming, and at 100 TB the only distributed work is the
     * totals aggregate plus a scan-side filter.
     */
-  def mixtureSample(docs: DataFrame, salt: String = "mix"): DataFrame = {
+  def mixtureSample(docs: DataFrame, salt: String = "mix"): DataFrame =
+    mixtureSampleWithRates(mixtureRates(docs), salt)(docs)
+
+  /** The mixture MODEL: per-source keep rates in basis points, derived
+    * from one token-total hash aggregate (one row per source — driver
+    * model state like the vocabulary).
+    */
+  def mixtureRates(docs: DataFrame): Map[String, Long] = {
     val totals = docs
       .groupBy(col("source"))
       .agg(sum(size(tokens(col("text"))).cast("long")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(totals.nonEmpty, "mixtureSample needs at least one source")
+    require(totals.nonEmpty, "mixtureRates needs at least one source")
     val minTotal = totals.map(_._2).min
-    val bp: Map[String, Long] = totals.toMap.map { case (s, t) =>
-      s -> (minTotal * 10000L / t)
-    }
+    totals.toMap.map { case (s, t) => s -> (minTotal * 10000L / t) }
+  }
+
+  /** ONLINE application of batch-derived rates: a pure per-row filter
+    * against the literal rate map ⇒ batch ≡ streaming — the same
+    * train-offline/apply-online split as [[stripBoilerplate]]. A source
+    * absent from the model has no rate and is DROPPED (`element_at`
+    * yields null → filter false): the conservative choice for a gate —
+    * new sources wait for the next model refresh rather than flooding
+    * the mixture unweighted.
+    */
+  def mixtureSampleWithRates(bp: Map[String, Long],
+      salt: String = "mix")(docs: DataFrame): DataFrame =
     docs.filter(
       pmod(graft.functions.PortableHash.h15(
           concat(lit(s"$salt:"), col("doc_id").cast("string"))),
         lit(10000L)) <
         element_at(typedlit(bp), col("source")))
-  }
 
   // ------------------------------------------------------ sequence packing
 

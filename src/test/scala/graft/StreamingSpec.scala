@@ -587,6 +587,40 @@ class StreamingSpec extends SparkSpec {
     assert(sig(0)._2 == sig(1)._2 && sig(0)._2 != sig(2)._2)
   }
 
+  test("offline-derived mixture rates gate a live stream (train/apply split)") {
+    import graft.operators.CorpusOps
+    // offline: derive the per-source keep rates on a batch corpus where
+    // source c dwarfs the others (same skew shape as the batch unit test)
+    val corpus = (
+      (1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 40).map(i => (i.toLong, "b")) ++
+      (41 to 140).map(i => (i.toLong, "c"))
+    ).map { case (id, s) => (id, s, "one two three four five") }
+      .toDF("doc_id", "source", "text")
+    // online: the SAME pure filter applied to a stream must keep exactly
+    // the docs the batch apply keeps (mixtureSample's filter is a pure
+    // per-row map over a broadcast rate map — batch ≡ streaming)
+    val batchKept = CorpusOps.mixtureSample(corpus)
+      .select($"doc_id").as[Long].collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    stream.addData(corpus.as[(Long, String, String)].collect().toSeq)
+    val out = Files.createTempDirectory("graft-mix").toString
+    // rates derived offline (one batch aggregate), applied to the
+    // stream as the pure filter — re-deriving on the stream would be a
+    // streaming aggregate the gate deliberately avoids
+    val q = CorpusOps.mixtureSampleWithRates(
+        CorpusOps.mixtureRates(corpus))(
+        stream.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("mix_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mix_out").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(streamed == batchKept)
+    assert(streamed.nonEmpty && streamed.size < 140)
+  }
+
   test("streaming source-quality dashboard: windowed per-source rollup") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, String, Timestamp)]
