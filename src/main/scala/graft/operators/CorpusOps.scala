@@ -268,6 +268,43 @@ object CorpusOps {
         lit(10000L)) <
         element_at(typedlit(bp), col("source")))
 
+  /** Epoch upsampling — the dual of [[mixtureSample]] for SMALL
+    * sources: instead of thinning every source to the smallest budget,
+    * repeat each source until it contributes ~the LARGEST source's
+    * token count — "epochs" in the LLM data-recipe sense (a 3.2-epoch
+    * source appears 3 times in full plus a hash-gated 20% fourth pass).
+    * Deterministic: rates are integer basis points (maxTotal·10000 div
+    * total ≥ 10000); the guaranteed ⌊bp/10000⌋ copies explode from a
+    * per-source literal; the fractional copy is gated by the salted
+    * portable hash. Output carries the `epoch` index so downstream
+    * packing/shuffling can distinguish the repeats.
+    *
+    * Scale shape: one token-total aggregate (model state) + a pure
+    * per-row explode whose fan-out is the epoch count — no shuffle, no
+    * join; expected per-source output tokens = total·bp/10000 ≈
+    * maxTotal for every source.
+    */
+  def mixtureUpsample(docs: DataFrame, salt: String = "epoch")
+      : DataFrame = {
+    val totals = docs
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(totals.nonEmpty, "mixtureUpsample needs at least one source")
+    val maxTotal = totals.map(_._2).max
+    val bp = totals.toMap.map { case (s, t) => s -> (maxTotal * 10000L / t) }
+    val full: Map[String, Long] = bp.map { case (s, r) => s -> r / 10000L }
+    val rem: Map[String, Long] = bp.map { case (s, r) => s -> r % 10000L }
+    docs
+      .withColumn("epoch", explode(sequence(lit(0L),
+        element_at(typedlit(full), col("source")))))
+      .filter(col("epoch") < element_at(typedlit(full), col("source")) ||
+        pmod(graft.functions.PortableHash.h15(
+            concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+          lit(10000L)) <
+          element_at(typedlit(rem), col("source")))
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /** Phase 1 of the scan: per-bucket local prefix sums. Package-visible

@@ -58,6 +58,13 @@ object CorpusQueries {
       CorpusOps.mixtureSample(docs(s, dir))
         .select(col("doc_id"), col("source"))),
 
+    // Epoch upsampling: every source repeated toward the largest
+    // source's token budget (whole epochs + a hash-gated fractional
+    // pass) — the dual of the downsampling mixture.
+    "corpus_mixture_epochs" -> ((s, dir) =>
+      CorpusOps.mixtureUpsample(docs(s, dir))
+        .select(col("doc_id"), col("source"), col("epoch"))),
+
     // Per-source quality dashboard — the rollup a curation team reads:
     // every text_* signal plus OOV, grouped by source. Per-doc signals
     // are narrow scan-side expressions (WSCG); ratio averages go
@@ -203,6 +210,21 @@ object CorpusQueries {
           SELECT d.doc_id, d.source
           FROM documents d JOIN bp USING (source)
           WHERE ${h15("concat('mix:', doc_id::VARCHAR)")} % 10000 < bp.bp""",
+    "corpus_mixture_epochs" ->
+      s"""WITH n AS (SELECT doc_id, source, length($toks)::BIGINT AS nt
+                     FROM documents),
+          tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS ts
+                  FROM n GROUP BY source),
+          mx AS (SELECT max(ts) AS mt FROM tot),
+          bp AS (SELECT source, (mt * 10000) // ts AS bp FROM tot, mx)
+          SELECT d.doc_id, d.source, e.epoch
+          FROM documents d
+          JOIN bp USING (source)
+          CROSS JOIN LATERAL (
+            SELECT unnest(range(0, bp.bp // 10000 + 1)) AS epoch) e
+          WHERE e.epoch < bp.bp // 10000
+             OR ${h15("concat('epoch:', doc_id::VARCHAR)")} % 10000
+                < bp.bp % 10000""",
     "corpus_source_quality" -> {
       // the SAME pattern objects the Spark side evaluates — a drifted
       // copy would silently break has_pii parity

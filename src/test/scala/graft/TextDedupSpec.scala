@@ -188,6 +188,25 @@ class TextDedupSpec extends SparkSpec {
     assert(kept("c") >= 20L && kept("c") <= 100L, kept.toString)
   }
 
+  test("mixtureUpsample repeats small sources toward the largest budget") {
+    import graft.operators.CorpusOps
+    val in = (
+      (1 to 10).map(i => (i.toLong, "a")) ++    // 50 tokens
+      (11 to 40).map(i => (i.toLong, "b")) ++   // 150 tokens
+      (41 to 140).map(i => (i.toLong, "c"))     // 500 tokens (largest)
+    ).map { case (id, s) => (id, s, "one two three four five") }
+      .toDF("doc_id", "source", "text")
+    val kept = CorpusOps.mixtureUpsample(in)
+      .groupBy($"source")
+      .agg(sum(size(TextOps.tokens($"text"))).as("t"))
+      .as[(String, Long)].collect().toMap
+    // a: 500/50 = exactly 10 whole epochs; c: exactly 1 epoch;
+    // b: 3 whole epochs + a 1/3 hash-gated fourth pass
+    assert(kept("a") == 500L, kept.toString)
+    assert(kept("c") == 500L, kept.toString)
+    assert(kept("b") >= 400L && kept("b") <= 600L, kept.toString)
+  }
+
   test("stripBoilerplate: join path ≡ UDF path, auto selects by model size") {
     import graft.operators.CorpusOps
     val boiler = "shared legal footer line"
