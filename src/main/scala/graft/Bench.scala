@@ -71,7 +71,7 @@ object Bench {
     "text_token_count", "topk_orders", "window_lag_lead",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
-  /** The round-8 registered set (106 queries), pinned for rounds 9+
+  /** The round-8 registered set (107 queries), pinned for rounds 9+
     * (`standing_r8_total`) — adds the derived-partsupp TPC-H quartet,
     * the recall gate, the source-quality/mixture corpus queries, and
     * the persisted nprobe=2 search on top of the r7 basket.
@@ -79,7 +79,8 @@ object Bench {
   val standingSetR8: Set[String] = Set(
     "anti_join_customers", "approx_user_stats", "asof_join_orders",
     "band_join_followups", "corpus_contamination",
-    "corpus_curation", "corpus_mixture_sample", "corpus_oov_ratio",
+    "corpus_curation", "corpus_mixture_epochs",
+    "corpus_mixture_sample", "corpus_oov_ratio",
     "corpus_pack_sequences", "corpus_segment_dedup",
     "corpus_source_quality", "corr_qty_price", "cube_daily",
     "d2_schema_id", "d3_avro_decode", "d3_avro_rich",
