@@ -238,18 +238,24 @@ object CorpusOps {
   def mixtureSample(docs: DataFrame, salt: String = "mix"): DataFrame =
     mixtureSampleWithRates(mixtureRates(docs), salt)(docs)
 
-  /** The mixture MODEL: per-source keep rates in basis points, derived
-    * from one token-total hash aggregate (one row per source — driver
+  /** Per-source token totals — the one aggregate both mixture
+    * directions derive their rates from (one row per source, driver
     * model state like the vocabulary).
     */
-  def mixtureRates(docs: DataFrame): Map[String, Long] = {
+  private def sourceTotals(docs: DataFrame): Map[String, Long] = {
     val totals = docs
       .groupBy(col("source"))
       .agg(sum(size(tokens(col("text"))).cast("long")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(totals.nonEmpty, "mixtureRates needs at least one source")
-    val minTotal = totals.map(_._2).min
-    totals.toMap.map { case (s, t) => s -> (minTotal * 10000L / t) }
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(totals.nonEmpty, "mixture rates need at least one source")
+    totals
+  }
+
+  /** The mixture MODEL: per-source keep rates in basis points. */
+  def mixtureRates(docs: DataFrame): Map[String, Long] = {
+    val totals = sourceTotals(docs)
+    val minTotal = totals.values.min
+    totals.map { case (s, t) => s -> (minTotal * 10000L / t) }
   }
 
   /** ONLINE application of batch-derived rates: a pure per-row filter
@@ -286,13 +292,9 @@ object CorpusOps {
     */
   def mixtureUpsample(docs: DataFrame, salt: String = "epoch")
       : DataFrame = {
-    val totals = docs
-      .groupBy(col("source"))
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(totals.nonEmpty, "mixtureUpsample needs at least one source")
-    val maxTotal = totals.map(_._2).max
-    val bp = totals.toMap.map { case (s, t) => s -> (maxTotal * 10000L / t) }
+    val totals = sourceTotals(docs)
+    val maxTotal = totals.values.max
+    val bp = totals.map { case (s, t) => s -> (maxTotal * 10000L / t) }
     val full: Map[String, Long] = bp.map { case (s, r) => s -> r / 10000L }
     val rem: Map[String, Long] = bp.map { case (s, r) => s -> r % 10000L }
     docs

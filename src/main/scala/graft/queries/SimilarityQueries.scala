@@ -217,7 +217,7 @@ object SimilarityQueries {
       val e = embs(s, dir)
       val exact = SimilarityOps.bruteForceTopK(e, queriesOf(e), K)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(false) // consumed by all three families
+        .localCheckpoint(false) // consumed by every recall family
       def recallOf(family: String, floor: Double, approx: DataFrame)
           : DataFrame = {
         val total = lit((K * NQ).toDouble)

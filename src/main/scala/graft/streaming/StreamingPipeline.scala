@@ -140,8 +140,7 @@ object StreamingPipeline {
       .withColumn("__lid", TextOps.langId(TextOps.tokens(col("text"))))
       .withColumn("__ch", TextOps.contentHash(col("text")))
       .withColumn("__punct",
-        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double")
-          / length(col("text")).cast("double"))
+        TextOps.qualityColumns(col("text")).toMap.apply("punct_ratio"))
       .withWatermark(timeCol, watermarkDelay)
       .groupBy(window(col(timeCol), windowLen), col("source"))
       .agg(
