@@ -214,6 +214,93 @@ object CorpusOps {
       .withColumn("oov_ratio", ratio(col("text")))
   }
 
+  // -------------------------------------------------------- bigram LM gate
+
+  /** The class every out-of-vocabulary token maps to before bigram
+    * counting. A literal `<unk>` corpus token maps to itself, which IS
+    * the class semantics — no ambiguity either way.
+    */
+  val UnkClass = "<unk>"
+
+  /** Offline bigram LANGUAGE MODEL: counts of consecutive class pairs,
+    * where a class is the token itself inside the top-V [[vocabulary]]
+    * and [[UnkClass]] otherwise. The class mapping bounds the model at
+    * (V+1)² rows REGARDLESS of corpus size — a 100 TB corpus still
+    * yields a broadcast-able model — the same trick CCNet-style
+    * pipelines use to keep per-language LM-filter state small. Shape:
+    * one narrow per-row map + one hash aggregate (map-side partial
+    * counts); the corpus itself never shuffles, only (V+1)²-bounded
+    * class pairs do.
+    */
+  def bigramModel(vocab: Set[String])(docs: DataFrame): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    val classes = udf { (text: String) =>
+      tokenizeLikeSpark(text).map(t => if (bc.value(t)) t else UnkClass)
+    }
+    val n = size(col("__c"))
+    docs.filter(col("text").isNotNull)
+      .select(classes(col("text")).as("__c"))
+      .select(explode(zip_with(
+        slice(col("__c"), lit(1), greatest(n - 1, lit(0))),
+        slice(col("__c"), lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+  }
+
+  /** ONLINE LM scoring: each document's mean add-one-smoothed bigram
+    * probability under the (broadcast) model, gated on `keep`. A CCNet
+    * gate scores KenLM log-perplexity; `ln`/`exp` are NOT exactly-
+    * rounded IEEE ops (engines legitimately disagree in the last ulp,
+    * which a bit-exact oracle hash catches), so the score keeps the
+    * probabilities linear in deterministic fixed-point instead:
+    * `floor(1e6 · (c12+1)/(c1+V+1))` per position, summed per doc.
+    * Division, multiplication by 1e6 and floor ARE exactly-rounded ⇒
+    * Spark and the DuckDB oracle agree bitwise, and the score still
+    * ranks documents the same direction as perplexity (higher mean
+    * next-token probability = more model-typical text). Context counts
+    * derive from the bigram table itself (c1 = Σ_w2 c12), so model and
+    * contexts cannot drift apart.
+    *
+    * Pure per-row map over broadcast model state ⇒ batch ≡ streaming;
+    * at 100 TB the apply is scan-side only (zero shuffles). Documents
+    * with fewer than two tokens carry no bigram evidence and are
+    * dropped, mirroring the oracle's empty GROUP BY group.
+    */
+  def bigramLmScore(vocab: Set[String], model: Map[(String, String), Long],
+      vocabSize: Int, keepAbove: Double)(docs: DataFrame): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val contexts: Map[String, Long] =
+      model.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val bcV = sc.broadcast(vocab)
+    val bcM = sc.broadcast(model)
+    val bcC = sc.broadcast(contexts)
+    val denomAdd = vocabSize + 1L
+    val score = udf { (text: String) =>
+      val c = tokenizeLikeSpark(text)
+        .map(t => if (bcV.value(t)) t else UnkClass)
+      var fp = 0L
+      var i = 1
+      while (i < c.length) {
+        val c12 = bcM.value.getOrElse((c(i - 1), c(i)), 0L)
+        val c1 = bcC.value.getOrElse(c(i - 1), 0L)
+        fp += math.floor(
+          1000000.0 * ((c12 + 1).toDouble / (c1 + denomAdd).toDouble)).toLong
+        i += 1
+      }
+      ((c.length - 1).toLong, fp)
+    }
+    docs.filter(col("text").isNotNull)
+      .withColumn("__s", score(col("text")))
+      .filter(col("__s._1") > 0)
+      .select(col("doc_id"),
+        col("__s._1").as("n_bigrams"),
+        col("__s._2").as("lm_fp"),
+        (col("__s._2").cast("double") /
+          (lit(1000000.0) * col("__s._1").cast("double"))).as("avg_prob"))
+      .withColumn("keep", col("avg_prob") >= lit(keepAbove))
+  }
+
   // ------------------------------------------------------ mixture sampling
 
   /** Data-mixture rebalancing: downsample each source so every source

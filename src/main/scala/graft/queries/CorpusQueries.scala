@@ -18,6 +18,9 @@ object CorpusQueries {
   private val EvalPct = 10
   private val ShingleK = 8
   private val VocabV = 24
+  // keeps ~52% of the synthetic corpus at both sf0.001 and sf0.01 —
+  // a non-vacuous gate (scores span 0.036..0.104; see bigramLmScore)
+  private val LmKeepAbove = 0.064
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -48,6 +51,25 @@ object CorpusQueries {
       val vocab = CorpusOps.vocabulary(d, VocabV)
         .as[String].collect().toSet
       CorpusOps.oovRatio(vocab)(d).select(col("doc_id"), col("oov_ratio"))
+    }),
+
+    // Bigram-LM quality gate: the top-V class-bigram model (offline,
+    // (V+1)²-bounded) scores every doc's mean smoothed bigram
+    // probability in deterministic fixed-point — the engine-exact stand-
+    // in for CCNet's KenLM perplexity filter (transcendental-free; see
+    // CorpusOps.bigramLmScore). On THIS synthetic corpus (31 distinct
+    // tokens) the spread is narrow, so like sim_recall_at_k the gate is
+    // an honest regression tripwire, not a quality sieve.
+    "corpus_bigram_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      import s.implicits._
+      val vocab = CorpusOps.vocabulary(d, VocabV)
+        .as[String].collect().toSet
+      val model = CorpusOps.bigramModel(vocab)(d)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      CorpusOps.bigramLmScore(vocab, model, VocabV, LmKeepAbove)(d)
     }),
 
     // Mixture rebalancing: every source downsampled to the smallest
@@ -200,6 +222,40 @@ object CorpusQueries {
               / count(*)::DOUBLE AS oov_ratio
           FROM tok LEFT JOIN v ON tok.t = v.t
           GROUP BY tok.doc_id""",
+    "corpus_bigram_lm" ->
+      // same replay: top-V vocab (ties to smaller token), class map via
+      // positional LEFT JOIN + lead() pairs, bigram/context counts,
+      // floor-fixed-point smoothed probability; LEFT JOINs + COALESCE 0
+      // mirror the operator's getOrElse(0) for models that did not see
+      // a pair (self-trained models always do — belt and braces)
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+          v AS (SELECT t FROM (
+                  SELECT t, count(*) AS f FROM tok GROUP BY t
+                  ORDER BY f DESC, t LIMIT $VocabV)),
+          p AS (SELECT d.doc_id, t.i AS pos,
+                  CASE WHEN v.t IS NULL THEN '<unk>' ELSE v.t END AS w
+                FROM (SELECT doc_id, $toks AS tk FROM documents) d
+                CROSS JOIN LATERAL (
+                  SELECT unnest(range(1, length(d.tk)+1)) AS i) t
+                LEFT JOIN v ON d.tk[t.i] = v.t),
+          bgp AS (SELECT doc_id, w AS w1,
+                    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                  FROM p QUALIFY w2 IS NOT NULL),
+          bc AS (SELECT w1, w2, count(*) AS c12 FROM bgp GROUP BY w1, w2),
+          ctx AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM bc GROUP BY w1),
+          sc AS (SELECT g.doc_id,
+                   floor(1000000.0 * ((COALESCE(b.c12, 0) + 1)::DOUBLE
+                     / (COALESCE(x.c1, 0) + ${VocabV + 1})::DOUBLE))::BIGINT
+                     AS fp
+                 FROM bgp g
+                 LEFT JOIN bc b ON g.w1 = b.w1 AND g.w2 = b.w2
+                 LEFT JOIN ctx x ON g.w1 = x.w1)
+          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+            sum(fp)::BIGINT AS lm_fp,
+            sum(fp)::DOUBLE / (1000000.0 * count(*))::DOUBLE AS avg_prob,
+            (sum(fp)::DOUBLE / (1000000.0 * count(*))::DOUBLE)
+              >= $LmKeepAbove::DOUBLE AS keep
+          FROM sc GROUP BY doc_id""",
     "corpus_mixture_sample" ->
       s"""WITH n AS (SELECT doc_id, source, length($toks)::BIGINT AS nt
                      FROM documents),

@@ -233,4 +233,38 @@ class TextDedupSpec extends SparkSpec {
     assert(asMap(CorpusOps.stripBoilerplateAuto(model, 4,
       maxDriverModel = 0L)(in)) == viaUdf)
   }
+
+  test("bigram LM: bounded model, hand-checked fixed-point scores") {
+    import graft.operators.CorpusOps
+    val in = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b"),
+      (3L, "z"),                           // single token → no bigrams
+      (4L, null.asInstanceOf[String]))     // null text → dropped
+      .toDF("doc_id", "text")
+    val vocab = CorpusOps.vocabulary(in, 2)
+      .as[String].collect().toSet
+    assert(vocab == Set("a", "b"))         // a:3 b:3 beat c:1 z:1
+    val modelDf = CorpusOps.bigramModel(vocab)(in)
+    val model = modelDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // classes: doc1 = a b a b <unk>, doc2 = a b, doc3 = <unk>
+    assert(model == Map(("a", "b") -> 3L, ("b", "a") -> 1L,
+      ("b", CorpusOps.UnkClass) -> 1L))
+    assert(model.size <= 9)                // (V+1)² bound, V=2
+    val out = CorpusOps.bigramLmScore(vocab, model, 2, 0.5)(in)
+      .select($"doc_id", $"n_bigrams", $"lm_fp", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // add-1 over V+1=3 classes: P(b|a)=(3+1)/(3+3) → 666666 fp;
+    // P(a|b)=(1+1)/(2+3) → 400000; P(unk|b)=(1+1)/(2+3) → 400000
+    assert(out == Map(
+      1L -> ((4L, 2133332L, true)),        // avg 0.533333 ≥ 0.5
+      2L -> ((1L, 666666L, true))))        // docs 3, 4 dropped
+    // unseen contexts and pairs fall back to pure smoothing mass
+    val unseen = CorpusOps.bigramLmScore(vocab, model, 2, 0.5)(
+      Seq((5L, "q r")).toDF("doc_id", "text"))
+      .select($"lm_fp", $"keep").as[(Long, Boolean)].head()
+    assert(unseen == ((333333L, false)))   // (0+1)/(0+3) → 333333
+  }
 }
