@@ -214,6 +214,42 @@ object CorpusOps {
       .withColumn("oov_ratio", ratio(col("text")))
   }
 
+  // ------------------------------------------------------- sliding chunking
+
+  /** RAG-style sliding-window chunking: every document becomes
+    * overlapping `window`-token chunks starting every `stride` tokens
+    * (the unit an embedding/retrieval stage indexes). Chunk count is
+    * `ceil(max(n-window, 0)/stride) + 1`, so every token lands in at
+    * least one chunk and a short doc still yields exactly one.
+    *
+    * Pure scan-side geometry: tokenize once, build the chunk index list
+    * with `sequence`, `posexplode` + `slice` — a narrow codegen'd map
+    * with ZERO shuffles (plan-pinned), so at 100 TB chunking is free to
+    * pipeline straight into the embedding UDF or the parquet writer
+    * with no exchange in between. Emits the chunk hash rather than the
+    * chunk text (the hash is what dedup/indexing joins on; callers that
+    * need the text swap `chunk_hash` for the `concat_ws` itself).
+    */
+  def chunkSliding(window: Int, stride: Int)(docs: DataFrame): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val sz = size(col("__tk"))
+    // integer ceil via exactly-representable double division (token
+    // counts are far below 2^52, where floor(a/b) is bit-determined)
+    val nChunks = (floor((greatest(sz - window, lit(0)) + lit(stride - 1))
+      .cast("double") / lit(stride.toDouble)) + lit(1)).cast("int")
+    val chunk = slice(col("__tk"), col("chunk_no") * stride + 1, lit(window))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), col("__tk"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_no"))
+      .select(col("doc_id"),
+        col("chunk_no").cast("long").as("chunk_no"),
+        (col("chunk_no") * stride).cast("long").as("chunk_start"),
+        size(chunk).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_hash"))
+  }
+
   // -------------------------------------------------------- bigram LM gate
 
   /** The class every out-of-vocabulary token maps to before bigram

@@ -21,6 +21,9 @@ object CorpusQueries {
   // keeps ~52% of the synthetic corpus at both sf0.001 and sf0.01 —
   // a non-vacuous gate (scores span 0.036..0.104; see bigramLmScore)
   private val LmKeepAbove = 0.064
+  // 8-token overlap; docs run 10..99 tokens → 1..4 chunks each
+  private val ChunkW = 32
+  private val ChunkS = 24
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -52,6 +55,11 @@ object CorpusQueries {
         .as[String].collect().toSet
       CorpusOps.oovRatio(vocab)(d).select(col("doc_id"), col("oov_ratio"))
     }),
+
+    // RAG chunking: overlapping 32-token windows every 24 tokens —
+    // zero-shuffle scan-side geometry (PlanSpec-pinned).
+    "corpus_chunk_sliding" -> ((s, dir) =>
+      CorpusOps.chunkSliding(ChunkW, ChunkS)(docs(s, dir))),
 
     // Bigram-LM quality gate: the top-V class-bigram model (offline,
     // (V+1)²-bounded) scores every doc's mean smoothed bigram
@@ -222,6 +230,21 @@ object CorpusQueries {
               / count(*)::DOUBLE AS oov_ratio
           FROM tok LEFT JOIN v ON tok.t = v.t
           GROUP BY tok.doc_id""",
+    "corpus_chunk_sliding" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+          c AS (SELECT doc_id, tk, t.i AS chunk_no
+                FROM d CROSS JOIN LATERAL (
+                  SELECT unnest(range(0,
+                    (greatest(length(tk) - $ChunkW, 0) + ${ChunkS - 1})
+                      // $ChunkS + 1)) AS i) t)
+          SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+            (chunk_no * $ChunkS)::BIGINT AS chunk_start,
+            length(tk[chunk_no*$ChunkS+1 : chunk_no*$ChunkS+$ChunkW])::BIGINT
+              AS n_tokens,
+            md5(array_to_string(
+              tk[chunk_no*$ChunkS+1 : chunk_no*$ChunkS+$ChunkW], ' '))
+              AS chunk_hash
+          FROM c""",
     "corpus_bigram_lm" ->
       // same replay: top-V vocab (ties to smaller token), class map via
       // positional LEFT JOIN + lead() pairs, bigram/context counts,

@@ -143,6 +143,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1000))
   }
 
+  test("corpus_chunk_sliding: pure scan-side map, zero exchanges") {
+    val p = planString("corpus_chunk_sliding")
+    assert(!p.contains("Exchange"),
+      "chunking picked up a shuffle — it must pipeline off the scan\n" +
+        p.take(2000))
+    assert(p.contains("Generate"), p.take(1000)) // the explode itself
+  }
+
   test("stripBoilerplateJoin: corpus never shuffles on the segment key") {
     // the large-model apply path: with a broadcast-able model frame the
     // anti-join must be map-side and the only corpus shuffles keyed on

@@ -234,6 +234,26 @@ class TextDedupSpec extends SparkSpec {
       maxDriverModel = 0L)(in)) == viaUdf)
   }
 
+  test("sliding chunks: window/stride boundaries, short docs, nulls") {
+    import graft.operators.CorpusOps
+    val in = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),     // n=8, W=4 S=3 → starts 0,3,6
+      (2L, "a b"),                          // n=2 → one (short) chunk
+      (3L, null.asInstanceOf[String]))      // null text → no chunks
+      .toDF("doc_id", "text")
+    val out = CorpusOps.chunkSliding(4, 3)(in)
+      .select($"doc_id", $"chunk_no", $"chunk_start", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 2L),
+      (2L, 0L, 0L, 2L)))
+    // every token of doc 1 is covered and consecutive chunks overlap
+    val hashes = CorpusOps.chunkSliding(4, 3)(in)
+      .filter($"doc_id" === 1L).select($"chunk_hash")
+      .as[String].collect()
+    assert(hashes.distinct.length == 3)
+  }
+
   test("bigram LM: bounded model, hand-checked fixed-point scores") {
     import graft.operators.CorpusOps
     val in = Seq(
