@@ -287,6 +287,34 @@ object DedupOps {
     * candidate pair (n² worst case) — same value, divided out after the
     * per-pair dot product.
     */
+  /** SemDeDup-style semantic near-dup pairs: cluster the corpus under a
+    * trained k-means model ([[SimilarityOps.assignCells]] — a pure map
+    * over literal centroid state), then verify exact cosine ≥ threshold
+    * WITHIN each cluster. Candidates are a self-equi-join on the cell
+    * key, so candidate volume is Σ|cell|² and the cluster count k is
+    * the scale knob: production SemDeDup picks k ≈ N / target-cluster-
+    * size so each cell's pair block stays bounded (the paper's 50k
+    * clusters over LAION); the corpus shuffles exactly once, on `cell`.
+    * Near-dups straddling a cluster boundary are invisible by design —
+    * that recall trade IS SemDeDup (vs the all-bucket SRP geometry of
+    * [[embeddingNearDupPairs]], which catches them with planes-bit
+    * buckets instead of semantic cells).
+    */
+  def semanticNearDupPairs(centroids: DataFrame, threshold: Double)(
+      df: DataFrame): DataFrame = {
+    val assigned = SimilarityOps.assignCells(centroids)(df)
+    val a = assigned.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("e_a"), col("e_b")) /
+        (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cell"), col("cos"))
+  }
+
   def embeddingNearDupPairs(threshold: Double, planes: Int = 8,
       dim: Int = 64)(df: DataFrame): DataFrame = {
     val withBucket = df.select(col("vec_id"), col("embedding"),

@@ -197,6 +197,20 @@ object SimilarityOps {
     df.select(col("vec_id"), col("embedding"),
       DedupOps.norm(col("embedding")).as("nrm"))
 
+  /** Cell assignment as a standalone operator: every corpus row gains
+    * its argmax-cosine `cell` (plus its precomputed `nrm`) under the
+    * given `(cell, centroid)` model — the same pure-map kernel the IVF
+    * search runs (centroids as literal model state, zero shuffle, zero
+    * row amplification). The clustering building block of SemDeDup-style
+    * semantic dedup ([[DedupOps.semanticNearDupPairs]]).
+    */
+  def assignCells(centroids: DataFrame)(corpus: DataFrame): DataFrame = {
+    val cents = collectCents(centroids.select(
+      col("cell").cast("long").as("cent_id"),
+      col("centroid").as("cent_emb")))
+    assignHome(cents)(withNorm(corpus))
+  }
+
   /** The search tail shared by in-memory and persisted-index IVF:
     * equi-join assigned cells against the broadcast probe set, exact
     * cosine, per-query top-k.

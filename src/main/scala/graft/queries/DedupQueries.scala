@@ -63,6 +63,25 @@ object DedupQueries {
       DedupOps.embeddingNearDupPairs(threshold = 0.35, planes = 4)(
         embs(s, dir))),
 
+    // SemDeDup-style semantic dedup: k-means cells (the SAME memoized
+    // Lloyd model the IVF family trains) bound the candidate space,
+    // exact cosine verifies within each cell, connected components
+    // resolve the pairs, and every vector gets its component plus a
+    // keep flag (canonical = min id; unclustered vectors keep).
+    "dedup_semantic" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val pairs = DedupOps.semanticNearDupPairs(
+        SimilarityQueries.trained(s, dir), threshold = 0.35)(e)
+        .select(col("a"), col("b"))
+      val comp = graft.operators.GraphOps.connectedComponents(pairs)
+      e.select(col("vec_id"))
+        .join(comp, col("vec_id") === col("id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"),
+          (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+            .as("keep"))
+    }),
+
     // Cluster resolution: near-dup PAIRS (simhash banding) → per-document
     // component id via distributed min-label connected components
     // (graft.operators.GraphOps) — the step that turns pairwise matches
@@ -172,6 +191,41 @@ object DedupQueries {
             ${cosine("x.embedding", "y.embedding")} AS cos
           FROM g x JOIN g y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
           WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35""",
+    // Lloyd replay (shared CTE chain) → final trained centroids →
+    // argmax-cosine cell per vector → within-cell pairs at cos ≥ 0.35 →
+    // recursive min-reachable component ≡ GraphOps' fixpoint → keep.
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.lloydCtes},
+          fin AS (
+            SELECT c1e.cell, c1e.dim, COALESCE(m2.m, c1e.m) AS m
+            FROM c1e LEFT JOIN m2
+              ON c1e.cell = m2.cell AND c1e.dim = m2.dim),
+          tc AS (SELECT cell, list(m ORDER BY dim) AS cent
+                 FROM fin GROUP BY cell),
+          asn AS (SELECT e.vec_id, e.embedding, c.cell,
+                    ${cosine("e.embedding", "c.cent")} AS cscore
+                  FROM embeddings e CROSS JOIN tc c),
+          cell3 AS (SELECT vec_id, embedding, cell FROM (
+              SELECT vec_id, embedding, cell,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cscore DESC, cell) AS rn
+              FROM asn) WHERE rn = 1),
+          pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+                 FROM cell3 x JOIN cell3 y
+                   ON x.cell = y.cell AND x.vec_id < y.vec_id
+                 WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35),
+          e AS (SELECT a AS src, b AS dst FROM pr
+                UNION SELECT b, a FROM pr),
+          n AS (SELECT DISTINCT src AS id FROM e),
+          reach(id, r) AS (
+            SELECT id, id FROM n
+            UNION
+            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+          cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          SELECT emb.vec_id,
+            COALESCE(cc.component, emb.vec_id) AS component,
+            (COALESCE(cc.component, emb.vec_id) = emb.vec_id) AS keep
+          FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id""",
     // same simhash pair set, then min-label components as a recursive
     // reachability closure (min over every reachable node ≡ the fixpoint
     // GraphOps.connectedComponents converges to)

@@ -56,7 +56,10 @@ object SimilarityQueries {
     graft.operators.KMeansOps.lloyd(embs(s, dir), "vec_id", "embedding",
       seedIds = SEEDS.map(_.toLong), iters = 2)
 
-  private def trained(s: SparkSession, dir: String): DataFrame =
+  /** Shared with DedupQueries (dedup_semantic clusters under the SAME
+    * trained model — train once, consume many).
+    */
+  private[queries] def trained(s: SparkSession, dir: String): DataFrame =
     lloydCache.getOrElseUpdate((s, dir),
       train(s, dir).localCheckpoint(false))
 
@@ -762,7 +765,7 @@ object SimilarityQueries {
     * consumers join `c1e`/`m2` for the final means). See the
     * sim_kmeans_cells comment for the determinism contract.
     */
-  private def lloydCtes: String = {
+  private[queries] def lloydCtes: String = {
     val seedList = SEEDS.mkString("(", ", ", ")")
     val dims = s"range(0, 64) d(i)"
     s"""c0 AS (

@@ -234,6 +234,25 @@ class TextDedupSpec extends SparkSpec {
       maxDriverModel = 0L)(in)) == viaUdf)
   }
 
+  test("semantic dedup: within-cell verify, cross-cell pairs invisible") {
+    val cents = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cell", "centroid")
+    val embs = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.1f, 0.0f)),   // cell 1
+      (11L, Seq(0.9f, 0.0f, 0.2f, 0.0f)),   // cell 1, near-dup of 10
+      (20L, Seq(0.0f, 1.0f, 0.0f, 0.1f)),   // cell 2
+      (21L, Seq(0.1f, 0.9f, 0.0f, 0.0f)),   // cell 2, near-dup of 20
+      (30L, Seq(0.7f, 0.7f, 0.0f, 0.0f)),   // equidistant → cell 1 (tie)
+      (31L, Seq(0.6f, 0.8f, 0.0f, 0.0f)))   // cell 2; cos(30,31) ≈ 0.99
+      .toDF("vec_id", "embedding")
+    val pairs = DedupOps.semanticNearDupPairs(cents, threshold = 0.9)(embs)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    // high-cosine cross-cell pair (30,31) is NOT a candidate — the
+    // SemDeDup recall trade the Scaladoc documents
+    assert(pairs == Set((10L, 11L), (20L, 21L)))
+  }
+
   test("sliding chunks: window/stride boundaries, short docs, nulls") {
     import graft.operators.CorpusOps
     val in = Seq(
