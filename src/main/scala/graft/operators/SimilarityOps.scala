@@ -549,13 +549,23 @@ object SimilarityOps {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       ivfSeedIds: Seq[Long], pqSeedIds: Seq[Long], nprobe: Int = 1,
-      m: Int = 4, dim: Int = 64): DataFrame = {
+      m: Int = 4, dim: Int = 64): DataFrame =
+    ivfPqTopKWithBooks(corpus, queries, k, ivfSeedIds,
+      pqBooks(corpus, pqSeedIds, m, dim), nprobe)
+
+  /** IVF+PQ over explicit codebooks — lets callers that reuse one book
+    * set across searches (the recall gate, a persisted index) pay the
+    * seed-slice collect once.
+    */
+  def ivfPqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
+      ivfSeedIds: Seq[Long], books: Seq[Seq[Seq[Double]]],
+      nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
+    val m = books.length
     val cents = collectCents(corpus
       .filter(col("vec_id").isInCollection(ivfSeedIds))
       .select(col("vec_id").as("cent_id"),
         col("embedding").as("cent_emb")))
-    val books = pqBooks(corpus, pqSeedIds, m, dim)
     // one corpus pass: home cell + the m PQ codes
     val coded = assignHome(cents)(withNorm(corpus))
       .select(col("vec_id") +: col("cell") +:

@@ -115,6 +115,19 @@ object SimilarityQueries {
       SimilarityOps.trainPqBooks(embs(s, dir),
         seedIds = SEEDS.map(_.toLong), m = 4, dim = 64, iters = 1))
 
+  /** The recall gate's 64-entry seed-sliced books, memoized like the
+    * other model caches: both PQ families under one gate share one
+    * seed-slice collect.
+    */
+  private val seededBookCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Seq[Seq[Double]]]]
+
+  private def seededBooks64(s: SparkSession, dir: String)
+      : Seq[Seq[Seq[Double]]] =
+    seededBookCache.getOrElseUpdate((s, dir),
+      SimilarityOps.pqBooksOf(embs(s, dir), PQSEEDS.map(_.toLong),
+        m = 4, dim = 64))
+
   val all: Map[String, Q] = Map(
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -241,12 +254,12 @@ object SimilarityQueries {
           SimilarityOps.ivfTopK(e, queriesOf(e), K,
             seedIds = SEEDS.map(_.toLong), nprobe = 2))
         .unionAll(recallOf("pq64", floors("pq64"),
-          SimilarityOps.pqTopK(e, queriesOf(e), K,
-            seedIds = PQSEEDS.map(_.toLong))))
+          SimilarityOps.pqTopKWithBooks(e, queriesOf(e), K,
+            seededBooks64(s, dir))))
         .unionAll(recallOf("ivfpq64_probe2", floors("ivfpq64_probe2"),
-          SimilarityOps.ivfPqTopK(e, queriesOf(e), K,
+          SimilarityOps.ivfPqTopKWithBooks(e, queriesOf(e), K,
             ivfSeedIds = SEEDS.map(_.toLong),
-            pqSeedIds = PQSEEDS.map(_.toLong), nprobe = 2)))
+            books = seededBooks64(s, dir), nprobe = 2)))
         .unionAll(recallOf("srp_multiprobe", floors("srp_multiprobe"),
           SimilarityOps.srpTopK(e, queriesOf(e), K, planes = 6,
             multiProbe = true)))
