@@ -69,4 +69,16 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("Invalid parser type"))
   }
+
+  test("bench standing baskets name only registered queries") {
+    // a typo'd basket entry would silently drop out of the standing sum
+    // and read as a fake round-over-round speedup
+    val registered = SparkEntry.queries.keySet
+    for ((basket, name) <- Seq(Bench.standingSet -> "r5",
+        Bench.standingSetR7 -> "r7", Bench.standingSetR8 -> "r8")) {
+      val ghosts = basket -- registered
+      assert(ghosts.isEmpty, s"$name basket names unknown queries: $ghosts")
+    }
+    assert(Bench.standingSetR8.size == 110)
+  }
 }

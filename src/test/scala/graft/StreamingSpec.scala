@@ -356,6 +356,59 @@ class StreamingSpec extends SparkSpec {
     assert(batched == streamed)
   }
 
+  test("offline bigram LM scores and gates a live stream (train/apply split)") {
+    import graft.operators.CorpusOps
+    // offline: vocab + bigram model on a batch corpus
+    val corpus = Seq(
+      (1L, "a b a b c"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val vocab = CorpusOps.vocabulary(corpus, 2).as[String].collect().toSet
+    val model = CorpusOps.bigramModel(vocab)(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // online: the SAME pure map scores a stream; garbage text scores
+    // only unseen (<unk>,<unk>) smoothing mass 1/3 < 0.5, typical text
+    // averages (666666+400000+666666)/3e6 ≈ 0.578
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val rows = Seq((10L, "a b a b"), (11L, "q z q z"))
+    stream.addData(rows)
+    val out = Files.createTempDirectory("graft-lm").toString
+    val q = CorpusOps.bigramLmScore(vocab, model, 2, keepAbove = 0.5)(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lm_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("lm_out")
+      .select($"doc_id", $"lm_fp", $"keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batched = CorpusOps.bigramLmScore(vocab, model, 2, 0.5)(
+        rows.toDF("doc_id", "text"))
+      .select($"doc_id", $"lm_fp", $"keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed == batched)
+    // the gate does real work: model-typical text keeps, garbage drops
+    assert(streamed.map(r => r._1 -> r._3).toMap ==
+      Map(10L -> true, 11L -> false))
+  }
+
+  test("sliding chunking runs unchanged on a stream (batch ≡ streaming)") {
+    import graft.operators.CorpusOps
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val rows = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8"), (2L, "a b"))
+    stream.addData(rows)
+    val out = Files.createTempDirectory("graft-chunk").toString
+    val q = CorpusOps.chunkSliding(4, 3)(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("chunk_out")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val batched = CorpusOps.chunkSliding(4, 3)(rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed == batched && streamed.size == 4)
+  }
+
   test("contamination gate drops benchmark-overlapping docs in-stream") {
     import graft.operators.CorpusOps
     // offline: the eval set's distinct 4-shingles (tiny here; a real
