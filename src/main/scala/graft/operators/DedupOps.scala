@@ -287,6 +287,64 @@ object DedupOps {
     * candidate pair (n² worst case) — same value, divided out after the
     * per-pair dot product.
     */
+  // --------------------------------------------------- duplicate-span dedup
+
+  /** Substring-level duplicate coverage — the span analogue of Lee et
+    * al.'s "Deduplicating Training Data" suffix-array dedup, at k-gram
+    * resolution: a token position counts as DUPLICATED when it starts a
+    * k-shingle that also occurs in at least one OTHER document (catching
+    * copied spans at any offset, unlike the fixed [[CorpusOps.segments]]
+    * grid). Emits per-doc duplicated-token counts and gates on the share.
+    *
+    * Scale shape — the posting-list geometry of [[ngramJaccardPairs]],
+    * never quadratic: positional shingles explode (a narrow map), the df
+    * aggregate is map-side partial on the 60-bit shingle hash, only
+    * hashes seen in ≥2 docs flow into the join back, and coverage is one
+    * ordered-list aggregate per doc. The exploded view is deliberately
+    * not checkpointed (same trade as [[CorpusOps.segmentDedup]]:
+    * re-scanning a narrow map beats materializing a corpus-sized
+    * exploded table). Interval merge is exact integer math — sorted
+    * starts s_i contribute min(k, s_{i+1} − s_i) each and the last one
+    * min(k, n − s_last) — so overlapping spans never double-count and
+    * both engines agree bitwise.
+    */
+  def duplicateSpans(k: Int, maxDupRatio: Double)(docs: DataFrame)
+      : DataFrame = {
+    val toks = tokens(col("text"))
+    val pos = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => h15(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+          .as(Seq("pos", "sh")))
+    val dupSh = pos.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("sh"))
+    val covered = pos.join(dupSh, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("__n"),
+        array_sort(collect_list(col("pos"))).as("__s"))
+      .select(col("doc_id"),
+        (aggregate(
+          zip_with(
+            slice(col("__s"), lit(1), greatest(size(col("__s")) - 1, lit(0))),
+            slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
+            (a, b) => least(b - a, lit(k))),
+          lit(0L), (acc, x) => acc + x.cast("long")) +
+          least(lit(k.toLong),
+            col("__n") - element_at(col("__s"), -1).cast("long")))
+          .as("dup_tokens"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_ratio"))
+      .withColumn("keep", col("dup_ratio") <= lit(maxDupRatio))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: cluster the corpus under a
     * trained k-means model ([[SimilarityOps.assignCells]] — a pure map
     * over literal centroid state), then verify exact cosine ≥ threshold

@@ -234,6 +234,29 @@ class TextDedupSpec extends SparkSpec {
       maxDriverModel = 0L)(in)) == viaUdf)
   }
 
+  test("duplicate spans: exact interval merge, short docs, clean docs") {
+    val in = Seq(
+      (1L, "x1 x2 x3 x4 u1 u2 u3 u4"),     // shares 4-token prefix
+      (2L, "x1 x2 x3 x4 v1 v2 v3 v4"),
+      (3L, "u9"),                           // unique short doc
+      (4L, "w1 w2"),                        // exact dup pair, n < k
+      (5L, "w1 w2"),
+      (6L, "x1 x2 x3 x4 mm y1 y2 y3 zz"),  // two disjoint dup spans
+      (7L, "y1 y2 y3"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.duplicateSpans(k = 3, maxDupRatio = 0.5)(in)
+      .select($"doc_id", $"dup_tokens", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1/2: shingle starts 0,1 → union [0,3] = 4 tokens (the overlap
+    // of spans [0,2] and [1,3] is counted once); ratio 4/8 = 0.5 keeps
+    // doc 6: starts 0,1,5 → [0,3] + [5,7] = 7 of 9; doc 7 fully covered
+    assert(out == Map(
+      1L -> ((4L, true)), 2L -> ((4L, true)), 3L -> ((0L, true)),
+      4L -> ((2L, false)), 5L -> ((2L, false)),
+      6L -> ((7L, false)), 7L -> ((3L, false))))
+  }
+
   test("semantic dedup: within-cell verify, cross-cell pairs invisible") {
     val cents = Seq(
       (1L, Seq(1.0, 0.0, 0.0, 0.0)),
