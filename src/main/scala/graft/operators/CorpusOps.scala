@@ -214,6 +214,49 @@ object CorpusOps {
       .withColumn("oov_ratio", ratio(col("text")))
   }
 
+  // ------------------------------------------------------ Gopher-rules gate
+
+  /** Composite document-quality gate in the Gopher/C4 rule-of-thumb
+    * style: token-count bounds, mean-word-length band, symbol share,
+    * alphabetic-word share, stopword evidence, and repetition, each
+    * emitted as its own boolean alongside the composite `keep` — a
+    * curation team reads WHICH rule fired, not just the verdict (and
+    * per-rule booleans make threshold tuning a groupBy away). Every
+    * rule is a pure narrow column expression over [[TextOps]] signals
+    * (WSCG, zero shuffles, no model state at all ⇒ batch ≡ streaming
+    * trivially); ratios are exactly-rounded IEEE divisions of integer
+    * counts, so the oracle mirrors them bitwise.
+    */
+  def gopherGate(minTokens: Int = 20, maxTokens: Int = 1000,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaShare: Double = 0.8,
+      minStopwordHits: Int = 2, minDistinctRatio: Double = 0.3)(
+      docs: DataFrame): DataFrame = {
+    val q = TextOps.qualityColumns(col("text")).toMap
+    val r = TextOps.repetitionColumns(col("text")).toMap
+    val tk = tokens(col("text"))
+    val alphaShare = size(filter(tk, t => t.rlike("[a-zA-Z]")))
+      .cast("double") / size(tk).cast("double")
+    val stopHits = TextOps.markerHits(tk,
+      TextOps.langMarkers.flatMap(_._2)).cast("long")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        q("n_tokens").as("n_tokens"),
+        q("avg_token_len").as("mean_word_len"),
+        (q("n_tokens") >= minTokens && q("n_tokens") <= maxTokens)
+          .as("size_ok"),
+        (q("avg_token_len") >= minWordLen &&
+          q("avg_token_len") <= maxWordLen).as("word_len_ok"),
+        (q("punct_ratio") <= maxSymbolRatio).as("symbol_ok"),
+        (alphaShare >= minAlphaShare).as("alpha_ok"),
+        (stopHits >= minStopwordHits).as("stopword_ok"),
+        (r("token_distinct_ratio") >= minDistinctRatio)
+          .as("repetition_ok"))
+      .withColumn("keep",
+        col("size_ok") && col("word_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stopword_ok") && col("repetition_ok"))
+  }
+
   // ------------------------------------------------------- sliding chunking
 
   /** RAG-style sliding-window chunking: every document becomes

@@ -61,6 +61,13 @@ object CorpusQueries {
     "corpus_chunk_sliding" -> ((s, dir) =>
       CorpusOps.chunkSliding(ChunkW, ChunkS)(docs(s, dir))),
 
+    // Gopher/C4-style composite rule gate with per-rule booleans; on
+    // this corpus the size (~10%), stopword (~22%) and repetition (~7%)
+    // rules do the filtering, the others are honest published bounds
+    // that clean synthetic text passes.
+    "corpus_gopher_gate" -> ((s, dir) =>
+      CorpusOps.gopherGate()(docs(s, dir))),
+
     // Bigram-LM quality gate: the top-V class-bigram model (offline,
     // (V+1)²-bounded) scores every doc's mean smoothed bigram
     // probability in deterministic fixed-point — the engine-exact stand-
@@ -245,6 +252,40 @@ object CorpusQueries {
               tk[chunk_no*$ChunkS+1 : chunk_no*$ChunkS+$ChunkW], ' '))
               AS chunk_hash
           FROM c""",
+    "corpus_gopher_gate" -> {
+      val stopWords = graft.operators.TextOps.langMarkers.flatMap(_._2)
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+          s AS (SELECT doc_id,
+                  length(tk)::BIGINT AS n_tokens,
+                  list_sum(list_transform(tk, x -> length(x)))::DOUBLE
+                    / length(tk)::DOUBLE AS mean_word_len,
+                  ${Duck.nPunct}::DOUBLE / length(text)::DOUBLE
+                    AS symbol_ratio,
+                  length(list_filter(tk,
+                      x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                    / length(tk)::DOUBLE AS alpha_share,
+                  ${Duck.markerHits("tk", stopWords)}::BIGINT AS stop_hits,
+                  CASE WHEN length(tk) = 0 THEN CAST(1.0 AS DOUBLE)
+                       ELSE length(list_distinct(tk))::DOUBLE
+                            / length(tk)::DOUBLE END AS distinct_ratio
+                FROM t)
+          SELECT doc_id, n_tokens, mean_word_len,
+            (n_tokens >= 20 AND n_tokens <= 1000) AS size_ok,
+            (mean_word_len >= 3.0::DOUBLE
+              AND mean_word_len <= 10.0::DOUBLE) AS word_len_ok,
+            (symbol_ratio <= 0.1::DOUBLE) AS symbol_ok,
+            (alpha_share >= 0.8::DOUBLE) AS alpha_ok,
+            (stop_hits >= 2) AS stopword_ok,
+            (distinct_ratio >= 0.3::DOUBLE) AS repetition_ok,
+            ((n_tokens >= 20 AND n_tokens <= 1000)
+              AND (mean_word_len >= 3.0::DOUBLE
+                AND mean_word_len <= 10.0::DOUBLE)
+              AND (symbol_ratio <= 0.1::DOUBLE)
+              AND (alpha_share >= 0.8::DOUBLE)
+              AND (stop_hits >= 2)
+              AND (distinct_ratio >= 0.3::DOUBLE)) AS keep
+          FROM s"""
+    },
     "corpus_bigram_lm" ->
       // same replay: top-V vocab (ties to smaller token), class map via
       // positional LEFT JOIN + lead() pairs, bigram/context counts,

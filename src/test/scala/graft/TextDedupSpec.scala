@@ -234,6 +234,27 @@ class TextDedupSpec extends SparkSpec {
       maxDriverModel = 0L)(in)) == viaUdf)
   }
 
+  test("gopher gate: each rule fires on its own violation") {
+    import graft.operators.CorpusOps
+    val good = ("the quick brown fox jumps over the lazy dog and " * 3) +
+      "the end is here"
+    val in = Seq(
+      (1L, good),                                    // passes every rule
+      (2L, "the and is of a"),                       // too short (n=5)
+      (3L, ("the supercalifragilistic " * 15).trim), // words too long
+      (4L, ("the dog " * 15).trim))                  // repetition floor
+      .toDF("doc_id", "text")
+    val out = CorpusOps.gopherGate(minTokens = 10)(in)
+      .select($"doc_id", $"size_ok", $"word_len_ok", $"repetition_ok",
+        $"keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._4 == false)
+    assert(out(3L)._2 == false && out(3L)._4 == false)
+    assert(out(4L)._3 == false && out(4L)._4 == false)
+  }
+
   test("duplicate spans: exact interval merge, short docs, clean docs") {
     val in = Seq(
       (1L, "x1 x2 x3 x4 u1 u2 u3 u4"),     // shares 4-token prefix
