@@ -214,6 +214,65 @@ object CorpusOps {
       .withColumn("oov_ratio", ratio(col("text")))
   }
 
+  // -------------------------------------------------- shard order + tf-idf
+
+  /** Deterministic training-shard assignment and intra-shard order: the
+    * "global shuffle" a trainer wants before writing output shards,
+    * WITHOUT a global sort. Shard = salted portable hash mod nShards
+    * (uniform and reproducible across runs, engines and cluster
+    * layouts — the [[TextOps.hashSample]] contract); position = rank of
+    * the hash within the shard, ties to the lower doc id. ONE shuffle
+    * (the per-shard rank window, nShards-way parallel — never an
+    * `Exchange SinglePartition`); a writer partitionBy(shard) then
+    * streams files in (shard, pos) order for a reproducible global
+    * visit order.
+    */
+  def shardOrder(nShards: Int, salt: String = "shard")(docs: DataFrame)
+      : DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val h = graft.functions.PortableHash.h15(concat(lit(s"$salt:"),
+      col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    docs.select(col("doc_id"),
+        pmod(h, lit(nShards.toLong)).as("shard"), h.as("__h"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
+  /** Per-document top-`k` salient terms by TF-IDF with a RATIONAL
+    * inverse document frequency (tf · N/df instead of tf · ln(N/df)):
+    * `ln` is not an exactly-rounded IEEE op, so like
+    * [[bigramLmScore]] the score stays transcendental-free for the
+    * bit-exact oracle — N/df preserves the "rarer ⇒ more salient"
+    * direction, compressing less than the log. Shape: tokens explode
+    * to (doc, term) tf pairs (one hash aggregate), df derives from
+    * that same frame grouped by term, N is a 1-row broadcast (the
+    * Q22 scalar pattern), and the per-doc top-k is a window keyed on
+    * doc_id — every shuffle keyed on something corpus-proportional,
+    * never a global sort.
+    */
+  def tfidfTopTerms(k: Int)(docs: DataFrame): DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf").cast("double") * col("__n").cast("double")) /
+          col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   // ------------------------------------------------------ Gopher-rules gate
 
   /** Composite document-quality gate in the Gopher/C4 rule-of-thumb

@@ -61,6 +61,16 @@ object CorpusQueries {
     "corpus_chunk_sliding" -> ((s, dir) =>
       CorpusOps.chunkSliding(ChunkW, ChunkS)(docs(s, dir))),
 
+    // Deterministic shard assignment + intra-shard order — the
+    // pre-trainer "global shuffle" without a global sort (8 shards).
+    "corpus_shard_order" -> ((s, dir) =>
+      CorpusOps.shardOrder(nShards = 8)(docs(s, dir))),
+
+    // Per-doc top-3 salient terms by rational TF-IDF (transcendental-
+    // free idf; see CorpusOps.tfidfTopTerms).
+    "corpus_tfidf_terms" -> ((s, dir) =>
+      CorpusOps.tfidfTopTerms(k = 3)(docs(s, dir))),
+
     // Gopher/C4-style composite rule gate with per-rule booleans; on
     // this corpus the size (~10%), stopword (~22%) and repetition (~7%)
     // rules do the filtering, the others are honest published bounds
@@ -252,6 +262,32 @@ object CorpusQueries {
               tk[chunk_no*$ChunkS+1 : chunk_no*$ChunkS+$ChunkW], ' '))
               AS chunk_hash
           FROM c""",
+    "corpus_shard_order" ->
+      s"""WITH h AS (SELECT doc_id,
+                ${h15("concat('shard:', doc_id::VARCHAR)")} AS hv
+              FROM documents)
+          SELECT doc_id, hv % 8 AS shard,
+            (row_number() OVER (PARTITION BY hv % 8
+               ORDER BY hv, doc_id) - 1)::BIGINT AS pos
+          FROM h""",
+    "corpus_tfidf_terms" ->
+      s"""WITH tf AS (SELECT doc_id, t.term, count(*)::BIGINT AS tf
+                      FROM (SELECT doc_id, unnest($toks) AS term
+                            FROM documents) t
+                      GROUP BY doc_id, t.term),
+          df AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                 GROUP BY term),
+          n AS (SELECT count(*)::BIGINT AS nn FROM documents
+                WHERE text IS NOT NULL),
+          sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   (tf.tf::DOUBLE * nn::DOUBLE) / df.df::DOUBLE AS score
+                 FROM tf JOIN df USING (term) CROSS JOIN n)
+          SELECT doc_id, term, tf, df, score, rank FROM (
+            SELECT doc_id, term, tf, df, score,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term)::BIGINT AS rank
+            FROM sc)
+          WHERE rank <= 3""",
     "corpus_gopher_gate" -> {
       val stopWords = graft.operators.TextOps.langMarkers.flatMap(_._2)
       s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),

@@ -234,6 +234,45 @@ class TextDedupSpec extends SparkSpec {
       maxDriverModel = 0L)(in)) == viaUdf)
   }
 
+  test("shard order: reproducible, dense per-shard positions") {
+    import graft.operators.CorpusOps
+    val in = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = CorpusOps.shardOrder(4)(in)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = CorpusOps.shardOrder(4)(in)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)                          // run-to-run deterministic
+    assert(a.map(_._2).subsetOf(Set(0L, 1L, 2L, 3L)))
+    // positions are dense 0..|shard|-1 within every shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (0L until rows.size).toSet)
+    }
+    // a different salt reshuffles
+    val c = CorpusOps.shardOrder(4, salt = "other")(in)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(c != a)
+  }
+
+  test("tf-idf: rare terms outrank common ones, k bounds per doc") {
+    import graft.operators.CorpusOps
+    val in = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common unique2 filler filler"),
+      (3L, "common filler filler filler"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.tfidfTopTerms(k = 2)(in)
+      .select($"doc_id", $"term", $"rank")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // doc 1: rare1 (df=1, tf=1, score 3) vs common (df=3, tf=3, score 3)
+    // — tie broken by term name; doc 2's unique2 (3.0) beats filler
+    // (tf=2 · 3/2 = 3.0, tie → filler first alphabetically)
+    assert(out(1L) == Seq("common", "rare1"))
+    assert(out(2L) == Seq("filler", "unique2"))
+    assert(out(3L).head == "filler")        // tf=3 · 3/2 = 4.5 top
+    assert(out.values.forall(_.size <= 2))
+  }
+
   test("gopher gate: each rule fires on its own violation") {
     import graft.operators.CorpusOps
     val good = ("the quick brown fox jumps over the lazy dog and " * 3) +
