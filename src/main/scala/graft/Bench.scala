@@ -71,7 +71,7 @@ object Bench {
     "text_token_count", "topk_orders", "window_lag_lead",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
-  /** The round-8 registered set (110 queries), pinned for rounds 9+
+  /** The round-8 registered set (114 queries), pinned for rounds 9+
     * (`standing_r8_total`) — adds the derived-partsupp TPC-H quartet,
     * the recall gate, the source-quality/mixture corpus queries, the
     * persisted nprobe=2 search, the bigram-LM/chunking corpus ops and
@@ -81,16 +81,18 @@ object Bench {
     "anti_join_customers", "approx_user_stats", "asof_join_orders",
     "band_join_followups", "corpus_bigram_lm",
     "corpus_chunk_sliding", "corpus_contamination",
-    "corpus_curation", "corpus_mixture_epochs",
+    "corpus_curation", "corpus_gopher_gate",
+    "corpus_mixture_epochs",
     "corpus_mixture_sample", "corpus_oov_ratio",
     "corpus_pack_sequences", "corpus_segment_dedup",
-    "corpus_source_quality", "corr_qty_price", "cube_daily",
+    "corpus_shard_order", "corpus_source_quality",
+    "corpus_tfidf_terms", "corr_qty_price", "cube_daily",
     "d2_schema_id", "d3_avro_decode", "d3_avro_rich",
     "d4_json_decode", "d5_nil_filter", "d6_malformed_skip",
     "dedup_canonical", "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_simhash", "dedup_simhash_pairs",
-    "entry_pipeline",
+    "dedup_duplicate_spans", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
+    "dedup_simhash_pairs", "entry_pipeline",
     "events_sessionize", "grouping_sets_day_type",
     "histogram_value", "k2_dedup_create", "k2_dedup_window",
     "m1_consumer_lag", "m2_throughput", "mm_decode_features",

@@ -409,6 +409,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batched && streamed.size == 4)
   }
 
+  test("gopher rule gate filters a live stream (batch ≡ streaming)") {
+    import graft.operators.CorpusOps
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and " * 3 +
+        "the end is here"),
+      (2L, "the and is"))                  // below the token floor
+    stream.addData(rows)
+    val out = Files.createTempDirectory("graft-gopher").toString
+    val q = CorpusOps.gopherGate(minTokens = 10)(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gopher_out")
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val batched = CorpusOps.gopherGate(minTokens = 10)(
+        rows.toDF("doc_id", "text"))
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(streamed == batched && streamed == Map(1L -> true, 2L -> false))
+  }
+
   test("contamination gate drops benchmark-overlapping docs in-stream") {
     import graft.operators.CorpusOps
     // offline: the eval set's distinct 4-shingles (tiny here; a real
