@@ -313,10 +313,7 @@ object DedupOps {
     val toks = tokens(col("text"))
     val pos = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-        posexplode(transform(
-          sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => h15(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-          .as(Seq("pos", "sh")))
+        posexplode(TextOps.shingleHashes(toks, k)).as(Seq("pos", "sh")))
     val dupSh = pos.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= 2)

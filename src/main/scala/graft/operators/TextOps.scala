@@ -160,15 +160,22 @@ object TextOps {
     pmod(h15(concat(lit(s"$salt:"), idCol.cast("string"))), lit(100L)) <
       percent
 
+  /** Positional k-shingle hashes: element i is the 60-bit hash of the
+    * shingle starting at token i (a doc shorter than k emits ONE
+    * truncated shingle — the boundary convention [[shingleFingerprint]]
+    * and [[DedupOps.duplicateSpans]] must share, which is why this is
+    * one expression). Pure array math, no explode.
+    */
+  def shingleHashes(toks: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => h15(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
   /** Rolling-hash document fingerprint: minimum 60-bit hash over all
     * k-token shingles (a 1-permutation MinHash — the document sketch used
     * for cheap near-dup prefiltering). Pure array expressions, no explode:
     * per-row cost O(tokens·k), no shuffle.
     */
-  def shingleFingerprint(text: Column, k: Int = 5): Column = {
-    val toks = tokens(text)
-    array_min(transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => h15(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-  }
+  def shingleFingerprint(text: Column, k: Int = 5): Column =
+    array_min(shingleHashes(tokens(text), k))
 }

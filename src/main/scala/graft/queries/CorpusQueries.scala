@@ -24,6 +24,18 @@ object CorpusQueries {
   // 8-token overlap; docs run 10..99 tokens → 1..4 chunks each
   private val ChunkW = 32
   private val ChunkS = 24
+  // gopher-rule thresholds, shared verbatim by the operator call and
+  // the oracle SQL (one definition, both engines; on this corpus the
+  // size/stopword/repetition rules filter, the rest are published
+  // bounds clean text passes)
+  private val GMinTok = 20
+  private val GMaxTok = 1000
+  private val GMinWordLen = 3.0
+  private val GMaxWordLen = 10.0
+  private val GMaxSymbol = 0.1
+  private val GMinAlpha = 0.8
+  private val GMinStop = 2
+  private val GMinDistinct = 0.3
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -71,12 +83,11 @@ object CorpusQueries {
     "corpus_tfidf_terms" -> ((s, dir) =>
       CorpusOps.tfidfTopTerms(k = 3)(docs(s, dir))),
 
-    // Gopher/C4-style composite rule gate with per-rule booleans; on
-    // this corpus the size (~10%), stopword (~22%) and repetition (~7%)
-    // rules do the filtering, the others are honest published bounds
-    // that clean synthetic text passes.
+    // Gopher/C4-style composite rule gate with per-rule booleans; the
+    // thresholds are the shared G* constants above.
     "corpus_gopher_gate" -> ((s, dir) =>
-      CorpusOps.gopherGate()(docs(s, dir))),
+      CorpusOps.gopherGate(GMinTok, GMaxTok, GMinWordLen, GMaxWordLen,
+        GMaxSymbol, GMinAlpha, GMinStop, GMinDistinct)(docs(s, dir))),
 
     // Bigram-LM quality gate: the top-V class-bigram model (offline,
     // (V+1)²-bounded) scores every doc's mean smoothed bigram
@@ -290,7 +301,8 @@ object CorpusQueries {
           WHERE rank <= 3""",
     "corpus_gopher_gate" -> {
       val stopWords = graft.operators.TextOps.langMarkers.flatMap(_._2)
-      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
           s AS (SELECT doc_id,
                   length(tk)::BIGINT AS n_tokens,
                   list_sum(list_transform(tk, x -> length(x)))::DOUBLE
@@ -306,20 +318,20 @@ object CorpusQueries {
                             / length(tk)::DOUBLE END AS distinct_ratio
                 FROM t)
           SELECT doc_id, n_tokens, mean_word_len,
-            (n_tokens >= 20 AND n_tokens <= 1000) AS size_ok,
-            (mean_word_len >= 3.0::DOUBLE
-              AND mean_word_len <= 10.0::DOUBLE) AS word_len_ok,
-            (symbol_ratio <= 0.1::DOUBLE) AS symbol_ok,
-            (alpha_share >= 0.8::DOUBLE) AS alpha_ok,
-            (stop_hits >= 2) AS stopword_ok,
-            (distinct_ratio >= 0.3::DOUBLE) AS repetition_ok,
-            ((n_tokens >= 20 AND n_tokens <= 1000)
-              AND (mean_word_len >= 3.0::DOUBLE
-                AND mean_word_len <= 10.0::DOUBLE)
-              AND (symbol_ratio <= 0.1::DOUBLE)
-              AND (alpha_share >= 0.8::DOUBLE)
-              AND (stop_hits >= 2)
-              AND (distinct_ratio >= 0.3::DOUBLE)) AS keep
+            (n_tokens >= $GMinTok AND n_tokens <= $GMaxTok) AS size_ok,
+            (mean_word_len >= $GMinWordLen::DOUBLE
+              AND mean_word_len <= $GMaxWordLen::DOUBLE) AS word_len_ok,
+            (symbol_ratio <= $GMaxSymbol::DOUBLE) AS symbol_ok,
+            (alpha_share >= $GMinAlpha::DOUBLE) AS alpha_ok,
+            (stop_hits >= $GMinStop) AS stopword_ok,
+            (distinct_ratio >= $GMinDistinct::DOUBLE) AS repetition_ok,
+            ((n_tokens >= $GMinTok AND n_tokens <= $GMaxTok)
+              AND (mean_word_len >= $GMinWordLen::DOUBLE
+                AND mean_word_len <= $GMaxWordLen::DOUBLE)
+              AND (symbol_ratio <= $GMaxSymbol::DOUBLE)
+              AND (alpha_share >= $GMinAlpha::DOUBLE)
+              AND (stop_hits >= $GMinStop)
+              AND (distinct_ratio >= $GMinDistinct::DOUBLE)) AS keep
           FROM s"""
     },
     "corpus_bigram_lm" ->

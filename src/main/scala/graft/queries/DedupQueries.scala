@@ -215,7 +215,8 @@ object DedupQueries {
     // positional shingles → df≥2 hashes → per-doc sorted starts →
     // exact interval merge via lead(); COALESCE 0 for clean docs
     "dedup_duplicate_spans" ->
-      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
           p AS (SELECT doc_id, length(tk)::BIGINT AS n_tokens, t.i AS pos,
                   ${h15("array_to_string(tk[t.i+1 : t.i+8], ' ')")} AS sh
                 FROM d CROSS JOIN LATERAL (
@@ -249,32 +250,12 @@ object DedupQueries {
     // recursive min-reachable component ≡ GraphOps' fixpoint → keep.
     "dedup_semantic" ->
       s"""WITH RECURSIVE ${SimilarityQueries.lloydCtes},
-          fin AS (
-            SELECT c1e.cell, c1e.dim, COALESCE(m2.m, c1e.m) AS m
-            FROM c1e LEFT JOIN m2
-              ON c1e.cell = m2.cell AND c1e.dim = m2.dim),
-          tc AS (SELECT cell, list(m ORDER BY dim) AS cent
-                 FROM fin GROUP BY cell),
-          asn AS (SELECT e.vec_id, e.embedding, c.cell,
-                    ${cosine("e.embedding", "c.cent")} AS cscore
-                  FROM embeddings e CROSS JOIN tc c),
-          cell3 AS (SELECT vec_id, embedding, cell FROM (
-              SELECT vec_id, embedding, cell,
-                row_number() OVER (PARTITION BY vec_id
-                  ORDER BY cscore DESC, cell) AS rn
-              FROM asn) WHERE rn = 1),
+          ${SimilarityQueries.trainedCellsCtes},
           pr AS (SELECT x.vec_id AS a, y.vec_id AS b
                  FROM cell3 x JOIN cell3 y
                    ON x.cell = y.cell AND x.vec_id < y.vec_id
                  WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35),
-          e AS (SELECT a AS src, b AS dst FROM pr
-                UNION SELECT b, a FROM pr),
-          n AS (SELECT DISTINCT src AS id FROM e),
-          reach(id, r) AS (
-            SELECT id, id FROM n
-            UNION
-            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
-          cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+          $ccClosureCtes
           SELECT emb.vec_id,
             COALESCE(cc.component, emb.vec_id) AS component,
             (COALESCE(cc.component, emb.vec_id) = emb.vec_id) AS keep
@@ -284,41 +265,43 @@ object DedupQueries {
     // GraphOps.connectedComponents converges to)
     "dedup_clusters" ->
       s"""${duckSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
-          bd2 AS (SELECT doc_id, sh, t.c AS chunk,
-                    (sh >> (t.c::INTEGER * 6)) & 63 AS chunk_val
-                  FROM shv CROSS JOIN range(0, 10) t(c)),
-          pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                 FROM bd2 x JOIN bd2 y
-                   ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
-                     AND x.doc_id < y.doc_id
-                 WHERE bit_count(xor(x.sh, y.sh)) <= 8),
-          e AS (SELECT a AS src, b AS dst FROM pr
-                UNION SELECT b, a FROM pr),
-          n AS (SELECT DISTINCT src AS id FROM e),
-          reach(id, r) AS (
-            SELECT id, id FROM n
-            UNION
-            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
-          SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""",
+          $simhashPairsCtes,
+          $ccClosureCtes
+          SELECT id AS doc_id, component AS cluster_id FROM cc""",
     "dedup_canonical" ->
       s"""${duckSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
-          bd2 AS (SELECT doc_id, sh, t.c AS chunk,
-                    (sh >> (t.c::INTEGER * 6)) & 63 AS chunk_val
-                  FROM shv CROSS JOIN range(0, 10) t(c)),
-          pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                 FROM bd2 x JOIN bd2 y
-                   ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
-                     AND x.doc_id < y.doc_id
-                 WHERE bit_count(xor(x.sh, y.sh)) <= 8),
-          e AS (SELECT a AS src, b AS dst FROM pr
-                UNION SELECT b, a FROM pr),
-          n AS (SELECT DISTINCT src AS id FROM e),
-          reach(id, r) AS (
-            SELECT id, id FROM n
-            UNION
-            SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+          $simhashPairsCtes,
+          $ccClosureCtes
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id NOT IN (
-            SELECT id FROM reach GROUP BY id HAVING min(r) <> id)"""
+            SELECT id FROM cc WHERE component <> id)"""
   )
+
+  /** SimHash banded candidate pairs over `shv` (from [[duckSimhash]]) —
+    * one definition for the two simhash-CC consumers.
+    */
+  private def simhashPairsCtes: String =
+    s"""bd2 AS (SELECT doc_id, sh, t.c AS chunk,
+              (sh >> (t.c::INTEGER * 6)) & 63 AS chunk_val
+            FROM shv CROSS JOIN range(0, 10) t(c)),
+        pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bd2 x JOIN bd2 y
+                 ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
+                   AND x.doc_id < y.doc_id
+               WHERE bit_count(xor(x.sh, y.sh)) <= 8)"""
+
+  /** Min-reachable connected-components closure over a CTE named `pr`
+    * (columns a, b) ≡ the fixpoint [[graft.operators.GraphOps]]
+    * converges to. Consumers read `cc` (id, component). One definition
+    * for all three CC oracles, so a tie-break change cannot drift.
+    */
+  private def ccClosureCtes: String =
+    s"""e AS (SELECT a AS src, b AS dst FROM pr
+          UNION SELECT b, a FROM pr),
+        n AS (SELECT DISTINCT src AS id FROM e),
+        reach(id, r) AS (
+          SELECT id, id FROM n
+          UNION
+          SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+        cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
 }

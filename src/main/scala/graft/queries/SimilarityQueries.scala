@@ -363,22 +363,7 @@ object SimilarityQueries {
     // side (KMeansOps.lloyd → ivfTopKCentroids).
     "sim_ivf_kmeans" ->
       s"""WITH $lloydCtes,
-          fin AS (
-            SELECT c1e.cell, c1e.dim, COALESCE(m2.m, c1e.m) AS m
-            FROM c1e LEFT JOIN m2
-              ON c1e.cell = m2.cell AND c1e.dim = m2.dim),
-          tc AS (SELECT cell, list(m ORDER BY dim) AS cent
-                 FROM fin GROUP BY cell),
-          asn3 AS (
-            SELECT e.vec_id, e.embedding, c.cell,
-                   ${cosine("e.embedding", "c.cent")} AS cscore
-            FROM embeddings e CROSS JOIN tc c),
-          cell3 AS (
-            SELECT vec_id, embedding, cell FROM (
-              SELECT vec_id, embedding, cell,
-                row_number() OVER (PARTITION BY vec_id
-                  ORDER BY cscore DESC, cell) AS rn
-              FROM asn3) WHERE rn = 1),
+          $trainedCellsCtes,
           q3 AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
                  FROM cell3 WHERE vec_id < $NQ),
           scored AS (SELECT query_id, c.vec_id AS neighbor_id,
@@ -773,6 +758,30 @@ object SimilarityQueries {
           FROM sc)
         WHERE rank <= $K"""
   }
+
+  /** Trained-centroid cell assignment replay (`fin` → `tc` → `asn3` →
+    * `cell3`), appended after [[lloydCtes]] — shared by
+    * `sim_ivf_kmeans` and `DedupQueries.dedup_semantic` so the two
+    * cannot drift from the one Spark model replay. Consumers read
+    * `cell3` (vec_id, embedding, cell).
+    */
+  private[queries] def trainedCellsCtes: String =
+    s"""fin AS (
+          SELECT c1e.cell, c1e.dim, COALESCE(m2.m, c1e.m) AS m
+          FROM c1e LEFT JOIN m2
+            ON c1e.cell = m2.cell AND c1e.dim = m2.dim),
+        tc AS (SELECT cell, list(m ORDER BY dim) AS cent
+               FROM fin GROUP BY cell),
+        asn3 AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+                 ${cosine("e.embedding", "c.cent")} AS cscore
+          FROM embeddings e CROSS JOIN tc c),
+        cell3 AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT vec_id, embedding, cell,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cscore DESC, cell) AS rn
+            FROM asn3) WHERE rn = 1)"""
 
   /** The 2-iteration Lloyd replay as a reusable CTE chain (ends at `m2`;
     * consumers join `c1e`/`m2` for the final means). See the

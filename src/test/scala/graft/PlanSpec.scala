@@ -143,6 +143,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1000))
   }
 
+  test("corpus_shard_order: one nShards-way rank window, no global sort") {
+    val p = planString("corpus_shard_order")
+    assert(singlePartitionCount(p) == 0,
+      "shard rank degenerated to a single-partition window\n" + p.take(2000))
+    val shuffles = count(p, "Exchange (") - count(p, "BroadcastExchange (")
+    assert(shuffles == 1,
+      s"expected exactly 1 shuffle (per-shard window), saw $shuffles\n" +
+        p.take(2000))
+  }
+
   test("corpus_chunk_sliding: pure scan-side map, zero exchanges") {
     val p = planString("corpus_chunk_sliding")
     assert(!p.contains("Exchange"),
