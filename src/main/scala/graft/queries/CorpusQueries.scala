@@ -108,6 +108,39 @@ object CorpusQueries {
       CorpusOps.bigramLmScore(vocab, model, VocabV, LmKeepAbove)(d)
     }),
 
+    // End-to-end quality funnel: the three modern gates composed — per-
+    // doc booleans from the gopher rules, the bigram-LM gate, and the
+    // duplicate-span gate, plus the final admitted verdict (docs with
+    // no bigram evidence fail the LM gate: no evidence, no admission).
+    // One scan feeds three gate branches that rejoin on doc_id; every
+    // model involved is broadcast-sized.
+    "corpus_quality_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      import s.implicits._
+      val vocab = CorpusOps.vocabulary(d, VocabV)
+        .as[String].collect().toSet
+      val model = CorpusOps.bigramModel(vocab)(d).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val gopher = CorpusOps.gopherGate(GMinTok, GMaxTok, GMinWordLen,
+          GMaxWordLen, GMaxSymbol, GMinAlpha, GMinStop, GMinDistinct)(d)
+        .select(col("doc_id"), col("keep").as("gopher_ok"))
+      val lm = CorpusOps.bigramLmScore(vocab, model, VocabV,
+          LmKeepAbove)(d)
+        .select(col("doc_id"), col("keep").as("lm_ok"))
+      val spans = graft.operators.DedupOps.duplicateSpans(
+          DedupQueries.SpanK, DedupQueries.SpanMaxDup)(d)
+        .select(col("doc_id"), col("keep").as("span_ok"))
+      d.filter(col("text").isNotNull).select(col("doc_id"))
+        .join(gopher, Seq("doc_id"))
+        .join(lm, Seq("doc_id"), "left_outer")
+        .join(spans, Seq("doc_id"))
+        .select(col("doc_id"), col("gopher_ok"),
+          coalesce(col("lm_ok"), lit(false)).as("lm_ok"),
+          col("span_ok"),
+          (col("gopher_ok") && coalesce(col("lm_ok"), lit(false)) &&
+            col("span_ok")).as("admitted"))
+    }),
+
     // Mixture rebalancing: every source downsampled to the smallest
     // source's token budget via integer basis-point rates + the salted
     // hash-sample contract — the deterministic uniform-mixture step
@@ -299,9 +332,58 @@ object CorpusQueries {
                 ORDER BY score DESC, term)::BIGINT AS rank
             FROM sc)
           WHERE rank <= 3""",
-    "corpus_gopher_gate" -> {
-      val stopWords = graft.operators.TextOps.langMarkers.flatMap(_._2)
-      s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents
+    "corpus_gopher_gate" -> gopherSql,
+    "corpus_bigram_lm" ->
+      // same replay: top-V vocab (ties to smaller token), class map via
+      // positional LEFT JOIN + lead() pairs, bigram/context counts,
+      // floor-fixed-point smoothed probability; LEFT JOINs + COALESCE 0
+      // mirror the operator's getOrElse(0) for models that did not see
+      // a pair (self-trained models always do — belt and braces)
+      bigramSql,
+    // the funnel oracle IS the three gate oracles, composed verbatim as
+    // subqueries — one definition per gate, so the funnel cannot drift
+    "corpus_quality_funnel" ->
+      s"""SELECT b.doc_id,
+            g.keep AS gopher_ok,
+            COALESCE(l.keep, false) AS lm_ok,
+            sp.keep AS span_ok,
+            (g.keep AND COALESCE(l.keep, false) AND sp.keep) AS admitted
+          FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) b
+          JOIN ($gopherSql) g USING (doc_id)
+          LEFT JOIN ($bigramSql) l USING (doc_id)
+          JOIN (${DedupQueries.spansSql}) sp USING (doc_id)""",
+    "corpus_mixture_sample" ->
+      s"""WITH n AS (SELECT doc_id, source, length($toks)::BIGINT AS nt
+                     FROM documents),
+          tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS ts
+                  FROM n GROUP BY source),
+          mn AS (SELECT min(ts) AS mt FROM tot),
+          bp AS (SELECT source, (mt * 10000) // ts AS bp FROM tot, mn)
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN bp USING (source)
+          WHERE ${h15("concat('mix:', doc_id::VARCHAR)")} % 10000 < bp.bp""",
+    "corpus_mixture_epochs" ->
+      s"""WITH n AS (SELECT doc_id, source, length($toks)::BIGINT AS nt
+                     FROM documents),
+          tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS ts
+                  FROM n GROUP BY source),
+          mx AS (SELECT max(ts) AS mt FROM tot),
+          bp AS (SELECT source, (mt * 10000) // ts AS bp FROM tot, mx)
+          SELECT d.doc_id, d.source, e.epoch
+          FROM documents d
+          JOIN bp USING (source)
+          CROSS JOIN LATERAL (
+            SELECT unnest(range(0, bp.bp // 10000 + 1)) AS epoch) e
+          WHERE e.epoch < bp.bp // 10000
+             OR ${h15("concat('epoch:', doc_id::VARCHAR)")} % 10000
+                < bp.bp % 10000""",
+    "corpus_source_quality" -> sourceQualitySql
+  )
+
+  /** The gopher-gate oracle, shared verbatim with the funnel. */
+  private def gopherSql: String = {
+    val stopWords = graft.operators.TextOps.langMarkers.flatMap(_._2)
+    s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents
                      WHERE text IS NOT NULL),
           s AS (SELECT doc_id,
                   length(tk)::BIGINT AS n_tokens,
@@ -333,14 +415,11 @@ object CorpusQueries {
               AND (stop_hits >= $GMinStop)
               AND (distinct_ratio >= $GMinDistinct::DOUBLE)) AS keep
           FROM s"""
-    },
-    "corpus_bigram_lm" ->
-      // same replay: top-V vocab (ties to smaller token), class map via
-      // positional LEFT JOIN + lead() pairs, bigram/context counts,
-      // floor-fixed-point smoothed probability; LEFT JOINs + COALESCE 0
-      // mirror the operator's getOrElse(0) for models that did not see
-      // a pair (self-trained models always do — belt and braces)
-      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+  }
+
+  /** The bigram-LM oracle, shared verbatim with the funnel. */
+  private def bigramSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
           v AS (SELECT t FROM (
                   SELECT t, count(*) AS f FROM tok GROUP BY t
                   ORDER BY f DESC, t LIMIT $VocabV)),
@@ -367,41 +446,19 @@ object CorpusQueries {
             sum(fp)::DOUBLE / (1000000.0 * count(*))::DOUBLE AS avg_prob,
             (sum(fp)::DOUBLE / (1000000.0 * count(*))::DOUBLE)
               >= $LmKeepAbove::DOUBLE AS keep
-          FROM sc GROUP BY doc_id""",
-    "corpus_mixture_sample" ->
-      s"""WITH n AS (SELECT doc_id, source, length($toks)::BIGINT AS nt
-                     FROM documents),
-          tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS ts
-                  FROM n GROUP BY source),
-          mn AS (SELECT min(ts) AS mt FROM tot),
-          bp AS (SELECT source, (mt * 10000) // ts AS bp FROM tot, mn)
-          SELECT d.doc_id, d.source
-          FROM documents d JOIN bp USING (source)
-          WHERE ${h15("concat('mix:', doc_id::VARCHAR)")} % 10000 < bp.bp""",
-    "corpus_mixture_epochs" ->
-      s"""WITH n AS (SELECT doc_id, source, length($toks)::BIGINT AS nt
-                     FROM documents),
-          tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS ts
-                  FROM n GROUP BY source),
-          mx AS (SELECT max(ts) AS mt FROM tot),
-          bp AS (SELECT source, (mt * 10000) // ts AS bp FROM tot, mx)
-          SELECT d.doc_id, d.source, e.epoch
-          FROM documents d
-          JOIN bp USING (source)
-          CROSS JOIN LATERAL (
-            SELECT unnest(range(0, bp.bp // 10000 + 1)) AS epoch) e
-          WHERE e.epoch < bp.bp // 10000
-             OR ${h15("concat('epoch:', doc_id::VARCHAR)")} % 10000
-                < bp.bp % 10000""",
-    "corpus_source_quality" -> {
-      // the SAME pattern objects the Spark side evaluates — a drifted
-      // copy would silently break has_pii parity
-      val email = TextOps.emailPattern
-      val phone = TextOps.phonePattern
-      val nPunct = Duck.nPunct
-      def dec(e: String) = s"CAST(CAST($e AS VARCHAR) AS DECIMAL(38,10))"
-      def dd(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
-      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+          FROM sc GROUP BY doc_id"""
+
+  /** The per-source quality rollup oracle (the SAME pattern objects the
+    * Spark side evaluates — a drifted copy would silently break has_pii
+    * parity).
+    */
+  private def sourceQualitySql: String = {
+    val email = TextOps.emailPattern
+    val phone = TextOps.phonePattern
+    val nPunct = Duck.nPunct
+    def dec(e: String) = s"CAST(CAST($e AS VARCHAR) AS DECIMAL(38,10))"
+    def dd(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
           v AS (SELECT t FROM (
                   SELECT t, count(*) AS f FROM tok GROUP BY t
                   ORDER BY f DESC, t LIMIT $VocabV)),
@@ -454,6 +511,5 @@ object CorpusQueries {
             ${dd(s"sum(${dec("oov_ratio")})")}
               / count(*)::DOUBLE AS avg_oov_ratio
           FROM pd GROUP BY source"""
-    }
-  )
+  }
 }

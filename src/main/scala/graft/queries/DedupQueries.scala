@@ -18,6 +18,12 @@ object DedupQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
+  /** Duplicate-span gate parameters, shared by the operator call, the
+    * oracle SQL, and CorpusQueries' quality funnel.
+    */
+  private[queries] val SpanK = 8
+  private[queries] val SpanMaxDup = 0.5
+
   /** simhash pairs → connected components, memoized per (session, dir):
     * `dedup_clusters` and `dedup_canonical` are two consumers of ONE
     * cluster resolution (exactly how a real dedup pipeline materializes
@@ -85,7 +91,7 @@ object DedupQueries {
     // 8-gram resolution): per-doc duplicated-token count/share with a
     // keep gate at 50%.
     "dedup_duplicate_spans" -> ((s, dir) =>
-      DedupOps.duplicateSpans(k = 8, maxDupRatio = 0.5)(docs(s, dir))),
+      DedupOps.duplicateSpans(SpanK, SpanMaxDup)(docs(s, dir))),
 
     // SemDeDup-style semantic dedup: k-means cells (the SAME memoized
     // Lloyd model the IVF family trains) bound the candidate space,
@@ -214,37 +220,7 @@ object DedupQueries {
           WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35""",
     // positional shingles → df≥2 hashes → per-doc sorted starts →
     // exact interval merge via lead(); COALESCE 0 for clean docs
-    "dedup_duplicate_spans" ->
-      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
-                     WHERE text IS NOT NULL),
-          p AS (SELECT doc_id, length(tk)::BIGINT AS n_tokens, t.i AS pos,
-                  ${h15("array_to_string(tk[t.i+1 : t.i+8], ' ')")} AS sh
-                FROM d CROSS JOIN LATERAL (
-                  SELECT unnest(range(0,
-                    greatest(length(tk) - 8, 0) + 1)) AS i) t),
-          ds AS (SELECT sh FROM (
-                   SELECT sh, count(DISTINCT doc_id) AS df
-                   FROM p GROUP BY sh) WHERE df >= 2),
-          hit AS (SELECT p.doc_id, p.n_tokens, p.pos
-                  FROM p JOIN ds USING (sh)),
-          cov AS (SELECT doc_id, n_tokens, pos,
-                    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                      AS nxt
-                  FROM hit),
-          agg AS (SELECT doc_id,
-                    sum(CASE WHEN nxt IS NULL
-                          THEN least(8, n_tokens - pos)
-                          ELSE least(nxt - pos, 8) END)::BIGINT
-                      AS dup_tokens
-                  FROM cov GROUP BY doc_id),
-          base AS (SELECT doc_id, length(tk)::BIGINT AS n_tokens FROM d)
-          SELECT b.doc_id, b.n_tokens,
-            COALESCE(a.dup_tokens, 0)::BIGINT AS dup_tokens,
-            COALESCE(a.dup_tokens, 0)::DOUBLE / b.n_tokens::DOUBLE
-              AS dup_ratio,
-            (COALESCE(a.dup_tokens, 0)::DOUBLE / b.n_tokens::DOUBLE)
-              <= 0.5::DOUBLE AS keep
-          FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id""",
+    "dedup_duplicate_spans" -> spansSql,
     // Lloyd replay (shared CTE chain) → final trained centroids →
     // argmax-cosine cell per vector → within-cell pairs at cos ≥ 0.35 →
     // recursive min-reachable component ≡ GraphOps' fixpoint → keep.
@@ -276,6 +252,43 @@ object DedupQueries {
           WHERE doc_id NOT IN (
             SELECT id FROM cc WHERE component <> id)"""
   )
+
+  /** The duplicate-span oracle, shared with
+    * CorpusQueries.corpus_quality_funnel (which composes it verbatim as
+    * a subquery — one definition, no drift). Mirrors
+    * [[DedupOps.duplicateSpans]] with [[SpanK]]/[[SpanMaxDup]].
+    */
+  private[queries] def spansSql: String =
+    s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                   WHERE text IS NOT NULL),
+        p AS (SELECT doc_id, length(tk)::BIGINT AS n_tokens, t.i AS pos,
+                ${h15(s"array_to_string(tk[t.i+1 : t.i+$SpanK], ' ')")} AS sh
+              FROM d CROSS JOIN LATERAL (
+                SELECT unnest(range(0,
+                  greatest(length(tk) - $SpanK, 0) + 1)) AS i) t),
+        ds AS (SELECT sh FROM (
+                 SELECT sh, count(DISTINCT doc_id) AS df
+                 FROM p GROUP BY sh) WHERE df >= 2),
+        hit AS (SELECT p.doc_id, p.n_tokens, p.pos
+                FROM p JOIN ds USING (sh)),
+        cov AS (SELECT doc_id, n_tokens, pos,
+                  lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS nxt
+                FROM hit),
+        agg AS (SELECT doc_id,
+                  sum(CASE WHEN nxt IS NULL
+                        THEN least($SpanK, n_tokens - pos)
+                        ELSE least(nxt - pos, $SpanK) END)::BIGINT
+                    AS dup_tokens
+                FROM cov GROUP BY doc_id),
+        base AS (SELECT doc_id, length(tk)::BIGINT AS n_tokens FROM d)
+        SELECT b.doc_id, b.n_tokens,
+          COALESCE(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+          COALESCE(a.dup_tokens, 0)::DOUBLE / b.n_tokens::DOUBLE
+            AS dup_ratio,
+          (COALESCE(a.dup_tokens, 0)::DOUBLE / b.n_tokens::DOUBLE)
+            <= $SpanMaxDup::DOUBLE AS keep
+        FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id"""
 
   /** SimHash banded candidate pairs over `shv` (from [[duckSimhash]]) —
     * one definition for the two simhash-CC consumers.
