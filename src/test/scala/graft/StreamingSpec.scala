@@ -409,6 +409,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batched && streamed.size == 4)
   }
 
+  test("streaming embedding ingest: foreachBatch appends to the persisted IVF index") {
+    import graft.operators.SimilarityOps
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val base = Seq(0L -> v(1.0, 0.05), 2L -> v(0.9, 0.0),
+      10L -> v(0.05, 1.0), 12L -> v(0.1, 1.0)).toDF("vec_id", "embedding")
+    val cents = base.filter($"vec_id" === 2L || $"vec_id" === 12L)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
+    val dir = Files.createTempDirectory("graft-ivf-live").toString + "/idx"
+    SimilarityOps.buildIndex(base, cents, dir)
+    // live ingest: two micro-batches routed through the STORED model —
+    // the maintenance path a continuously-embedding pipeline runs
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Double])]
+    val cp = Files.createTempDirectory("graft-ivf-live-cp").toString
+    val writer = stream.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        SimilarityOps.appendToIndex(batch, dir)
+      }
+      .option("checkpointLocation", s"$cp/cp").start()
+    val streamed = Seq(1L -> v(1.0, 0.1), 11L -> v(0.0, 0.95))
+    try {
+      stream.addData(streamed.take(1))
+      writer.processAllAvailable()
+      stream.addData(streamed.drop(1))
+      writer.processAllAvailable()
+    } finally writer.stop()
+    // the persisted search sees the streamed vectors immediately, and
+    // the streamed index ≡ a batch build over everything, bit-exact
+    val q = base.filter($"vec_id" === 0L || $"vec_id" === 10L)
+    def rows(d: String) = SimilarityOps.searchIndex(spark, d, q, 2)
+      .select($"query_id", $"neighbor_id", $"rank", $"cos")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val dirB = Files.createTempDirectory("graft-ivf-liveB")
+      .toString + "/idx"
+    SimilarityOps.buildIndex(
+      base.unionAll(streamed.toDF("vec_id", "embedding")), cents, dirB)
+    val live = rows(dir)
+    assert(live.map(r => (r._1, r._2)).toSet ==
+      Set((0L, 1L), (0L, 2L), (10L, 11L), (10L, 12L)))
+    assert(live.sameElements(rows(dirB)))
+  }
+
   test("gopher rule gate filters a live stream (batch ≡ streaming)") {
     import graft.operators.CorpusOps
     implicit val sqlCtx = spark.sqlContext
