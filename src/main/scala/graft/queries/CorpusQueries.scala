@@ -108,6 +108,27 @@ object CorpusQueries {
       CorpusOps.bigramLmScore(vocab, model, VocabV, LmKeepAbove)(d)
     }),
 
+    // Vocabulary growth / lexical-diversity dashboard per source: exact
+    // distinct tokens anchor the sf-small oracle; the HLL sketch —
+    // what a 100 TB run would actually use, since exact countDistinct
+    // is the expensive expand-pass — is graded as an error-bound
+    // boolean (approx_user_stats discipline).
+    "corpus_vocab_growth" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_tokens"),
+          countDistinct(col("token")).as("distinct_tokens"),
+          approx_count_distinct(col("token")).as("__ad"))
+        .select(col("source"), col("total_tokens"),
+          col("distinct_tokens"),
+          (col("distinct_tokens").cast("double") /
+            col("total_tokens").cast("double")).as("type_token_ratio"),
+          (abs(col("__ad") - col("distinct_tokens")) <=
+            col("distinct_tokens").cast("double") * lit(0.05))
+            .as("vocab_ok"))),
+
     // End-to-end quality funnel: the three modern gates composed — per-
     // doc booleans from the gopher rules, the bigram-LM gate, and the
     // duplicate-span gate, plus the final admitted verdict (docs with
@@ -340,6 +361,14 @@ object CorpusQueries {
       // mirror the operator's getOrElse(0) for models that did not see
       // a pair (self-trained models always do — belt and braces)
       bigramSql,
+    "corpus_vocab_growth" ->
+      s"""SELECT source, count(*)::BIGINT AS total_tokens,
+            count(DISTINCT t)::BIGINT AS distinct_tokens,
+            count(DISTINCT t)::DOUBLE / count(*)::DOUBLE
+              AS type_token_ratio,
+            true AS vocab_ok
+          FROM (SELECT source, unnest($toks) AS t FROM documents)
+          GROUP BY source""",
     // the funnel oracle IS the three gate oracles, composed verbatim as
     // subqueries — one definition per gate, so the funnel cannot drift
     "corpus_quality_funnel" ->
