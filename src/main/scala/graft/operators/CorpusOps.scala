@@ -257,11 +257,10 @@ object CorpusOps {
     // this frame — without the checkpoint the tokenize+explode+count
     // kernel re-evaluates once per branch (the posting-list discipline
     // of DedupOps.materialize)
-    val tf = docs.filter(col("text").isNotNull)
+    val tf = DedupOps.materialize(docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.filter(col("text").isNotNull)
       .agg(count(lit(1)).as("__n"))

@@ -27,7 +27,7 @@ object DedupOps {
     * also truncates lineage so per-branch predicates can't push back into
     * the kernel stage.
     */
-  private def materialize(df: DataFrame): DataFrame =
+  private[operators] def materialize(df: DataFrame): DataFrame =
     df.localCheckpoint(false)
 
   // ------------------------------------------------------------ exact dedup

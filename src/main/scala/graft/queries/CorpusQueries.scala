@@ -151,8 +151,8 @@ object CorpusQueries {
       val spans = graft.operators.DedupOps.duplicateSpans(
           DedupQueries.SpanK, DedupQueries.SpanMaxDup)(d)
         .select(col("doc_id"), col("keep").as("span_ok"))
-      d.filter(col("text").isNotNull).select(col("doc_id"))
-        .join(gopher, Seq("doc_id"))
+      // gopher is already one row per non-null-text doc — it IS the base
+      gopher
         .join(lm, Seq("doc_id"), "left_outer")
         .join(spans, Seq("doc_id"))
         .select(col("doc_id"), col("gopher_ok"),
@@ -372,13 +372,13 @@ object CorpusQueries {
     // the funnel oracle IS the three gate oracles, composed verbatim as
     // subqueries — one definition per gate, so the funnel cannot drift
     "corpus_quality_funnel" ->
-      s"""SELECT b.doc_id,
+      // the gopher subquery is already one row per non-null-text doc
+      s"""SELECT g.doc_id,
             g.keep AS gopher_ok,
             COALESCE(l.keep, false) AS lm_ok,
             sp.keep AS span_ok,
             (g.keep AND COALESCE(l.keep, false) AND sp.keep) AS admitted
-          FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) b
-          JOIN ($gopherSql) g USING (doc_id)
+          FROM ($gopherSql) g
           LEFT JOIN ($bigramSql) l USING (doc_id)
           JOIN (${DedupQueries.spansSql}) sp USING (doc_id)""",
     "corpus_mixture_sample" ->
