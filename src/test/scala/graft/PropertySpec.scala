@@ -161,4 +161,70 @@ class PropertySpec extends SparkSpec {
         out.forall { case (_, n, kept) => kept >= 0 && kept <= n && n > 0 }
     })
   }
+
+  test("∀ docs: sliding chunks tile every token exactly, lengths exact") {
+    import graft.operators.CorpusOps
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      w <- Gen.choose(1, 10)
+      s <- Gen.choose(1, 10) if s <= w
+    } yield (n, w, s)
+    check(Prop.forAll(gen) { case (n, w, s) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val out = CorpusOps.chunkSliding(w, s)(
+          Seq((1L, text)).toDF("doc_id", "text"))
+        .select($"chunk_no", $"chunk_start", $"n_tokens")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val covered = out.flatMap { case (_, start, len) =>
+        start until (start + len) }.toSet
+      out.zipWithIndex.forall { case ((no, start, len), i) =>
+        no == i && start == i * s &&
+          len == math.min(w.toLong, n - start) } &&
+        covered == (0L until n).toSet             // every token chunked
+    })
+  }
+
+  test("∀ corpora: duplicate-span coverage bounded; cloned docs fully dup") {
+    import graft.operators.DedupOps
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val genDocs = Gen.nonEmptyListOf(
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    check(Prop.forAll(genDocs) { texts =>
+      val base = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      // clone doc 0 under a fresh id: both copies must be 100% covered
+      val docs = (base :+ (1000L, texts.head)).toDF("doc_id", "text")
+      val out = DedupOps.duplicateSpans(k = 3, maxDupRatio = 0.5)(docs)
+        .select($"doc_id", $"n_tokens", $"dup_tokens")
+        .as[(Long, Long, Long)].collect()
+      out.forall { case (_, n, d) => d >= 0 && d <= n } &&
+        out.filter(r => r._1 == 0L || r._1 == 1000L)
+          .forall { case (_, n, d) => d == n }
+    })
+  }
+
+  test("∀ models: bigram scores bounded, self-trained text outranks garbage") {
+    import graft.operators.CorpusOps
+    val word = Gen.oneOf("pp", "qq", "rr")
+    val genDocs = Gen.listOfN(3,
+      Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" "))))
+    check(Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val vocab = CorpusOps.vocabulary(docs, 3).as[String].collect().toSet
+      val model = CorpusOps.bigramModel(vocab)(docs).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val scored = CorpusOps.bigramLmScore(vocab, model, 3, 0.0)(
+          docs.unionAll(Seq((99L, "zz zz zz zz")).toDF("doc_id", "text")))
+        .select($"doc_id", $"n_bigrams", $"lm_fp")
+        .as[(Long, Long, Long)].collect()
+      val garbage = scored.find(_._1 == 99L).get
+      // fp per position is a probability scaled by 1e6: 0 < fp ≤ 1e6·n
+      scored.forall { case (_, n, fp) => fp > 0 && fp <= 1000000L * n } &&
+        // the corpus' ≤3 distinct words all fit the vocab, so <unk> has
+        // zero training mass and unseen-everything garbage scores
+        // EXACTLY the add-1 smoothing floor 1/(V+1) per position
+        garbage._3 == 250000L * garbage._2
+    })
+  }
 }
