@@ -71,7 +71,7 @@ object Bench {
     "text_token_count", "topk_orders", "window_lag_lead",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
-  /** The round-8 registered set (116 queries), pinned for rounds 9+
+  /** The round-8 registered set (117 queries), pinned for rounds 9+
     * (`standing_r8_total`) — adds the derived-partsupp TPC-H quartet,
     * the recall gate, the source-quality/mixture corpus queries, the
     * persisted nprobe=2 search, the bigram-LM/chunking corpus ops and
@@ -83,7 +83,8 @@ object Bench {
     "corpus_chunk_sliding", "corpus_contamination",
     "corpus_curation", "corpus_gopher_gate",
     "corpus_mixture_epochs",
-    "corpus_mixture_sample", "corpus_oov_ratio",
+    "corpus_mixture_sample", "corpus_mixture_temperature",
+    "corpus_oov_ratio",
     "corpus_pack_sequences", "corpus_quality_funnel",
     "corpus_segment_dedup", "corpus_vocab_growth",
     "corpus_shard_order", "corpus_source_quality",

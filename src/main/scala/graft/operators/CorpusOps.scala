@@ -467,6 +467,35 @@ object CorpusOps {
   def mixtureSample(docs: DataFrame, salt: String = "mix"): DataFrame =
     mixtureSampleWithRates(mixtureRates(docs), salt)(docs)
 
+  /** Temperature-based mixture rates at α = 1/2 — the multilingual-
+    * training standard (sample source s with probability ∝ t_s^α,
+    * α < 1 flattening the head so low-resource sources are not
+    * drowned). α is FIXED at 1/2 here because x^0.5 ≡ sqrt(x) is an
+    * exactly-rounded IEEE operation while pow/exp/ln are not — the one
+    * α where both engines agree bitwise. The √-total normalizer sums
+    * DRIVER-side in sorted-source order (model state), so the oracle's
+    * `list_reduce(list(... ORDER BY source))` folds the identical
+    * sequence; keep rate = min(1, total·√t_s / (S·t_s)) in integer
+    * basis points, gated by the same salted-hash contract as
+    * [[mixtureSample]]. Rates > 1 clamp to 1 (downsample-only; compose
+    * [[mixtureUpsample]] for true resampling of the tail).
+    */
+  def mixtureTemperatureRates(docs: DataFrame): Map[String, Long] = {
+    val sorted = sourceTotals(docs).toSeq.sortBy(_._1)
+    val s = sorted.foldLeft(0.0) { case (acc, (_, t)) =>
+      acc + math.sqrt(t.toDouble)
+    }
+    val tot = sorted.foldLeft(0L)(_ + _._2)
+    sorted.map { case (src, t) =>
+      src -> math.min(10000L, math.floor(10000.0 *
+        ((tot.toDouble * math.sqrt(t.toDouble)) / s / t.toDouble)).toLong)
+    }.toMap
+  }
+
+  def mixtureTemperature(docs: DataFrame, salt: String = "temp")
+      : DataFrame =
+    mixtureSampleWithRates(mixtureTemperatureRates(docs), salt)(docs)
+
   /** Per-source token totals — the one aggregate both mixture
     * directions derive their rates from (one row per source, driver
     * model state like the vocabulary).

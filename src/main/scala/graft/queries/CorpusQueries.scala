@@ -170,6 +170,13 @@ object CorpusQueries {
       CorpusOps.mixtureSample(docs(s, dir))
         .select(col("doc_id"), col("source"))),
 
+    // Temperature mixture (α = 1/2): heavier sources thinned toward
+    // √-proportional shares — same hash-gate contract, rates from
+    // exactly-rounded sqrt (see CorpusOps.mixtureTemperatureRates).
+    "corpus_mixture_temperature" -> ((s, dir) =>
+      CorpusOps.mixtureTemperature(docs(s, dir))
+        .select(col("doc_id"), col("source"))),
+
     // Epoch upsampling: every source repeated toward the largest
     // source's token budget (whole epochs + a hash-gated fractional
     // pass) — the dual of the downsampling mixture.
@@ -391,6 +398,24 @@ object CorpusQueries {
           SELECT d.doc_id, d.source
           FROM documents d JOIN bp USING (source)
           WHERE ${h15("concat('mix:', doc_id::VARCHAR)")} % 10000 < bp.bp""",
+    "corpus_mixture_temperature" ->
+      s"""WITH n AS (SELECT doc_id, source, length($toks)::BIGINT AS nt
+                     FROM documents),
+          tot AS (SELECT source, CAST(sum(nt) AS BIGINT) AS ts
+                  FROM n GROUP BY source),
+          s AS (SELECT list_reduce(list(sqrt(ts::DOUBLE) ORDER BY source),
+                         (a, b) -> a + b) AS sv,
+                       CAST(sum(ts) AS BIGINT) AS tt
+                FROM tot),
+          bp AS (SELECT source,
+                   least(10000, floor(10000.0 *
+                     (((tt::DOUBLE * sqrt(ts::DOUBLE)) / sv)
+                       / ts::DOUBLE))::BIGINT) AS bp
+                 FROM tot, s)
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN bp USING (source)
+          WHERE ${h15("concat('temp:', doc_id::VARCHAR)")} % 10000
+            < bp.bp""",
     "corpus_mixture_epochs" ->
       s"""WITH n AS (SELECT doc_id, source, length($toks)::BIGINT AS nt
                      FROM documents),

@@ -234,6 +234,31 @@ class TextDedupSpec extends SparkSpec {
       maxDriverModel = 0L)(in)) == viaUdf)
   }
 
+  test("temperature mixture: α=1/2 flattens the head, spares the tail") {
+    import graft.operators.CorpusOps
+    // heavy source: 16 docs × 4 tokens = 64; light source: 1 doc × 4
+    val in = ((0L until 16L).map(i => (i, "w x y z", "heavy")) :+
+      ((99L, "w x y z", "light"))).toDF("doc_id", "text", "source")
+    val rates = CorpusOps.mixtureTemperatureRates(in)
+    // S = √64 + √4 = 10; heavy: 68·8/(10·64) = 0.85 → 8500 bp;
+    // light: 68·2/(10·4) = 3.4 → clamps to 1 (kept whole)
+    assert(rates == Map("heavy" -> 8500L, "light" -> 10000L))
+    val kept = CorpusOps.mixtureTemperature(in)
+      .groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("light") == 1L)            // tail never thinned
+    // 16 docs at 85% can all pass the hash gate; thinning needs volume:
+    // 200 single-token heavy docs at ~89% keep rate
+    val big = ((0L until 200L).map(i => (i, "w", "heavy")) :+
+      ((999L, "w x y z", "light"))).toDF("doc_id", "text", "source")
+    val bigKept = CorpusOps.mixtureTemperature(big)
+      .groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bigKept("light") == 1L)
+    assert(bigKept("heavy") < 200L && bigKept("heavy") > 150L,
+      bigKept.toString)
+  }
+
   test("shard order: reproducible, dense per-shard positions") {
     import graft.operators.CorpusOps
     val in = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
