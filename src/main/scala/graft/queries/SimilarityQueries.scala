@@ -30,10 +30,13 @@ object SimilarityQueries {
     * baseline of K/N ≈ 0.01. The floors are REGRESSION TRIPWIRES 2.5-12×
     * above chance, not absolute quality claims: any candidate-join /
     * encode / ranking bug drives recall to ~chance and flips recall_ok.
+    * The exception is sq8 (measured 0.95): int8 scalar quantization
+    * perturbs cosine only at the 8-bit resolution, so near-exact recall
+    * IS the absolute claim and its floor (0.8) has real teeth.
     */
   private val RecallFloors: Seq[(String, Double)] = Seq(
     "ivf_probe2" -> 0.12, "pq64" -> 0.10, "ivfpq64_probe2" -> 0.025,
-    "srp_multiprobe" -> 0.05)
+    "srp_multiprobe" -> 0.05, "sq8" -> 0.8)
   // IVF centroid seeds: a fixed corpus subset, disjoint from the queries
   private val SEEDS = 100 until 108
 
@@ -128,6 +131,17 @@ object SimilarityQueries {
       SimilarityOps.pqBooksOf(embs(s, dir), PQSEEDS.map(_.toLong),
         m = 4, dim = 64))
 
+  /** SQ8 model (2×64 doubles — bounded by construction) memoized per
+    * (session, sf-dir): an index trains its quantizer once.
+    */
+  private val sq8Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[Double], Seq[Double])]
+
+  private def sq8ModelOf(s: SparkSession, dir: String)
+      : (Seq[Double], Seq[Double]) =
+    sq8Cache.getOrElseUpdate((s, dir),
+      SimilarityOps.sq8Model(embs(s, dir)))
+
   val all: Map[String, Q] = Map(
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -173,6 +187,16 @@ object SimilarityQueries {
       val e = embs(s, dir)
       SimilarityOps.pqTopKWithBooks(e, queriesOf(e), K,
         trainedBooks(s, dir))
+    }),
+
+    // Scalar quantization (faiss SQ8): per-dim affine int8 codes — the
+    // light-compression point on the quality/size curve (4× smaller,
+    // 0.95 recall@5 vs PQ64's 0.25; both measured by sim_recall_at_k).
+    // Model is 2×64 doubles from one min/max aggregate; encode is a pure
+    // map; the one shuffle is the top-k window.
+    "sim_sq8_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.sq8TopK(e, queriesOf(e), K, sq8ModelOf(s, dir))
     }),
 
     // IVF+PQ composed — the canonical billion-scale index: IVF prunes
@@ -222,9 +246,9 @@ object SimilarityQueries {
 
     // Recall gate: CORRECTNESS entries prove the approximate algorithms
     // replay exactly, not that they retrieve well. This query measures
-    // macro recall@K against the brute-force anchor for the four index
+    // macro recall@K against the brute-force anchor for the five index
     // families (exact-scored IVF at nprobe=2; PQ-only with 64-entry
-    // books; composed IVF+PQ; SRP multi-probe) and pins per-family
+    // books; composed IVF+PQ; SRP multi-probe; SQ8) and pins per-family
     // floors as error-bound booleans (same pattern as
     // approx_user_stats) — an index-quality regression flips
     // `recall_ok` to false and fails the oracle hash. See RecallFloors
@@ -263,6 +287,8 @@ object SimilarityQueries {
         .unionAll(recallOf("srp_multiprobe", floors("srp_multiprobe"),
           SimilarityOps.srpTopK(e, queriesOf(e), K, planes = 6,
             multiProbe = true)))
+        .unionAll(recallOf("sq8", floors("sq8"),
+          SimilarityOps.sq8TopK(e, queriesOf(e), K, sq8ModelOf(s, dir))))
     }),
 
     // Lloyd-trained centroids (graft.operators.KMeansOps): the IVF
@@ -337,6 +363,10 @@ object SimilarityQueries {
     "sim_pq_kmeans" -> pqKmeansSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql,
     "sim_ivfpq_persisted" -> ivfPqTopkSql,
+    "sim_sq8_topk" ->
+      s"""WITH ${sq8Ctes("z_")}
+          SELECT query_id, neighbor_id, rank, cos FROM z_rnk
+          WHERE rank <= $K""",
     "sim_recall_at_k" -> recallSql,
     "sim_ivf_probe2" -> ivfProbe2Sql,
     // persisted nprobe=2 search: same cells, same tail — same replay
@@ -637,6 +667,46 @@ object SimilarityQueries {
                      ORDER BY cos DESC, neighbor_id) AS rank
                  FROM ${p}scored) WHERE rank <= $K)"""
 
+  /** SQ8 replay chain, prefix `p`: per-dim min/max model → encode +
+    * dequantize in one list_zip pass (the CASE/clamp/floor arithmetic
+    * mirrors SimilarityOps.sq8Codes∘sq8Dequantize shape-for-shape) →
+    * cosine of the raw query against the dequantized corpus. Ends at
+    * `${p}rnk` (with cos + rank) and `${p}apx` (ids only, rank ≤ K).
+    */
+  private def sq8Ctes(p: String): String =
+    s"""${p}dims AS (
+          SELECT i, min(v::DOUBLE) AS mn, max(v::DOUBLE) AS mx
+          FROM (SELECT unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)
+          GROUP BY i),
+        ${p}model AS (SELECT list(mn ORDER BY i) AS mns,
+                             list(mx ORDER BY i) AS mxs
+                      FROM ${p}dims),
+        ${p}deq AS (
+          SELECT vec_id,
+            list_transform(list_zip(embedding, mns, mxs),
+              x -> CASE WHEN x[3]::DOUBLE = x[2]::DOUBLE THEN x[2]::DOUBLE
+                   ELSE x[2]::DOUBLE
+                     + (least(greatest(floor((x[1]::DOUBLE - x[2]::DOUBLE)
+                          / (x[3]::DOUBLE - x[2]::DOUBLE) * 255.0),
+                          0.0), 255.0)
+                        * (x[3]::DOUBLE - x[2]::DOUBLE)) / 255.0
+                   END) AS dq
+          FROM embeddings CROSS JOIN ${p}model),
+        ${p}q AS (SELECT vec_id AS query_id, embedding AS qe
+                  FROM embeddings WHERE vec_id < $NQ),
+        ${p}scored AS (SELECT query_id, d.vec_id AS neighbor_id,
+                         ${cosine("qe", "d.dq")} AS cos
+                       FROM ${p}q CROSS JOIN ${p}deq d
+                       WHERE d.vec_id <> query_id),
+        ${p}rnk AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rank
+                    FROM ${p}scored),
+        ${p}apx AS (SELECT query_id, neighbor_id FROM ${p}rnk
+                    WHERE rank <= $K)"""
+
   /** Recall replay: brute-force top-k left-joined to each family's
     * top-k, macro hits over K·NQ, per-family floor booleans.
     */
@@ -667,14 +737,17 @@ object SimilarityQueries {
         ${ivfExactCtes("i_", nprobe = 2)},
         ${pqOnlyCtes("p_", PQSEEDS)},
         ${ivfPqCtes(nprobe = 2, pqSeeds = PQSEEDS, p = "v_")},
-        ${srpMultiprobeCtes("s_")}
+        ${srpMultiprobeCtes("s_")},
+        ${sq8Ctes("z_")}
         ${famRow("i_", "ivf_probe2", floors("ivf_probe2"))}
         UNION ALL
         ${famRow("p_", "pq64", floors("pq64"))}
         UNION ALL
         ${famRow("v_", "ivfpq64_probe2", floors("ivfpq64_probe2"))}
         UNION ALL
-        ${famRow("s_", "srp_multiprobe", floors("srp_multiprobe"))}"""
+        ${famRow("s_", "srp_multiprobe", floors("srp_multiprobe"))}
+        UNION ALL
+        ${famRow("z_", "sq8", floors("sq8"))}"""
   }
 
   /** One-iteration spherical-k-means replay for PQ subspace `j` (the

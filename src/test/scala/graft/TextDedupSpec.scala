@@ -156,6 +156,45 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1L, 1), (3L, 2)))
   }
 
+  test("sq8 codes clamp to [0,255], hit the endpoints, and zero constant dims") {
+    val df = Seq(
+      (0L, Array(0.0f, -1.0f, 7.0f)),
+      (1L, Array(1.0f, 1.0f, 7.0f)),
+      (2L, Array(0.5f, 0.0f, 7.0f)))
+      .toDF("vec_id", "embedding")
+    val (mns, mxs) = SimilarityOps.sq8Model(df)
+    assert(mns == Seq(0.0, -1.0, 7.0) && mxs == Seq(1.0, 1.0, 7.0))
+    val codes = df.orderBy($"vec_id")
+      .select(SimilarityOps.sq8Codes(mns, mxs)($"embedding"))
+      .as[Seq[Long]].collect().toSeq
+    // min encodes to 0, max to 255, midpoints in between; constant dim -> 0
+    assert(codes == Seq(Seq(0L, 0L, 0L), Seq(255L, 255L, 0L),
+      Seq(127L, 127L, 0L)))
+    // dequantize stays inside [mn, mx] and reconstructs a constant dim
+    val deq = df.orderBy($"vec_id")
+      .select(SimilarityOps.sq8Dequantize(mns, mxs)(
+        SimilarityOps.sq8Codes(mns, mxs)($"embedding")))
+      .as[Seq[Double]].collect().toSeq
+    deq.foreach(v => v.indices.foreach(i =>
+      assert(v(i) >= mns(i) && v(i) <= mxs(i))))
+    assert(deq.forall(_(2) == 7.0))
+    // endpoints round-trip exactly: mn -> mn, mx -> mx
+    assert(deq(0) == Seq(0.0, -1.0, 7.0) && deq(1) == Seq(1.0, 1.0, 7.0))
+  }
+
+  test("sq8 top-k on near-exact data matches brute force") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val model = SimilarityOps.sq8Model(df)
+    val out = SimilarityOps.sq8TopK(df, df.filter($"vec_id" === 0), 2, model)
+      .select($"neighbor_id", $"rank").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1), (3L, 2)))
+  }
+
   test("SRP top-k only scores same-bucket candidates") {
     val df = Seq(
       (0L, Array.fill(64)(0.5f)),
