@@ -277,6 +277,69 @@ object CorpusOps {
         col("score"), col("rank"))
   }
 
+  // ----------------------------------------------------- BM25 text search
+
+  /** BM25-ranked full-text retrieval — the search workload the reference
+    * feeds Elasticsearch for, run natively on the corpus: given literal
+    * query-term sets, rank documents by a BM25 score with the classic
+    * tf saturation `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` and a RATIONAL
+    * idf `(N−df+0.5)/(df+0.5)` (the un-logged Robertson idf ratio —
+    * `ln` is not an exactly-rounded IEEE op, so like [[tfidfTopTerms]]
+    * the score stays transcendental-free; the ratio preserves the
+    * rarer ⇒ heavier direction, compressing less than the log).
+    *
+    * Determinism: every per-term weight is fixed-pointed to
+    * `floor(1e6·w)` as int64 BEFORE the per-doc sum, so the document
+    * score is an ORDER-FREE integer sum — no IEEE addition-order hazard
+    * across partitions or engines (the float ops inside a single term
+    * weight are divisions/multiplies of exact inputs, each exactly
+    * rounded, in one pinned association order the oracle mirrors).
+    *
+    * Scale shape: the materialized (doc, term, tf) frame IS the inverted
+    * index (built once, searched many — the posting-list discipline of
+    * [[tfidfTopTerms]]); doc length derives from that same frame by a
+    * sum, not a second tokenize pass; df is vocabulary-bounded; the
+    * literal query set broadcasts into the term equi-join so only
+    * matching postings survive the scan; the one corpus-keyed shuffle is
+    * the per-query top-k window.
+    */
+  def bm25Search(queryTerms: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75)(docs: DataFrame): DataFrame = {
+    val tf = DedupOps.materialize(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("__avgdl"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = broadcast(queryTerms.toDF("query_id", "term"))
+    val tfD = col("tf").cast("double")
+    val idf = (col("__n") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val denom = tfD + lit(k1) * (lit(1.0 - b) +
+      (lit(b) * col("dl").cast("double")) / col("__avgdl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    qt.join(tf, Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("tw",
+        floor(lit(1000000.0) * idf * (tfD * lit(k1 + 1.0)) / denom)
+          .cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tw")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
+        col("score"), col("rank"))
+  }
+
   // ------------------------------------------------------ Gopher-rules gate
 
   /** Composite document-quality gate in the Gopher/C4 rule-of-thumb

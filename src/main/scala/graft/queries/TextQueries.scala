@@ -95,8 +95,25 @@ object TextQueries {
         .filter(col("__rn") === 1)
       canon.filter(TextOps.hashSample(col("doc_id"), 50, "curation"))
         .select(col("doc_id"), col("lid"), col("n_tokens"))
-    })
+    }),
+
+    // BM25 ranked retrieval over the corpus — the search workload the
+    // reference ships rows to Elasticsearch for, run natively (rational
+    // idf + fixed-point integer weights; see CorpusOps.bm25Search).
+    // Two literal query-term sets: one led by the rarest vocab term
+    // ("dup", df 25/500), one of three common terms.
+    "text_search_bm25" -> ((s, dir) =>
+      graft.operators.CorpusOps.bm25Search(Bm25Queries, Bm25K,
+        Bm25K1, Bm25B)(docs(s, dir)))
   )
+
+  /** BM25 query-term sets + top-k, interpolated into BOTH engines. */
+  private[queries] val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "dup", 0L -> "spark",
+    1L -> "hash", 1L -> "join", 1L -> "key")
+  private[queries] val Bm25K = 10
+  private[queries] val Bm25K1 = 1.2
+  private[queries] val Bm25B = 0.75
 
   import Duck._
 
@@ -192,7 +209,46 @@ object TextQueries {
                 FROM k)
           SELECT doc_id, lid, n_tokens FROM c
           WHERE rn = 1
-            AND ${h15("concat('curation:', doc_id::VARCHAR)")} % 100 < 50"""
+            AND ${h15("concat('curation:', doc_id::VARCHAR)")} % 100 < 50""",
+
+    // BM25 replay: inverted index (tf), df, dl = sum(tf) per doc (the
+    // same derivation Spark uses — no second tokenize), 1-row stats,
+    // per-term fixed-point weight in the same association order, integer
+    // sum per doc, top-k window. Constants interpolated from the ONE
+    // Scala definition (Bm25K1/Bm25B; derived 1−b and k1+1 are computed
+    // in Scala and round-trip through toString).
+    "text_search_bm25" -> {
+      val values = Bm25Queries
+        .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+                 FROM d, unnest(tk) AS u(t) GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                    GROUP BY term),
+          dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf
+                 GROUP BY doc_id),
+          stats AS (SELECT count(*)::DOUBLE AS n,
+                      sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+                    FROM dl),
+          qt AS (SELECT * FROM (VALUES $values) q(query_id, term)),
+          scored AS (SELECT qt.query_id, tf.doc_id,
+              floor(1000000.0
+                * ((s.n - dfreq.df::DOUBLE + 0.5)
+                   / (dfreq.df::DOUBLE + 0.5))
+                * (tf.tf::DOUBLE * ${Bm25K1 + 1.0})
+                / (tf.tf::DOUBLE + $Bm25K1 * (${1.0 - Bm25B}
+                     + ($Bm25B * dl.dl::DOUBLE) / s.avgdl)))::BIGINT AS w
+            FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+                 JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+          doc AS (SELECT query_id, doc_id, sum(w)::BIGINT AS score,
+                    count(*)::BIGINT AS n_terms_hit
+                  FROM scored GROUP BY 1, 2)
+          SELECT query_id, doc_id, n_terms_hit, score, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS rank
+            FROM doc) WHERE rank <= $Bm25K"""
+    }
   )
 }
 

@@ -280,6 +280,7 @@ object PlanSpec {
     "q11_important_stock" -> 3,   // supplier count ×2 + global total
     "q16_part_supplier_counts" -> 1, // supplier count
     "q20_promo_suppliers" -> 1,   // supplier count
-    "sim_recall_at_k" -> 4,       // per-family hit counts (4 families)
-    "corpus_tfidf_terms" -> 1)    // global doc count N (1 row, Q22 shape)
+    "sim_recall_at_k" -> 5,       // per-family hit counts (5 families)
+    "corpus_tfidf_terms" -> 1,    // global doc count N (1 row, Q22 shape)
+    "text_search_bm25" -> 1)      // global N/avgdl stats (1 row)
 }

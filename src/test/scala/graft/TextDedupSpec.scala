@@ -206,6 +206,24 @@ class TextDedupSpec extends SparkSpec {
     assert(out.contains(1L) && !out.contains(2L))
   }
 
+  test("bm25Search weights rare terms over common and short docs over long") {
+    import graft.operators.CorpusOps
+    val d = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common common common"),
+      (3L, "rare common pad pad pad pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.bm25Search(Seq(0L -> "rare", 0L -> "common"), 3)(d)
+      .orderBy($"rank")
+      .select($"doc_id", $"n_terms_hit", $"score")
+      .as[(Long, Long, Long)].collect().toSeq
+    // every doc matches something; rare-term docs outrank the common-only
+    // doc, and between the two rare docs the SHORTER one wins (dl norm)
+    assert(out.map(_._1) == Seq(1L, 3L, 2L))
+    assert(out.head._2 == 2L) // doc 1 hits both terms
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse)
+  }
+
   test("mixtureSample rebalances sources toward the smallest token budget") {
     import graft.operators.CorpusOps
     // skewed corpus: a=50 tokens, b=150, c=500 (5 tokens per doc)
