@@ -277,6 +277,31 @@ object CorpusOps {
         col("score"), col("rank"))
   }
 
+  // ----------------------------------------- leakage-proof train/val split
+
+  /** Deterministic train/val/test assignment keyed on the CONTENT hash,
+    * not the document id: byte-identical duplicates (after
+    * [[TextOps.normalized]] canonicalization) land in the SAME split by
+    * construction, so exact-duplicate eval leakage is impossible even
+    * when dedup runs after splitting — the classic failure of
+    * id/random-keyed splits on a corpus with near-50 whole-document
+    * duplicates per 500 docs. Same portable-hash discipline as
+    * [[TextOps.hashSample]]: stable across runs, clusters, and engines;
+    * a pure scan-side map (zero shuffles, trivially batch ≡ streaming);
+    * fractions tunable per split.
+    */
+  def splitLeakproof(trainPct: Int = 80, valPct: Int = 10)(
+      docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.h15
+    val ch = TextOps.contentHash(col("text"))
+    val bucket = pmod(h15(concat(lit("split:"), ch)), lit(100L))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), ch.as("content_hash"),
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   // ----------------------------------------------------- BM25 text search
 
   /** BM25-ranked full-text retrieval — the search workload the reference

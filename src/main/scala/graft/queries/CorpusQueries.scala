@@ -36,6 +36,9 @@ object CorpusQueries {
   private val GMinAlpha = 0.8
   private val GMinStop = 2
   private val GMinDistinct = 0.3
+  // train/val/test split fractions (test = remainder)
+  private val TrainPct = 80
+  private val ValPct = 10
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -246,7 +249,13 @@ object CorpusQueries {
             col("n_docs").cast("double")).as("avg_distinct_ratio"),
           (col("oov_dec").cast("double") /
             col("n_docs").cast("double")).as("avg_oov_ratio"))
-    })
+    }),
+
+    // Leakage-proof train/val/test split: bucket on the CONTENT hash so
+    // exact duplicates can never straddle splits (see
+    // CorpusOps.splitLeakproof). Pure scan-side map, zero shuffles.
+    "corpus_split" -> ((s, dir) =>
+      CorpusOps.splitLeakproof(TrainPct, ValPct)(docs(s, dir)))
   )
 
   import Duck.{h15, toks}
@@ -431,7 +440,23 @@ object CorpusQueries {
           WHERE e.epoch < bp.bp // 10000
              OR ${h15("concat('epoch:', doc_id::VARCHAR)")} % 10000
                 < bp.bp % 10000""",
-    "corpus_source_quality" -> sourceQualitySql
+    "corpus_source_quality" -> sourceQualitySql,
+
+    // split replay: same normalized-content md5, same salted portable
+    // hash, same bucket thresholds (one Scala definition, both engines)
+    "corpus_split" ->
+      s"""WITH c AS (SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)),
+                                          '\\s+', ' ', 'g')) AS content_hash
+                     FROM documents WHERE text IS NOT NULL),
+          b AS (SELECT doc_id, content_hash,
+                  ${h15("concat('split:', content_hash)")} % 100 AS bkt
+                FROM c)
+          SELECT doc_id, content_hash,
+            CASE WHEN bkt < $TrainPct THEN 'train'
+                 WHEN bkt < ${TrainPct + ValPct} THEN 'val'
+                 ELSE 'test' END AS split
+          FROM b"""
   )
 
   /** The gopher-gate oracle, shared verbatim with the funnel. */

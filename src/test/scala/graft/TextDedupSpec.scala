@@ -224,6 +224,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_._3) == out.map(_._3).sorted.reverse)
   }
 
+  test("splitLeakproof sends exact duplicates to the same split") {
+    import graft.operators.CorpusOps
+    // 50 distinct texts, each duplicated under three doc_ids (with
+    // whitespace/case noise the content hash canonicalizes away)
+    val d = (0 until 50).flatMap { i =>
+      Seq((i * 3L, s"document number $i body"),
+        (i * 3L + 1, s"Document  NUMBER $i body"),
+        (i * 3L + 2, s"  document number $i BODY "))
+    }.toDF("doc_id", "text")
+    val out = CorpusOps.splitLeakproof()(d)
+    // leakage property: every content hash maps to exactly ONE split
+    val perHash = out.groupBy($"content_hash")
+      .agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).count()
+    assert(perHash == 0L)
+    // all three splits populated, train the plurality
+    val bySplit = out.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"))
+    assert(bySplit.values.sum == 150L)
+  }
+
   test("mixtureSample rebalances sources toward the smallest token budget") {
     import graft.operators.CorpusOps
     // skewed corpus: a=50 tokens, b=150, c=500 (5 tokens per doc)
