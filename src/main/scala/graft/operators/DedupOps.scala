@@ -157,21 +157,51 @@ object DedupOps {
     * an equi-join on a 60-bit bucket — uniform, shuffle-friendly; the
     * verify step only touches surviving candidates.
     */
-  def minhashLshPairs(k: Int = 2, bands: Int = 8, rows: Int = 2,
-      threshold: Double = 0.5)(df: DataFrame): DataFrame = {
-    // hashed shingle sets end-to-end (cheap long joins/intersects; the
-    // oracle recomputes identical hashes)
-    val sets = materialize(df.select(col("doc_id"),
+  /** Hashed shingle sets — the verification payload of every MinHash
+    * path (cheap long joins/intersects; the oracle recomputes identical
+    * hashes).
+    */
+  private def mhSets(df: DataFrame, k: Int): DataFrame =
+    materialize(df.select(col("doc_id"),
       graft.functions.TextExprs.sortedLongs(
         graft.functions.TextExprs.h15Array(shingleSet(col("text"), k)))
         .as("shingles")))
+
+  /** (doc_id, band, band_key) rows from a shingle-set frame — the LSH
+    * candidate-generation key.
+    */
+  private def mhBands(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
     val sig = sets.withColumn("sig",
       graft.functions.TextExprs.minhashSig(col("shingles"), bands * rows))
-    val banded = materialize(sig.select(col("doc_id"),
+    materialize(sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         h15(concat_ws("_",
           slice(col("sig"), b * rows + 1, rows).cast("array<string>")))): _*))
         .as(Seq("band", "band_key"))))
+  }
+
+  /** Exact-Jaccard verification tail shared by the batch and incremental
+    * paths: join the shingle sets back onto the (a, b) candidates and
+    * keep pairs at or above `threshold`.
+    */
+  private def mhVerify(cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(setsA.select(col("doc_id").as("a"), col("shingles").as("sh_a")),
+        Seq("a"))
+      .join(setsB.select(col("doc_id").as("b"), col("shingles").as("sh_b")),
+        Seq("b"))
+      .withColumn("inter", graft.functions.TextExprs.intersectCountSorted(
+        col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+
+  def minhashLshPairs(k: Int = 2, bands: Int = 8, rows: Int = 2,
+      threshold: Double = 0.5)(df: DataFrame): DataFrame = {
+    val sets = mhSets(df, k)
+    val banded = mhBands(sets, bands, rows)
     // distinct on the bare id pair FIRST (cheap long hashing), then join
     // the shingle sets back for verification — hashing the string arrays
     // inside the distinct would dominate the whole operator
@@ -180,17 +210,60 @@ object DedupOps {
     val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    cand
-      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sh_a")),
-        Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("shingles").as("sh_b")),
-        Seq("b"))
-      .withColumn("inter", graft.functions.TextExprs.intersectCountSorted(
-        col("sh_a"), col("sh_b")))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    mhVerify(cand, sets, sets, threshold)
+  }
+
+  /** Persist the MinHash fingerprint store — the dedup analogue of the
+    * persisted IVF index, for the daily-ingest corpus: band keys (the
+    * LSH candidate key) and hashed shingle sets (the verification
+    * payload) are written ONCE; history is never re-shingled. Store
+    * size is O(corpus) longs — a constant factor of the text bytes, not
+    * a driver-side model.
+    */
+  def buildMinhashStore(docs: DataFrame, dir: String, k: Int = 2,
+      bands: Int = 8, rows: Int = 2): Unit = {
+    val sets = mhSets(docs, k)
+    sets.write.mode("overwrite").parquet(s"$dir/sets")
+    mhBands(sets, bands, rows).write.mode("overwrite")
+      .parquet(s"$dir/bands")
+  }
+
+  /** Append a batch's fingerprints to an existing store (the ingest
+    * epilogue after [[incrementalNearDupPairs]] has flagged it).
+    */
+  def appendToMinhashStore(newDocs: DataFrame, dir: String, k: Int = 2,
+      bands: Int = 8, rows: Int = 2): Unit = {
+    val sets = mhSets(newDocs, k)
+    sets.write.mode("append").parquet(s"$dir/sets")
+    mhBands(sets, bands, rows).write.mode("append")
+      .parquet(s"$dir/bands")
+  }
+
+  /** Incremental near-dup check of a new ingest batch AGAINST the
+    * persisted store: the batch is shingled/banded once, equi-joined on
+    * (band, band_key) against the stored band table, and candidates are
+    * verified with exact Jaccard against the stored shingle sets.
+    * Emits (a = store doc, b = new doc, jaccard). Scale shape: the
+    * store side is a plain parquet scan joined on a uniform 60-bit
+    * key — per-batch cost is O(batch + matched postings), independent
+    * of history size except through the band join; the batch side is
+    * tiny and broadcastable by AQE. The whole-corpus quadratic re-check
+    * a naive daily dedup runs is gone.
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, dir: String, k: Int = 2,
+      bands: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val storeSets = spark.read.parquet(s"$dir/sets")
+    val storeBands = spark.read.parquet(s"$dir/bands")
+    val nsets = mhSets(newDocs, k)
+    val nbands = mhBands(nsets, bands, rows)
+    val cand = storeBands
+      .select(col("band"), col("band_key"), col("doc_id").as("a"))
+      .join(nbands.select(col("band"), col("band_key"),
+        col("doc_id").as("b")), Seq("band", "band_key"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    mhVerify(cand, storeSets, nsets, threshold)
   }
 
   // --------------------------------------------------------------- SimHash

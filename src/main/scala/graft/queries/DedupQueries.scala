@@ -60,9 +60,41 @@ object DedupQueries {
         .localCheckpoint(false)
     })
 
+  /** Incremental-dedup split point: docs below are "history" (the
+    * persisted store), docs at/above are the new ingest batch. Shared
+    * with the oracle SQL.
+    */
+  private val IncrSplitId = 400L
+
+  /** Persisted MinHash store over the history half, memoized per
+    * (session, dir) — built once, probed by every incremental batch
+    * (the build-once/search-many discipline of the persisted ANN
+    * indexes).
+    */
+  private val mhStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def builtMinhashStore(s: SparkSession, dir: String): String =
+    mhStoreCache.getOrElseUpdate((s, dir), {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-mh-store").toString + "/store"
+      DedupOps.buildMinhashStore(
+        docs(s, dir).filter(col("doc_id") < IncrSplitId), tmp)
+      tmp
+    })
+
   val all: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on normalized content.
     "dedup_exact" -> ((s, dir) => DedupOps.exactDedup()(docs(s, dir))),
+
+    // Incremental near-dup: the daily-ingest shape — the new batch
+    // (doc_id >= 400) is banded once and joined against the PERSISTED
+    // fingerprint store of the history (doc_id < 400); history text is
+    // never re-shingled. Same bands/verify as dedup_minhash_lsh.
+    "dedup_incremental" -> ((s, dir) =>
+      DedupOps.incrementalNearDupPairs(
+        docs(s, dir).filter(col("doc_id") >= IncrSplitId),
+        builtMinhashStore(s, dir))),
 
     // N-gram Jaccard near-dup via inverted shingle index (no n² pass).
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -147,6 +179,44 @@ object DedupQueries {
                     AS sh
                 FROM bits GROUP BY doc_id)"""
 
+  /** MinHash signature + band replay — mirrors DedupOps.mhSets/mhBands:
+    * base = h15(shingle); per permutation rotl60 by (7p mod 60) xor the
+    * md5-derived salt; band key = h15 of the '_'-joined 2-slice. Ends at
+    * `bd` = (doc_id, sh, band, band_key). Shared by the batch and
+    * incremental oracles so the two replays cannot drift.
+    */
+  private def minhashBandCtes: String = {
+    val sigExprs = (0 until 16).map { p =>
+      val r = (7 * p) % 60
+      val rot =
+        if (r == 0) "h"
+        else s"(h % ${1L << (60 - r)}) * ${1L << r} + (h >> ${60 - r})"
+      s"list_min(list_transform(base, h -> xor($rot, ${graft.operators.DedupOps.permSalt(p)})))"
+    }.mkString("[", ", ", "]")
+    s"""s AS (SELECT doc_id,
+          list_transform(${shingles(2)}, t -> ${h15("t")}) AS sh
+        FROM documents),
+        g AS (SELECT doc_id, sh, $sigExprs AS sig FROM (
+                SELECT doc_id, sh, sh AS base FROM s)),
+        bd AS (SELECT doc_id, sh, r.b AS band,
+                 ${h15("array_to_string(sig[r.b*2+1:r.b*2+2], '_')")}
+                   AS band_key
+               FROM g CROSS JOIN range(0, 8) r(b))"""
+  }
+
+  /** Exact-Jaccard verification tail over a `cand(a, b, sha, shb)` CTE —
+    * ≡ DedupOps.mhVerify at threshold 0.5.
+    */
+  private def mhJaccardSelect: String =
+    s"""SELECT a, b,
+          length(list_intersect(sha, shb))::DOUBLE /
+            (length(sha) + length(shb)
+             - length(list_intersect(sha, shb)))::DOUBLE AS jaccard
+        FROM cand
+        WHERE length(list_intersect(sha, shb))::DOUBLE /
+            (length(sha) + length(shb)
+             - length(list_intersect(sha, shb)))::DOUBLE >= 0.5"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
@@ -163,39 +233,25 @@ object DedupQueries {
               (any_value(a.sz) + any_value(b.sz) - count(*))::DOUBLE AS jaccard
           FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING jaccard >= 0.5""",
-    "dedup_minhash_lsh" -> {
-      // mirror DedupOps.minhashSignature: base = h15(shingle), then per
-      // permutation rotl60 by (7p mod 60) and xor with the md5-derived salt
-      val sigExprs = (0 until 16).map { p =>
-        val r = (7 * p) % 60
-        val rot =
-          if (r == 0) "h"
-          else s"(h % ${1L << (60 - r)}) * ${1L << r} + (h >> ${60 - r})"
-        s"list_min(list_transform(base, h -> xor($rot, ${graft.operators.DedupOps.permSalt(p)})))"
-      }.mkString("[", ", ", "]")
-      s"""WITH s AS (SELECT doc_id,
-            list_transform(${shingles(2)}, t -> ${h15("t")}) AS sh
-          FROM documents),
-          g AS (SELECT doc_id, sh, $sigExprs AS sig FROM (
-                  SELECT doc_id, sh, sh AS base FROM s)),
-          bd AS (SELECT doc_id, sh, r.b AS band,
-                   ${h15("array_to_string(sig[r.b*2+1:r.b*2+2], '_')")}
-                     AS band_key
-                 FROM g CROSS JOIN range(0, 8) r(b)),
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashBandCtes,
           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                      x.sh AS sha, y.sh AS shb
                    FROM bd x JOIN bd y
                      ON x.band = y.band AND x.band_key = y.band_key
                        AND x.doc_id < y.doc_id)
-          SELECT a, b,
-            length(list_intersect(sha, shb))::DOUBLE /
-              (length(sha) + length(shb)
-               - length(list_intersect(sha, shb)))::DOUBLE AS jaccard
-          FROM cand
-          WHERE length(list_intersect(sha, shb))::DOUBLE /
-              (length(sha) + length(shb)
-               - length(list_intersect(sha, shb)))::DOUBLE >= 0.5"""
-    },
+          $mhJaccardSelect""",
+    // incremental replay: SAME band chain and verify, candidates
+    // restricted to (history, new-batch) pairs across the split id
+    "dedup_incremental" ->
+      s"""WITH $minhashBandCtes,
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     x.sh AS sha, y.sh AS shb
+                   FROM bd x JOIN bd y
+                     ON x.band = y.band AND x.band_key = y.band_key
+                       AND x.doc_id < $IncrSplitId
+                       AND y.doc_id >= $IncrSplitId)
+          $mhJaccardSelect""",
     "dedup_simhash" ->
       s"""$duckSimhash SELECT doc_id, sh FROM shv""",
     "dedup_simhash_pairs" ->

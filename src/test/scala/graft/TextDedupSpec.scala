@@ -224,6 +224,39 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_._3) == out.map(_._3).sorted.reverse)
   }
 
+  test("incremental near-dup vs the persisted store == the batch cross pairs") {
+    // near-dup pairs that straddle the history/new split (0-4 | 5-9),
+    // plus within-half dups the incremental path must NOT emit
+    val texts = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta iota", // ~dup of 0
+      2L -> "one two three four five six seven eight",
+      3L -> "red green blue cyan magenta yellow black white",
+      4L -> "north south east west up down left right",
+      5L -> "alpha beta gamma delta epsilon zeta eta kappa", // ~dup of 0,1
+      6L -> "one two three four five six seven nine", // ~dup of 2
+      7L -> "one two three four five six seven ten", // ~dup of 2,6
+      8L -> "cat dog bird fish horse sheep goat cow",
+      9L -> "red green blue cyan magenta yellow black grey") // ~dup of 3
+    val d = texts.toDF("doc_id", "text")
+    val batchCross = DedupOps.minhashLshPairs()(d)
+      .filter($"a" < 5 && $"b" >= 5)
+      .select($"a", $"b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchCross.nonEmpty) // fixture is non-vacuous
+    val store = java.nio.file.Files
+      .createTempDirectory("mh-store-test").toString + "/s"
+    DedupOps.buildMinhashStore(d.filter($"doc_id" < 3), store)
+    DedupOps.appendToMinhashStore(
+      d.filter($"doc_id" >= 3 && $"doc_id" < 5), store)
+    val incr = DedupOps.incrementalNearDupPairs(
+      d.filter($"doc_id" >= 5), store)
+      .as[(Long, Long, Double)].collect().toSet
+    // build-half+append ≡ one batch over the history; the probe sees
+    // exactly the cross pairs — no within-history, no within-batch
+    assert(incr == batchCross)
+  }
+
   test("splitLeakproof sends exact duplicates to the same split") {
     import graft.operators.CorpusOps
     // 50 distinct texts, each duplicated under three doc_ids (with
