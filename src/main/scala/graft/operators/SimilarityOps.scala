@@ -619,6 +619,41 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  // --------------------------------------------------------- k-NN graph
+
+  /** Bucketed k-NN graph over the WHOLE corpus (every vector is a
+    * query): within-cell top-k cosine neighbors under the trained cell
+    * model — the substrate of SemDeDup clustering, graph-based
+    * diversity sampling, and label propagation. Scale shape: cell
+    * assignment is the same pure-map literal-model kernel as IVF (zero
+    * corpus shuffle to assign); candidate volume is Σ|cell|² bounded by
+    * the cell partitioning instead of the n² all-pairs; the shuffles
+    * are the cell equi-join and the per-source top-k window. The
+    * deliberate recall trade (shared with [[DedupOps
+    * .semanticNearDupPairs]]): cross-cell edges are not produced —
+    * nprobe-style multi-cell assignment would recover them at
+    * proportionally higher candidate volume.
+    */
+  def knnGraph(centroids: DataFrame, k: Int)(corpus: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignCells(centroids)(corpus)
+    val a = assigned.select(col("cell"), col("vec_id").as("src"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("e_a"), col("e_b")) /
+        (col("n_a") * col("n_b")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src").as("vec_id"), col("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
   // ------------------------------------------------ scalar quantization SQ8
 
   /** Per-dimension affine int8 quantization model: (mins, maxs) over the

@@ -39,6 +39,8 @@ object SimilarityQueries {
     "srp_multiprobe" -> 0.05, "sq8" -> 0.8)
   // IVF centroid seeds: a fixed corpus subset, disjoint from the queries
   private val SEEDS = 100 until 108
+  // k-NN graph degree
+  private val KnnK = 3
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -188,6 +190,12 @@ object SimilarityQueries {
       SimilarityOps.pqTopKWithBooks(e, queriesOf(e), K,
         trainedBooks(s, dir))
     }),
+
+    // k-NN graph under the SAME trained Lloyd model as sim_ivf_kmeans /
+    // dedup_semantic (train once, consume many): every vector's top-3
+    // within-cell neighbors — the SemDeDup/graph-sampling substrate.
+    "sim_knn_graph" -> ((s, dir) =>
+      SimilarityOps.knnGraph(trained(s, dir), KnnK)(embs(s, dir))),
 
     // Scalar quantization (faiss SQ8): per-dim affine int8 codes — the
     // light-compression point on the quality/size curve (4× smaller,
@@ -367,6 +375,20 @@ object SimilarityQueries {
       s"""WITH ${sq8Ctes("z_")}
           SELECT query_id, neighbor_id, rank, cos FROM z_rnk
           WHERE rank <= $K""",
+    // k-NN graph replay: the shared Lloyd + trained-cells chain, then
+    // within-cell pairs ranked per source vector
+    "sim_knn_graph" ->
+      s"""WITH $lloydCtes,
+          $trainedCellsCtes,
+          nb AS (SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+                   ${cosine("x.embedding", "y.embedding")} AS cos
+                 FROM cell3 x JOIN cell3 y
+                   ON x.cell = y.cell AND x.vec_id <> y.vec_id)
+          SELECT vec_id, neighbor_id, rank, cos FROM (
+            SELECT vec_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM nb) WHERE rank <= $KnnK""",
     "sim_recall_at_k" -> recallSql,
     "sim_ivf_probe2" -> ivfProbe2Sql,
     // persisted nprobe=2 search: same cells, same tail — same replay

@@ -156,6 +156,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1L, 1), (3L, 2)))
   }
 
+  test("knnGraph links within cells only, ranked by cosine") {
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.1f)), (1L, Array(0.9f, 0.0f)),
+      (2L, Array(0.1f, 1.0f)), (3L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val edges = SimilarityOps.knnGraph(cents, k = 2)(corpus)
+      .select($"vec_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    // each vector's sole in-cell peer at rank 1; never a cross-cell edge
+    assert(edges == Set((0L, 1L, 1L), (1L, 0L, 1L),
+      (2L, 3L, 1L), (3L, 2L, 1L)))
+  }
+
   test("sq8 codes clamp to [0,255], hit the endpoints, and zero constant dims") {
     val df = Seq(
       (0L, Array(0.0f, -1.0f, 7.0f)),
