@@ -71,11 +71,13 @@ object Bench {
     "text_token_count", "topk_orders", "window_lag_lead",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
-  /** The round-8 registered set (117 queries), pinned for rounds 9+
+  /** The round-8 registered set (124 queries), pinned for rounds 9+
     * (`standing_r8_total`) — adds the derived-partsupp TPC-H quartet,
     * the recall gate, the source-quality/mixture corpus queries, the
-    * persisted nprobe=2 search, the bigram-LM/chunking corpus ops and
-    * semantic dedup on top of the r7 basket.
+    * persisted nprobe=2 search, the bigram-LM/chunking corpus ops,
+    * semantic dedup, SQ8 (in-memory + persisted)/knn-graph ANN, BM25 +
+    * phrase search, the leak-proof split, and incremental store dedup
+    * on top of the r7 basket.
     */
   val standingSetR8: Set[String] = Set(
     "anti_join_customers", "approx_user_stats", "asof_join_orders",
@@ -87,12 +89,13 @@ object Bench {
     "corpus_oov_ratio",
     "corpus_pack_sequences", "corpus_quality_funnel",
     "corpus_segment_dedup", "corpus_vocab_growth",
-    "corpus_shard_order", "corpus_source_quality",
+    "corpus_shard_order", "corpus_source_quality", "corpus_split",
     "corpus_tfidf_terms", "corr_qty_price", "cube_daily",
     "d2_schema_id", "d3_avro_decode", "d3_avro_rich",
     "d4_json_decode", "d5_nil_filter", "d6_malformed_skip",
     "dedup_canonical", "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_duplicate_spans", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_duplicate_spans", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
     "dedup_simhash_pairs", "entry_pipeline",
     "events_sessionize", "grouping_sets_day_type",
@@ -115,12 +118,16 @@ object Bench {
     "set_intersect", "sim_bruteforce_topk", "sim_ivf_kmeans",
     "sim_ivf_persisted", "sim_ivf_persisted_probe2",
     "sim_ivf_probe2", "sim_ivf_topk", "sim_ivfpq_persisted",
-    "sim_ivfpq_topk", "sim_kmeans_cells", "sim_pq_kmeans",
-    "sim_pq_topk", "sim_recall_at_k", "sim_srp_multiprobe",
+    "sim_ivfpq_topk", "sim_kmeans_cells", "sim_knn_graph",
+    "sim_pq_kmeans",
+    "sim_pq_topk", "sim_recall_at_k", "sim_sq8_persisted", "sim_sq8_topk",
+    "sim_srp_multiprobe",
     "sim_srp_topk", "skew_join_salted", "t1_timestamp_inject",
     "t2_key_avro", "t2_key_include", "t2_key_json", "t3_blacklist",
     "text_fingerprint", "text_lang_id", "text_quality",
-    "text_redact", "text_repetition", "text_token_count",
+    "text_redact", "text_repetition", "text_search_bm25",
+    "text_search_phrase",
+    "text_token_count",
     "topk_orders", "window_lag_lead", "window_rank_stats",
     "window_rolling_sum", "window_supplier_rank")
 

@@ -365,6 +365,36 @@ object CorpusOps {
         col("score"), col("rank"))
   }
 
+  // ---------------------------------------------------------- phrase search
+
+  /** Exact-phrase search (the ES `match_phrase` analogue to
+    * [[bm25Search]]'s ranked `match`): a document hits when it contains
+    * the query tokens CONSECUTIVELY, counted via the positional
+    * k-shingle hashes of [[TextOps.shingleHashes]] (k = each phrase's
+    * own token count) compared against the phrase hash. Everything is a
+    * pure narrow map over the scan — literal phrases explode |phrases|×
+    * per doc, no joins, no shuffles at all; at 100 TB this is a single
+    * codegen'd pass. Both engines count HASH equality (not string
+    * equality), so the 60-bit-collision behavior is identical by
+    * construction.
+    */
+  def phraseSearch(phrases: Seq[(Long, String)])(docs: DataFrame)
+      : DataFrame = {
+    import graft.functions.PortableHash.h15
+    val toks = tokens(col("text"))
+    val rows = phrases.map { case (qid, phrase) =>
+      val k = phrase.trim.split("\\s+").length
+      struct(lit(qid).as("query_id"),
+        size(filter(TextOps.shingleHashes(toks, k),
+          h => h === h15(lit(phrase)))).cast("long").as("n_hits"))
+    }
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array(rows: _*)).as("ph"))
+      .select(col("ph.query_id").as("query_id"), col("doc_id"),
+        col("ph.n_hits").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   // ------------------------------------------------------ Gopher-rules gate
 
   /** Composite document-quality gate in the Gopher/C4 rule-of-thumb

@@ -722,23 +722,76 @@ object SimilarityOps {
     */
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
       model: (Seq[Double], Seq[Double])): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (mns, mxs) = model
-    val deq = corpus.select(col("vec_id").as("neighbor_id"),
+    sq8Rank(corpus.select(col("vec_id").as("neighbor_id"),
       sq8Dequantize(mns, mxs)(sq8Codes(mns, mxs)(col("embedding")))
-        .as("dq"))
-      .withColumn("c_nrm", DedupOps.norm(col("dq")))
+        .as("dq")), queries, k)
+  }
+
+  /** Ranking tail shared by the in-memory and persisted SQ8 paths:
+    * cosine of broadcast full-precision queries against the dequantized
+    * corpus, per-query top-k.
+    */
+  private def sq8Rank(deq: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       DedupOps.norm(col("embedding")).as("q_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    deq.join(q, col("neighbor_id") =!= col("query_id"))
+    deq.withColumn("c_nrm", DedupOps.norm(col("dq")))
+      .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", dot(col("q_emb"), col("dq")) /
         (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("cos"))
+  }
+
+  /** Persist the SQ8 index: the (2×dim)-double model and the uint8 code
+    * table — a quarter of the raw float32 bytes; searches never reopen
+    * the raw embeddings. The model is stored, not recomputed, so
+    * appends encode THROUGH it and append ≡ rebuild bit-exactly.
+    */
+  def buildSq8Index(corpus: DataFrame,
+      model: (Seq[Double], Seq[Double]), dir: String): Unit = {
+    val (mns, mxs) = model
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    mns.indices.map(i => (i, mns(i), mxs(i))).toDF("i", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    corpus.select(col("vec_id"),
+        sq8Codes(mns, mxs)(col("embedding")).as("code"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Append new vectors through the STORED quantizer (a growing corpus
+    * must not re-derive min/max — that would re-encode history).
+    */
+  def appendToSq8Index(newVecs: DataFrame, dir: String): Unit = {
+    val (mns, mxs) = loadSq8Model(newVecs.sparkSession, dir)
+    newVecs.select(col("vec_id"),
+        sq8Codes(mns, mxs)(col("embedding")).as("code"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Search the persisted index: dequantize the code scan (pure map)
+    * and rank — raw corpus embeddings are never touched.
+    */
+  def searchSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int): DataFrame = {
+    val (mns, mxs) = loadSq8Model(spark, dir)
+    sq8Rank(spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id").as("neighbor_id"),
+        sq8Dequantize(mns, mxs)(col("code")).as("dq")), queries, k)
+  }
+
+  private def loadSq8Model(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[Double], Seq[Double]) = {
+    val rows = spark.read.parquet(s"$dir/model").orderBy(col("i"))
+      .collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
 }

@@ -144,6 +144,14 @@ object SimilarityQueries {
     sq8Cache.getOrElseUpdate((s, dir),
       SimilarityOps.sq8Model(embs(s, dir)))
 
+  private val sq8IndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def builtSq8Index(s: SparkSession, dir: String): String =
+    memoTempIndex(sq8IndexCache, s, dir, "graft-sq8-index") { (e, tmp) =>
+      SimilarityOps.buildSq8Index(e, sq8ModelOf(s, dir), tmp)
+    }
+
   val all: Map[String, Q] = Map(
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -205,6 +213,16 @@ object SimilarityQueries {
     "sim_sq8_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       SimilarityOps.sq8TopK(e, queriesOf(e), K, sq8ModelOf(s, dir))
+    }),
+
+    // ...and its PERSISTED form: stored quantizer + uint8 code table
+    // (¼ the raw bytes); the search dequantizes the code scan and never
+    // reopens a raw corpus embedding. Same model/codes/tail ⇒ the
+    // in-memory oracle replays it unchanged.
+    "sim_sq8_persisted" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.searchSq8Index(s, builtSq8Index(s, dir),
+        queriesOf(e), K)
     }),
 
     // IVF+PQ composed — the canonical billion-scale index: IVF prunes
@@ -371,10 +389,10 @@ object SimilarityQueries {
     "sim_pq_kmeans" -> pqKmeansSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql,
     "sim_ivfpq_persisted" -> ivfPqTopkSql,
-    "sim_sq8_topk" ->
-      s"""WITH ${sq8Ctes("z_")}
-          SELECT query_id, neighbor_id, rank, cos FROM z_rnk
-          WHERE rank <= $K""",
+    "sim_sq8_topk" -> sq8TopkSql,
+    // persisted search: stored model + codes, same dequantize/tail —
+    // same replay
+    "sim_sq8_persisted" -> sq8TopkSql,
     // k-NN graph replay: the shared Lloyd + trained-cells chain, then
     // within-cell pairs ranked per source vector
     "sim_knn_graph" ->
@@ -728,6 +746,14 @@ object SimilarityQueries {
                     FROM ${p}scored),
         ${p}apx AS (SELECT query_id, neighbor_id FROM ${p}rnk
                     WHERE rank <= $K)"""
+
+  /** The SQ8 top-k replay — shared verbatim by the in-memory and
+    * persisted registrations (same model, codes, and tail).
+    */
+  private def sq8TopkSql: String =
+    s"""WITH ${sq8Ctes("z_")}
+        SELECT query_id, neighbor_id, rank, cos FROM z_rnk
+        WHERE rank <= $K"""
 
   /** Recall replay: brute-force top-k left-joined to each family's
     * top-k, macro hits over K·NQ, per-family floor booleans.

@@ -104,8 +104,19 @@ object TextQueries {
     // ("dup", df 25/500), one of three common terms.
     "text_search_bm25" -> ((s, dir) =>
       graft.operators.CorpusOps.bm25Search(Bm25Queries, Bm25K,
-        Bm25K1, Bm25B)(docs(s, dir)))
+        Bm25K1, Bm25B)(docs(s, dir))),
+
+    // Exact-phrase search (ES match_phrase): consecutive-token match
+    // counted via positional shingle hashes — a pure scan-side map,
+    // zero shuffles (see CorpusOps.phraseSearch). One multi-occurrence
+    // bigram + one trigram phrase keep the counts non-trivial.
+    "text_search_phrase" -> ((s, dir) =>
+      graft.operators.CorpusOps.phraseSearch(PhraseQueries)(docs(s, dir)))
   )
+
+  /** Phrase-search query set, interpolated into BOTH engines. */
+  private[queries] val PhraseQueries: Seq[(Long, String)] = Seq(
+    0L -> "table hash", 1L -> "slow hash batch")
 
   /** BM25 query-term sets + top-k, interpolated into BOTH engines. */
   private[queries] val Bm25Queries: Seq[(Long, String)] = Seq(
@@ -248,6 +259,25 @@ object TextQueries {
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, doc_id) AS rank
             FROM doc) WHERE rank <= $Bm25K"""
+    },
+
+    // phrase replay: positional shingle hashes (sequence is INCLUSIVE
+    // on both ends in Spark, so range goes to m+1 here), hash-equality
+    // count — both engines compare the SAME 60-bit hashes
+    "text_search_phrase" -> {
+      val blocks = PhraseQueries.map { case (qid, phrase) =>
+        val k = phrase.trim.split("\\s+").length
+        s"""SELECT $qid::BIGINT AS query_id, doc_id,
+              length(list_filter(
+                list_transform(range(0, greatest(length(tk) - $k, 0) + 1),
+                  i -> ${h15(s"array_to_string(tk[i+1:i+$k], ' ')")}),
+                h -> h = ${h15(s"'$phrase'")}))::BIGINT AS n_hits
+            FROM d"""
+      }.mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL)
+          SELECT query_id, doc_id, n_hits FROM ($blocks)
+          WHERE n_hits > 0"""
     }
   )
 }

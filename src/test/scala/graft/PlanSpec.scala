@@ -255,6 +255,19 @@ class PlanSpec extends SparkSpec {
           p.take(2000))
     }
   }
+
+  test("sim_sq8: encode+dequantize is a pure map — one shuffle total") {
+    // the SQ8 model is literal arrays, so encode/dequantize must fuse
+    // into the corpus scan (no Exchange before the scoring join); the
+    // query side broadcasts; the ONLY shuffle is the top-k window
+    val p = planString("sim_sq8_topk")
+    assert(!p.contains("SortMergeJoin"),
+      "sim_sq8_topk: corpus shuffled for the scoring join")
+    val n = count(p, "Exchange (") - count(p, "BroadcastExchange (")
+    assert(n == 1,
+      s"sim_sq8_topk: expected exactly 1 shuffle (top-k window), saw $n\n" +
+        p.take(2000))
+  }
 }
 
 object PlanSpec {

@@ -452,6 +452,51 @@ class StreamingSpec extends SparkSpec {
     assert(live.sameElements(rows(dirB)))
   }
 
+  test("streaming ingest dedup: each micro-batch checks then joins the store") {
+    import graft.operators.DedupOps
+    // history 0-4 seeds the store; batches {5,6} then {7,9} stream in.
+    // 7~6 is the load-bearing pair: its history HALF arrived on the
+    // stream one batch earlier — the store must already contain it.
+    val texts = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta iota",
+      2L -> "one two three four five six seven eight",
+      3L -> "red green blue cyan magenta yellow black white",
+      4L -> "north south east west up down left right",
+      5L -> "alpha beta gamma delta epsilon zeta eta kappa",
+      6L -> "one two three four five six seven nine",
+      7L -> "one two three four five six seven ten",
+      9L -> "red green blue cyan magenta yellow black grey")
+    val all = texts.toDF("doc_id", "text")
+    val store = Files.createTempDirectory("graft-mh-live").toString + "/s"
+    DedupOps.buildMinhashStore(all.filter($"doc_id" < 5), store)
+    val flagged = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val cp = Files.createTempDirectory("graft-mh-live-cp").toString
+    val writer = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged ++= DedupOps.incrementalNearDupPairs(batch, store)
+          .as[(Long, Long, Double)].collect()
+        DedupOps.appendToMinhashStore(batch, store)
+      }
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      stream.addData(texts.filter(t => t._1 == 5L || t._1 == 6L))
+      writer.processAllAvailable()
+      stream.addData(texts.filter(_._1 >= 7L))
+      writer.processAllAvailable()
+    } finally writer.stop()
+    // streamed flags ≡ the batch pairs whose later half arrived on the
+    // stream (b >= 5): vs-history pairs AND the cross-batch (6, 7)
+    val expected = DedupOps.minhashLshPairs()(all)
+      .filter($"b" >= 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.exists(p => p._1 == 6L && p._2 == 7L))
+    assert(flagged.toSet == expected)
+  }
+
   test("gopher rule gate filters a live stream (batch ≡ streaming)") {
     import graft.operators.CorpusOps
     implicit val sqlCtx = spark.sqlContext

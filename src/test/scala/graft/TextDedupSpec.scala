@@ -197,6 +197,43 @@ class TextDedupSpec extends SparkSpec {
     assert(deq(0) == Seq(0.0, -1.0, 7.0) && deq(1) == Seq(1.0, 1.0, 7.0))
   }
 
+  test("sq8 persisted index: append through the stored model == rebuild") {
+    val half1 = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val half2 = Seq((2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val all = half1.unionAll(half2)
+    val model = SimilarityOps.sq8Model(all)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("sq8-idx-a").toString + "/idx"
+    val dirB = java.nio.file.Files
+      .createTempDirectory("sq8-idx-b").toString + "/idx"
+    SimilarityOps.buildSq8Index(half1, model, dirA)
+    SimilarityOps.appendToSq8Index(half2, dirA)
+    SimilarityOps.buildSq8Index(all, model, dirB)
+    val q = all.filter($"vec_id" === 0)
+    def res(d: String) = SimilarityOps.searchSq8Index(spark, d, q, 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3).toSeq
+    val a = res(dirA)
+    assert(a == res(dirB) && a.nonEmpty)
+    // and the persisted search == the in-memory operator, bit-exact
+    val mem = SimilarityOps.sq8TopK(all, q, 3, model)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3).toSeq
+    assert(a == mem)
+  }
+
+  test("phraseSearch counts consecutive-token matches only") {
+    import graft.operators.CorpusOps
+    val d = Seq(
+      (1L, "table hash table hash scan"),   // 2 hits of the bigram
+      (2L, "table scan hash"),              // tokens present, not adjacent
+      (3L, "hash table"))                   // reversed — no hit
+      .toDF("doc_id", "text")
+    val out = CorpusOps.phraseSearch(Seq(0L -> "table hash"))(d)
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L))
+  }
+
   test("sq8 top-k on near-exact data matches brute force") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),
