@@ -329,17 +329,32 @@ object CorpusOps {
     * the per-query top-k window.
     */
   def bm25Search(queryTerms: Seq[(Long, String)], k: Int,
-      k1: Double = 1.2, b: Double = 0.75)(docs: DataFrame): DataFrame = {
-    val tf = DedupOps.materialize(docs.filter(col("text").isNotNull)
+      k1: Double = 1.2, b: Double = 0.75)(docs: DataFrame): DataFrame =
+    bm25RankFromTf(DedupOps.materialize(bm25Postings(docs)),
+      queryTerms, k, k1, b)
+
+  /** The (doc, term, tf) posting rows — the one representation every
+    * BM25 path stores or materializes.
+    */
+  private def bm25Postings(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Scoring tail shared by the in-memory and persisted paths: df, doc
+    * length, and corpus stats all DERIVE from the tf frame, so any two
+    * sources of identical postings produce identical rankings.
+    */
+  private def bm25RankFromTf(tf: DataFrame,
+      queryTerms: Seq[(Long, String)], k: Int, k1: Double, b: Double)
+      : DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
         .as("__avgdl"))
-    val spark = docs.sparkSession
+    val spark = tf.sparkSession
     import spark.implicits._
     val qt = broadcast(queryTerms.toDF("query_id", "term"))
     val tfD = col("tf").cast("double")
@@ -364,6 +379,30 @@ object CorpusOps {
       .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
         col("score"), col("rank"))
   }
+
+  /** Persist the BM25 inverted index — what the reference ships rows to
+    * Elasticsearch to build, as a parquet posting table. ONLY the
+    * postings are stored: df/dl/avgdl derive from them at search time
+    * (one aggregate over the index scan — never over raw text), which
+    * makes [[appendToBm25Index]] correct BY CONSTRUCTION: appending a
+    * batch's postings yields exactly the rebuilt index's rows, so
+    * append ≡ rebuild bit-exactly with no stats-reconciliation step.
+    * (A production variant would checkpoint the df/stats aggregate
+    * between searches; that is a cache, not part of the contract.)
+    */
+  def buildBm25Index(docs: DataFrame, dir: String): Unit =
+    bm25Postings(docs).write.mode("overwrite").parquet(s"$dir/tf")
+
+  def appendToBm25Index(newDocs: DataFrame, dir: String): Unit =
+    bm25Postings(newDocs).write.mode("append").parquet(s"$dir/tf")
+
+  /** Search the persisted index: identical scoring tail over the stored
+    * postings — raw document text is never touched.
+    */
+  def searchBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryTerms: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25RankFromTf(spark.read.parquet(s"$dir/tf"), queryTerms, k, k1, b)
 
   // ---------------------------------------------------------- phrase search
 

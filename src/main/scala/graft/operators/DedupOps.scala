@@ -239,6 +239,35 @@ object DedupOps {
       .parquet(s"$dir/bands")
   }
 
+  /** Small-files maintenance after repeated appends (the [[graft
+    * .operators.SimilarityOps.compactIndex]] analogue for the
+    * fingerprint store): rewrite each table range-partitioned and
+    * sorted on its probe key — sets by doc_id, bands by
+    * (band, band_key) — so the per-append file litter collapses to
+    * shuffle-partition-count sorted files and the band join reads
+    * clustered keys. Contents are row-identical, so probes are
+    * unchanged.
+    */
+  def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def rewrite(sub: String, keys: Seq[String]): Unit = {
+      val src = s"$dir/$sub"
+      val tmp = s"$dir/${sub}_compacting"
+      val kc = keys.map(col)
+      spark.read.parquet(src)
+        .repartitionByRange(kc: _*)
+        .sortWithinPartitions(kc: _*)
+        .write.mode("overwrite").parquet(tmp)
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(hconf)
+      fs.delete(p, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    }
+    rewrite("sets", Seq("doc_id"))
+    rewrite("bands", Seq("band", "band_key"))
+  }
+
   /** Incremental near-dup check of a new ingest batch AGAINST the
     * persisted store: the batch is shingled/banded once, equi-joined on
     * (band, band_key) against the stored band table, and candidates are

@@ -111,8 +111,30 @@ object TextQueries {
     // zero shuffles (see CorpusOps.phraseSearch). One multi-occurrence
     // bigram + one trigram phrase keep the counts non-trivial.
     "text_search_phrase" -> ((s, dir) =>
-      graft.operators.CorpusOps.phraseSearch(PhraseQueries)(docs(s, dir)))
+      graft.operators.CorpusOps.phraseSearch(PhraseQueries)(docs(s, dir))),
+
+    // ...and BM25 over the PERSISTED posting index (what the reference
+    // ships rows to ES for — built once as parquet, searched many
+    // times; raw text never reopened). Same postings, df/dl/stats
+    // derived — same oracle replays it unchanged.
+    "text_search_bm25_persisted" -> ((s, dir) =>
+      graft.operators.CorpusOps.searchBm25Index(s,
+        builtBm25Index(s, dir), Bm25Queries, Bm25K, Bm25K1, Bm25B))
   )
+
+  /** Persisted BM25 posting index, built once per (session, sf-dir) —
+    * the build-once/search-many discipline of the ANN index caches.
+    */
+  private val bm25IndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def builtBm25Index(s: SparkSession, dir: String): String =
+    bm25IndexCache.getOrElseUpdate((s, dir), {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-bm25-index").toString + "/idx"
+      graft.operators.CorpusOps.buildBm25Index(docs(s, dir), tmp)
+      tmp
+    })
 
   /** Phrase-search query set, interpolated into BOTH engines. */
   private[queries] val PhraseQueries: Seq[(Long, String)] = Seq(
@@ -222,16 +244,43 @@ object TextQueries {
           WHERE rn = 1
             AND ${h15("concat('curation:', doc_id::VARCHAR)")} % 100 < 50""",
 
-    // BM25 replay: inverted index (tf), df, dl = sum(tf) per doc (the
-    // same derivation Spark uses — no second tokenize), 1-row stats,
-    // per-term fixed-point weight in the same association order, integer
-    // sum per doc, top-k window. Constants interpolated from the ONE
-    // Scala definition (Bm25K1/Bm25B; derived 1−b and k1+1 are computed
-    // in Scala and round-trip through toString).
-    "text_search_bm25" -> {
-      val values = Bm25Queries
-        .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+    "text_search_bm25" -> bm25Sql,
+    // persisted search: same postings (df/dl/stats derive from them),
+    // same tail — same replay
+    "text_search_bm25_persisted" -> bm25Sql,
+
+    // phrase replay: positional shingle hashes (sequence is INCLUSIVE
+    // on both ends in Spark, so range goes to m+1 here), hash-equality
+    // count — both engines compare the SAME 60-bit hashes
+    "text_search_phrase" -> {
+      val blocks = PhraseQueries.map { case (qid, phrase) =>
+        val k = phrase.trim.split("\\s+").length
+        s"""SELECT $qid::BIGINT AS query_id, doc_id,
+              length(list_filter(
+                list_transform(range(0, greatest(length(tk) - $k, 0) + 1),
+                  i -> ${h15(s"array_to_string(tk[i+1:i+$k], ' ')")}),
+                h -> h = ${h15(s"'$phrase'")}))::BIGINT AS n_hits
+            FROM d"""
+      }.mkString(" UNION ALL ")
       s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL)
+          SELECT query_id, doc_id, n_hits FROM ($blocks)
+          WHERE n_hits > 0"""
+    }
+  )
+
+  /** BM25 replay: inverted index (tf), df, dl = sum(tf) per doc (the
+    * same derivation Spark uses — no second tokenize), 1-row stats,
+    * per-term fixed-point weight in the same association order, integer
+    * sum per doc, top-k window. Constants interpolated from the ONE
+    * Scala definition (Bm25K1/Bm25B; derived 1−b and k1+1 are computed
+    * in Scala and round-trip through toString). Shared verbatim by the
+    * in-memory and persisted registrations.
+    */
+  private def bm25Sql: String = {
+    val values = Bm25Queries
+      .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
                      WHERE text IS NOT NULL),
           tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
                  FROM d, unnest(tk) AS u(t) GROUP BY 1, 2),
@@ -259,27 +308,7 @@ object TextQueries {
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, doc_id) AS rank
             FROM doc) WHERE rank <= $Bm25K"""
-    },
-
-    // phrase replay: positional shingle hashes (sequence is INCLUSIVE
-    // on both ends in Spark, so range goes to m+1 here), hash-equality
-    // count — both engines compare the SAME 60-bit hashes
-    "text_search_phrase" -> {
-      val blocks = PhraseQueries.map { case (qid, phrase) =>
-        val k = phrase.trim.split("\\s+").length
-        s"""SELECT $qid::BIGINT AS query_id, doc_id,
-              length(list_filter(
-                list_transform(range(0, greatest(length(tk) - $k, 0) + 1),
-                  i -> ${h15(s"array_to_string(tk[i+1:i+$k], ' ')")}),
-                h -> h = ${h15(s"'$phrase'")}))::BIGINT AS n_hits
-            FROM d"""
-      }.mkString(" UNION ALL ")
-      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
-                     WHERE text IS NOT NULL)
-          SELECT query_id, doc_id, n_hits FROM ($blocks)
-          WHERE n_hits > 0"""
-    }
-  )
+  }
 }
 
 /** DuckDB SQL fragments mirroring the Spark expressions bit-for-bit. */

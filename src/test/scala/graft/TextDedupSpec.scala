@@ -309,6 +309,52 @@ class TextDedupSpec extends SparkSpec {
     assert(incr == batchCross)
   }
 
+  test("persisted BM25 index: append == rebuild == in-memory, bit-exact") {
+    import graft.operators.CorpusOps
+    val half1 = Seq((1L, "rare common common common"),
+      (2L, "common common common common")).toDF("doc_id", "text")
+    val half2 = Seq(
+      (3L, "rare common pad pad pad pad pad pad pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val all = half1.unionAll(half2)
+    val qs = Seq(0L -> "rare", 0L -> "common")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25-idx").toString + "/idx"
+    CorpusOps.buildBm25Index(half1, dir)
+    CorpusOps.appendToBm25Index(half2, dir)
+    val persisted = CorpusOps.searchBm25Index(spark, dir, qs, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5).toSeq
+    val mem = CorpusOps.bm25Search(qs, 3)(all)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5).toSeq
+    assert(persisted == mem && persisted.nonEmpty)
+  }
+
+  test("compactMinhashStore leaves probes identical with fewer files") {
+    def files(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val texts = (0 until 12).map(i =>
+      (i.toLong, if (i % 5 == 0) "alpha beta gamma delta epsilon zeta"
+      else s"unique body $i with its own words entirely $i"))
+    val d = texts.toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("mh-compact").toString + "/s"
+    DedupOps.buildMinhashStore(d.filter($"doc_id" < 4), store)
+    DedupOps.appendToMinhashStore(
+      d.filter($"doc_id" >= 4 && $"doc_id" < 8), store)
+    DedupOps.appendToMinhashStore(
+      d.filter($"doc_id" >= 8 && $"doc_id" < 10), store)
+    val probe = d.filter($"doc_id" >= 10)
+    val before = DedupOps.incrementalNearDupPairs(probe, store)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(before.nonEmpty) // the %4 clones collide across the split
+    val filesBefore = files(s"$store/sets")
+    DedupOps.compactMinhashStore(spark, store)
+    val after = DedupOps.incrementalNearDupPairs(probe, store)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before)
+    assert(files(s"$store/sets") < filesBefore)
+  }
+
   test("splitLeakproof sends exact duplicates to the same split") {
     import graft.operators.CorpusOps
     // 50 distinct texts, each duplicated under three doc_ids (with
