@@ -434,6 +434,128 @@ object CorpusOps {
       .filter(col("n_hits") > 0)
   }
 
+  // --------------------------------------- fuzzy / prefix / more-like-this
+
+  /** All single-character-deletion variants of a term plus the term
+    * itself — the SymSpell deletion neighborhood. Two terms are within
+    * Levenshtein distance 1 ONLY IF their neighborhoods intersect, so
+    * equi-joining on the variant key generates every true match (plus a
+    * few distance-2 collisions the exact `levenshtein` verify removes).
+    * Pure array expression: ≤ len+1 variants per term, no UDF.
+    */
+  private def delVariants(t: Column): Column =
+    array_union(array(t),
+      transform(sequence(lit(1), length(t)),
+        i => concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t)))))
+
+  /** Fuzzy term search (the ES `fuzzy`/`match … fuzziness:1` analogue):
+    * a document hits when it contains any vocabulary term within edit
+    * distance 1 of a query term. Candidate generation is the SymSpell
+    * deletion-join — NEVER a |vocab|×|queries| distance scan: both
+    * sides explode to deletion variants and equi-join, then exact
+    * `levenshtein` verifies (bucketed-candidates + exact-verify, the
+    * same discipline as every dedup path). Scale: the vocabulary frame
+    * is bounded by distinct terms (not corpus rows); the query side is
+    * |Q|·(len+1) literal rows, broadcast; the verified match set
+    * (≤ |Q| · small expansion) broadcasts into the posting join, so the
+    * corpus-sized tf frame is never shuffled by this operator — its only
+    * wide stages are the posting/vocab aggregates and the final top-k
+    * window. Ranking is the integer hit count (order-free sum).
+    */
+  def fuzzySearch(queries: Seq[(Long, String)], k: Int)(docs: DataFrame)
+      : DataFrame = {
+    val tf = DedupOps.materialize(bm25Postings(docs))
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val vocabV = tf.select(col("term")).distinct()
+      .select(col("term"), explode(delVariants(col("term"))).as("v"))
+    val qv = broadcast(queries.toDF("query_id", "qt")
+      .select(col("query_id"), col("qt"),
+        explode(delVariants(col("qt"))).as("v")))
+    val matched = broadcast(vocabV.join(qv, Seq("v"))
+      .filter(levenshtein(col("qt"), col("term")) <= 1)
+      .select(col("query_id"), col("term")).distinct())
+    val doc = tf.join(matched, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    doc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("n_hits"), col("rank"))
+  }
+
+  /** Prefix term completion (the ES completion-suggester analogue):
+    * top-k vocabulary terms per prefix, ranked by document frequency.
+    * The df aggregate is vocabulary-sized; the prefix probe is a
+    * broadcast nested-loop join of |Q| literal prefixes against it —
+    * deliberate: |vocab|·|Q| is the candidate volume and the corpus is
+    * never touched beyond the one posting aggregate.
+    */
+  def prefixSearch(queries: Seq[(Long, String)], k: Int)(docs: DataFrame)
+      : DataFrame = {
+    val tf = bm25Postings(docs)
+    val vocab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.toDF("query_id", "prefix"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").desc, col("term"))
+    vocab.join(q, col("term").startsWith(col("prefix")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("term"), col("df"), col("rank"))
+  }
+
+  /** More-like-this retrieval (the ES `more_like_this` analogue): per
+    * seed document, select its `m` most salient terms by tf·idf and
+    * rank other documents by the summed salience of the terms they
+    * share. Salience is the RATIONAL tf/df fixed-pointed to int64
+    * (`floor(scale·tf/df)` — multiply/divide/floor are exactly-rounded
+    * IEEE, see the module determinism rules), so scores are order-free
+    * integer sums; the corpus-size factor N of classic tf·idf is
+    * DROPPED because ranking is invariant to a constant factor — that
+    * removes the 1-row global stats aggregate BM25 needs (one fewer
+    * exchange, nothing for the SinglePartition sweep). Scale: seed
+    * rows and the selected-term set are |seeds|·m-bounded broadcasts;
+    * the weighted posting frame is shuffled only by its own aggregates
+    * and the final top-k window.
+    */
+  def moreLikeThis(seeds: Seq[(Long, Long)], m: Int, k: Int,
+      scale: Double = MltScale)(docs: DataFrame): DataFrame = {
+    val tf = DedupOps.materialize(bm25Postings(docs))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val weighted = DedupOps.materialize(tf.join(dfreq, Seq("term"))
+      .withColumn("w", floor(lit(scale) * col("tf").cast("double")
+        / col("df").cast("double")).cast("long")))
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val sd = broadcast(seeds.toDF("query_id", "seed_doc"))
+    val wSel = Window.partitionBy(col("query_id"))
+      .orderBy(col("w").desc, col("term"))
+    val sel = broadcast(weighted
+      .join(sd, col("doc_id") === col("seed_doc"))
+      .withColumn("trank", row_number().over(wSel))
+      .filter(col("trank") <= m)
+      .select(col("query_id"), col("seed_doc"), col("term")))
+    val doc = weighted.join(sel, Seq("term"))
+      .filter(col("doc_id") =!= col("seed_doc"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("score_fp"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    doc.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("score_fp"), col("rank"))
+  }
+
+  /** Fixed-point scale for MLT salience — ONE definition interpolated
+    * into both engines.
+    */
+  val MltScale: Double = 1e9
+
   // ------------------------------------------------------ Gopher-rules gate
 
   /** Composite document-quality gate in the Gopher/C4 rule-of-thumb

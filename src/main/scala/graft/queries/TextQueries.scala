@@ -119,7 +119,30 @@ object TextQueries {
     // derived — same oracle replays it unchanged.
     "text_search_bm25_persisted" -> ((s, dir) =>
       graft.operators.CorpusOps.searchBm25Index(s,
-        builtBm25Index(s, dir), Bm25Queries, Bm25K, Bm25K1, Bm25B))
+        builtBm25Index(s, dir), Bm25Queries, Bm25K, Bm25K1, Bm25B)),
+
+    // Fuzzy term match (ES fuzziness:1): SymSpell deletion-join
+    // candidates + exact levenshtein verify — never a vocab×query
+    // distance scan. Fixtures cover an insertion (scann→scan), a
+    // multi-match substitution (sow→row AND slow), and the rare term
+    // (dups→dup, df 25/500).
+    "text_search_fuzzy" -> ((s, dir) =>
+      graft.operators.CorpusOps.fuzzySearch(FuzzyQueries, FuzzyK)(
+        docs(s, dir))),
+
+    // Prefix completion (ES completion suggester): df-ranked top-k
+    // vocabulary terms per prefix ('s' matches 6 terms, 'co'/'qu' one).
+    "text_search_prefix" -> ((s, dir) =>
+      graft.operators.CorpusOps.prefixSearch(PrefixQueries, PrefixK)(
+        docs(s, dir))),
+
+    // More-like-this (ES more_like_this): top-3 tf/df-salient terms of
+    // each seed doc retrieve the rest of the corpus. Seed 8 contains
+    // the rare 'dup' term at both test SFs, so salience selection does
+    // real work (picks dup over 390-df commons).
+    "text_search_mlt" -> ((s, dir) =>
+      graft.operators.CorpusOps.moreLikeThis(MltSeeds, MltM, MltK)(
+        docs(s, dir)))
   )
 
   /** Persisted BM25 posting index, built once per (session, sf-dir) —
@@ -147,6 +170,26 @@ object TextQueries {
   private[queries] val Bm25K = 10
   private[queries] val Bm25K1 = 1.2
   private[queries] val Bm25B = 0.75
+
+  /** Fuzzy / prefix / more-like-this fixtures + limits, interpolated
+    * into BOTH engines (tuned against the corpus vocabulary — see the
+    * registration comments for what each exercises).
+    */
+  private[queries] val FuzzyQueries: Seq[(Long, String)] = Seq(
+    0L -> "scann", 1L -> "sow", 2L -> "dups")
+  private[queries] val FuzzyK = 10
+  private[queries] val PrefixQueries: Seq[(Long, String)] = Seq(
+    0L -> "s", 1L -> "co", 2L -> "qu")
+  private[queries] val PrefixK = 5
+  private[queries] val MltSeeds: Seq[(Long, Long)] = Seq(
+    0L -> 8L, 1L -> 17L)
+  private[queries] val MltM = 3
+  private[queries] val MltK = 10
+  /** The ONE Scala scale constant, round-tripped via toString so the
+    * parsed SQL double equals the Spark literal bit-for-bit.
+    */
+  private[queries] val MltScaleSql: String =
+    graft.operators.CorpusOps.MltScale.toString
 
   import Duck._
 
@@ -248,6 +291,9 @@ object TextQueries {
     // persisted search: same postings (df/dl/stats derive from them),
     // same tail — same replay
     "text_search_bm25_persisted" -> bm25Sql,
+    "text_search_fuzzy" -> fuzzySql,
+    "text_search_prefix" -> prefixSql,
+    "text_search_mlt" -> mltSql,
 
     // phrase replay: positional shingle hashes (sequence is INCLUSIVE
     // on both ends in Spark, so range goes to m+1 here), hash-equality
@@ -280,12 +326,7 @@ object TextQueries {
   private def bm25Sql: String = {
     val values = Bm25Queries
       .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
-    s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
-                     WHERE text IS NOT NULL),
-          tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
-                 FROM d, unnest(tk) AS u(t) GROUP BY 1, 2),
-          dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
-                    GROUP BY term),
+    s"""$postingsCtes,
           dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf
                  GROUP BY doc_id),
           stats AS (SELECT count(*)::DOUBLE AS n,
@@ -308,6 +349,88 @@ object TextQueries {
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, doc_id) AS rank
             FROM doc) WHERE rank <= $Bm25K"""
+  }
+
+  /** Shared posting-list CTE chain ≡ CorpusOps.bm25Postings plus the
+    * document-frequency aggregate: d (tokenized docs) → tf → dfreq.
+    * Spliced verbatim into every search-family oracle (BM25 in-memory
+    * and persisted, fuzzy, prefix, more-like-this) — one definition,
+    * zero drift.
+    */
+  private def postingsCtes: String =
+    s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+                 FROM d, unnest(tk) AS u(t) GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+                    GROUP BY term)"""
+
+  /** Fuzzy replay: DuckDB brute-forces `levenshtein ≤ 1` over the
+    * 31-term vocabulary — the SPEC of what Spark's SymSpell
+    * deletion-join must produce (the oracle need not be scale-safe;
+    * the engine must). Both engines use plain Levenshtein (no
+    * transposition), so the match sets agree exactly.
+    */
+  private def fuzzySql: String = {
+    val values = FuzzyQueries
+      .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+    s"""$postingsCtes,
+          q AS (SELECT * FROM (VALUES $values) v(query_id, qt)),
+          m AS (SELECT query_id, term FROM q, dfreq
+                WHERE levenshtein(qt, term) <= 1),
+          doc AS (SELECT query_id, tf.doc_id,
+                    count(*)::BIGINT AS n_terms,
+                    sum(tf.tf)::BIGINT AS n_hits
+                  FROM m JOIN tf ON m.term = tf.term GROUP BY 1, 2)
+          SELECT query_id, doc_id, n_terms, n_hits, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY n_hits DESC, doc_id) AS rank
+            FROM doc) WHERE rank <= $FuzzyK"""
+  }
+
+  /** Prefix replay: LIKE over the vocabulary, df-descending top-k. */
+  private def prefixSql: String = {
+    val values = PrefixQueries
+      .map { case (q, p) => s"($q::BIGINT, '$p')" }.mkString(", ")
+    s"""$postingsCtes,
+          q AS (SELECT * FROM (VALUES $values) v(query_id, prefix)),
+          m AS (SELECT query_id, term, df FROM q, dfreq
+                WHERE term LIKE prefix || '%')
+          SELECT query_id, term, df, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY df DESC, term) AS rank
+            FROM m) WHERE rank <= $PrefixK"""
+  }
+
+  /** More-like-this replay: seed-term salience floor(scale·tf/df) in
+    * the same association order as Spark (multiply THEN divide), top-m
+    * seed terms, integer-summed target-doc salience, top-k. The scale
+    * constant is the ONE Scala definition round-tripped via toString.
+    */
+  private def mltSql: String = {
+    val values = MltSeeds
+      .map { case (q, d) => s"($q::BIGINT, $d::BIGINT)" }.mkString(", ")
+    val wExpr = s"floor(($MltScaleSql * tf.tf::DOUBLE)" +
+      " / dfreq.df::DOUBLE)::BIGINT"
+    s"""$postingsCtes,
+          seeds AS (SELECT * FROM (VALUES $values) v(query_id, seed_doc)),
+          st AS (SELECT query_id, seed_doc, tf.term, $wExpr AS w
+                 FROM seeds JOIN tf ON tf.doc_id = seeds.seed_doc
+                      JOIN dfreq ON dfreq.term = tf.term),
+          sel AS (SELECT query_id, seed_doc, term FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY w DESC, term) AS trank
+                    FROM st) WHERE trank <= $MltM),
+          doc AS (SELECT sel.query_id, tf.doc_id,
+                    count(*)::BIGINT AS n_terms,
+                    sum($wExpr)::BIGINT AS score_fp
+                  FROM sel JOIN tf ON tf.term = sel.term
+                       JOIN dfreq ON dfreq.term = sel.term
+                  WHERE tf.doc_id <> sel.seed_doc GROUP BY 1, 2)
+          SELECT query_id, doc_id, n_terms, score_fp, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score_fp DESC, doc_id) AS rank
+            FROM doc) WHERE rank <= $MltK"""
   }
 }
 

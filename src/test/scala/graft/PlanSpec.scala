@@ -203,6 +203,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("search family: posting frame joined only by broadcast") {
+    // fuzzy's verified match set, prefix's literal prefixes, and MLT's
+    // selected seed terms are all tiny derived/literal frames — every
+    // join against the corpus-sized posting frame must broadcast, so
+    // the corpus is never shuffled on a join key (its only wide stages
+    // are its own aggregates and the top-k window)
+    for (q <- Seq("text_search_fuzzy", "text_search_prefix",
+        "text_search_mlt")) {
+      val p = planString(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: posting frame shuffled on a join key\n" + p.take(2000))
+      assert(count(p, "BroadcastHashJoin") +
+        count(p, "BroadcastNestedLoopJoin") >= 1, s"$q: no broadcast join")
+    }
+  }
+
   test("sim_pq_topk: PQ encode is a pure map — one shuffle total") {
     val p = planString("sim_pq_topk")
     // codebooks are literal model state: encoding adds no join and no

@@ -452,6 +452,42 @@ class StreamingSpec extends SparkSpec {
     assert(live.sameElements(rows(dirB)))
   }
 
+  test("streaming document ingest: foreachBatch appends to the BM25 index") {
+    import graft.operators.CorpusOps
+    // the live view of the search-index build: documents arrive on a
+    // stream, each micro-batch appends its postings; because df/dl/stats
+    // derive from the stored postings, streamed ingest ≡ batch build
+    val base = Seq(1L -> "rare common common", 2L -> "common common")
+    val streamed = Seq(3L -> "rare common pad pad pad pad",
+      4L -> "pad common common rare")
+    val dir = Files.createTempDirectory("graft-bm25-live").toString + "/idx"
+    CorpusOps.buildBm25Index(base.toDF("doc_id", "text"), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val cp = Files.createTempDirectory("graft-bm25-live-cp").toString
+    val writer = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CorpusOps.appendToBm25Index(batch, dir)
+      }
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      stream.addData(streamed.take(1))
+      writer.processAllAvailable()
+      stream.addData(streamed.drop(1))
+      writer.processAllAvailable()
+    } finally writer.stop()
+    val qs = Seq(0L -> "rare", 1L -> "common")
+    val live = CorpusOps.searchBm25Index(spark, dir, qs, 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._5)).toSeq
+    val batch = CorpusOps.bm25Search(qs, 10)(
+      (base ++ streamed).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._5)).toSeq
+    assert(live == batch && live.map(_._2).contains(3L))
+  }
+
   test("streaming ingest dedup: each micro-batch checks then joins the store") {
     import graft.operators.DedupOps
     // history 0-4 seeds the store; batches {5,6} then {7,9} stream in.

@@ -355,6 +355,41 @@ class TextDedupSpec extends SparkSpec {
     assert(files(s"$store/sets") < filesBefore)
   }
 
+  test("fuzzySearch: SymSpell deletion-join == brute-force levenshtein") {
+    import graft.operators.CorpusOps
+    // vocab with an insertion match (abcd), a substitution match (xbc),
+    // a deletion-collision DECOY (adb shares variant 'ab' with query
+    // 'abc' but is distance 2 — the exact verify must drop it), and a
+    // non-match (zzz)
+    val d = docs((1L, "abcd abcd xbc"), (2L, "adb zzz"), (3L, "abc xbc"))
+    val got = CorpusOps.fuzzySearch(Seq(0L -> "abc"), 10)(d)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5)
+    // matched terms: abc (d=0), abcd (d=1), xbc (d=1) — never adb/zzz
+    // doc 1: abcd×2 + xbc = 3 hits; doc 3: abc + xbc = 2; doc 2: none
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 2L, 3L), (3L, 2L, 2L)))
+  }
+
+  test("prefixSearch ranks by df desc with term tiebreak") {
+    import graft.operators.CorpusOps
+    val d = docs((1L, "apple apric"), (2L, "apple"), (3L, "apric banana"))
+    val got = CorpusOps.prefixSearch(Seq(0L -> "ap", 1L -> "ba"), 5)(d)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(got.toSeq == Seq((0L, "apple", 2L, 1L), (0L, "apric", 2L, 2L),
+      (1L, "banana", 1L, 1L)))
+  }
+
+  test("moreLikeThis selects rare seed terms and excludes the seed doc") {
+    import graft.operators.CorpusOps
+    // 'rare' appears in seed + doc 3 only; 'common' everywhere — with
+    // m=1 the tf/df salience must pick 'rare', so only doc 3 returns
+    val d = docs((1L, "rare common"), (2L, "common common"),
+      (3L, "rare common"), (4L, "common"))
+    val got = CorpusOps.moreLikeThis(Seq(0L -> 1L), 1, 10)(d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).toSeq == Seq(3L))       // seed doc 1 excluded
+  }
+
   test("splitLeakproof sends exact duplicates to the same split") {
     import graft.operators.CorpusOps
     // 50 distinct texts, each duplicated under three doc_ids (with
