@@ -396,6 +396,16 @@ object CorpusOps {
   def appendToBm25Index(newDocs: DataFrame, dir: String): Unit =
     bm25Postings(newDocs).write.mode("append").parquet(s"$dir/tf")
 
+  /** Small-files maintenance after repeated appends: rewrite the
+    * posting table clustered on (term, doc_id) — the df aggregate and
+    * query-term probes then read term-clustered row groups. Row-
+    * identical, so searches are unchanged (and the index stays
+    * append ≡ rebuild).
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    DedupOps.compactFlatTable(spark, s"$dir/tf", Seq("term", "doc_id"))
+
   /** Search the persisted index: identical scoring tail over the stored
     * postings — raw document text is never touched.
     */

@@ -250,22 +250,29 @@ object DedupOps {
     */
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def rewrite(sub: String, keys: Seq[String]): Unit = {
-      val src = s"$dir/$sub"
-      val tmp = s"$dir/${sub}_compacting"
-      val kc = keys.map(col)
-      spark.read.parquet(src)
-        .repartitionByRange(kc: _*)
-        .sortWithinPartitions(kc: _*)
-        .write.mode("overwrite").parquet(tmp)
-      val p = new org.apache.hadoop.fs.Path(src)
-      val fs = p.getFileSystem(hconf)
-      fs.delete(p, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-    }
-    rewrite("sets", Seq("doc_id"))
-    rewrite("bands", Seq("band", "band_key"))
+    compactFlatTable(spark, s"$dir/sets", Seq("doc_id"))
+    compactFlatTable(spark, s"$dir/bands", Seq("band", "band_key"))
+  }
+
+  /** Rewrite one flat (non-partitioned) parquet table range-partitioned
+    * and sorted on its probe keys, replacing it in place — the shared
+    * kernel of every flat-store compactor (minhash sets/bands here, the
+    * BM25 posting table in [[CorpusOps.compactBm25Index]]). Contents
+    * are row-identical, so probes are unchanged.
+    */
+  private[operators] def compactFlatTable(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, keys: Seq[String]): Unit = {
+    val tmp = dir.stripSuffix("/") + "_compacting"
+    val kc = keys.map(col)
+    spark.read.parquet(dir)
+      .repartitionByRange(kc: _*)
+      .sortWithinPartitions(kc: _*)
+      .write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
   }
 
   /** Incremental near-dup check of a new ingest batch AGAINST the

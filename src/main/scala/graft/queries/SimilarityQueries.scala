@@ -279,6 +279,15 @@ object SimilarityQueries {
     // approx_user_stats) — an index-quality regression flips
     // `recall_ok` to false and fails the oracle hash. See RecallFloors
     // for why the floors sit where they do.
+    // NOTE ON SHARING: model state (Lloyd centroids, seeded PQ books,
+    // the SQ8 affine model) is memoized across queries — a real
+    // pipeline trains once. The family TOP-K RESULT frames are
+    // deliberately NOT shared with the standalone sim_* queries, even
+    // though that would roughly halve this gate's cost: result-frame
+    // reuse shifts each family's kernel cost onto whichever query runs
+    // first and turns the standing bench into an ordering artifact
+    // (same reasoning as sim_kmeans_cells staying uncached). The gate
+    // re-runs each kernel so its 1.1 s price stays honest.
     "sim_recall_at_k" -> ((s, dir) => {
       val e = embs(s, dir)
       val exact = SimilarityOps.bruteForceTopK(e, queriesOf(e), K)

@@ -327,6 +327,15 @@ class TextDedupSpec extends SparkSpec {
     val mem = CorpusOps.bm25Search(qs, 3)(all)
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5).toSeq
     assert(persisted == mem && persisted.nonEmpty)
+    // compaction: term-clustered rewrite, fewer files, search unchanged
+    val filesBefore = new java.io.File(s"$dir/tf").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    CorpusOps.compactBm25Index(spark, dir)
+    val filesAfter = new java.io.File(s"$dir/tf").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val compacted = CorpusOps.searchBm25Index(spark, dir, qs, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5).toSeq
+    assert(compacted == mem && filesAfter < filesBefore)
   }
 
   test("compactMinhashStore leaves probes identical with fewer files") {
