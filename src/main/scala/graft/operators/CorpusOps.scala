@@ -566,6 +566,33 @@ object CorpusOps {
     */
   val MltScale: Double = 1e9
 
+  /** Match highlighting (the ES `highlight` analogue): for each query's
+    * term set, emit every (position, term) occurrence per document —
+    * what a UI needs to render emphasis, and what span-level audits
+    * consume. Like [[phraseSearch]] this is a PURE narrow map: literal
+    * queries explode |queries|× per doc, positions come from one
+    * sequence/filter array expression, no joins and no shuffles at all —
+    * a single codegen'd pass at any corpus size.
+    */
+  def highlight(queries: Seq[(Long, Seq[String])])(docs: DataFrame)
+      : DataFrame = {
+    val toks = tokens(col("text"))
+    val rows = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        filter(
+          transform(sequence(lit(1), size(toks)),
+            i => struct(i.cast("long").as("pos"),
+              element_at(toks, i).as("t"))),
+          s => s.getField("t").isInCollection(terms)).as("hits"))
+    }
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array(rows: _*)).as("qh"))
+      .select(col("qh.query_id").as("query_id"), col("doc_id"),
+        explode(col("qh.hits")).as("h"))
+      .select(col("query_id"), col("doc_id"),
+        col("h.pos").as("pos"), col("h.t").as("term"))
+  }
+
   // ------------------------------------------------------ Gopher-rules gate
 
   /** Composite document-quality gate in the Gopher/C4 rule-of-thumb

@@ -142,7 +142,12 @@ object TextQueries {
     // real work (picks dup over 390-df commons).
     "text_search_mlt" -> ((s, dir) =>
       graft.operators.CorpusOps.moreLikeThis(MltSeeds, MltM, MltK)(
-        docs(s, dir)))
+        docs(s, dir))),
+
+    // Highlighting (ES highlight): every (position, term) occurrence of
+    // the query terms per doc — zero shuffles, like phrase search.
+    "text_search_highlight" -> ((s, dir) =>
+      graft.operators.CorpusOps.highlight(HighlightQueries)(docs(s, dir)))
   )
 
   /** Persisted BM25 posting index, built once per (session, sf-dir) —
@@ -183,6 +188,11 @@ object TextQueries {
   private[queries] val PrefixK = 5
   private[queries] val MltSeeds: Seq[(Long, Long)] = Seq(
     0L -> 8L, 1L -> 17L)
+  /** Highlight fixtures: the BM25 rare+common mix as grouped term sets
+    * (multi-term query 0, single-term query 1).
+    */
+  private[queries] val HighlightQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "spark"), 1L -> Seq("hash"))
   private[queries] val MltM = 3
   private[queries] val MltK = 10
   /** The ONE Scala scale constant, round-tripped via toString so the
@@ -294,6 +304,22 @@ object TextQueries {
     "text_search_fuzzy" -> fuzzySql,
     "text_search_prefix" -> prefixSql,
     "text_search_mlt" -> mltSql,
+
+    // highlight replay: positional struct list filtered by term
+    // membership — both engines walk the same 1-based token positions
+    "text_search_highlight" -> {
+      val values = HighlightQueries.map { case (q, ts) =>
+        s"($q::BIGINT, ${ts.map(t => s"'$t'").mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          q AS (SELECT * FROM (VALUES $values) v(query_id, terms))
+          SELECT query_id, doc_id, u.h.pos::BIGINT AS pos, u.h.t AS term
+          FROM q, d, unnest(list_filter(
+                 list_transform(range(1, length(tk)+1),
+                   i -> struct_pack(pos := i, t := tk[i])),
+                 s -> list_contains(terms, s.t))) AS u(h)"""
+    },
 
     // phrase replay: positional shingle hashes (sequence is INCLUSIVE
     // on both ends in Spark, so range goes to m+1 here), hash-equality

@@ -161,6 +161,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p.take(1000)) // the explode itself
   }
 
+  test("scan-side search: phrase and highlight plan zero exchanges") {
+    for (q <- Seq("text_search_phrase", "text_search_highlight")) {
+      val p = planString(q)
+      assert(!p.contains("Exchange"),
+        s"$q picked up a shuffle — it must pipeline off the scan\n" +
+          p.take(2000))
+    }
+  }
+
   test("stripBoilerplateJoin: corpus never shuffles on the segment key") {
     // the large-model apply path: with a broadcast-able model frame the
     // anti-join must be map-side and the only corpus shuffles keyed on

@@ -399,6 +399,17 @@ class TextDedupSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(3L))       // seed doc 1 excluded
   }
 
+  test("highlight emits 1-based positions of every query-term occurrence") {
+    import graft.operators.CorpusOps
+    val d = docs((1L, "spark runs spark jobs"), (2L, "no match here"))
+    val got = CorpusOps.highlight(
+      Seq(0L -> Seq("spark", "jobs"), 1L -> Seq("no")))(d)
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2, r._3)).toSeq
+    assert(got == Seq((0L, 1L, 1L, "spark"), (0L, 1L, 3L, "spark"),
+      (0L, 1L, 4L, "jobs"), (1L, 2L, 1L, "no")))
+  }
+
   test("splitLeakproof sends exact duplicates to the same split") {
     import graft.operators.CorpusOps
     // 50 distinct texts, each duplicated under three doc_ids (with
