@@ -566,6 +566,58 @@ object CorpusOps {
     */
   val MltScale: Double = 1e9
 
+  /** One ES `bool` query: all `must` terms required, no `mustNot` term
+    * present, at least `minShould` of the `should` terms present;
+    * ranking by summed `should`-term frequency (order-free integer).
+    */
+  final case class BoolQuery(id: Long, must: Seq[String] = Nil,
+      should: Seq[String] = Nil, mustNot: Seq[String] = Nil,
+      minShould: Int = 0)
+
+  /** Boolean compound search (the ES `bool` query analogue): the query
+    * clauses explode to literal (query_id, term, kind) rows that
+    * broadcast into ONE pass over the posting frame — a doc's clause
+    * counts come from a single conditional aggregate (the posting frame
+    * has exactly one row per (doc, term), so plain sums ARE distinct
+    * counts — no count-distinct expand). Must/mustNot verdicts compare
+    * against per-query literals broadcast as a second tiny frame. The
+    * corpus is never shuffled on a join key; wide stages are the
+    * posting aggregates and the top-k window, same as every search op.
+    */
+  def boolSearch(queries: Seq[BoolQuery], k: Int)(docs: DataFrame)
+      : DataFrame = {
+    val tf = bm25Postings(docs)
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap(q =>
+      q.must.map((q.id, _, "must")) ++ q.should.map((q.id, _, "should"))
+        ++ q.mustNot.map((q.id, _, "must_not")))
+    val qt = broadcast(qterms.toDF("query_id", "term", "kind"))
+    val meta = broadcast(queries
+      .map(q => (q.id, q.must.size.toLong, q.minShould.toLong))
+      .toDF("query_id", "must_req", "min_should"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_hits").desc, col("doc_id"))
+    tf.join(qt, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        sum(when(col("kind") === "must", 1L).otherwise(0L)).as("n_must"),
+        sum(when(col("kind") === "should", 1L).otherwise(0L))
+          .as("n_should"),
+        sum(when(col("kind") === "must_not", 1L).otherwise(0L))
+          .as("n_mustnot"),
+        sum(when(col("kind") === "should", col("tf")).otherwise(0L))
+          .as("score_hits"))
+      .join(meta, Seq("query_id"))
+      .filter(col("n_must") === col("must_req") &&
+        col("n_mustnot") === lit(0L) &&
+        col("n_should") >= col("min_should"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_should"),
+        col("score_hits"), col("rank"))
+  }
+
   /** Match highlighting (the ES `highlight` analogue): for each query's
     * term set, emit every (position, term) occurrence per document —
     * what a UI needs to render emphasis, and what span-level audits

@@ -147,7 +147,16 @@ object TextQueries {
     // Highlighting (ES highlight): every (position, term) occurrence of
     // the query terms per doc — zero shuffles, like phrase search.
     "text_search_highlight" -> ((s, dir) =>
-      graft.operators.CorpusOps.highlight(HighlightQueries)(docs(s, dir)))
+      graft.operators.CorpusOps.highlight(HighlightQueries)(docs(s, dir))),
+
+    // Compound bool query (ES bool): must AND NOT mustNot AND ≥minShould
+    // of should, ranked by summed should-term tf. Fixture 0 requires
+    // 'hash' plus a rare term; fixture 1 is pure-should with a mustNot
+    // exclusion that drops the 25 'dup' docs — every clause kind does
+    // real work.
+    "text_search_bool" -> ((s, dir) =>
+      graft.operators.CorpusOps.boolSearch(BoolQueries, BoolK)(
+        docs(s, dir)))
   )
 
   /** Persisted BM25 posting index, built once per (session, sf-dir) —
@@ -193,6 +202,14 @@ object TextQueries {
     */
   private[queries] val HighlightQueries: Seq[(Long, Seq[String])] = Seq(
     0L -> Seq("dup", "spark"), 1L -> Seq("hash"))
+  private[queries] val BoolQueries
+      : Seq[graft.operators.CorpusOps.BoolQuery] = Seq(
+    graft.operators.CorpusOps.BoolQuery(0L, must = Seq("hash"),
+      should = Seq("dup", "spark"), minShould = 1),
+    graft.operators.CorpusOps.BoolQuery(1L,
+      should = Seq("join", "key", "merge"), mustNot = Seq("dup"),
+      minShould = 2))
+  private[queries] val BoolK = 10
   private[queries] val MltM = 3
   private[queries] val MltK = 10
   /** The ONE Scala scale constant, round-tripped via toString so the
@@ -304,6 +321,44 @@ object TextQueries {
     "text_search_fuzzy" -> fuzzySql,
     "text_search_prefix" -> prefixSql,
     "text_search_mlt" -> mltSql,
+
+    // bool replay: the same exploded clause rows and per-query literals
+    // as Spark (one VALUES per view), one conditional aggregate, the
+    // same verdict filter and top-k
+    "text_search_bool" -> {
+      val terms = BoolQueries.flatMap(q =>
+        q.must.map((q.id, _, "must")) ++
+          q.should.map((q.id, _, "should")) ++
+          q.mustNot.map((q.id, _, "must_not")))
+        .map { case (id, t, k) => s"($id::BIGINT, '$t', '$k')" }
+        .mkString(", ")
+      val meta = BoolQueries
+        .map(q => s"(${q.id}::BIGINT, ${q.must.size}::BIGINT, " +
+          s"${q.minShould}::BIGINT)")
+        .mkString(", ")
+      s"""$postingsCtes,
+          q AS (SELECT * FROM (VALUES $terms) v(query_id, term, kind)),
+          meta AS (SELECT * FROM (VALUES $meta)
+                   v(query_id, must_req, min_should)),
+          m AS (SELECT query_id, doc_id,
+                  sum(CASE WHEN kind = 'must' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_must,
+                  sum(CASE WHEN kind = 'should' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_should,
+                  sum(CASE WHEN kind = 'must_not' THEN 1 ELSE 0
+                    END)::BIGINT AS n_mustnot,
+                  sum(CASE WHEN kind = 'should' THEN tf ELSE 0
+                    END)::BIGINT AS score_hits
+                FROM q JOIN tf USING (term) GROUP BY 1, 2),
+          sel AS (SELECT m.query_id, doc_id, n_should, score_hits
+                  FROM m JOIN meta ON meta.query_id = m.query_id
+                  WHERE n_must = must_req AND n_mustnot = 0
+                    AND n_should >= min_should)
+          SELECT query_id, doc_id, n_should, score_hits, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score_hits DESC, doc_id) AS rank
+            FROM sel) WHERE rank <= $BoolK"""
+    },
 
     // highlight replay: positional struct list filtered by term
     // membership — both engines walk the same 1-based token positions

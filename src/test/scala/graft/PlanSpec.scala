@@ -219,7 +219,7 @@ class PlanSpec extends SparkSpec {
     // the corpus is never shuffled on a join key (its only wide stages
     // are its own aggregates and the top-k window)
     for (q <- Seq("text_search_fuzzy", "text_search_prefix",
-        "text_search_mlt")) {
+        "text_search_mlt", "text_search_bool")) {
       val p = planString(q)
       assert(!p.contains("SortMergeJoin"),
         s"$q: posting frame shuffled on a join key\n" + p.take(2000))

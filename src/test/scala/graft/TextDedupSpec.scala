@@ -410,6 +410,24 @@ class TextDedupSpec extends SparkSpec {
       (0L, 1L, 4L, "jobs"), (1L, 2L, 1L, "no")))
   }
 
+  test("boolSearch enforces must, mustNot, and minimum-should-match") {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps.BoolQuery
+    val d = docs(
+      (1L, "alpha beta gamma"),   // all clauses satisfied
+      (2L, "beta gamma"),         // missing must → out
+      (3L, "alpha beta bad"),     // mustNot present → out
+      (4L, "alpha gamma gamma"),  // one should term < minShould 2 → out
+      (5L, "alpha beta gamma gamma")) // highest score
+    val q = Seq(BoolQuery(0L, must = Seq("alpha"),
+      should = Seq("beta", "gamma"), mustNot = Seq("bad"), minShould = 2))
+    val got = CorpusOps.boolSearch(q, 10)(d)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5).toSeq
+    // doc 4 has only 'gamma' of the should set (n_should 1 < 2) → out;
+    // doc 5 outranks doc 1 on summed should tf (3 vs 2)
+    assert(got == Seq((0L, 5L, 2L, 3L, 1L), (0L, 1L, 2L, 2L, 2L)))
+  }
+
   test("splitLeakproof sends exact duplicates to the same split") {
     import graft.operators.CorpusOps
     // 50 distinct texts, each duplicated under three doc_ids (with
