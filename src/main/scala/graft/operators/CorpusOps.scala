@@ -561,10 +561,11 @@ object CorpusOps {
         col("score_fp"), col("rank"))
   }
 
-  /** Fixed-point scale for MLT salience — ONE definition interpolated
-    * into both engines.
+  /** Fixed-point scales for MLT salience and JLH significance — ONE
+    * definition each, interpolated into both engines.
     */
   val MltScale: Double = 1e9
+  val SigScale: Double = 1e9
 
   /** One ES `bool` query: all `must` terms required, no `mustNot` term
     * present, at least `minShould` of the `should` terms present;
@@ -616,6 +617,42 @@ object CorpusOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("n_should"),
         col("score_hits"), col("rank"))
+  }
+
+  /** Significant-terms aggregation (the ES `significant_terms`
+    * analogue, JLH score): for each document group (source), the terms
+    * statistically overrepresented against the whole-corpus background
+    * — the "what makes this source different" dashboard. JLH =
+    * ((fg% − bg%) · fg%) / bg% over document frequencies, computed in
+    * ONE fixed association order and fixed-pointed to int64, so both
+    * engines rank identically (ties break on term). Scale: the wide
+    * work is the posting-presence distinct + two vocabulary-sized
+    * aggregates; the score join runs on |sources|·|vocab| rows, and the
+    * corpus count is a 1-row broadcast (Q22 shape, allowlisted).
+    */
+  def significantTerms(m: Int, scale: Double = SigScale)(docs: DataFrame)
+      : DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+    val pres = base.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("term")).distinct()
+    val fg = pres.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("fg_df"))
+    val bg = pres.groupBy(col("term")).agg(count(lit(1)).as("bg_df"))
+    val fgt = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("fg_total"))
+    val n = base.agg(count(lit(1)).as("bg_total"))
+    val a = col("fg_df").cast("double") / col("fg_total").cast("double")
+    val b = col("bg_df").cast("double") / col("bg_total").cast("double")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_fp").desc, col("term"))
+    fg.join(fgt, Seq("source")).join(bg, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_fp",
+        floor(lit(scale) * (((a - b) * a) / b)).cast("long"))
+      .filter(col("score_fp") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col("source"), col("term"), col("score_fp"), col("rank"))
   }
 
   /** Match highlighting (the ES `highlight` analogue): for each query's

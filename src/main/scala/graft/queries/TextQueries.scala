@@ -156,7 +156,12 @@ object TextQueries {
     // real work.
     "text_search_bool" -> ((s, dir) =>
       graft.operators.CorpusOps.boolSearch(BoolQueries, BoolK)(
-        docs(s, dir)))
+        docs(s, dir))),
+
+    // Significant terms (ES significant_terms, JLH): per-source term
+    // signatures vs the corpus background — top-3 over 20 sources.
+    "text_significant_terms" -> ((s, dir) =>
+      graft.operators.CorpusOps.significantTerms(SigM)(docs(s, dir)))
   )
 
   /** Persisted BM25 posting index, built once per (session, sf-dir) —
@@ -210,6 +215,9 @@ object TextQueries {
       should = Seq("join", "key", "merge"), mustNot = Seq("dup"),
       minShould = 2))
   private[queries] val BoolK = 10
+  private[queries] val SigM = 3
+  private[queries] val SigScaleSql: String =
+    graft.operators.CorpusOps.SigScale.toString
   private[queries] val MltM = 3
   private[queries] val MltK = 10
   /** The ONE Scala scale constant, round-tripped via toString so the
@@ -359,6 +367,36 @@ object TextQueries {
                 ORDER BY score_hits DESC, doc_id) AS rank
             FROM sel) WHERE rank <= $BoolK"""
     },
+
+    // significant-terms replay: posting presence, per-source and
+    // background df, JLH in the SAME association order
+    // (((fg%−bg%)·fg%)/bg%), fixed-pointed before filter AND order so
+    // both engines rank identically
+    "text_significant_terms" ->
+      s"""WITH d AS (SELECT doc_id, source, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          pres AS (SELECT DISTINCT doc_id, source, t AS term
+                   FROM d, unnest(tk) AS u(t)),
+          fg AS (SELECT source, term, count(*)::BIGINT AS fg_df
+                 FROM pres GROUP BY 1, 2),
+          bg AS (SELECT term, count(*)::BIGINT AS bg_df
+                 FROM pres GROUP BY 1),
+          fgt AS (SELECT source, count(*)::BIGINT AS fg_total
+                  FROM d GROUP BY 1),
+          n AS (SELECT count(*)::BIGINT AS bg_total FROM d),
+          j AS (SELECT source, term,
+                  floor($SigScaleSql *
+                    ((((fg_df::DOUBLE / fg_total::DOUBLE)
+                       - (bg_df::DOUBLE / bg_total::DOUBLE))
+                      * (fg_df::DOUBLE / fg_total::DOUBLE))
+                     / (bg_df::DOUBLE / bg_total::DOUBLE)))::BIGINT
+                    AS score_fp
+                FROM fg JOIN fgt USING (source) JOIN bg USING (term)
+                     CROSS JOIN n)
+          SELECT source, term, score_fp, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY score_fp DESC, term) AS rank
+            FROM j WHERE score_fp > 0) WHERE rank <= $SigM""",
 
     // highlight replay: positional struct list filtered by term
     // membership — both engines walk the same 1-based token positions

@@ -321,5 +321,6 @@ object PlanSpec {
     "sim_recall_at_k" -> 5,       // per-family hit counts (5 families)
     "corpus_tfidf_terms" -> 1,    // global doc count N (1 row, Q22 shape)
     "text_search_bm25" -> 1,      // global N/avgdl stats (1 row)
-    "text_search_bm25_persisted" -> 1) // same stats over stored postings
+    "text_search_bm25_persisted" -> 1, // same stats over stored postings
+    "text_significant_terms" -> 1) // global doc count (1 row, Q22 shape)
 }

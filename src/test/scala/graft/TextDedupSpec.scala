@@ -428,6 +428,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq((0L, 5L, 2L, 3L, 1L), (0L, 1L, 2L, 2L, 2L)))
   }
 
+  test("significantTerms surfaces source-specific vocabulary only") {
+    import graft.operators.CorpusOps
+    val d = Seq(
+      (1L, "srcA", "zebra common"), (2L, "srcA", "zebra common"),
+      (3L, "srcB", "common other"), (4L, "srcB", "common plain"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.significantTerms(2)(d)
+      .as[(String, String, Long, Long)].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    // 'common' has fg% = bg% everywhere → JLH 0 → filtered; zebra is
+    // exclusive to srcA (JLH 1·1e9), other/plain split srcB
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("srcA", "zebra"), ("srcB", "other"), ("srcB", "plain")))
+    assert(got.head._3 == 1000000000L)
+  }
+
   test("splitLeakproof sends exact duplicates to the same split") {
     import graft.operators.CorpusOps
     // 50 distinct texts, each duplicated under three doc_ids (with
