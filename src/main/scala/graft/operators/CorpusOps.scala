@@ -414,6 +414,31 @@ object CorpusOps {
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25RankFromTf(spark.read.parquet(s"$dir/tf"), queryTerms, k, k1, b)
 
+  /** The whole search DSL over ONE stored posting index: fuzzy, prefix,
+    * more-like-this, and bool searches share the BM25 index's posting
+    * rows (each op's scoring tail derives everything it needs from
+    * them), so a deployment builds/appends/compacts one index and
+    * serves every query type from it — raw text is never reopened.
+    * Each is bit-identical to its from-raw-docs sibling by
+    * construction (shared tail; property-tested).
+    */
+  def searchFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Long, String)], k: Int): DataFrame =
+    fuzzySearchFromTf(spark.read.parquet(s"$dir/tf"), queries, k)
+
+  def searchPrefixIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Long, String)], k: Int): DataFrame =
+    prefixSearchFromTf(spark.read.parquet(s"$dir/tf"), queries, k)
+
+  def searchMltIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, seeds: Seq[(Long, Long)], m: Int, k: Int,
+      scale: Double = MltScale): DataFrame =
+    moreLikeThisFromTf(spark.read.parquet(s"$dir/tf"), seeds, m, k, scale)
+
+  def searchBoolIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[BoolQuery], k: Int): DataFrame =
+    boolSearchFromTf(spark.read.parquet(s"$dir/tf"), queries, k)
+
   // ---------------------------------------------------------- phrase search
 
   /** Exact-phrase search (the ES `match_phrase` analogue to
@@ -473,8 +498,12 @@ object CorpusOps {
     * window. Ranking is the integer hit count (order-free sum).
     */
   def fuzzySearch(queries: Seq[(Long, String)], k: Int)(docs: DataFrame)
-      : DataFrame = {
-    val tf = DedupOps.materialize(bm25Postings(docs))
+      : DataFrame =
+    fuzzySearchFromTf(DedupOps.materialize(bm25Postings(docs)),
+      queries, k)
+
+  private def fuzzySearchFromTf(tf: DataFrame,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
     val spark = tf.sparkSession
     import spark.implicits._
     val vocabV = tf.select(col("term")).distinct()
@@ -504,8 +533,11 @@ object CorpusOps {
     * never touched beyond the one posting aggregate.
     */
   def prefixSearch(queries: Seq[(Long, String)], k: Int)(docs: DataFrame)
-      : DataFrame = {
-    val tf = bm25Postings(docs)
+      : DataFrame =
+    prefixSearchFromTf(bm25Postings(docs), queries, k)
+
+  private def prefixSearchFromTf(tf: DataFrame,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
     val vocab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val spark = tf.sparkSession
     import spark.implicits._
@@ -533,8 +565,18 @@ object CorpusOps {
     * and the final top-k window.
     */
   def moreLikeThis(seeds: Seq[(Long, Long)], m: Int, k: Int,
-      scale: Double = MltScale)(docs: DataFrame): DataFrame = {
-    val tf = DedupOps.materialize(bm25Postings(docs))
+      scale: Double = MltScale)(docs: DataFrame): DataFrame =
+    moreLikeThisFromTf(DedupOps.materialize(bm25Postings(docs)),
+      seeds, m, k, scale)
+
+  private def moreLikeThisFromTf(tf: DataFrame, seeds: Seq[(Long, Long)],
+      m: Int, k: Int, scale: Double): DataFrame = {
+    // one seed doc per query: with several, a term selected from seed A
+    // would be excluded only against A and double-counted if B also
+    // selected it — multi-doc MLT needs a union-of-terms definition
+    // this operator deliberately doesn't claim
+    require(seeds.map(_._1).distinct.size == seeds.size,
+      "moreLikeThis: one seed doc per query_id")
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val weighted = DedupOps.materialize(tf.join(dfreq, Seq("term"))
       .withColumn("w", floor(lit(scale) * col("tf").cast("double")
@@ -586,8 +628,19 @@ object CorpusOps {
     * posting aggregates and the top-k window, same as every search op.
     */
   def boolSearch(queries: Seq[BoolQuery], k: Int)(docs: DataFrame)
-      : DataFrame = {
-    val tf = bm25Postings(docs)
+      : DataFrame =
+    boolSearchFromTf(bm25Postings(docs), queries, k)
+
+  private def boolSearchFromTf(tf: DataFrame, queries: Seq[BoolQuery],
+      k: Int): DataFrame = {
+    queries.foreach { q =>
+      val all = q.must ++ q.should ++ q.mustNot
+      // a duplicated/overlapping clause term would double-count in the
+      // verdict sums (n_must could never reach must_req) — reject early
+      require(all.distinct.size == all.size,
+        s"bool query ${q.id}: clause terms must be distinct across " +
+          "must/should/mustNot")
+    }
     val spark = tf.sparkSession
     import spark.implicits._
     val qterms = queries.flatMap(q =>

@@ -488,6 +488,45 @@ class StreamingSpec extends SparkSpec {
     assert(live == batch && live.map(_._2).contains(3L))
   }
 
+  test("streaming percolate: stored bool queries alert on arriving docs") {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps.BoolQuery
+    // the ES percolator shape: queries are REGISTERED, documents stream
+    // in, each micro-batch emits which queries its docs satisfy —
+    // boolSearch per batch IS the percolator (per-doc verdicts don't
+    // depend on other docs, so batch boundaries can't change results)
+    val stored = Seq(
+      BoolQuery(0L, must = Seq("error"), mustNot = Seq("test")),
+      BoolQuery(1L, should = Seq("slow", "timeout"), minShould = 1))
+    val arriving = Seq(1L -> "error in prod", 2L -> "error in test run",
+      3L -> "slow request", 4L -> "all fine")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val cp = Files.createTempDirectory("graft-perc-cp").toString
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val writer = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        alerts ++= CorpusOps.boolSearch(stored, Int.MaxValue)(batch)
+          .select("query_id", "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      stream.addData(arriving.take(2))
+      writer.processAllAvailable()
+      stream.addData(arriving.drop(2))
+      writer.processAllAvailable()
+    } finally writer.stop()
+    val batchAll = CorpusOps.boolSearch(stored, Int.MaxValue)(
+      arriving.toDF("doc_id", "text"))
+      .select("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(alerts.toSet == batchAll &&
+      batchAll == Set((0L, 1L), (1L, 3L)))
+  }
+
   test("streaming ingest dedup: each micro-batch checks then joins the store") {
     import graft.operators.DedupOps
     // history 0-4 seeds the store; batches {5,6} then {7,9} stream in.

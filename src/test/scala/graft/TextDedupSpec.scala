@@ -444,6 +444,39 @@ class TextDedupSpec extends SparkSpec {
     assert(got.head._3 == 1000000000L)
   }
 
+  test("one posting index serves fuzzy/prefix/mlt/bool bit-identically") {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps.BoolQuery
+    val d = docs((1L, "rare common words here"),
+      (2L, "common words everywhere"), (3L, "rare stuff"),
+      (4L, "wordz common"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("search-idx").toString + "/idx"
+    CorpusOps.buildBm25Index(d, dir)
+    def rows(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq.sortBy(_.mkString("|"))
+    val fq = Seq(0L -> "wordy"); val pq = Seq(0L -> "wo")
+    val seeds = Seq(0L -> 1L)
+    val bq = Seq(BoolQuery(0L, must = Seq("common"),
+      should = Seq("rare", "words"), minShould = 1))
+    assert(rows(CorpusOps.searchFuzzyIndex(spark, dir, fq, 5)) ==
+      rows(CorpusOps.fuzzySearch(fq, 5)(d)))
+    assert(rows(CorpusOps.searchPrefixIndex(spark, dir, pq, 5)) ==
+      rows(CorpusOps.prefixSearch(pq, 5)(d)))
+    assert(rows(CorpusOps.searchMltIndex(spark, dir, seeds, 2, 5)) ==
+      rows(CorpusOps.moreLikeThis(seeds, 2, 5)(d)))
+    assert(rows(CorpusOps.searchBoolIndex(spark, dir, bq, 5)) ==
+      rows(CorpusOps.boolSearch(bq, 5)(d)))
+    // and the guards reject malformed queries
+    intercept[IllegalArgumentException] {
+      CorpusOps.boolSearch(Seq(BoolQuery(0L, must = Seq("a"),
+        mustNot = Seq("a"))), 5)(d)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.moreLikeThis(Seq(0L -> 1L, 0L -> 2L), 1, 5)(d)
+    }
+  }
+
   test("splitLeakproof sends exact duplicates to the same split") {
     import graft.operators.CorpusOps
     // 50 distinct texts, each duplicated under three doc_ids (with
