@@ -169,4 +169,46 @@ object GraphOps {
     nodes.join(p, nodes("id") === p("u"), "left_outer")
       .select(col("id"), coalesce(col("v"), col("id")).as("component"))
   }
+
+  /** PageRank over a DIRECTED edge list in EXACT integer fixed-point —
+    * ranks live in units of 1/`scale`, damping is the rational 17/20
+    * (0.85), and every step is Long multiply / integer `div` / Long
+    * sum, so the result is bit-identical at any partitioning, addition
+    * order, or engine (no IEEE accumulation anywhere). The fixed-point
+    * trades exact mass conservation for determinism: each `div` floors,
+    * and dangling nodes (no out-edges) leak their mass rather than
+    * redistributing it — both standard simplifications, both replayed
+    * identically by the oracle. Scale: the per-iteration shape is the
+    * Pregel one — edges join ranks on src (one shuffle), contributions
+    * aggregate on dst (one shuffle); the (src, dst, deg) frame is
+    * materialized ONCE and reused by every iteration, and `iters` is a
+    * fixed small constant so the unrolled plan stays shallow. The only
+    * driver value is n (one Long).
+    *
+    * @param edges    (src, dst) directed edges
+    * @param vertices one `id` column — ALL vertices, including isolated
+    * @param iters    fixed iteration count (unrolled; keep small)
+    * @return (id, rank_fp) with rank_fp ≈ rank · scale
+    */
+  def pageRank(edges: DataFrame, vertices: DataFrame, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    val n = vertices.count()
+    require(n > 0, "pageRank: empty vertex set")
+    val init = scale / n
+    val teleport = (3L * init) / 20L
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = DedupOps.materialize(edges.join(deg, Seq("src")))
+    var ranks = vertices.select(col("id"), lit(init).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("id"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      ranks = vertices
+        .join(contrib, vertices("id") === contrib("dst"), "left_outer")
+        .select(col("id"),
+          (lit(teleport) +
+            expr("(17 * coalesce(c, CAST(0 AS BIGINT))) div 20")).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"))
+  }
 }

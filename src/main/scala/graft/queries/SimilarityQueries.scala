@@ -41,6 +41,9 @@ object SimilarityQueries {
   private val SEEDS = 100 until 108
   // k-NN graph degree
   private val KnnK = 3
+  // PageRank iterations + fixed-point scale over the k-NN graph
+  private val PrIters = 3
+  private val PrScale = 1000000000000L
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -204,6 +207,19 @@ object SimilarityQueries {
     // within-cell neighbors — the SemDeDup/graph-sampling substrate.
     "sim_knn_graph" -> ((s, dir) =>
       SimilarityOps.knnGraph(trained(s, dir), KnnK)(embs(s, dir))),
+
+    // PageRank over the k-NN graph (the centrality view of the corpus:
+    // which vectors sit in dense neighborhoods) — exact integer
+    // fixed-point, see GraphOps.pageRank. Edges rebuilt from the same
+    // trained cells as sim_knn_graph (honest per-query cost).
+    "graph_pagerank" -> ((s, dir) => {
+      val edges = SimilarityOps.knnGraph(trained(s, dir), KnnK)(
+        embs(s, dir))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.GraphOps.pageRank(edges,
+        embs(s, dir).select(col("vec_id").as("id")), PrIters, PrScale)
+        .select(col("id").as("vec_id"), col("rank_fp"))
+    }),
 
     // Scalar quantization (faiss SQ8): per-dim affine int8 codes — the
     // light-compression point on the quality/size curve (4× smaller,
@@ -405,17 +421,9 @@ object SimilarityQueries {
     // k-NN graph replay: the shared Lloyd + trained-cells chain, then
     // within-cell pairs ranked per source vector
     "sim_knn_graph" ->
-      s"""WITH $lloydCtes,
-          $trainedCellsCtes,
-          nb AS (SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
-                   ${cosine("x.embedding", "y.embedding")} AS cos
-                 FROM cell3 x JOIN cell3 y
-                   ON x.cell = y.cell AND x.vec_id <> y.vec_id)
-          SELECT vec_id, neighbor_id, rank, cos FROM (
-            SELECT vec_id, neighbor_id, cos,
-              row_number() OVER (PARTITION BY vec_id
-                ORDER BY cos DESC, neighbor_id) AS rank
-            FROM nb) WHERE rank <= $KnnK""",
+      s"""WITH $knnEdgeCtes
+          SELECT vec_id, neighbor_id, rank, cos FROM knn""",
+    "graph_pagerank" -> pageRankSql,
     "sim_recall_at_k" -> recallSql,
     "sim_ivf_probe2" -> ivfProbe2Sql,
     // persisted nprobe=2 search: same cells, same tail — same replay
@@ -887,6 +895,55 @@ object SimilarityQueries {
               ORDER BY score DESC, neighbor_id) AS rank
           FROM sc)
         WHERE rank <= $K"""
+  }
+
+  /** k-NN graph edge replay as a reusable chain ending in `knn`
+    * (vec_id, neighbor_id, rank, cos) — shared by `sim_knn_graph` and
+    * `graph_pagerank` so the edge set cannot drift from the one Spark
+    * graph construction.
+    */
+  private def knnEdgeCtes: String =
+    s"""$lloydCtes,
+        $trainedCellsCtes,
+        nb AS (SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+                 ${cosine("x.embedding", "y.embedding")} AS cos
+               FROM cell3 x JOIN cell3 y
+                 ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        knn AS (SELECT vec_id, neighbor_id, rank, cos FROM (
+            SELECT vec_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM nb) WHERE rank <= $KnnK)"""
+
+  /** PageRank replay: the knn edge chain, then `PrIters` unrolled
+    * iterations of the SAME integer fixed-point arithmetic as
+    * GraphOps.pageRank — init scale//n, damping (17·x)//20, teleport
+    * (3·(scale//n))//20, all BIGINT `//` (≡ Spark `div` on positives) —
+    * so ranks match bit-for-bit with no IEEE accumulation anywhere.
+    */
+  private def pageRankSql: String = {
+    // pr_ prefix: the knn chain already owns short names like c1
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""pr_c$i AS (SELECT e.dst AS vec_id,
+                   sum(r.r // d.deg)::BIGINT AS c
+                 FROM pr_edges e JOIN pr_r${i - 1} r ON r.vec_id = e.src
+                      JOIN pr_deg d ON d.src = e.src GROUP BY 1),
+          pr_r$i AS (SELECT v.vec_id,
+                   ((3 * ($PrScale // nn.n)) // 20
+                    + (17 * COALESCE(c.c, 0)) // 20)::BIGINT AS r
+                 FROM pr_verts v CROSS JOIN nn
+                      LEFT JOIN pr_c$i c ON c.vec_id = v.vec_id)"""
+    }.mkString(",\n")
+    s"""WITH $knnEdgeCtes,
+        pr_edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+        nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        pr_verts AS (SELECT vec_id FROM embeddings),
+        pr_deg AS (SELECT src, count(*)::BIGINT AS deg FROM pr_edges
+                GROUP BY 1),
+        pr_r0 AS (SELECT vec_id, ($PrScale // nn.n)::BIGINT AS r
+               FROM pr_verts CROSS JOIN nn),
+        $iterCtes
+        SELECT vec_id, r AS rank_fp FROM pr_r$PrIters"""
   }
 
   /** Trained-centroid cell assignment replay (`fin` → `tc` → `asn3` →

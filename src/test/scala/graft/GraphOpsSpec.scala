@@ -90,4 +90,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(components(Seq((5L, 2L), (2L, 9L))) ==
       Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
+
+  test("pageRank: exact integer fixed-point, hand-checked one iteration") {
+    // 1⇄2 plus 3→2: n=3, scale 1e6 → init 333333, teleport
+    // (3·333333)/20 = 49999; after one iteration
+    //   r(1) = 49999 + (17·333333)/20 = 333332   (in-mass from 2)
+    //   r(2) = 49999 + (17·666666)/20 = 616665   (from 1 and 3)
+    //   r(3) = 49999                             (no in-edges)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 2L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val got = GraphOps.pageRank(edges, verts, iters = 1,
+      scale = 1000000L).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 333332L, 2L -> 616665L, 3L -> 49999L))
+    // determinism across partitioning: 1-partition run is identical
+    val got1 = GraphOps.pageRank(edges.coalesce(1), verts.coalesce(1),
+      iters = 1, scale = 1000000L).as[(Long, Long)].collect().toMap
+    assert(got1 == got)
+  }
 }
