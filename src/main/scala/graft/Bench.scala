@@ -71,7 +71,7 @@ object Bench {
     "text_token_count", "topk_orders", "window_lag_lead",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
-  /** The round-8 registered set (132 queries), pinned for rounds 9+
+  /** The round-8 registered set (133 queries), pinned for rounds 9+
     * (`standing_r8_total`) — adds the derived-partsupp TPC-H quartet,
     * the recall gate, the source-quality/mixture corpus queries, the
     * persisted nprobe=2 search, the bigram-LM/chunking corpus ops,
@@ -98,7 +98,8 @@ object Bench {
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
     "dedup_simhash_pairs", "entry_pipeline",
-    "events_sessionize", "graph_pagerank", "grouping_sets_day_type",
+    "events_sessionize", "graph_clustering", "graph_pagerank",
+    "grouping_sets_day_type",
     "histogram_value", "k2_dedup_create", "k2_dedup_window",
     "m1_consumer_lag", "m2_throughput", "mm_decode_features",
     "mm_frame_sample", "mm_resize", "percentile_price",

@@ -44,6 +44,8 @@ object SimilarityQueries {
   // PageRank iterations + fixed-point scale over the k-NN graph
   private val PrIters = 3
   private val PrScale = 1000000000000L
+  // clustering-coefficient fixed-point scale
+  private val CcScale = 1000000L
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -219,6 +221,19 @@ object SimilarityQueries {
       graft.operators.GraphOps.pageRank(edges,
         embs(s, dir).select(col("vec_id").as("id")), PrIters, PrScale)
         .select(col("id").as("vec_id"), col("rank_fp"))
+    }),
+
+    // Triangle count + local clustering coefficient over the same graph
+    // (density view: which vectors sit in tight neighborhoods) — exact
+    // ordered-wedge closure, integer fixed-point coefficient.
+    "graph_clustering" -> ((s, dir) => {
+      val edges = SimilarityOps.knnGraph(trained(s, dir), KnnK)(
+        embs(s, dir))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.GraphOps.triangleStats(edges,
+        embs(s, dir).select(col("vec_id").as("id")), CcScale)
+        .select(col("id").as("vec_id"), col("deg"), col("n_tri"),
+          col("cc_fp"))
     }),
 
     // Scalar quantization (faiss SQ8): per-dim affine int8 codes — the
@@ -424,6 +439,7 @@ object SimilarityQueries {
       s"""WITH $knnEdgeCtes
           SELECT vec_id, neighbor_id, rank, cos FROM knn""",
     "graph_pagerank" -> pageRankSql,
+    "graph_clustering" -> clusteringSql,
     "sim_recall_at_k" -> recallSql,
     "sim_ivf_probe2" -> ivfProbe2Sql,
     // persisted nprobe=2 search: same cells, same tail — same replay
@@ -945,6 +961,39 @@ object SimilarityQueries {
         $iterCtes
         SELECT vec_id, r AS rank_fp FROM pr_r$PrIters"""
   }
+
+  /** Clustering replay: symmetrize/dedup the knn edges, ordered wedge
+    * closure (a<b<c), per-node explode via three unions, and the SAME
+    * integer fixed-point coefficient `(2·scale·tri) // (deg·(deg−1))`.
+    */
+  private def clusteringSql: String =
+    s"""WITH $knnEdgeCtes,
+        und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS lo,
+                  greatest(vec_id, neighbor_id) AS hi
+                FROM knn WHERE vec_id <> neighbor_id),
+        cdeg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+                   SELECT lo AS id FROM und
+                   UNION ALL SELECT hi AS id FROM und) GROUP BY 1),
+        tri AS (SELECT w1.a AS a, w1.b AS b, w2.c AS c
+                FROM (SELECT lo AS a, hi AS b FROM und) w1
+                JOIN (SELECT lo AS a, hi AS c FROM und) w2
+                  ON w1.a = w2.a
+                JOIN und cl ON cl.lo = w1.b AND cl.hi = w2.c
+                WHERE w1.b < w2.c),
+        nt AS (SELECT id, count(*)::BIGINT AS n_tri FROM (
+                 SELECT a AS id FROM tri
+                 UNION ALL SELECT b AS id FROM tri
+                 UNION ALL SELECT c AS id FROM tri) GROUP BY 1)
+        SELECT e.vec_id,
+          COALESCE(cdeg.deg, 0)::BIGINT AS deg,
+          COALESCE(nt.n_tri, 0)::BIGINT AS n_tri,
+          (CASE WHEN COALESCE(cdeg.deg, 0) >= 2
+            THEN (${2 * CcScale} * COALESCE(nt.n_tri, 0))
+                 // (cdeg.deg * (cdeg.deg - 1))
+            ELSE 0 END)::BIGINT AS cc_fp
+        FROM embeddings e
+        LEFT JOIN cdeg ON cdeg.id = e.vec_id
+        LEFT JOIN nt ON nt.id = e.vec_id"""
 
   /** Trained-centroid cell assignment replay (`fin` → `tc` → `asn3` →
     * `cell3`), appended after [[lloydCtes]] — shared by

@@ -91,6 +91,19 @@ class GraphOpsSpec extends SparkSpec {
       Map(2L -> 2L, 5L -> 2L, 9L -> 2L))
   }
 
+  test("triangleStats: K4 has 3 triangles per node, coefficient 1") {
+    // complete graph on {1,2,3,4} given as DIRECTED duplicated edges —
+    // symmetrize/dedup must collapse them; deg 3, tri 3 per node,
+    // cc = (2e6·3) div (3·2) = 1e6. Node 9 is isolated: all zeros.
+    val dir = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val got = GraphOps.triangleStats(dir.toDF("src", "dst"),
+      (Seq(9L) ++ (1L to 4L)).toDF("id"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for (v <- 1L to 4L) assert(got(v) == ((3L, 3L, 1000000L)))
+    assert(got(9L) == ((0L, 0L, 0L)))
+  }
+
   test("pageRank: exact integer fixed-point, hand-checked one iteration") {
     // 1⇄2 plus 3→2: n=3, scale 1e6 → init 333333, teleport
     // (3·333333)/20 = 49999; after one iteration
