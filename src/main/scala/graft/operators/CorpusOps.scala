@@ -393,6 +393,15 @@ object CorpusOps {
   def buildBm25Index(docs: DataFrame, dir: String): Unit =
     bm25Postings(docs).write.mode("overwrite").parquet(s"$dir/tf")
 
+  /** PRECONDITION: the batch must contain only doc_ids NOT already in
+    * the index — re-appending an id stores a second posting row per
+    * term, double-counting its df/tf (exactly as a rebuild over the
+    * duplicated input would) and breaking [[boolSearch]]'s
+    * one-row-per-(doc, term) invariant. At-least-once re-delivery must
+    * be deduped upstream — which is operator K2 / the
+    * [[DedupOps.incrementalNearDupPairs]] store, the same discipline
+    * the reference's ES `create` sink enforces.
+    */
   def appendToBm25Index(newDocs: DataFrame, dir: String): Unit =
     bm25Postings(newDocs).write.mode("append").parquet(s"$dir/tf")
 
@@ -633,6 +642,8 @@ object CorpusOps {
 
   private def boolSearchFromTf(tf: DataFrame, queries: Seq[BoolQuery],
       k: Int): DataFrame = {
+    require(queries.map(_.id).distinct.size == queries.size,
+      "bool queries must have distinct ids")
     queries.foreach { q =>
       val all = q.must ++ q.should ++ q.mustNot
       // a duplicated/overlapping clause term would double-count in the
@@ -640,6 +651,14 @@ object CorpusOps {
       require(all.distinct.size == all.size,
         s"bool query ${q.id}: clause terms must be distinct across " +
           "must/should/mustNot")
+      // a query with no positive requirement (mustNot-only, or
+      // should-only with minShould=0) matches docs containing NONE of
+      // its clause terms — those never reach the clause join, so this
+      // plan shape cannot produce them. ES serves such queries with a
+      // full scan; callers here must add a positive clause.
+      require(q.must.nonEmpty || q.minShould >= 1,
+        s"bool query ${q.id}: needs a positive requirement " +
+          "(non-empty must, or minShould >= 1)")
     }
     val spark = tf.sparkSession
     import spark.implicits._

@@ -269,10 +269,21 @@ object DedupOps {
       .repartitionByRange(kc: _*)
       .sortWithinPartitions(kc: _*)
       .write.mode("overwrite").parquet(tmp)
+    // delete-then-rename is not atomic on a raw filesystem: a crash
+    // between the two leaves the data in `tmp`, recoverable by renaming
+    // it back. Hadoop FS signals failure by RETURNING FALSE (renaming
+    // onto an existing dir would otherwise nest tmp INSIDE the live
+    // table) — treat both as hard errors, never as success.
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(
+        s"compactFlatTable: could not delete $dir (compacted data " +
+          s"preserved at $tmp)")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
+      throw new java.io.IOException(
+        s"compactFlatTable: rename $tmp -> $dir failed (compacted " +
+          s"data preserved at $tmp)")
   }
 
   /** Incremental near-dup check of a new ingest batch AGAINST the

@@ -303,11 +303,20 @@ object SimilarityOps {
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    // same swap discipline as DedupOps.compactFlatTable: Hadoop FS
+    // returns false on failure (a false rename would nest tmp inside
+    // the live index) — treat both as hard errors
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(hconf)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    if (!fs.delete(p, true))
+      throw new java.io.IOException(
+        s"compactIndex: could not delete $dir (compacted data " +
+          s"preserved at $tmp)")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
+      throw new java.io.IOException(
+        s"compactIndex: rename $tmp -> $dir failed (compacted data " +
+          s"preserved at $tmp)")
   }
 
   /** Scan of an index directory restricted to the probed cells: the

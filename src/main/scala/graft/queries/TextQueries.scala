@@ -338,7 +338,7 @@ object TextQueries {
         q.must.map((q.id, _, "must")) ++
           q.should.map((q.id, _, "should")) ++
           q.mustNot.map((q.id, _, "must_not")))
-        .map { case (id, t, k) => s"($id::BIGINT, '$t', '$k')" }
+        .map { case (id, t, k) => s"($id::BIGINT, ${sqlStr(t)}, '$k')" }
         .mkString(", ")
       val meta = BoolQueries
         .map(q => s"(${q.id}::BIGINT, ${q.must.size}::BIGINT, " +
@@ -402,7 +402,7 @@ object TextQueries {
     // membership — both engines walk the same 1-based token positions
     "text_search_highlight" -> {
       val values = HighlightQueries.map { case (q, ts) =>
-        s"($q::BIGINT, ${ts.map(t => s"'$t'").mkString("[", ", ", "]")})"
+        s"($q::BIGINT, ${ts.map(sqlStr).mkString("[", ", ", "]")})"
       }.mkString(", ")
       s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
                      WHERE text IS NOT NULL),
@@ -444,7 +444,7 @@ object TextQueries {
     */
   private def bm25Sql: String = {
     val values = Bm25Queries
-      .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+      .map { case (q, t) => s"($q::BIGINT, ${sqlStr(t)})" }.mkString(", ")
     s"""$postingsCtes,
           dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf
                  GROUP BY doc_id),
@@ -484,6 +484,12 @@ object TextQueries {
           dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
                     GROUP BY term)"""
 
+  /** SQL string literal with quote escaping — every fixture term
+    * interpolated into a VALUES list goes through here, so a term
+    * containing `'` can never produce invalid oracle SQL.
+    */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Fuzzy replay: DuckDB brute-forces `levenshtein ≤ 1` over the
     * 31-term vocabulary — the SPEC of what Spark's SymSpell
     * deletion-join must produce (the oracle need not be scale-safe;
@@ -492,7 +498,7 @@ object TextQueries {
     */
   private def fuzzySql: String = {
     val values = FuzzyQueries
-      .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+      .map { case (q, t) => s"($q::BIGINT, ${sqlStr(t)})" }.mkString(", ")
     s"""$postingsCtes,
           q AS (SELECT * FROM (VALUES $values) v(query_id, qt)),
           m AS (SELECT query_id, term FROM q, dfreq
@@ -510,11 +516,11 @@ object TextQueries {
   /** Prefix replay: LIKE over the vocabulary, df-descending top-k. */
   private def prefixSql: String = {
     val values = PrefixQueries
-      .map { case (q, p) => s"($q::BIGINT, '$p')" }.mkString(", ")
+      .map { case (q, p) => s"($q::BIGINT, ${sqlStr(p)})" }.mkString(", ")
     s"""$postingsCtes,
           q AS (SELECT * FROM (VALUES $values) v(query_id, prefix)),
           m AS (SELECT query_id, term, df FROM q, dfreq
-                WHERE term LIKE prefix || '%')
+                WHERE starts_with(term, prefix))
           SELECT query_id, term, df, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY df DESC, term) AS rank
