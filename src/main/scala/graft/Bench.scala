@@ -71,7 +71,7 @@ object Bench {
     "text_token_count", "topk_orders", "window_lag_lead",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
-  /** The round-8 registered set (133 queries), pinned for rounds 9+
+  /** The round-8 registered set (134 queries), pinned for rounds 9+
     * (`standing_r8_total`) — adds the derived-partsupp TPC-H quartet,
     * the recall gate, the source-quality/mixture corpus queries, the
     * persisted nprobe=2 search, the bigram-LM/chunking corpus ops,
@@ -125,7 +125,8 @@ object Bench {
     "sim_srp_multiprobe",
     "sim_srp_topk", "skew_join_salted", "t1_timestamp_inject",
     "t2_key_avro", "t2_key_include", "t2_key_json", "t3_blacklist",
-    "text_fingerprint", "text_lang_id", "text_quality",
+    "text_fingerprint", "text_hash_features", "text_lang_id",
+    "text_quality",
     "text_redact", "text_repetition", "text_significant_terms",
     "text_search_bm25",
     "text_search_bm25_persisted", "text_search_bool",

@@ -176,6 +176,27 @@ object TextOps {
     * for cheap near-dup prefiltering). Pure array expressions, no explode:
     * per-row cost O(tokens·k), no shuffle.
     */
+  /** Signed feature hashing (the hashing-trick featurizer, Weinberger
+    * et al.): every token lands in `hv mod dims` with sign from the
+    * next hash bit, summed per (doc, dim) — a fixed-width bag-of-words
+    * the cheap classifiers of a curation pipeline (quality, language,
+    * topic) train on with NO vocabulary model at all, at any corpus
+    * size. Emitted as exploded (doc_id, dim, v) rows: integer sums are
+    * order-free, and the sparse form never materializes |docs|·dims.
+    * One explode + one aggregate; the 60-bit portable hash keeps the
+    * oracle bit-exact.
+    */
+  def hashFeatures(dims: Int)(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.h15
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .withColumn("hv", h15(concat(lit("fh:"), col("term"))))
+      .groupBy(col("doc_id"), (col("hv") % dims).as("dim"))
+      .agg(sum(when(expr(s"(hv div $dims) % 2") === 0, 1L)
+        .otherwise(-1L)).as("v"))
+      .select(col("doc_id"), col("dim"), col("v"))
+  }
+
   def shingleFingerprint(text: Column, k: Int = 5): Column =
     array_min(shingleHashes(tokens(text), k))
 }

@@ -161,7 +161,12 @@ object TextQueries {
     // Significant terms (ES significant_terms, JLH): per-source term
     // signatures vs the corpus background — top-3 over 20 sources.
     "text_significant_terms" -> ((s, dir) =>
-      graft.operators.CorpusOps.significantTerms(SigM)(docs(s, dir)))
+      graft.operators.CorpusOps.significantTerms(SigM)(docs(s, dir))),
+
+    // Hashing-trick featurizer: fixed-width signed bag-of-words, no
+    // vocabulary model (sparse (doc, dim, v) rows; FhDims buckets).
+    "text_hash_features" -> ((s, dir) =>
+      TextOps.hashFeatures(FhDims)(docs(s, dir)))
   )
 
   /** Persisted BM25 posting index, built once per (session, sf-dir) —
@@ -218,6 +223,7 @@ object TextQueries {
   private[queries] val SigM = 3
   private[queries] val SigScaleSql: String =
     graft.operators.CorpusOps.SigScale.toString
+  private[queries] val FhDims = 16
   private[queries] val MltM = 3
   private[queries] val MltK = 10
   /** The ONE Scala scale constant, round-tripped via toString so the
@@ -367,6 +373,19 @@ object TextQueries {
                 ORDER BY score_hits DESC, doc_id) AS rank
             FROM sel) WHERE rank <= $BoolK"""
     },
+
+    // feature-hashing replay: same 60-bit hash, bucket = hv % dims,
+    // sign from the next bit (hv // dims % 2), order-free integer sums
+    "text_hash_features" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          h AS (SELECT doc_id,
+                  ${h15("concat('fh:', t)")} AS hv
+                FROM d, unnest(tk) AS u(t))
+          SELECT doc_id, (hv % $FhDims)::BIGINT AS dim,
+            sum(CASE WHEN (hv // $FhDims) % 2 = 0 THEN 1 ELSE -1
+              END)::BIGINT AS v
+          FROM h GROUP BY 1, 2""",
 
     // significant-terms replay: posting presence, per-source and
     // background df, JLH in the SAME association order

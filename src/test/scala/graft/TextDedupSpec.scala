@@ -410,6 +410,17 @@ class TextDedupSpec extends SparkSpec {
       (0L, 1L, 4L, "jobs"), (1L, 2L, 1L, "no")))
   }
 
+  test("hashFeatures: repeated tokens accumulate at one signed dim") {
+    val d = docs((1L, "zebra zebra zebra"), (2L, "zebra"))
+    val got = TextOps.hashFeatures(16)(d)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // one distinct token → one dim per doc; same dim and sign in both
+    // docs; magnitude = multiplicity
+    assert(got.size == 2)
+    val Seq((_, d1, v1), (_, d2, v2)) = got
+    assert(d1 == d2 && v1 == 3 * v2 && math.abs(v2) == 1)
+  }
+
   test("boolSearch enforces must, mustNot, and minimum-should-match") {
     import graft.operators.CorpusOps
     import graft.operators.CorpusOps.BoolQuery
