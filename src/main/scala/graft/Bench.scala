@@ -71,7 +71,7 @@ object Bench {
     "text_token_count", "topk_orders", "window_lag_lead",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
-  /** The round-8 registered set (134 queries), pinned for rounds 9+
+  /** The round-8 registered set (135 queries), pinned for rounds 9+
     * (`standing_r8_total`) — adds the derived-partsupp TPC-H quartet,
     * the recall gate, the source-quality/mixture corpus queries, the
     * persisted nprobe=2 search, the bigram-LM/chunking corpus ops,
@@ -133,8 +133,8 @@ object Bench {
     "text_search_fuzzy", "text_search_highlight", "text_search_mlt",
     "text_search_phrase", "text_search_prefix",
     "text_token_count",
-    "topk_orders", "window_lag_lead", "window_rank_stats",
-    "window_rolling_sum", "window_supplier_rank")
+    "topk_orders", "window_lag_lead", "window_ntile",
+    "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -241,6 +241,23 @@ object AnalyticQueries {
           cume_dist().over(w).as("cdist"))
     }),
 
+    // ntile completes the rank-window inventory. Unlike dense_rank /
+    // percent_rank it assigns by ROW POSITION, so the order-by must be
+    // a TOTAL order (quantity alone ties thousands of rows and each
+    // engine would split them differently) — the unique
+    // (l_orderkey, l_linenumber) tail makes the quartile deterministic.
+    "window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     // Stratified deterministic sampling: a different keep-rate per event
     // class (downsample the fire-hose `view`s, keep every rare
     // `purchase`) decided by the portable 60-bit hash — reproducible
@@ -380,6 +397,12 @@ object AnalyticQueries {
                 cume_dist() OVER w AS cdist
          FROM lineitem
          WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""",
+    "window_ntile" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_quantity, l_orderkey, l_linenumber)""",
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
           WHERE ${Duck.h15("concat('strat:', event_id::VARCHAR)")} % 100 <
