@@ -227,4 +227,58 @@ class PropertySpec extends SparkSpec {
         garbage._3 == 250000L * garbage._2
     })
   }
+
+  test("∀ word sets: SymSpell fuzzy match set ≡ brute-force levenshtein ≤ 1") {
+    import graft.operators.CorpusOps
+    val word = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val gen = for {
+      vocab <- Gen.listOfN(6, word)
+      q <- word
+    } yield (vocab.distinct, q)
+    check(Prop.forAll(gen) { case (vocab, q) =>
+      // one doc per vocab word → fuzzySearch's matched doc set IS the
+      // matched term set (short abc-alphabet words collide hard, so
+      // deletion-join false candidates appear and MUST be verified out)
+      val docs = vocab.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val got = CorpusOps.fuzzySearch(Seq(0L -> q), 100)(docs)
+        .select($"doc_id").as[Long].collect().toSet
+      val expect = vocab.zipWithIndex.collect {
+        case (w, i) if levenshteinDist(q, w) <= 1 => i.toLong
+      }.toSet
+      got == expect
+    })
+  }
+
+  /** Plain DP Levenshtein — the spec the SymSpell join must equal. */
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("∀ edge lists: pageRank mass stays within [teleport·n, scale]") {
+    import graft.operators.GraphOps
+    val genEdges = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 7L); b <- Gen.choose(0L, 7L) if a != b
+    } yield (a, b))
+    check(Prop.forAll(genEdges) { edges =>
+      val verts = (0L to 7L).toDF("id")
+      val scale = 1000000L
+      val ranks = GraphOps.pageRank(edges.distinct.toDF("src", "dst"),
+        verts, iters = 2, scale = scale)
+        .as[(Long, Long)].collect()
+      val total = ranks.map(_._2).sum
+      val teleport = (3L * (scale / 8)) / 20L
+      // flooring + dangling nodes only LEAK mass (never create it),
+      // and every node keeps at least its teleport share
+      ranks.forall(_._2 >= teleport) && total <= scale &&
+        total >= teleport * 8
+    })
+  }
 }
