@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.all ++
       graft.queries.AvroQueries.all ++
       graft.queries.MultimodalQueries.all ++
-      graft.queries.CorpusQueries.all
+      graft.queries.CorpusQueries.all ++
+      graft.queries.EsAggQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.AvroQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
-      graft.queries.CorpusQueries.oracles
+      graft.queries.CorpusQueries.oracles ++
+      graft.queries.EsAggQueries.oracles
 }

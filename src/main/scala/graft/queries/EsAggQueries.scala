@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The Elasticsearch AGGREGATION DSL, served natively.
+  *
+  * The reference ships records into ES precisely so users can run Kibana
+  * aggregations over them (kafka-elasticsearch-injector README: the
+  * injector exists to power search + analytics on the indexed stream).
+  * This module re-expresses that aggregation surface as Spark plans over
+  * the same data, so a curation team never needs the ES round-trip:
+  *
+  *  - `date_histogram` with `min_doc_count: 0` gap-fill + sub-aggs
+  *    (doc_count / sum / cardinality) — the Kibana timeline query
+  *  - `extended_stats` (count/min/max/sum/avg/variance/std bounds)
+  *  - `terms` + `top_hits` (top buckets, then the freshest hits in each)
+  *  - `range` with ES-style `*-x`/`x-y`/`y-*` bucket keys
+  *  - `filters` (named-predicate counts in one pass)
+  *  - `composite` with `after`-key pagination (the scalable scroll)
+  *  - pipeline aggs: `derivative` + `moving_avg` over a date_histogram
+  *
+  * Cross-engine determinism follows the house rules: every sum is an
+  * exact DECIMAL (order-independent under any partitioning), aggregate
+  * outputs cast to DOUBLE through the VARCHAR round-trip on the oracle
+  * side, and every double-valued formula (avg, variance, std bounds,
+  * moving average) is written as the IDENTICAL expression tree in both
+  * engines so the IEEE arithmetic matches bit-for-bit.
+  *
+  * Scale notes: each query's only fact-sized exchange is its first
+  * groupBy (partial→final, map-side combine). Everything after runs on
+  * bucket-grain frames bounded by CONSTRUCTION — calendar hours, event
+  * types, range buckets — not by data volume, so the gap-fill join
+  * broadcasts and the pipeline window's single partition sees at most
+  * one row per calendar bucket no matter the corpus size.
+  */
+object EsAggQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(28,10)")
+  private def dec38(c: Column): Column = c.cast("decimal(38,10)")
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  /** Sparse slice for the gap-filled histogram: high-value purchases hit
+    * only some hours, so `min_doc_count: 0` semantics are non-vacuous at
+    * every sf (sf0.001: ~35 rows over a ~700-hour spine).
+    */
+  private val SparseType = "purchase"
+  private val SparseMin = 95.0
+
+  val all: Map[String, Q] = Map(
+    // ES date_histogram, fixed_interval: 1h, min_doc_count: 0 — buckets
+    // exist for EVERY hour between the first and last matching event,
+    // empty ones reporting doc_count 0 / sum 0.0 (ES's empty-bucket
+    // contract). Sub-aggs: value sum + exact user cardinality. The spine
+    // is generated from a 1-row min/max aggregate (allowlisted) and the
+    // hour-grain agg frame broadcasts into the gap-fill join — the only
+    // fact-sized exchange is the first groupBy.
+    "es_date_histogram" -> ((s, dir) => {
+      val perHour = ev(s, dir)
+        .filter(col("event_type") === SparseType && col("value") > SparseMin)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).as("sum_dec"),
+          countDistinct(col("user_id")).as("n_users"))
+      val bounds = perHour.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val spine = bounds.select(explode(
+        sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hh"))
+      spine.join(broadcast(perHour), col("hh") === col("h"), "left_outer")
+        .select(
+          date_format(col("hh"), "yyyy-MM-dd HH:00:00").as("bucket"),
+          coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+          coalesce(col("sum_dec").cast("double"), lit(0.0)).as("sum_value"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+    }),
+
+    // ES extended_stats per event_type: the five exact accumulators
+    // (count, min, max, Σx, Σx²) in one pass, then ES's closed-form
+    // moments — variance = (Σx² − (Σx)²/n)/n, std bounds avg ± 2σ — as
+    // one double expression tree shared verbatim with the oracle.
+    "es_extended_stats" -> ((s, dir) => {
+      val agg = ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+          sum(dec38(col("value"))).as("sx_dec"),
+          sum(dec38(col("value") * col("value"))).as("sxx_dec"))
+      val nD = col("n").cast("double")
+      val sx = col("sx_dec").cast("double")
+      val sxx = col("sxx_dec").cast("double")
+      val avg = sx / nD
+      val variance = (sxx - sx * sx / nD) / nD
+      val std = sqrt(variance)
+      agg.select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+        sx.as("sum_v"), avg.as("avg_v"), variance.as("variance"),
+        std.as("std_dev"),
+        (avg + lit(2.0) * std).as("std_upper"),
+        (avg - lit(2.0) * std).as("std_lower"))
+    }),
+
+    // ES terms (size: 3, ordered by doc_count desc, key asc tiebreak)
+    // with a top_hits sub-agg (size: 2, sort: ts desc) — "the busiest
+    // event types, and their freshest events". The terms frame is
+    // type-grain (broadcast); the per-bucket hits are one rank window
+    // partitioned by type. Hit order ties on the millisecond are broken
+    // by event_id, so both engines pick identical hits.
+    "es_terms_top_hits" -> ((s, dir) => {
+      val top = ev(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("doc_count").desc, col("event_type")).limit(3)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ms").desc, col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .join(broadcast(top), Seq("event_type"))
+        .withColumn("hit_rank", row_number().over(w).cast("long"))
+        .filter(col("hit_rank") <= 2)
+        .select(col("event_type"), col("doc_count"), col("hit_rank"),
+          col("event_id"), col("ts_ms"), col("value"))
+    }),
+
+    // ES range agg on value with the DSL's half-open [from, to) buckets
+    // and its exact key spelling ("*-50.0", "50.0-150.0", …); per-bucket
+    // doc_count + avg (exact sum, one division). Pure CASE + groupBy —
+    // a single map-side-combined exchange over four keys.
+    "es_range_agg" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("range_key",
+          when(col("value") < 50.0, "*-50.0")
+            .when(col("value") < 150.0, "50.0-150.0")
+            .when(col("value") < 300.0, "150.0-300.0")
+            .otherwise("300.0-*"))
+        .groupBy(col("range_key"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).as("sum_dec"))
+        .select(col("range_key"), col("doc_count"),
+          (col("sum_dec").cast("double") / col("doc_count").cast("double"))
+            .as("avg_value"))),
+
+    // ES filters agg: named predicates counted in ONE conditional
+    // aggregate pass (ES evaluates each filter per doc — same here, as
+    // when/sum arms), plus the implicit total. One 1-row global
+    // aggregate (allowlisted). Weekend is expressed per-engine (Spark
+    // dayofweek is 1=Sun..7; DuckDB dayofweek is 0=Sun..6) — only the
+    // boolean matters.
+    "es_filters_agg" -> ((s, dir) =>
+      ev(s, dir).agg(
+        count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("errors"),
+        sum(when(col("value") > 300.0, 1L).otherwise(0L)).as("big_value"),
+        sum(when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L))
+          .as("weekend"))),
+
+    // ES composite agg, sources: [event_type, user_id], size: 10,
+    // after: {event_type: "error", user_id: 75} — the paginated scroll
+    // over an unbounded bucket space. The after-key tuple comparison is
+    // a plain row filter (pushed into the scan, BEFORE the aggregate:
+    // it's on group keys, so filtering rows first is equivalent and
+    // prunes the shuffle); the page is a TakeOrdered top-k, never a
+    // global sort.
+    "es_composite_page" -> ((s, dir) =>
+      ev(s, dir)
+        .filter(col("event_type") > "error" ||
+          (col("event_type") === "error" && col("user_id") > 75))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).as("sum_dec"))
+        .orderBy(col("event_type"), col("user_id"))
+        .limit(10)
+        .select(col("event_type"), col("user_id"), col("doc_count"),
+          col("sum_dec").cast("double").as("sum_value"))),
+
+    // ES pipeline aggs over a daily date_histogram: derivative (null for
+    // the first bucket, as ES skips it) and a 3-bucket trailing
+    // moving_avg (null until the window fills). The window input is
+    // day-grain — bounded by the calendar, not the data — so the
+    // partition-less sort sees ≤ one row per day (allowlisted). The
+    // moving average is explicit lag arithmetic, one shared expression
+    // tree, NOT a frame sum (frame sums accumulate in engine-specific
+    // order).
+    "es_derivative" -> ((s, dir) => {
+      val perDay = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(dec(col("value"))).as("sum_dec"))
+      val w = Window.orderBy(col("d"))
+      perDay
+        .withColumn("p1", lag(col("sum_dec"), 1).over(w))
+        .withColumn("p2", lag(col("sum_dec"), 2).over(w))
+        .select(
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("sum_dec").cast("double").as("sum_value"),
+          (col("sum_dec").cast("double") - col("p1").cast("double"))
+            .as("deriv"),
+          when(col("p2").isNotNull,
+            (col("sum_dec").cast("double") + col("p1").cast("double") +
+              col("p2").cast("double")) / 3.0).as("mavg3"))
+    })
+  )
+
+  private val D = "CAST(CAST(%s AS VARCHAR) AS DOUBLE)"
+  private def dd(e: String) = D.format(e)
+
+  val oracles: Map[String, String] = Map(
+    "es_date_histogram" ->
+      s"""WITH per_h AS (
+            SELECT date_trunc('hour', ts) AS h, count(*) AS doc_count,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            WHERE event_type = '$SparseType' AND value > $SparseMin
+            GROUP BY 1),
+          bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM per_h),
+          spine AS (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hh
+            FROM bounds)
+          SELECT strftime(hh, '%Y-%m-%d %H:00:00') AS bucket,
+                 coalesce(doc_count, 0) AS doc_count,
+                 coalesce(${dd("sum_dec")}, 0.0) AS sum_value,
+                 coalesce(n_users, 0) AS n_users
+          FROM spine LEFT JOIN per_h ON hh = h""",
+    "es_extended_stats" ->
+      s"""SELECT event_type, n, min_v, max_v,
+                 sx AS sum_v, sx / nd AS avg_v,
+                 (sxx - sx * sx / nd) / nd AS variance,
+                 sqrt((sxx - sx * sx / nd) / nd) AS std_dev,
+                 sx / nd + 2.0 * sqrt((sxx - sx * sx / nd) / nd)
+                   AS std_upper,
+                 sx / nd - 2.0 * sqrt((sxx - sx * sx / nd) / nd)
+                   AS std_lower
+          FROM (
+            SELECT event_type, count(*) AS n,
+                   CAST(count(*) AS DOUBLE) AS nd,
+                   min(value) AS min_v, max(value) AS max_v,
+                   ${dd("sum(CAST(value AS DECIMAL(38,10)))")} AS sx,
+                   ${dd("sum(CAST(value * value AS DECIMAL(38,10)))")} AS sxx
+            FROM events GROUP BY event_type)""",
+    "es_terms_top_hits" ->
+      """WITH top AS (
+           SELECT event_type, count(*) AS doc_count
+           FROM events GROUP BY 1
+           ORDER BY doc_count DESC, event_type LIMIT 3),
+         hits AS (
+           SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY epoch_ms(ts) DESC, event_id) AS hit_rank
+           FROM events
+           WHERE event_type IN (SELECT event_type FROM top))
+         SELECT h.event_type, doc_count,
+                CAST(hit_rank AS BIGINT) AS hit_rank,
+                event_id, ts_ms, value
+         FROM hits h JOIN top USING (event_type)
+         WHERE hit_rank <= 2""",
+    "es_range_agg" ->
+      s"""SELECT range_key, doc_count,
+                 ${dd("sum_dec")} / CAST(doc_count AS DOUBLE) AS avg_value
+          FROM (
+            SELECT CASE WHEN value < 50.0 THEN '*-50.0'
+                        WHEN value < 150.0 THEN '50.0-150.0'
+                        WHEN value < 300.0 THEN '150.0-300.0'
+                        ELSE '300.0-*' END AS range_key,
+                   count(*) AS doc_count,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1)""",
+    "es_filters_agg" ->
+      """SELECT count(*) AS total,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors,
+                CAST(sum(CASE WHEN value > 300.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS big_value,
+                CAST(sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS weekend
+         FROM events""",
+    "es_composite_page" ->
+      s"""SELECT event_type, user_id, doc_count, ${dd("sum_dec")} AS sum_value
+          FROM (
+            SELECT event_type, user_id, count(*) AS doc_count,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events
+            WHERE event_type > 'error'
+               OR (event_type = 'error' AND user_id > 75)
+            GROUP BY 1, 2
+            ORDER BY event_type, user_id LIMIT 10)""",
+    "es_derivative" ->
+      s"""WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1),
+          lagged AS (
+            SELECT d, ${dd("sum_dec")} AS sv,
+                   ${dd("lag(sum_dec, 1) OVER (ORDER BY d)")} AS p1,
+                   ${dd("lag(sum_dec, 2) OVER (ORDER BY d)")} AS p2
+            FROM per_day)
+          SELECT strftime(d, '%Y-%m-%d') AS day, sv AS sum_value,
+                 sv - p1 AS deriv,
+                 CASE WHEN p2 IS NOT NULL
+                   THEN (sv + p1 + p2) / 3.0 END AS mavg3
+          FROM lagged"""
+  )
+}

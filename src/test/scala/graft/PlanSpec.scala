@@ -239,6 +239,23 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 shuffle (top-k window), saw $n\n" + p.take(2000))
   }
 
+  test("es_date_histogram: gap-fill join broadcasts the bucket frame") {
+    // the spine⋈per-hour join runs on bucket-grain frames; a sort-merge
+    // join here would shuffle frames that are bounded by the calendar
+    val p = planString("es_date_histogram")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "gap-fill join degraded to SMJ")
+  }
+
+  test("es_composite_page: pagination is a TakeOrdered top-k, not a sort") {
+    // composite's `after`-key page must never plan a global Sort — the
+    // bucket space is unbounded; TakeOrdered keeps per-partition top-k
+    val p = planString("es_composite_page")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(singlePartitionCount(p) == 0,
+      "composite page planned a single-partition exchange")
+  }
+
   test("global sweep: no registered query plans Exchange SinglePartition") {
     // Exchange SinglePartition funnels the full upstream through ONE
     // task — the #1 accidental scale-killer (a Window.orderBy with no
@@ -322,5 +339,10 @@ object PlanSpec {
     "corpus_tfidf_terms" -> 1,    // global doc count N (1 row, Q22 shape)
     "text_search_bm25" -> 1,      // global N/avgdl stats (1 row)
     "text_search_bm25_persisted" -> 1, // same stats over stored postings
-    "text_significant_terms" -> 1) // global doc count (1 row, Q22 shape)
+    "text_significant_terms" -> 1, // global doc count (1 row, Q22 shape)
+    // ES-agg family: bucket-grain frames bounded by CONSTRUCTION
+    // (calendar buckets / named filters), never by data volume
+    "es_date_histogram" -> 1, // 1-row min/max bounds for the hour spine
+    "es_filters_agg" -> 1,    // the filters agg IS a 1-row global agg
+    "es_derivative" -> 1)     // pipeline window over the day-grain frame
 }
