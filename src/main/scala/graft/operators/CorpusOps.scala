@@ -642,6 +642,19 @@ object CorpusOps {
 
   private def boolSearchFromTf(tf: DataFrame, queries: Seq[BoolQuery],
       k: Int): DataFrame = {
+    validateBoolQueries(queries)
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qt = broadcast(clauseRows(queries)
+      .toDF("query_id", "term", "kind"))
+    val meta = broadcast(metaRows(queries)
+      .toDF("query_id", "must_req", "min_should"))
+    boolVerdictTail(tf.join(qt, Seq("term")), meta, k,
+      broadcastCandidates = false)
+  }
+
+  /** Shared validation for [[boolSearch]] / [[buildPercolateIndex]]. */
+  private def validateBoolQueries(queries: Seq[BoolQuery]): Unit = {
     require(queries.map(_.id).distinct.size == queries.size,
       "bool queries must have distinct ids")
     queries.foreach { q =>
@@ -660,18 +673,36 @@ object CorpusOps {
         s"bool query ${q.id}: needs a positive requirement " +
           "(non-empty must, or minShould >= 1)")
     }
-    val spark = tf.sparkSession
-    import spark.implicits._
-    val qterms = queries.flatMap(q =>
+  }
+
+  /** The exploded (query_id, term, kind) clause rows — the single
+    * representation both the in-memory broadcast and the persisted
+    * percolator index store.
+    */
+  private def clauseRows(queries: Seq[BoolQuery])
+      : Seq[(Long, String, String)] =
+    queries.flatMap(q =>
       q.must.map((q.id, _, "must")) ++ q.should.map((q.id, _, "should"))
         ++ q.mustNot.map((q.id, _, "must_not")))
-    val qt = broadcast(qterms.toDF("query_id", "term", "kind"))
-    val meta = broadcast(queries
-      .map(q => (q.id, q.must.size.toLong, q.minShould.toLong))
-      .toDF("query_id", "must_req", "min_should"))
+
+  private def metaRows(queries: Seq[BoolQuery]): Seq[(Long, Long, Long)] =
+    queries.map(q => (q.id, q.must.size.toLong, q.minShould.toLong))
+
+  /** Verdict tail shared by [[boolSearchFromTf]] and [[percolate]]:
+    * one conditional aggregate over the term-joined candidate rows
+    * (posting uniqueness makes plain sums distinct counts), the
+    * must/mustNot/minShould verdict against the per-query requirement
+    * rows, and the per-query top-k. `broadcastCandidates` flips the
+    * meta-join build side: the in-memory path broadcasts the tiny meta
+    * frame into corpus-sized candidates; the percolator path broadcasts
+    * the batch-bounded candidate aggregate into the registry-sized
+    * stored meta table.
+    */
+  private def boolVerdictTail(cand: DataFrame, meta: DataFrame, k: Int,
+      broadcastCandidates: Boolean): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_hits").desc, col("doc_id"))
-    tf.join(qt, Seq("term"))
+    val agg = cand
       .groupBy(col("query_id"), col("doc_id"))
       .agg(
         sum(when(col("kind") === "must", 1L).otherwise(0L)).as("n_must"),
@@ -681,6 +712,7 @@ object CorpusOps {
           .as("n_mustnot"),
         sum(when(col("kind") === "should", col("tf")).otherwise(0L))
           .as("score_hits"))
+    (if (broadcastCandidates) broadcast(agg) else agg)
       .join(meta, Seq("query_id"))
       .filter(col("n_must") === col("must_req") &&
         col("n_mustnot") === lit(0L) &&
@@ -689,6 +721,59 @@ object CorpusOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("n_should"),
         col("score_hits"), col("rank"))
+  }
+
+  // ---------------------------------------------------------- percolator
+
+  /** Persist a stored-query registry as a terms→queries INVERTED index
+    * (the ES percolator at registry scale): the exploded clause rows
+    * keyed by term, plus the per-query requirement rows. [[percolate]]
+    * then matches an arriving document batch by broadcasting the
+    * BATCH's postings into an equi-join against the stored clause rows
+    * — work scales with the clause rows whose terms actually occur in
+    * the batch, never with |registry|. ([[boolSearch]] points the
+    * broadcast the other way: right for a handful of ad-hoc queries,
+    * impossible for a million-query alert registry.)
+    */
+  def buildPercolateIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[BoolQuery], dir: String): Unit =
+    writePercolate(spark, queries, dir, "overwrite")
+
+  /** PRECONDITION: the batch must contain only query ids NOT already in
+    * the index — same at-least-once discipline as [[appendToBm25Index]]
+    * (a re-registered id would double its clause rows and break the
+    * verdict sums). Append ≡ rebuild by construction: both paths store
+    * exactly the clause/requirement rows of the union.
+    */
+  def appendToPercolateIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[BoolQuery], dir: String): Unit =
+    writePercolate(spark, queries, dir, "append")
+
+  private def writePercolate(spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[BoolQuery], dir: String, mode: String): Unit = {
+    validateBoolQueries(queries)
+    import spark.implicits._
+    clauseRows(queries).toDF("query_id", "term", "kind")
+      .write.mode(mode).parquet(s"$dir/terms")
+    metaRows(queries).toDF("query_id", "must_req", "min_should")
+      .write.mode(mode).parquet(s"$dir/meta")
+  }
+
+  /** Match an arriving document batch against the stored registry.
+    * Bit-identical to `boolSearch(registry, k)(docs)` by construction
+    * (shared clause representation + shared verdict tail); the plan
+    * differs only in broadcast direction — the stored index is NEVER
+    * broadcast and never shuffled on a join key (term probes ride the
+    * broadcast hash join; the meta join broadcasts the batch-bounded
+    * candidate aggregate).
+    */
+  def percolate(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int)(docs: DataFrame): DataFrame = {
+    val tf = DedupOps.materialize(bm25Postings(docs))
+    val qt = spark.read.parquet(s"$dir/terms")
+    val meta = spark.read.parquet(s"$dir/meta")
+    boolVerdictTail(qt.join(broadcast(tf), Seq("term")), meta, k,
+      broadcastCandidates = true)
   }
 
   /** Significant-terms aggregation (the ES `significant_terms`

@@ -158,6 +158,15 @@ object TextQueries {
       graft.operators.CorpusOps.boolSearch(BoolQueries, BoolK)(
         docs(s, dir))),
 
+    // ...and the same registry percolated from a PERSISTED terms→queries
+    // inverted index (the ES percolator at registry scale): the arriving
+    // batch's postings broadcast into the stored clause rows, so match
+    // work scales with the batch, never with |registry|. Shared clause
+    // representation + verdict tail ⇒ the bool oracle replays verbatim.
+    "text_percolate" -> ((s, dir) =>
+      graft.operators.CorpusOps.percolate(s,
+        builtPercolateIndex(s, dir), BoolK)(docs(s, dir))),
+
     // Significant terms (ES significant_terms, JLH): per-source term
     // signatures vs the corpus background — top-3 over 20 sources.
     "text_significant_terms" -> ((s, dir) =>
@@ -180,6 +189,21 @@ object TextQueries {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-bm25-index").toString + "/idx"
       graft.operators.CorpusOps.buildBm25Index(docs(s, dir), tmp)
+      tmp
+    })
+
+  /** Persisted percolator registry, built once per session (the stored
+    * queries don't vary by sf-dir, but the cache key keeps the
+    * one-build-per-input discipline of the other index caches).
+    */
+  private val percolateIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def builtPercolateIndex(s: SparkSession, dir: String): String =
+    percolateIndexCache.getOrElseUpdate((s, dir), {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-percolate-index").toString + "/idx"
+      graft.operators.CorpusOps.buildPercolateIndex(s, BoolQueries, tmp)
       tmp
     })
 
@@ -339,40 +363,10 @@ object TextQueries {
     // bool replay: the same exploded clause rows and per-query literals
     // as Spark (one VALUES per view), one conditional aggregate, the
     // same verdict filter and top-k
-    "text_search_bool" -> {
-      val terms = BoolQueries.flatMap(q =>
-        q.must.map((q.id, _, "must")) ++
-          q.should.map((q.id, _, "should")) ++
-          q.mustNot.map((q.id, _, "must_not")))
-        .map { case (id, t, k) => s"($id::BIGINT, ${sqlStr(t)}, '$k')" }
-        .mkString(", ")
-      val meta = BoolQueries
-        .map(q => s"(${q.id}::BIGINT, ${q.must.size}::BIGINT, " +
-          s"${q.minShould}::BIGINT)")
-        .mkString(", ")
-      s"""$postingsCtes,
-          q AS (SELECT * FROM (VALUES $terms) v(query_id, term, kind)),
-          meta AS (SELECT * FROM (VALUES $meta)
-                   v(query_id, must_req, min_should)),
-          m AS (SELECT query_id, doc_id,
-                  sum(CASE WHEN kind = 'must' THEN 1 ELSE 0 END)::BIGINT
-                    AS n_must,
-                  sum(CASE WHEN kind = 'should' THEN 1 ELSE 0 END)::BIGINT
-                    AS n_should,
-                  sum(CASE WHEN kind = 'must_not' THEN 1 ELSE 0
-                    END)::BIGINT AS n_mustnot,
-                  sum(CASE WHEN kind = 'should' THEN tf ELSE 0
-                    END)::BIGINT AS score_hits
-                FROM q JOIN tf USING (term) GROUP BY 1, 2),
-          sel AS (SELECT m.query_id, doc_id, n_should, score_hits
-                  FROM m JOIN meta ON meta.query_id = m.query_id
-                  WHERE n_must = must_req AND n_mustnot = 0
-                    AND n_should >= min_should)
-          SELECT query_id, doc_id, n_should, score_hits, rank FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY score_hits DESC, doc_id) AS rank
-            FROM sel) WHERE rank <= $BoolK"""
-    },
+    "text_search_bool" -> boolSql,
+    // percolate serves the SAME registry from the persisted inverted
+    // index — shared clause rows + verdict tail, same replay
+    "text_percolate" -> boolSql,
 
     // feature-hashing replay: same 60-bit hash, bucket = hv % dims,
     // sign from the next bit (hv // dims % 2), order-free integer sums
@@ -461,6 +455,47 @@ object TextQueries {
     * in Scala and round-trip through toString). Shared verbatim by the
     * in-memory and persisted registrations.
     */
+  /** Bool replay: the same exploded clause rows and per-query literals
+    * as Spark (one VALUES per view), one conditional aggregate, the
+    * same verdict filter and top-k. Shared verbatim by the in-memory
+    * (`text_search_bool`) and persisted-percolator (`text_percolate`)
+    * registrations — both engines serve one registry definition.
+    */
+  private def boolSql: String = {
+    val terms = BoolQueries.flatMap(q =>
+      q.must.map((q.id, _, "must")) ++
+        q.should.map((q.id, _, "should")) ++
+        q.mustNot.map((q.id, _, "must_not")))
+      .map { case (id, t, k) => s"($id::BIGINT, ${sqlStr(t)}, '$k')" }
+      .mkString(", ")
+    val meta = BoolQueries
+      .map(q => s"(${q.id}::BIGINT, ${q.must.size}::BIGINT, " +
+        s"${q.minShould}::BIGINT)")
+      .mkString(", ")
+    s"""$postingsCtes,
+          q AS (SELECT * FROM (VALUES $terms) v(query_id, term, kind)),
+          meta AS (SELECT * FROM (VALUES $meta)
+                   v(query_id, must_req, min_should)),
+          m AS (SELECT query_id, doc_id,
+                  sum(CASE WHEN kind = 'must' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_must,
+                  sum(CASE WHEN kind = 'should' THEN 1 ELSE 0 END)::BIGINT
+                    AS n_should,
+                  sum(CASE WHEN kind = 'must_not' THEN 1 ELSE 0
+                    END)::BIGINT AS n_mustnot,
+                  sum(CASE WHEN kind = 'should' THEN tf ELSE 0
+                    END)::BIGINT AS score_hits
+                FROM q JOIN tf USING (term) GROUP BY 1, 2),
+          sel AS (SELECT m.query_id, doc_id, n_should, score_hits
+                  FROM m JOIN meta ON meta.query_id = m.query_id
+                  WHERE n_must = must_req AND n_mustnot = 0
+                    AND n_should >= min_should)
+          SELECT query_id, doc_id, n_should, score_hits, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score_hits DESC, doc_id) AS rank
+            FROM sel) WHERE rank <= $BoolK"""
+  }
+
   private def bm25Sql: String = {
     val values = Bm25Queries
       .map { case (q, t) => s"($q::BIGINT, ${sqlStr(t)})" }.mkString(", ")

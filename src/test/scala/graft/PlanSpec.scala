@@ -256,6 +256,37 @@ class PlanSpec extends SparkSpec {
       "composite page planned a single-partition exchange")
   }
 
+  test("text_percolate: stored registry is never broadcast, batch side is") {
+    // the percolator's whole point is that match work scales with the
+    // arriving batch, not |registry| — so no parquet scan (the stored
+    // terms/meta tables) may sit under a BroadcastExchange; the only
+    // broadcast build sides are the batch postings (ExistingRDD after
+    // materialize) and the batch-bounded candidate aggregate
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val df = graft.SparkEntry.queries("text_percolate")(spark, dir)
+    val root: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // a broadcast subtree may reach the index scan only THROUGH the
+    // batch-bounded candidate aggregate; a raw (un-aggregated) index
+    // scan under a broadcast means the registry itself is on the wire
+    val offending = root.collect {
+      case b: BroadcastExchangeExec
+          if b.collectLeaves().exists(_.isInstanceOf[FileSourceScanExec])
+            && b.collect { case a: HashAggregateExec => a }.isEmpty =>
+        b.simpleStringWithNodeId()
+    }
+    assert(offending.isEmpty,
+      "stored percolator index broadcast raw into the join:\n" +
+        offending.mkString("\n"))
+    val p = planString("text_percolate")
+    assert(!p.contains("SortMergeJoin"), "percolate join degraded to SMJ")
+  }
+
   test("global sweep: no registered query plans Exchange SinglePartition") {
     // Exchange SinglePartition funnels the full upstream through ONE
     // task — the #1 accidental scale-killer (a Window.orderBy with no

@@ -527,6 +527,44 @@ class StreamingSpec extends SparkSpec {
       batchAll == Set((0L, 1L), (1L, 3L)))
   }
 
+  test("streaming percolate via the stored registry index") {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps.BoolQuery
+    // the registry-scale percolator: queries live in the PERSISTED
+    // terms→queries index, docs stream in, and a query registered
+    // between micro-batches starts matching immediately (alerts are
+    // forward-only — earlier docs were percolated before it existed,
+    // exactly ES percolator semantics)
+    val idx = Files.createTempDirectory("graft-perc-idx").toString + "/idx"
+    CorpusOps.buildPercolateIndex(spark,
+      Seq(BoolQuery(0L, must = Seq("error"), mustNot = Seq("test"))), idx)
+    val arriving = Seq(1L -> "error in prod", 2L -> "error in test run",
+      3L -> "slow request", 4L -> "all fine")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val cp = Files.createTempDirectory("graft-perc-idx-cp").toString
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val writer = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        alerts ++= CorpusOps.percolate(spark, idx, Int.MaxValue)(batch)
+          .select("query_id", "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      stream.addData(arriving.take(2))
+      writer.processAllAvailable()
+      CorpusOps.appendToPercolateIndex(spark,
+        Seq(BoolQuery(1L, should = Seq("slow", "timeout"),
+          minShould = 1)), idx)
+      stream.addData(arriving.drop(2))
+      writer.processAllAvailable()
+    } finally writer.stop()
+    assert(alerts.toSet == Set((0L, 1L), (1L, 3L)))
+  }
+
   test("streaming ingest dedup: each micro-batch checks then joins the store") {
     import graft.operators.DedupOps
     // history 0-4 seeds the store; batches {5,6} then {7,9} stream in.

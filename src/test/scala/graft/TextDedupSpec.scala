@@ -439,6 +439,39 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Seq((0L, 5L, 2L, 3L, 1L), (0L, 1L, 2L, 2L, 2L)))
   }
 
+  test("percolate index: build/append parity with boolSearch") {
+    import graft.operators.CorpusOps
+    import graft.operators.CorpusOps.BoolQuery
+    val d = docs(
+      (1L, "alpha beta gamma"), (2L, "beta gamma"),
+      (3L, "alpha beta bad"), (4L, "alpha gamma gamma"),
+      (5L, "alpha beta gamma gamma"), (6L, "delta epsilon"))
+    val registry = Seq(
+      BoolQuery(0L, must = Seq("alpha"), should = Seq("beta", "gamma"),
+        mustNot = Seq("bad"), minShould = 2),
+      BoolQuery(1L, should = Seq("delta", "epsilon"), minShould = 1))
+    def rows(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq.sortBy(_.mkString("|"))
+    // build-everything ≡ boolSearch (shared clause rows + verdict tail)
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-perc-full").toString + "/idx"
+    CorpusOps.buildPercolateIndex(spark, registry, full)
+    val expected = rows(CorpusOps.boolSearch(registry, 10)(d))
+    assert(rows(CorpusOps.percolate(spark, full, 10)(d)) == expected)
+    assert(expected.nonEmpty)
+    // build-half + append-half ≡ build-everything, through the search
+    val half = java.nio.file.Files
+      .createTempDirectory("graft-perc-half").toString + "/idx"
+    CorpusOps.buildPercolateIndex(spark, registry.take(1), half)
+    CorpusOps.appendToPercolateIndex(spark, registry.drop(1), half)
+    assert(rows(CorpusOps.percolate(spark, half, 10)(d)) == expected)
+    // the builder enforces the same query guards as boolSearch
+    intercept[IllegalArgumentException] {
+      CorpusOps.buildPercolateIndex(spark,
+        Seq(BoolQuery(7L, mustNot = Seq("x"))), full)
+    }
+  }
+
   test("significantTerms surfaces source-specific vocabulary only") {
     import graft.operators.CorpusOps
     val d = Seq(
