@@ -149,6 +149,24 @@ object DedupQueries {
       simhashComponents(s, dir)
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))),
 
+    // Near-dup graph DENSITY: triangle count + local clustering
+    // coefficient over the simhash pair graph — the document-side
+    // consumer of the generic GraphOps kernel (the k-NN embedding graph
+    // is the other). Distinguishes tight duplicate CLIQUES (template
+    // families, cc→1) from merely chained components (drift series,
+    // cc→0) — which dedup_clusters' connectivity view cannot separate.
+    // 814 edges / 703 triangles at sf0.01, so the closure does real work.
+    "graph_dedup_density" -> ((s, dir) => {
+      val pairs = DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(
+        docs(s, dir))
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.operators.GraphOps.triangleStats(pairs,
+        docs(s, dir).select(col("doc_id").as("id")),
+        SimilarityQueries.CcScale)
+        .select(col("id").as("doc_id"), col("deg"), col("n_tri"),
+          col("cc_fp"))
+    }),
+
     // End-to-end dedup: the surviving corpus — every unclustered doc plus
     // the minimum-id representative of each near-dup cluster (pairs →
     // components → anti-join the non-canonical members away).
@@ -306,7 +324,16 @@ object DedupQueries {
           $ccClosureCtes
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id NOT IN (
-            SELECT id FROM cc WHERE component <> id)"""
+            SELECT id FROM cc WHERE component <> id)""",
+    // same simhash pair set, then the SHARED wedge-closure tail (one
+    // SQL definition with graph_clustering's knn replay — see
+    // SimilarityQueries.clusteringTailSql)
+    "graph_dedup_density" ->
+      s"""$duckSimhash,
+          $simhashPairsCtes,
+          ${SimilarityQueries.clusteringTailSql(
+            "SELECT a AS src, b AS dst FROM pr",
+            "SELECT doc_id FROM documents", "doc_id")}"""
   )
 
   /** The duplicate-span oracle, shared with

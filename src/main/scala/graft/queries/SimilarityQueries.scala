@@ -45,7 +45,7 @@ object SimilarityQueries {
   private val PrIters = 3
   private val PrScale = 1000000000000L
   // clustering-coefficient fixed-point scale
-  private val CcScale = 1000000L
+  private[queries] val CcScale = 1000000L
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -962,15 +962,29 @@ object SimilarityQueries {
         SELECT vec_id, r AS rank_fp FROM pr_r$PrIters"""
   }
 
-  /** Clustering replay: symmetrize/dedup the knn edges, ordered wedge
-    * closure (a<b<c), per-node explode via three unions, and the SAME
-    * integer fixed-point coefficient `(2·scale·tri) // (deg·(deg−1))`.
+  /** Clustering replay: symmetrize/dedup the knn edges, then the shared
+    * wedge-closure tail (see [[clusteringTailSql]]).
     */
   private def clusteringSql: String =
     s"""WITH $knnEdgeCtes,
-        und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS lo,
-                  greatest(vec_id, neighbor_id) AS hi
-                FROM knn WHERE vec_id <> neighbor_id),
+        ${clusteringTailSql(
+          "SELECT vec_id AS src, neighbor_id AS dst FROM knn",
+          "SELECT vec_id FROM embeddings", "vec_id")}"""
+
+  /** Wedge-closure clustering replay over ANY (src, dst) edge selection
+    * — symmetrize/dedup, ordered wedge closure (a<b<c), per-node
+    * explode via three unions, and the integer fixed-point coefficient
+    * `(2·scale·tri) // (deg·(deg−1))`. ONE SQL definition shared by the
+    * k-NN (`graph_clustering`) and near-dup-pair
+    * (`DedupQueries.graph_dedup_density`) consumers, mirroring how
+    * GraphOps.triangleStats is the one Spark kernel for both — neither
+    * replay can drift from the other.
+    */
+  private[queries] def clusteringTailSql(edgesSql: String,
+      vertsSql: String, idCol: String): String =
+    s"""und AS (SELECT DISTINCT least(src, dst) AS lo,
+                  greatest(src, dst) AS hi
+                FROM ($edgesSql) WHERE src <> dst),
         cdeg AS (SELECT id, count(*)::BIGINT AS deg FROM (
                    SELECT lo AS id FROM und
                    UNION ALL SELECT hi AS id FROM und) GROUP BY 1),
@@ -984,16 +998,16 @@ object SimilarityQueries {
                  SELECT a AS id FROM tri
                  UNION ALL SELECT b AS id FROM tri
                  UNION ALL SELECT c AS id FROM tri) GROUP BY 1)
-        SELECT e.vec_id,
+        SELECT v.$idCol,
           COALESCE(cdeg.deg, 0)::BIGINT AS deg,
           COALESCE(nt.n_tri, 0)::BIGINT AS n_tri,
           (CASE WHEN COALESCE(cdeg.deg, 0) >= 2
             THEN (${2 * CcScale} * COALESCE(nt.n_tri, 0))
                  // (cdeg.deg * (cdeg.deg - 1))
             ELSE 0 END)::BIGINT AS cc_fp
-        FROM embeddings e
-        LEFT JOIN cdeg ON cdeg.id = e.vec_id
-        LEFT JOIN nt ON nt.id = e.vec_id"""
+        FROM ($vertsSql) v
+        LEFT JOIN cdeg ON cdeg.id = v.$idCol
+        LEFT JOIN nt ON nt.id = v.$idCol"""
 
   /** Trained-centroid cell assignment replay (`fin` → `tc` → `asn3` →
     * `cell3`), appended after [[lloydCtes]] — shared by
