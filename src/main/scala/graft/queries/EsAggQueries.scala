@@ -175,6 +175,64 @@ object EsAggQueries {
         .select(col("event_type"), col("user_id"), col("doc_count"),
           col("sum_dec").cast("double").as("sum_value"))),
 
+    // ES percentiles agg (tdigest): per-type p50/p90/p99 via Spark's
+    // approximate percentile, GATED against exact rank neighborhoods
+    // (approx_user_stats discipline — ES's own percentiles are
+    // approximate, so the honest cross-engine contract is "within the
+    // exact p45..p55 / p87..p93 / p97..max bands", shipped as booleans
+    // the oracle expects to be true).
+    "es_percentiles" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
+          expr("percentile(value, 0.45)").as("lo50"),
+          expr("percentile(value, 0.55)").as("hi50"),
+          expr("percentile(value, 0.87)").as("lo90"),
+          expr("percentile(value, 0.93)").as("hi90"),
+          expr("percentile(value, 0.97)").as("lo99"),
+          max(col("value")).as("hi99"))
+        .select(col("event_type"), col("n"),
+          (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50"))
+            .as("p50_ok"),
+          (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90"))
+            .as("p90_ok"),
+          (col("ap")(2) >= col("lo99") && col("ap")(2) <= col("hi99"))
+            .as("p99_ok"))),
+
+    // ES adjacency_matrix agg: named filters and their pairwise
+    // intersections counted in ONE conditional aggregate pass (ES
+    // evaluates |filters|² bucket predicates per doc; same here as
+    // when/sum arms over one scan). One 1-row global aggregate
+    // (allowlisted).
+    "es_adjacency_matrix" -> ((s, dir) => {
+      val a = col("event_type") === "error"
+      val b = col("value") > 300.0
+      val c = dayofweek(col("ts")).isin(1, 7)
+      def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+      ev(s, dir).agg(
+        cnt(a).as("a"), cnt(b).as("b"), cnt(c).as("c"),
+        cnt(a && b).as("ab"), cnt(a && c).as("ac"),
+        cnt(b && c).as("bc"))
+    }),
+
+    // ES cumulative_sum pipeline agg over the daily histogram: the
+    // running total is a window sum of EXACT decimals (order-exempt by
+    // construction — decimal addition is associative), cast to double
+    // only at the edge. Day-grain window input (allowlisted).
+    "es_cumulative_sum" -> ((s, dir) => {
+      val perDay = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(dec(col("value"))).as("sum_dec"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.select(
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("sum_dec").cast("double").as("sum_value"),
+        sum(col("sum_dec")).over(w).cast("double").as("cum_value"))
+    }),
+
     // ES pipeline aggs over a daily date_histogram: derivative (null for
     // the first bucket, as ES skips it) and a 3-bucket trailing
     // moving_avg (null until the window fills). The window input is
@@ -285,6 +343,37 @@ object EsAggQueries {
                OR (event_type = 'error' AND user_id > 75)
             GROUP BY 1, 2
             ORDER BY event_type, user_id LIMIT 10)""",
+    "es_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+                true AS p50_ok, true AS p90_ok, true AS p99_ok
+         FROM events GROUP BY 1""",
+    "es_adjacency_matrix" ->
+      """SELECT
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+           CAST(sum(CASE WHEN value > 300.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+           CAST(sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+           CAST(sum(CASE WHEN event_type = 'error' AND value > 300.0
+             THEN 1 ELSE 0 END) AS BIGINT) AS ab,
+           CAST(sum(CASE WHEN event_type = 'error'
+             AND dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+             AS ac,
+           CAST(sum(CASE WHEN value > 300.0 AND dayofweek(ts) IN (0, 6)
+             THEN 1 ELSE 0 END) AS BIGINT) AS bc
+         FROM events""",
+    "es_cumulative_sum" ->
+      s"""WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1)
+          SELECT strftime(d, '%Y-%m-%d') AS day,
+                 ${dd("sum_dec")} AS sum_value,
+                 ${dd("""sum(sum_dec) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")}
+                   AS cum_value
+          FROM per_day""",
     "es_derivative" ->
       s"""WITH per_day AS (
             SELECT CAST(ts AS DATE) AS d,

@@ -375,5 +375,7 @@ object PlanSpec {
     // (calendar buckets / named filters), never by data volume
     "es_date_histogram" -> 1, // 1-row min/max bounds for the hour spine
     "es_filters_agg" -> 1,    // the filters agg IS a 1-row global agg
-    "es_derivative" -> 1)     // pipeline window over the day-grain frame
+    "es_adjacency_matrix" -> 1, // same shape: 1-row conditional agg
+    "es_derivative" -> 1,     // pipeline window over the day-grain frame
+    "es_cumulative_sum" -> 1) // same day-grain pipeline window
 }
