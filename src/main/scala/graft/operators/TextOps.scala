@@ -199,4 +199,39 @@ object TextOps {
 
   def shingleFingerprint(text: Column, k: Int = 5): Column =
     array_min(shingleHashes(tokens(text), k))
+
+  /** Linear-classifier INFERENCE over hashing-trick features — the
+    * quality-gate stage of a curation pipeline (CCNet/GPT-style corpora
+    * gate documents with a cheap linear/fasttext-style classifier; the
+    * expensive part at 100 TB is inference, not training). The logit is
+    * Σ_token sign(t)·w(dim(t)) + bias, computed directly from the token
+    * stream — same dim/sign derivation as [[hashFeatures]], but skipping
+    * the per-(doc, dim) pre-aggregation so the whole op is one explode +
+    * ONE per-doc aggregate (integer sums, order-free). Weights are a
+    * pure 60-bit-hash function of the dimension, evaluated inline — a
+    * deployment substitutes its learned vector as a literal array or
+    * broadcast map; either way inference stays a pure map + aggregate
+    * with nothing corpus-sized on the wire. Docs with no tokens emit no
+    * feature rows and are reported with logit = bias (left join back to
+    * the corpus), so the gate is total.
+    */
+  def linearClassify(dims: Int, bias: Long = 0L, seed: String = "clf")(
+      docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.h15
+    val logits = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .withColumn("hv", h15(concat(lit("fh:"), col("term"))))
+      .withColumn("sgn",
+        when(expr(s"(hv div $dims) % 2") === 0, 1L).otherwise(-1L))
+      .withColumn("w",
+        h15(concat(lit(s"$seed:w:"), (col("hv") % dims).cast("string")))
+          % 1001 - 500)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sgn") * col("w")).as("dot"))
+    docs.filter(col("text").isNotNull).select(col("doc_id"))
+      .join(logits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        (coalesce(col("dot"), lit(0L)) + lit(bias)).as("logit"))
+      .withColumn("keep", col("logit") > 0L)
+  }
 }

@@ -175,7 +175,15 @@ object TextQueries {
     // Hashing-trick featurizer: fixed-width signed bag-of-words, no
     // vocabulary model (sparse (doc, dim, v) rows; FhDims buckets).
     "text_hash_features" -> ((s, dir) =>
-      TextOps.hashFeatures(FhDims)(docs(s, dir)))
+      TextOps.hashFeatures(FhDims)(docs(s, dir))),
+
+    // Quality-classifier INFERENCE (the CCNet/fasttext-style linear
+    // gate): per-doc logit over ClfDims hashed features + keep verdict —
+    // one explode + one per-doc integer aggregate, weights a pure hash
+    // function of the dimension (a deployment swaps in its learned
+    // vector; the plan shape is identical).
+    "text_classify_quality" -> ((s, dir) =>
+      TextOps.linearClassify(ClfDims)(docs(s, dir)))
   )
 
   /** Persisted BM25 posting index, built once per (session, sf-dir) —
@@ -248,6 +256,7 @@ object TextQueries {
   private[queries] val SigScaleSql: String =
     graft.operators.CorpusOps.SigScale.toString
   private[queries] val FhDims = 16
+  private[queries] val ClfDims = 64
   private[queries] val MltM = 3
   private[queries] val MltK = 10
   /** The ONE Scala scale constant, round-tripped via toString so the
@@ -380,6 +389,25 @@ object TextQueries {
             sum(CASE WHEN (hv // $FhDims) % 2 = 0 THEN 1 ELSE -1
               END)::BIGINT AS v
           FROM h GROUP BY 1, 2""",
+
+    // classifier replay: same dim/sign derivation as the featurizer,
+    // weight = h15('clf:w:' || dim) % 1001 − 500 inline, one integer
+    // sum per doc; tokenless docs fall back to the bias via the left
+    // join (logit 0 here)
+    "text_classify_quality" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          h AS (SELECT doc_id, ${h15("concat('fh:', t)")} AS hv
+                FROM d, unnest(tk) AS u(t)),
+          s AS (SELECT doc_id,
+                  sum((CASE WHEN (hv // $ClfDims) % 2 = 0
+                       THEN 1 ELSE -1 END) *
+                      (${h15(s"concat('clf:w:', (hv % $ClfDims)::VARCHAR)")}
+                       % 1001 - 500))::BIGINT AS dot
+                FROM h GROUP BY 1)
+          SELECT d.doc_id, COALESCE(dot, 0) AS logit,
+                 COALESCE(dot, 0) > 0 AS keep
+          FROM d LEFT JOIN s USING (doc_id)""",
 
     // significant-terms replay: posting presence, per-source and
     // background df, JLH in the SAME association order
