@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.AvroQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.CorpusQueries.all ++
-      graft.queries.EsAggQueries.all
+      graft.queries.EsAggQueries.all ++
+      graft.queries.EventQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.AvroQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
-      graft.queries.EsAggQueries.oracles
+      graft.queries.EsAggQueries.oracles ++
+      graft.queries.EventQueries.oracles
 }

@@ -257,6 +257,73 @@ object EsAggQueries {
           when(col("p2").isNotNull,
             (col("sum_dec").cast("double") + col("p1").cast("double") +
               col("p2").cast("double")) / 3.0).as("mavg3"))
+    }),
+
+    // ES histogram agg (numeric, interval: 10, min_doc_count: 0) over
+    // purchase values: fixed-width buckets keyed by their lower bound,
+    // empty interior buckets reported with doc_count 0 (ES's contract;
+    // the purchase tail is sparse at every sf so the gap-fill is
+    // non-vacuous). Same shape as es_date_histogram: one fact groupBy,
+    // 1-row bounds aggregate (allowlisted), bucket-grain gap-fill join.
+    "es_histogram" -> ((s, dir) => {
+      val per = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(floor(col("value") / lit(10.0)).cast("long").as("b"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).as("sum_dec"))
+      val bounds = per.agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+      val spine = bounds.select(
+        explode(sequence(col("mn"), col("mx"))).as("bb"))
+      spine.join(broadcast(per), col("bb") === col("b"), "left_outer")
+        .select((col("bb").cast("double") * lit(10.0)).as("key"),
+          coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+          (col("sum_dec").cast("double") /
+            col("doc_count").cast("double")).as("avg_value"))
+    }),
+
+    // ES rare_terms agg (field: user_id, max_doc_count: 55) — the
+    // long-tail complement of terms: buckets whose doc_count is AT MOST
+    // the cutoff. One map-side-combined groupBy; the filter runs on the
+    // user-grain aggregate frame. (ES implements this with a CuckooFilter
+    // and documents it as approximate; the exact groupBy is strictly
+    // better and cheap in a batch engine.)
+    "es_rare_terms" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("doc_count"))
+        .filter(col("doc_count") <= 55L)),
+
+    // ES bucket_script + bucket_selector pipeline: per-day buckets
+    // compute avg = sum/count (bucket_script), buckets failing
+    // avg > 50.0 are dropped (bucket_selector). The HAVING runs on the
+    // day-grain aggregate frame; the division is one shared double
+    // expression.
+    "es_bucket_selector" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).as("sum_dec"))
+        .withColumn("avg_value",
+          col("sum_dec").cast("double") / col("doc_count").cast("double"))
+        .filter(col("avg_value") > 50.0)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("doc_count"), col("avg_value"))),
+
+    // ES serial_diff pipeline agg (lag: 7) over the daily histogram —
+    // the week-over-week deseasonalizer (derivative is its lag-1
+    // special case). Null for the first 7 buckets, as ES skips them.
+    // Day-grain window input (allowlisted).
+    "es_serial_diff" -> ((s, dir) => {
+      val perDay = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(dec(col("value"))).as("sum_dec"))
+      val w = Window.orderBy(col("d"))
+      perDay
+        .withColumn("p7", lag(col("sum_dec"), 7).over(w))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("sum_dec").cast("double").as("sum_value"),
+          (col("sum_dec").cast("double") - col("p7").cast("double"))
+            .as("diff7"))
     })
   )
 
@@ -388,6 +455,40 @@ object EsAggQueries {
                  sv - p1 AS deriv,
                  CASE WHEN p2 IS NOT NULL
                    THEN (sv + p1 + p2) / 3.0 END AS mavg3
-          FROM lagged"""
+          FROM lagged""",
+    "es_histogram" ->
+      s"""WITH per AS (
+            SELECT CAST(floor(value / 10.0) AS BIGINT) AS b,
+                   count(*) AS doc_count,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          bounds AS (SELECT min(b) AS mn, max(b) AS mx FROM per),
+          spine AS (
+            SELECT unnest(generate_series(mn, mx)) AS bb FROM bounds)
+          SELECT CAST(bb AS DOUBLE) * 10.0 AS key,
+                 coalesce(doc_count, 0) AS doc_count,
+                 ${dd("sum_dec")} / CAST(doc_count AS DOUBLE) AS avg_value
+          FROM spine LEFT JOIN per ON bb = b""",
+    "es_rare_terms" ->
+      """SELECT user_id, count(*) AS doc_count
+         FROM events GROUP BY 1 HAVING count(*) <= 55""",
+    "es_bucket_selector" ->
+      s"""SELECT strftime(d, '%Y-%m-%d') AS day, doc_count, avg_value
+          FROM (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS doc_count,
+                   ${dd("sum(CAST(value AS DECIMAL(28,10)))")} /
+                     CAST(count(*) AS DOUBLE) AS avg_value
+            FROM events GROUP BY 1)
+          WHERE avg_value > 50.0""",
+    "es_serial_diff" ->
+      s"""WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1)
+          SELECT strftime(d, '%Y-%m-%d') AS day,
+                 ${dd("sum_dec")} AS sum_value,
+                 ${dd("sum_dec")} -
+                   ${dd("lag(sum_dec, 7) OVER (ORDER BY d)")} AS diff7
+          FROM per_day"""
   )
 }

@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Behavioral event analytics — the Kibana/ES workloads a product team
+  * runs over the injected event stream (the reference exists to feed
+  * exactly these dashboards; see kafka-elasticsearch-injector README).
+  * Three classics that the ES aggregation DSL cannot express in one
+  * request, served natively:
+  *
+  *  - funnel: ordered step conversion (view → click → purchase), each
+  *    step inside a 24 h window after the previous step's first hit
+  *  - retention: weekly signup cohorts × activity-week offsets
+  *  - anomaly: hour-buckets whose event count sits more than 2σ from
+  *    the per-type mean, with `min_doc_count: 0` gap-fill so silent
+  *    hours are flaggable (an outage IS the anomaly that matters)
+  *
+  * Determinism: every cross-engine timestamp comparison happens on
+  * epoch MILLISECONDS (the reference's own unit — Spark `unix_millis`
+  * ≡ DuckDB `epoch_ms`, both floor positive epochs), week/hour math is
+  * integer, and the anomaly gate is the divisionless integer form of
+  * z² > 4: `(n·x − S)² > 4·(n·Q − S²)` over BIGINT counts — exact at
+  * any partitioning. (At 100 TB the squares warrant DECIMAL(38,0) or a
+  * plain double z-score — counts here keep BIGINT exact by miles.)
+  *
+  * Scale shape: each query's only fact-sized exchange is one hash
+  * exchange on `user_id` (funnel/retention windows — reused by the
+  * following user-grain aggregate) or one `(type, hour)` groupBy
+  * (anomaly). Everything downstream runs on user-grain or
+  * calendar-bounded frames; the funnel's final 3-counter rollup and the
+  * anomaly hour spine are 1-row aggregates (allowlisted), never the
+  * data.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Step window: a step counts only within 24 h of the previous one. */
+  private val StepWindowMs = 86400000L
+  /** bucket_selector-style threshold for the anomaly gate's z². */
+  private val ZSq = 4L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  val all: Map[String, Q] = Map(
+    // Earliest-chain funnel: t1 = first view; t2 = first click in
+    // (t1, t1+24h]; t3 = first purchase in (t2, t2+24h]. The three
+    // chained conditional mins are whole-partition window aggregates
+    // over ONE user_id exchange; the user-grain groupBy reuses that
+    // partitioning, so the fact shuffles exactly once.
+    "events_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"))
+      val wu = Window.partitionBy(col("user_id"))
+      val chained = e
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("t"))).over(wu))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("t") > col("t1") &&
+            col("t") <= col("t1") + StepWindowMs, col("t"))).over(wu))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("t") > col("t2") &&
+            col("t") <= col("t2") + StepWindowMs, col("t"))).over(wu))
+      val perUser = chained.groupBy(col("user_id"))
+        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+          min(col("t3")).as("t3"))
+      // count(col) skips nulls: users that reached each step
+      val counts = perUser.agg(count(col("t1")).as("s1"),
+        count(col("t2")).as("s2"), count(col("t3")).as("s3"))
+      counts
+        .select(expr(
+          "stack(3, 'view', s1, 'click', s2, 'purchase', s3) " +
+            "AS (step, n_users)"), col("s1"))
+        .select(col("step"), col("n_users"),
+          (col("n_users").cast("double") / col("s1").cast("double"))
+            .as("conv"))
+    }),
+
+    // Weekly signup cohorts: cohort = Monday of the user's FIRST signup;
+    // every later event lands in cohort-relative week floor(days/7).
+    // Window min + filter + groupBy — the user exchange is reused, the
+    // (cohort, offset) re-shuffle is the countDistinct's own key.
+    "events_retention" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"), unix_millis(col("ts")).as("t"))
+      val wu = Window.partitionBy(col("user_id"))
+      val withCohort = e.withColumn("signup_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(wu))
+        .filter(col("signup_ts").isNotNull &&
+          col("t") >= unix_millis(col("signup_ts")))
+      withCohort
+        .select(col("user_id"),
+          date_format(date_trunc("week", col("signup_ts")), "yyyy-MM-dd")
+            .as("cohort_week"),
+          expr("cast(datediff(to_date(ts), " +
+            "to_date(date_trunc('week', signup_ts))) as bigint) div 7")
+            .as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Count anomalies per (event_type, hour) with empty buckets
+    // gap-filled to 0 (a silent hour is the outage signal). Flag iff
+    // (n·x − S)² > 4·(n·Q − S²) — z² > 4 with the divisions multiplied
+    // through, so the gate is exact BIGINT arithmetic. The only
+    // fact-sized exchange is the (type, hour) groupBy; spine bounds are
+    // a 1-row aggregate (allowlisted) and every later frame is
+    // calendar × type bounded.
+    "events_anomaly" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hourly = e
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+        .agg(count(lit(1)).as("x"))
+      val bounds = e.agg(min(date_trunc("hour", col("ts"))).as("mn"),
+        max(date_trunc("hour", col("ts"))).as("mx"))
+      val spineH = bounds.select(explode(
+        sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hh"))
+      val types = e.select(col("event_type")).distinct()
+      val spine = types.crossJoin(broadcast(spineH))
+      // filled feeds BOTH the stats aggregate and the final join; without
+      // the barrier each consumer re-runs the whole fact groupBy (and the
+      // 1-row bounds aggregate — the sweep counts the subtree copies).
+      // The frame is calendar × type bounded, so the checkpoint is tiny.
+      val filled = spine
+        .join(broadcast(hourly), Seq("event_type", "hh"), "left_outer")
+        .select(col("event_type"), col("hh"),
+          coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint(false)
+      val st = filled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("q"))
+      val dev = col("n") * col("x") - col("s")
+      filled.join(broadcast(st), Seq("event_type"))
+        .filter(dev * dev > lit(ZSq) * (col("n") * col("q") -
+          col("s") * col("s")))
+        .select(col("event_type"),
+          date_format(col("hh"), "yyyy-MM-dd HH:00:00").as("bucket"),
+          col("x").as("doc_count"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      s"""WITH u AS (
+            SELECT user_id,
+                   min(epoch_ms(ts)) FILTER (WHERE event_type = 'view')
+                     AS t1
+            FROM events GROUP BY 1),
+          c AS (
+            SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+            FROM events e JOIN u USING (user_id)
+            WHERE e.event_type = 'click' AND epoch_ms(e.ts) > u.t1
+              AND epoch_ms(e.ts) <= u.t1 + $StepWindowMs
+            GROUP BY 1),
+          p AS (
+            SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t2
+              AND epoch_ms(e.ts) <= c.t2 + $StepWindowMs
+            GROUP BY 1),
+          s AS (SELECT (SELECT count(t1) FROM u) AS s1,
+                       (SELECT count(*) FROM c) AS s2,
+                       (SELECT count(*) FROM p) AS s3)
+          SELECT step, n_users,
+                 CAST(n_users AS DOUBLE) / CAST(s1 AS DOUBLE) AS conv
+          FROM (SELECT 'view' AS step, s1 AS n_users, s1 FROM s
+                UNION ALL SELECT 'click', s2, s1 FROM s
+                UNION ALL SELECT 'purchase', s3, s1 FROM s)""",
+    "events_retention" ->
+      """WITH u AS (
+           SELECT user_id,
+                  min(ts) FILTER (WHERE event_type = 'signup') AS st
+           FROM events GROUP BY 1)
+         SELECT strftime(date_trunc('week', u.st), '%Y-%m-%d')
+                  AS cohort_week,
+                CAST(date_diff('day',
+                    CAST(date_trunc('week', u.st) AS DATE),
+                    CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_offset,
+                count(DISTINCT e.user_id) AS n_users
+         FROM events e JOIN u USING (user_id)
+         WHERE u.st IS NOT NULL AND epoch_ms(e.ts) >= epoch_ms(u.st)
+         GROUP BY 1, 2""",
+    "events_anomaly" ->
+      s"""WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hh,
+                   count(*) AS x
+            FROM events GROUP BY 1, 2),
+          b AS (SELECT min(date_trunc('hour', ts)) AS mn,
+                       max(date_trunc('hour', ts)) AS mx FROM events),
+          sp AS (
+            SELECT t.event_type, s.hh
+            FROM (SELECT DISTINCT event_type FROM events) t,
+                 (SELECT unnest(generate_series(mn, mx,
+                    INTERVAL 1 HOUR)) AS hh FROM b) s),
+          f AS (
+            SELECT sp.event_type, sp.hh, coalesce(h.x, 0) AS x
+            FROM sp LEFT JOIN h
+              ON sp.event_type = h.event_type AND sp.hh = h.hh),
+          st AS (
+            SELECT event_type, count(*) AS n, sum(x) AS s,
+                   sum(x * x) AS q
+            FROM f GROUP BY 1)
+          SELECT f.event_type,
+                 strftime(f.hh, '%Y-%m-%d %H:00:00') AS bucket,
+                 f.x AS doc_count
+          FROM f JOIN st USING (event_type)
+          WHERE (n * x - s) * (n * x - s) > $ZSq * (n * q - s * s)"""
+  )
+}

@@ -377,5 +377,10 @@ object PlanSpec {
     "es_filters_agg" -> 1,    // the filters agg IS a 1-row global agg
     "es_adjacency_matrix" -> 1, // same shape: 1-row conditional agg
     "es_derivative" -> 1,     // pipeline window over the day-grain frame
-    "es_cumulative_sum" -> 1) // same day-grain pipeline window
+    "es_cumulative_sum" -> 1, // same day-grain pipeline window
+    "es_histogram" -> 1,      // 1-row min/max bounds for the bucket spine
+    "es_serial_diff" -> 1,    // lag-7 window over the day-grain frame
+    "events_funnel" -> 1)     // final 3-counter rollup (1 row)
+    // (events_anomaly's 1-row bounds aggregate runs behind its
+    // checkpoint barrier, so the swept plan shows none)
 }
