@@ -31,6 +31,17 @@ object PortableHash {
   def h15(seed: Int, s: Column): Column =
     h15(concat(lit(s"$seed:"), s))
 
+  /** Driver/executor-side Scala replica of [[h15]], for model state built
+    * or probed outside a Column expression (broadcast weight maps etc.).
+    * Must stay bit-identical to the Column and DuckDB forms.
+    */
+  def h15Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** DuckDB SQL fragment equivalents, used when assembling oracle SQL. */
   def duckH15(sqlExpr: String): String =
     s"('0x' || substring(md5($sqlExpr), 1, 15))::BIGINT"

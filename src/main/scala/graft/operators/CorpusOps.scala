@@ -1005,6 +1005,111 @@ object CorpusOps {
       .withColumn("keep", col("avg_prob") >= lit(keepAbove))
   }
 
+  // --------------------------------------------------- DSIR resampling
+
+  /** Hashed-feature space size for the DSIR model. 2^12 buckets bound
+    * the model at 4096 rows at ANY corpus size (DSIR's own device for
+    * keeping the n-gram LMs O(buckets), Xie et al. 2023 §3).
+    */
+  val DsirBuckets = 4096
+
+  /** Clip denominator for the resampling gate: keep probability is
+    * nscore / DsirClip, i.e. a doc at 2× the average target/raw ratio
+    * (nscore = 2e6) is kept with probability 1 — clipped importance
+    * sampling.
+    */
+  val DsirClip = 2000000L
+
+  /** Offline DSIR importance model (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): bucket counts of
+    * hashed unigram features for a TARGET domain slice vs the RAW
+    * corpus, both in ONE hash aggregate. The hashed space bounds the
+    * model at [[DsirBuckets]] rows regardless of corpus size — a 100 TB
+    * run still collects a broadcast-able model. The corpus itself never
+    * shuffles; only bucket-grain partials do (map-side combine).
+    */
+  def dsirModel(isTarget: Column, buckets: Int = DsirBuckets)(
+      docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(isTarget.as("__t"),
+        explode(TextOps.tokens(col("text"))).as("__tok"))
+      .groupBy(pmod(graft.functions.PortableHash.h15(
+        concat(lit("dsir:"), col("__tok"))), lit(buckets.toLong))
+        .as("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("c_target"),
+        count(lit(1)).as("c_raw"))
+
+  /** Per-bucket fixed-point importance weights from the collected model:
+    * `floor(1e6 · p_target(b) / p_raw(b))` under add-one smoothing.
+    * DSIR proper works in log space and sums log-ratios; `ln` is not an
+    * exactly-rounded IEEE op (engines disagree in the last ulp, which a
+    * bit-exact oracle hash catches), so the weight keeps the ratio
+    * LINEAR — summing per-token ratios instead of log-ratios preserves
+    * the "more target-like ⇒ higher score" direction (arithmetic
+    * instead of geometric mean), with division/multiplication/floor all
+    * exactly rounded. The expression tree here is interpolated verbatim
+    * into the oracle SQL — association order matters.
+    */
+  def dsirWeights(model: Seq[(Long, Long, Long)],
+      buckets: Int = DsirBuckets): Map[Long, Long] = {
+    val t = model.map(_._2).sum
+    val r = model.map(_._3).sum
+    val tb = (t + buckets).toDouble
+    val rb = (r + buckets).toDouble
+    model.map { case (b, ct, cr) =>
+      b -> math.floor(1000000.0 *
+        (((ct + 1).toDouble * rb) / ((cr + 1).toDouble * tb))).toLong
+    }.toMap
+  }
+
+  /** ONLINE DSIR scoring + resampling: each doc's score is the integer
+    * sum of its tokens' bucket weights (order-free), nscore the mean
+    * per-token ratio (integer div), and the keep gate is hash-Bernoulli
+    * with probability nscore/[[DsirClip]] — deterministic importance
+    * resampling, reproducible across engines and partitionings. Pure
+    * per-row map over broadcast model state ⇒ zero shuffles, batch ≡
+    * streaming (train-offline/apply-online split). `defaultW` prices
+    * buckets absent from the model — impossible when scoring the
+    * modeled corpus itself (raw counts cover every scored token), real
+    * for fresh streamed docs.
+    */
+  def dsirScore(weights: Map[Long, Long], defaultW: Long,
+      buckets: Int = DsirBuckets, clipAt: Long = DsirClip)(
+      docs: DataFrame): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(weights)
+    val b = buckets.toLong
+    val score = udf { (text: String) =>
+      if (text == null) (0L, 0L)
+      else {
+        val toks = tokenizeLikeSpark(text)
+        var fp = 0L
+        var i = 0
+        while (i < toks.length) {
+          val bucket = graft.functions.PortableHash
+            .h15Jvm("dsir:" + toks(i)) % b
+          fp += bc.value.getOrElse(bucket, defaultW)
+          i += 1
+        }
+        (toks.length.toLong, fp)
+      }
+    }
+    docs
+      .withColumn("__s", score(col("text")))
+      .select(col("doc_id"),
+        col("__s._1").as("n_tokens"),
+        col("__s._2").as("score_fp"),
+        // ANSI guard: token-less docs (null text) get a null mean, the
+        // oracle's left-join null for the same rows
+        when(col("__s._1") > 0, expr("__s._2 div __s._1"))
+          .otherwise(lit(null).cast("long")).as("nscore_fp"))
+      .withColumn("keep",
+        when(col("n_tokens") > 0,
+          pmod(graft.functions.PortableHash.h15(
+            concat(lit("dsirkeep:"), col("doc_id").cast("string"))),
+            lit(clipAt)) < col("nscore_fp"))
+          .otherwise(lit(false)))
+  }
+
   // ------------------------------------------------------ mixture sampling
 
   /** Data-mixture rebalancing: downsample each source so every source

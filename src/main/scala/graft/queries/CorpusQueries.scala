@@ -39,6 +39,9 @@ object CorpusQueries {
   // train/val/test split fractions (test = remainder)
   private val TrainPct = 80
   private val ValPct = 10
+  // DSIR target-domain slice: sources playing the "wiki-like" corpus
+  // the importance weights steer toward
+  private val DsirTargets = Seq("src0", "src1", "src2")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -109,6 +112,31 @@ object CorpusQueries {
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
         .toMap
       CorpusOps.bigramLmScore(vocab, model, VocabV, LmKeepAbove)(d)
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // bucket counts for the target sources vs the whole corpus (model
+    // bounded at 4096 rows by construction), per-doc mean target/raw
+    // ratio in fixed point, keep gate = hash-Bernoulli with probability
+    // nscore/2e6 — deterministic clipped importance sampling. Offline
+    // model is one hash aggregate; online scoring is a pure broadcast-
+    // model map (zero shuffles, batch ≡ streaming).
+    "corpus_dsir_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = CorpusOps.dsirModel(
+        col("source").isin(DsirTargets: _*))(d)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val w = CorpusOps.dsirWeights(model)
+      // defaultW prices never-seen buckets (ct=0, cr=0 smoothing);
+      // unreachable when scoring the modeled corpus itself
+      val t = model.map(_._2).sum
+      val r = model.map(_._3).sum
+      val defaultW = math.floor(1000000.0 *
+        (((r + CorpusOps.DsirBuckets).toDouble) /
+          ((t + CorpusOps.DsirBuckets).toDouble))).toLong
+      CorpusOps.dsirScore(w, defaultW)(d)
     }),
 
     // Vocabulary growth / lexical-diversity dashboard per source: exact
@@ -318,6 +346,44 @@ object CorpusQueries {
           FROM sh s JOIN e USING (sh)
           WHERE NOT s.is_eval
           GROUP BY s.doc_id""",
+    "corpus_dsir_sample" -> {
+      val targets = DsirTargets.map(s => s"'$s'").mkString(", ")
+      val B = CorpusOps.DsirBuckets
+      s"""WITH bkt AS (
+            SELECT doc_id, source,
+                   ${h15("concat('dsir:', t)")} % $B AS b
+            FROM (SELECT doc_id, source, unnest($toks) AS t
+                  FROM documents)),
+          cnt AS (
+            SELECT b,
+                   sum(CASE WHEN source IN ($targets) THEN 1 ELSE 0
+                     END)::BIGINT AS ct,
+                   count(*)::BIGINT AS cr
+            FROM bkt GROUP BY b),
+          tot AS (SELECT sum(ct)::BIGINT AS ttot,
+                         sum(cr)::BIGINT AS rtot FROM cnt),
+          w AS (
+            SELECT b,
+                   floor(1000000.0 *
+                     ((CAST(ct + 1 AS DOUBLE) *
+                       CAST(rtot + $B AS DOUBLE)) /
+                      (CAST(cr + 1 AS DOUBLE) *
+                       CAST(ttot + $B AS DOUBLE))))::BIGINT AS w
+            FROM cnt CROSS JOIN tot),
+          sc AS (
+            SELECT bkt.doc_id, count(*)::BIGINT AS n,
+                   sum(w.w)::BIGINT AS fp
+            FROM bkt JOIN w USING (b) GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(sc.n, 0) AS n_tokens,
+                 coalesce(sc.fp, 0) AS score_fp,
+                 sc.fp // sc.n AS nscore_fp,
+                 CASE WHEN coalesce(sc.n, 0) > 0
+                   THEN ${h15("concat('dsirkeep:', d.doc_id::VARCHAR)")}
+                     % ${CorpusOps.DsirClip} < (sc.fp // sc.n)
+                   ELSE false END AS keep
+          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+    },
     "corpus_oov_ratio" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
           v AS (SELECT t FROM (
