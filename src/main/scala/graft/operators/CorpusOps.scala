@@ -389,9 +389,17 @@ object CorpusOps {
     * append ≡ rebuild bit-exactly with no stats-reconciliation step.
     * (A production variant would checkpoint the df/stats aggregate
     * between searches; that is a cache, not part of the contract.)
+    *
+    * The store lives under a [[graft.sources.IndexManifest]] manifest:
+    * builds and compactions publish a NEW version directory and
+    * atomically swap the pointer, so a crash mid-rewrite can never
+    * leave the index absent or half-written (the window the flat
+    * delete-then-rename compactors document). Appends write into the
+    * CURRENT version — legal here because stats derive from the rows.
     */
   def buildBm25Index(docs: DataFrame, dir: String): Unit =
-    bm25Postings(docs).write.mode("overwrite").parquet(s"$dir/tf")
+    graft.sources.IndexManifest.publish(docs.sparkSession, dir)(vdir =>
+      bm25Postings(docs).write.mode("overwrite").parquet(s"$vdir/tf"))
 
   /** PRECONDITION: the batch must contain only doc_ids NOT already in
     * the index — re-appending an id stores a second posting row per
@@ -403,17 +411,40 @@ object CorpusOps {
     * the reference's ES `create` sink enforces.
     */
   def appendToBm25Index(newDocs: DataFrame, dir: String): Unit =
-    bm25Postings(newDocs).write.mode("append").parquet(s"$dir/tf")
+    bm25Postings(newDocs).write.mode("append").parquet(
+      s"${graft.sources.IndexManifest.resolve(newDocs.sparkSession, dir)}/tf")
 
   /** Small-files maintenance after repeated appends: rewrite the
     * posting table clustered on (term, doc_id) — the df aggregate and
     * query-term probes then read term-clustered row groups. Row-
     * identical, so searches are unchanged (and the index stays
-    * append ≡ rebuild).
+    * append ≡ rebuild). Published as a NEW manifest version + atomic
+    * pointer swap — readers mid-search keep the old version's file
+    * list; the previous version survives until the post-swap prune's
+    * grace window (keep=2) passes.
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
-    DedupOps.compactFlatTable(spark, s"$dir/tf", Seq("term", "doc_id"))
+      dir: String): Unit = {
+    val im = graft.sources.IndexManifest
+    val cur = s"${im.resolve(spark, dir)}/tf"
+    im.publish(spark, dir) { vdir =>
+      spark.read.parquet(cur)
+        .repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$vdir/tf")
+    }
+    im.prune(spark, dir, keep = 2)
+  }
+
+  /** Posting scan of the CURRENT manifest version — the one read path
+    * every persisted-index search shares. Resolution happens at plan
+    * build; the resolved directory's files are immutable, so the scan
+    * is consistent even if a compaction publishes mid-query.
+    */
+  private def readTf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(
+      s"${graft.sources.IndexManifest.resolve(spark, dir)}/tf")
 
   /** Search the persisted index: identical scoring tail over the stored
     * postings — raw document text is never touched.
@@ -421,7 +452,7 @@ object CorpusOps {
   def searchBm25Index(spark: org.apache.spark.sql.SparkSession,
       dir: String, queryTerms: Seq[(Long, String)], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25RankFromTf(spark.read.parquet(s"$dir/tf"), queryTerms, k, k1, b)
+    bm25RankFromTf(readTf(spark, dir), queryTerms, k, k1, b)
 
   /** The whole search DSL over ONE stored posting index: fuzzy, prefix,
     * more-like-this, and bool searches share the BM25 index's posting
@@ -433,20 +464,20 @@ object CorpusOps {
     */
   def searchFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: Seq[(Long, String)], k: Int): DataFrame =
-    fuzzySearchFromTf(spark.read.parquet(s"$dir/tf"), queries, k)
+    fuzzySearchFromTf(readTf(spark, dir), queries, k)
 
   def searchPrefixIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: Seq[(Long, String)], k: Int): DataFrame =
-    prefixSearchFromTf(spark.read.parquet(s"$dir/tf"), queries, k)
+    prefixSearchFromTf(readTf(spark, dir), queries, k)
 
   def searchMltIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, seeds: Seq[(Long, Long)], m: Int, k: Int,
       scale: Double = MltScale): DataFrame =
-    moreLikeThisFromTf(spark.read.parquet(s"$dir/tf"), seeds, m, k, scale)
+    moreLikeThisFromTf(readTf(spark, dir), seeds, m, k, scale)
 
   def searchBoolIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: Seq[BoolQuery], k: Int): DataFrame =
-    boolSearchFromTf(spark.read.parquet(s"$dir/tf"), queries, k)
+    boolSearchFromTf(readTf(spark, dir), queries, k)
 
   // ---------------------------------------------------------- phrase search
 

@@ -327,12 +327,18 @@ class TextDedupSpec extends SparkSpec {
     val mem = CorpusOps.bm25Search(qs, 3)(all)
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5).toSeq
     assert(persisted == mem && persisted.nonEmpty)
-    // compaction: term-clustered rewrite, fewer files, search unchanged
-    val filesBefore = new java.io.File(s"$dir/tf").listFiles()
+    // compaction: term-clustered rewrite published as a NEW manifest
+    // version (atomic pointer swap, no delete-then-rename window) —
+    // fewer files, search unchanged
+    import graft.sources.IndexManifest
+    def tfFiles() = new java.io.File(
+      s"${IndexManifest.resolve(spark, dir)}/tf").listFiles()
       .count(_.getName.endsWith(".parquet"))
+    val filesBefore = tfFiles()
+    assert(IndexManifest.currentVersion(spark, dir).contains(1))
     CorpusOps.compactBm25Index(spark, dir)
-    val filesAfter = new java.io.File(s"$dir/tf").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    assert(IndexManifest.currentVersion(spark, dir).contains(2))
+    val filesAfter = tfFiles()
     val compacted = CorpusOps.searchBm25Index(spark, dir, qs, 3)
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._5).toSeq
     assert(compacted == mem && filesAfter < filesBefore)
