@@ -221,22 +221,28 @@ object DedupOps {
     * a driver-side model.
     */
   def buildMinhashStore(docs: DataFrame, dir: String, k: Int = 2,
-      bands: Int = 8, rows: Int = 2): Unit = {
-    val sets = mhSets(docs, k)
-    sets.write.mode("overwrite").parquet(s"$dir/sets")
-    mhBands(sets, bands, rows).write.mode("overwrite")
-      .parquet(s"$dir/bands")
-  }
+      bands: Int = 8, rows: Int = 2): Unit =
+    graft.sources.IndexManifest.publish(docs.sparkSession, dir) { vdir =>
+      val sets = mhSets(docs, k)
+      sets.write.mode("overwrite").parquet(s"$vdir/sets")
+      mhBands(sets, bands, rows).write.mode("overwrite")
+        .parquet(s"$vdir/bands")
+    }
 
   /** Append a batch's fingerprints to an existing store (the ingest
     * epilogue after [[incrementalNearDupPairs]] has flagged it).
+    * In-place into the CURRENT manifest version; sets land before
+    * bands, so a crash between the two writes leaves orphaned set rows
+    * that can never be candidates (missed-alert window for that batch,
+    * resolved by re-appending after dedup) — never a false pair.
     */
   def appendToMinhashStore(newDocs: DataFrame, dir: String, k: Int = 2,
       bands: Int = 8, rows: Int = 2): Unit = {
+    val vdir = graft.sources.IndexManifest.resolve(newDocs.sparkSession, dir)
     val sets = mhSets(newDocs, k)
-    sets.write.mode("append").parquet(s"$dir/sets")
+    sets.write.mode("append").parquet(s"$vdir/sets")
     mhBands(sets, bands, rows).write.mode("append")
-      .parquet(s"$dir/bands")
+      .parquet(s"$vdir/bands")
   }
 
   /** Small-files maintenance after repeated appends (the [[graft
@@ -250,8 +256,30 @@ object DedupOps {
     */
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    compactFlatTable(spark, s"$dir/sets", Seq("doc_id"))
-    compactFlatTable(spark, s"$dir/bands", Seq("band", "band_key"))
+    val im = graft.sources.IndexManifest
+    val cur = im.resolve(spark, dir)
+    // BOTH tables rewrite into one new version behind ONE atomic pointer
+    // swap — the old per-table delete-then-rename could crash between
+    // the two and leave sets/bands from different compactions live
+    im.publish(spark, dir) { vdir =>
+      rewriteClustered(spark, s"$cur/sets", s"$vdir/sets", Seq("doc_id"))
+      rewriteClustered(spark, s"$cur/bands", s"$vdir/bands",
+        Seq("band", "band_key"))
+    }
+    im.prune(spark, dir, keep = 2)
+  }
+
+  /** Range-partition + sort one table into a new location (the
+    * clustered-rewrite half of [[compactFlatTable]], for manifest-
+    * versioned stores where the swap is the manifest's job).
+    */
+  private def rewriteClustered(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String, keys: Seq[String]): Unit = {
+    val kc = keys.map(col)
+    spark.read.parquet(from)
+      .repartitionByRange(kc: _*)
+      .sortWithinPartitions(kc: _*)
+      .write.mode("overwrite").parquet(to)
   }
 
   /** Rewrite one flat (non-partitioned) parquet table range-partitioned
@@ -300,8 +328,9 @@ object DedupOps {
   def incrementalNearDupPairs(newDocs: DataFrame, dir: String, k: Int = 2,
       bands: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val storeSets = spark.read.parquet(s"$dir/sets")
-    val storeBands = spark.read.parquet(s"$dir/bands")
+    val vdir = graft.sources.IndexManifest.resolve(spark, dir)
+    val storeSets = spark.read.parquet(s"$vdir/sets")
+    val storeBands = spark.read.parquet(s"$vdir/bands")
     val nsets = mhSets(newDocs, k)
     val nbands = mhBands(nsets, bands, rows)
     val cand = storeBands

@@ -362,12 +362,17 @@ class TextDedupSpec extends SparkSpec {
     val before = DedupOps.incrementalNearDupPairs(probe, store)
       .as[(Long, Long, Double)].collect().toSet
     assert(before.nonEmpty) // the %4 clones collide across the split
-    val filesBefore = files(s"$store/sets")
+    import graft.sources.IndexManifest
+    def setsFiles() =
+      files(s"${IndexManifest.resolve(spark, store)}/sets")
+    val filesBefore = setsFiles()
     DedupOps.compactMinhashStore(spark, store)
+    // both tables swapped together in one new manifest version
+    assert(IndexManifest.currentVersion(spark, store).contains(2))
     val after = DedupOps.incrementalNearDupPairs(probe, store)
       .as[(Long, Long, Double)].collect().toSet
     assert(after == before)
-    assert(files(s"$store/sets") < filesBefore)
+    assert(setsFiles() < filesBefore)
   }
 
   test("fuzzySearch: SymSpell deletion-join == brute-force levenshtein") {
