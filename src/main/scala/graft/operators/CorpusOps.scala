@@ -426,9 +426,12 @@ object CorpusOps {
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val im = graft.sources.IndexManifest
-    val cur = s"${im.resolve(spark, dir)}/tf"
     im.publish(spark, dir) { vdir =>
-      spark.read.parquet(cur)
+      // readTf still resolves the OLD version here (pointer swaps after
+      // this block): tombstoned postings are purged physically, so the
+      // new version starts tombstone-free (the deletes table is
+      // deliberately not carried over)
+      readTf(spark, dir)
         .repartitionByRange(col("term"), col("doc_id"))
         .sortWithinPartitions(col("term"), col("doc_id"))
         .write.mode("overwrite").parquet(s"$vdir/tf")
@@ -436,15 +439,50 @@ object CorpusOps {
     im.prune(spark, dir, keep = 2)
   }
 
+  /** Delete documents from the persisted index by id — the ES
+    * delete-by-id half of the index lifecycle (the reference's sink
+    * only creates; its ES cluster still serves deletes for GDPR/TTL
+    * retirement, which a native index must match). Ids append to a
+    * TOMBSTONE table in the current version; every search anti-joins
+    * it, and the next [[compactBm25Index]] physically purges the
+    * postings (ES's segment-merge reclaim). A deleted id must not be
+    * re-appended before that purge — the tombstone would swallow the
+    * new rows too (same id-uniqueness precondition as
+    * [[appendToBm25Index]], extended across deletes).
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    docIds.toDF("doc_id").write.mode("append").parquet(
+      s"${graft.sources.IndexManifest.resolve(spark, dir)}/deletes")
+  }
+
   /** Posting scan of the CURRENT manifest version — the one read path
     * every persisted-index search shares. Resolution happens at plan
     * build; the resolved directory's files are immutable, so the scan
-    * is consistent even if a compaction publishes mid-query.
+    * is consistent even if a compaction publishes mid-query. Tombstoned
+    * doc_ids are anti-joined out, so deletes are search-invisible the
+    * moment they land; because df/dl/avgdl derive from the surviving
+    * posting rows at search time, the stats stay consistent with the
+    * post-delete corpus with no reconciliation step.
     */
   private def readTf(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame =
-    spark.read.parquet(
-      s"${graft.sources.IndexManifest.resolve(spark, dir)}/tf")
+      dir: String): DataFrame = {
+    val vdir = graft.sources.IndexManifest.resolve(spark, dir)
+    val tf = spark.read.parquet(s"$vdir/tf")
+    tombstones(spark, vdir) match {
+      case Some(dead) => tf.join(dead, Seq("doc_id"), "left_anti")
+      case None => tf
+    }
+  }
+
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+      vdir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$vdir/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
 
   /** Search the persisted index: identical scoring tail over the stored
     * postings — raw document text is never touched.

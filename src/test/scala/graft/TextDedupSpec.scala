@@ -344,6 +344,36 @@ class TextDedupSpec extends SparkSpec {
     assert(compacted == mem && filesAfter < filesBefore)
   }
 
+  test("BM25 index deletes: tombstone hides, compaction purges") {
+    import graft.operators.CorpusOps
+    import graft.sources.IndexManifest
+    val d = Seq((1L, "rare common common"), (2L, "common common"),
+      (3L, "rare pad pad pad")).toDF("doc_id", "text")
+    val qs = Seq(0L -> "rare", 1L -> "common")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bm25-del").toString + "/idx"
+    CorpusOps.buildBm25Index(d, dir)
+    CorpusOps.deleteFromBm25Index(spark, dir, Seq(2L))
+    def got() = CorpusOps.searchBm25Index(spark, dir, qs, 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._5)).toSeq
+    // search-invisible immediately, with df/dl/avgdl of the SURVIVING
+    // corpus (scores must equal an index never containing doc 2)
+    val want = CorpusOps.bm25Search(qs, 10)(d.filter($"doc_id" =!= 2L))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._5)).toSeq
+    assert(got() == want && want.nonEmpty)
+    assert(got().map(_._2).forall(_ != 2L))
+    // compaction physically purges and drops the tombstone table
+    CorpusOps.compactBm25Index(spark, dir)
+    assert(got() == want)
+    val vdir = IndexManifest.resolve(spark, dir)
+    assert(!new java.io.File(s"$vdir/deletes").exists())
+    val ids = spark.read.parquet(s"$vdir/tf")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 3L))
+  }
+
   test("compactMinhashStore leaves probes identical with fewer files") {
     def files(d: String) = new java.io.File(d).listFiles()
       .count(_.getName.endsWith(".parquet"))
