@@ -158,6 +158,32 @@ object StreamingPipeline {
           .as("avg_punct_ratio"))
   }
 
+  /** Live anomaly alerting — the streaming dual of the batch
+    * `events_anomaly` query: watermarked tumbling counts per
+    * (event_type, window), joined to the OFFLINE-trained per-type
+    * profile (the batch query's (n, S, Q) stats frame, broadcast), and
+    * flagged with the same divisionless integer gate
+    * `(n·x − S)² > 4·(n·Q − S²)` — train-offline/apply-online, exact
+    * BIGINT arithmetic in both worlds. Append mode: an alert fires when
+    * its hour closes under the watermark. Silent hours don't emit in a
+    * stream (no rows arrive to close them) — the batch query's gap-fill
+    * covers those from the profile side.
+    */
+  def streamingAnomaly(stats: DataFrame, timeCol: String,
+      windowLen: String, watermarkDelay: String)(
+      events: DataFrame): DataFrame = {
+    val dev = col("n") * col("x") - col("s")
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(window(col(timeCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .join(broadcast(stats), Seq("event_type"))
+      .filter(dev * dev > lit(4L) * (col("n") * col("q") -
+        col("s") * col("s")))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("x").as("doc_count"))
+  }
+
   /** Streaming sessionization: the streaming dual of the batch
     * `events_sessionize` query (gaps-and-islands, same inactivity gap),
     * expressed with `session_window` so state is merged incrementally per

@@ -633,6 +633,75 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batched && streamed == Map(1L -> true, 2L -> false))
   }
 
+  test("DSIR gate scores a live stream through the offline model (batch ≡ streaming)") {
+    import graft.operators.CorpusOps
+    // offline: model trained on the standing corpus (target = doc 1)
+    val corpus = Seq((1L, "alpha beta beta"), (2L, "gamma gamma delta"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val model = CorpusOps.dsirModel($"doc_id" <= 1L)(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val w = CorpusOps.dsirWeights(model)
+    val t = model.map(_._2).sum; val r = model.map(_._3).sum
+    val defaultW = math.floor(1000000.0 *
+      ((r + CorpusOps.DsirBuckets).toDouble /
+        (t + CorpusOps.DsirBuckets).toDouble)).toLong
+    // online: fresh docs, one made ONLY of never-modeled tokens — the
+    // defaultW path a batch-replay oracle can't reach
+    val fresh = Seq((10L, "alpha beta"), (11L, "zzz qqq"))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(fresh)
+    val out = Files.createTempDirectory("graft-dsir").toString
+    val q = CorpusOps.dsirScore(w, defaultW)(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dsir_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dsir_out")
+      .select($"doc_id", $"n_tokens", $"score_fp", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val batched = CorpusOps.dsirScore(w, defaultW)(
+        fresh.toDF("doc_id", "text"))
+      .select($"doc_id", $"n_tokens", $"score_fp", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed == batched)
+    // the unseen-vocabulary doc was priced entirely at defaultW
+    assert(streamed.exists(r => r._1 == 11L && r._3 == 2 * defaultW))
+  }
+
+  test("anomaly alerts fire on a live stream against the offline profile") {
+    import graft.streaming.StreamingPipeline
+    // offline profile: 'click' averages 2/hour over a 4-hour history
+    // (n=4, S=8, Q=18 ⇒ variance 1/2); 9 clicks in one hour is a
+    // blowout, 2 is business as usual
+    val stats = Seq(("click", 4L, 8L, 18L)).toDF("event_type", "n", "s", "q")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp)]
+    def t(s: String) = Timestamp.valueOf(s)
+    stream.addData(
+      (1 to 9).map(i => ("click", t(s"2024-03-05 10:0$i:00"))) ++
+        Seq(("click", t("2024-03-05 11:01:00")),
+          ("click", t("2024-03-05 11:02:00"))))
+    val out = Files.createTempDirectory("graft-anom").toString
+    val q = StreamingPipeline.streamingAnomaly(
+        stats, "ts", "1 hour", "30 minutes")(
+        stream.toDF().toDF("event_type", "ts"))
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/cp").start()
+    try {
+      stream.addData(Seq(("click", t("2024-03-05 23:00:00")))) // close windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val alerts = spark.table("anom_out")
+      .select(date_format($"window_start", "HH:mm"), $"doc_count")
+      .as[(String, Long)].collect().toSet
+    // gate: (4x-8)^2 > 4*(4*18-64) = 32 → |x-2| > 1.41: hour 10 (x=9)
+    // alerts, hour 11 (x=2) is quiet
+    assert(alerts == Set(("10:00", 9L)))
+  }
+
   test("contamination gate drops benchmark-overlapping docs in-stream") {
     import graft.operators.CorpusOps
     // offline: the eval set's distinct 4-shingles (tiny here; a real
