@@ -260,12 +260,14 @@ object SimilarityOps {
   def buildIndex(corpus: DataFrame, centFrame: DataFrame, dir: String)
       : Unit = {
     val cents = collectCents(centFrame)
-    assignHome(cents)(withNorm(corpus))
-      .write.mode("overwrite").partitionBy("cell").parquet(dir)
     val spark = corpus.sparkSession
-    import spark.implicits._
-    cents.toDF("cent_id", "cent_emb")
-      .write.mode("overwrite").parquet(centroidsDir(dir))
+    graft.sources.IndexManifest.publish(spark, dir) { vdir =>
+      assignHome(cents)(withNorm(corpus))
+        .write.mode("overwrite").partitionBy("cell").parquet(vdir)
+      import spark.implicits._
+      cents.toDF("cent_id", "cent_emb")
+        .write.mode("overwrite").parquet(centroidsDir(dir))
+    }
   }
 
   /** Append new vectors to an existing [[buildIndex]] directory: assign
@@ -279,7 +281,8 @@ object SimilarityOps {
     val spark = newVecs.sparkSession
     val cents = collectCents(spark.read.parquet(centroidsDir(dir)))
     assignHome(cents)(withNorm(newVecs))
-      .write.mode("append").partitionBy("cell").parquet(dir)
+      .write.mode("append").partitionBy("cell").parquet(
+        graft.sources.IndexManifest.resolve(spark, dir))
   }
 
   /** Compact an index directory after repeated [[appendToIndex]] /
@@ -288,35 +291,27 @@ object SimilarityOps {
     * thousands of small files per cell — the classic small-files tax on
     * every subsequent probed-cell scan. Hash-repartitioning on the cell
     * key lands each cell wholly in one task, so the rewrite leaves ONE
-    * file per cell (rows vec_id-sorted for scan locality); the swap is
-    * write-aside + delete + rename — a maintenance-window operation,
-    * like the rebuild it replaces. Model side tables are untouched.
+    * file per cell (rows vec_id-sorted for scan locality); the rewrite
+    * publishes a NEW manifest version behind one atomic pointer swap —
+    * no window where the live index is absent, and readers mid-search
+    * keep their resolved version until the post-swap prune's grace
+    * window passes. Model side tables are untouched.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val tmp = dir.stripSuffix("/") + "_compacting"
-    // cell leads the sort: the partitioned write REQUIRES task rows
-    // ordered by the partition column (V1Writes would insert a second
-    // sort otherwise), and vec_id within it makes the per-file order
-    // contractual rather than an artifact of sort stability
-    spark.read.parquet(dir)
-      .repartition(col("cell"))
-      .sortWithinPartitions(col("cell"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    // same swap discipline as DedupOps.compactFlatTable: Hadoop FS
-    // returns false on failure (a false rename would nest tmp inside
-    // the live index) — treat both as hard errors
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(hconf)
-    if (!fs.delete(p, true))
-      throw new java.io.IOException(
-        s"compactIndex: could not delete $dir (compacted data " +
-          s"preserved at $tmp)")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
-      throw new java.io.IOException(
-        s"compactIndex: rename $tmp -> $dir failed (compacted data " +
-          s"preserved at $tmp)")
+    val im = graft.sources.IndexManifest
+    val cur = im.resolve(spark, dir)
+    im.publish(spark, dir) { vdir =>
+      // cell leads the sort: the partitioned write REQUIRES task rows
+      // ordered by the partition column (V1Writes would insert a second
+      // sort otherwise), and vec_id within it makes the per-file order
+      // contractual rather than an artifact of sort stability
+      spark.read.parquet(cur)
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(vdir)
+    }
+    im.prune(spark, dir, keep = 2)
   }
 
   /** Scan of an index directory restricted to the probed cells: the
@@ -329,7 +324,7 @@ object SimilarityOps {
       dir: String, qcells: DataFrame): DataFrame = {
     val probed = qcells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(dir)
+    spark.read.parquet(graft.sources.IndexManifest.resolve(spark, dir))
       .filter(col("cell").isInCollection(probed))
       .withColumn("cell", col("cell").cast("long"))
   }
@@ -363,19 +358,21 @@ object SimilarityOps {
       books: Seq[Seq[Seq[Double]]], dir: String): Unit = {
     val cents = collectCents(centFrame)
     val m = books.length
-    assignHome(cents)(withNorm(corpus))
-      .select(col("vec_id") +: col("cell") +:
-        (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
-      .write.mode("overwrite").partitionBy("cell").parquet(dir)
     val spark = corpus.sparkSession
-    import spark.implicits._
-    cents.toDF("cent_id", "cent_emb")
-      .write.mode("overwrite").parquet(centroidsDir(dir))
-    books.zipWithIndex
-      .flatMap { case (b, j) => b.zipWithIndex.map { case (c, i) =>
-        (j, i + 1, c) } }
-      .toDF("j", "code", "cvec")
-      .write.mode("overwrite").parquet(booksDir(dir))
+    graft.sources.IndexManifest.publish(spark, dir) { vdir =>
+      assignHome(cents)(withNorm(corpus))
+        .select(col("vec_id") +: col("cell") +:
+          (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
+        .write.mode("overwrite").partitionBy("cell").parquet(vdir)
+      import spark.implicits._
+      cents.toDF("cent_id", "cent_emb")
+        .write.mode("overwrite").parquet(centroidsDir(dir))
+      books.zipWithIndex
+        .flatMap { case (b, j) => b.zipWithIndex.map { case (c, i) =>
+          (j, i + 1, c) } }
+        .toDF("j", "code", "cvec")
+        .write.mode("overwrite").parquet(booksDir(dir))
+    }
   }
 
   /** Reload the codebooks side table as driver model state (m × nc ×
@@ -405,7 +402,8 @@ object SimilarityOps {
     assignHome(cents)(withNorm(newVecs))
       .select(col("vec_id") +: col("cell") +:
         (0 until m).map(j => pqCodeCol(books, j).as(s"__c$j")): _*)
-      .write.mode("append").partitionBy("cell").parquet(dir)
+      .write.mode("append").partitionBy("cell").parquet(
+        graft.sources.IndexManifest.resolve(spark, dir))
   }
 
   /** Search a [[buildIvfPqIndex]] directory: probe cells + ADC tables
@@ -768,22 +766,27 @@ object SimilarityOps {
       model: (Seq[Double], Seq[Double]), dir: String): Unit = {
     val (mns, mxs) = model
     val spark = corpus.sparkSession
-    import spark.implicits._
-    mns.indices.map(i => (i, mns(i), mxs(i))).toDF("i", "mn", "mx")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
-    corpus.select(col("vec_id"),
-        sq8Codes(mns, mxs)(col("embedding")).as("code"))
-      .write.mode("overwrite").parquet(s"$dir/codes")
+    // model + codes publish together under one pointer swap
+    graft.sources.IndexManifest.publish(spark, dir) { vdir =>
+      import spark.implicits._
+      mns.indices.map(i => (i, mns(i), mxs(i))).toDF("i", "mn", "mx")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/model")
+      corpus.select(col("vec_id"),
+          sq8Codes(mns, mxs)(col("embedding")).as("code"))
+        .write.mode("overwrite").parquet(s"$vdir/codes")
+    }
   }
 
   /** Append new vectors through the STORED quantizer (a growing corpus
     * must not re-derive min/max — that would re-encode history).
     */
   def appendToSq8Index(newVecs: DataFrame, dir: String): Unit = {
-    val (mns, mxs) = loadSq8Model(newVecs.sparkSession, dir)
+    val spark = newVecs.sparkSession
+    val vdir = graft.sources.IndexManifest.resolve(spark, dir)
+    val (mns, mxs) = loadSq8Model(spark, vdir)
     newVecs.select(col("vec_id"),
         sq8Codes(mns, mxs)(col("embedding")).as("code"))
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.mode("append").parquet(s"$vdir/codes")
   }
 
   /** Search the persisted index: dequantize the code scan (pure map)
@@ -791,15 +794,16 @@ object SimilarityOps {
     */
   def searchSq8Index(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, k: Int): DataFrame = {
-    val (mns, mxs) = loadSq8Model(spark, dir)
-    sq8Rank(spark.read.parquet(s"$dir/codes")
+    val vdir = graft.sources.IndexManifest.resolve(spark, dir)
+    val (mns, mxs) = loadSq8Model(spark, vdir)
+    sq8Rank(spark.read.parquet(s"$vdir/codes")
       .select(col("vec_id").as("neighbor_id"),
         sq8Dequantize(mns, mxs)(col("code")).as("dq")), queries, k)
   }
 
   private def loadSq8Model(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Seq[Double], Seq[Double]) = {
-    val rows = spark.read.parquet(s"$dir/model").orderBy(col("i"))
+      vdir: String): (Seq[Double], Seq[Double]) = {
+    val rows = spark.read.parquet(s"$vdir/model").orderBy(col("i"))
       .collect()
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }

@@ -204,13 +204,17 @@ class AsofJoinSpec extends SparkSpec {
     def rows() = SimilarityOps.searchIndex(spark, dir, q, 2)
       .select($"query_id", $"neighbor_id", $"rank", $"cos")
       .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
-    def filesPerCell() = new java.io.File(dir).listFiles
+    def filesPerCell() = new java.io.File(
+      graft.sources.IndexManifest.resolve(spark, dir)).listFiles
       .filter(_.getName.startsWith("cell=")).map(d =>
         d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
       .toMap
     val before = rows()
     assert(filesPerCell().values.exists(_ > 1), "appends made no files")
     SimilarityOps.compactIndex(spark, dir)
+    // the compaction published a new version atomically
+    assert(graft.sources.IndexManifest
+      .currentVersion(spark, dir).contains(2))
     val fpc = filesPerCell()
     assert(fpc.nonEmpty && fpc.values.forall(_ == 1), fpc.toString)
     assert(rows().sameElements(before), "compaction changed the result")
