@@ -818,14 +818,26 @@ object CorpusOps {
       queries: Seq[BoolQuery], dir: String): Unit =
     writePercolate(spark, queries, dir, "append")
 
+  /** Build publishes both tables under one manifest pointer swap;
+    * append writes terms-then-meta into the current version — a crash
+    * between the two leaves clause rows without meta, which can only
+    * UNDER-alert (the verdict tail's meta join gates emission), never
+    * fire falsely. Recovery: re-append the batch after reconciling ids.
+    */
   private def writePercolate(spark: org.apache.spark.sql.SparkSession,
       queries: Seq[BoolQuery], dir: String, mode: String): Unit = {
     validateBoolQueries(queries)
     import spark.implicits._
-    clauseRows(queries).toDF("query_id", "term", "kind")
-      .write.mode(mode).parquet(s"$dir/terms")
-    metaRows(queries).toDF("query_id", "must_req", "min_should")
-      .write.mode(mode).parquet(s"$dir/meta")
+    def writeTables(vdir: String): Unit = {
+      clauseRows(queries).toDF("query_id", "term", "kind")
+        .write.mode(mode).parquet(s"$vdir/terms")
+      metaRows(queries).toDF("query_id", "must_req", "min_should")
+        .write.mode(mode).parquet(s"$vdir/meta")
+    }
+    if (mode == "overwrite")
+      graft.sources.IndexManifest.publish(spark, dir)(writeTables)
+    else
+      writeTables(graft.sources.IndexManifest.resolve(spark, dir))
   }
 
   /** Match an arriving document batch against the stored registry.
@@ -839,8 +851,9 @@ object CorpusOps {
   def percolate(spark: org.apache.spark.sql.SparkSession, dir: String,
       k: Int)(docs: DataFrame): DataFrame = {
     val tf = DedupOps.materialize(bm25Postings(docs))
-    val qt = spark.read.parquet(s"$dir/terms")
-    val meta = spark.read.parquet(s"$dir/meta")
+    val vdir = graft.sources.IndexManifest.resolve(spark, dir)
+    val qt = spark.read.parquet(s"$vdir/terms")
+    val meta = spark.read.parquet(s"$vdir/meta")
     boolVerdictTail(qt.join(broadcast(tf), Seq("term")), meta, k,
       broadcastCandidates = true)
   }
