@@ -309,6 +309,26 @@ object EsAggQueries {
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("doc_count"), col("avg_value"))),
 
+    // ES stats_bucket pipeline agg: min/max/avg/sum OF the daily-sum
+    // buckets (sibling-level stats, not doc-level). Day-grain input with
+    // exact decimal bucket sums; the final 1-row aggregate is over ≤
+    // calendar-many rows (allowlisted). min/max of the DOUBLE bucket
+    // values (not of the decimals) so both engines compare the same
+    // IEEE values; avg = decimal-total / count, one shared division.
+    "es_stats_bucket" -> ((s, dir) => {
+      val perDay = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(dec(col("value"))).as("sum_dec"))
+        .select(col("sum_dec").cast("double").as("sv"), col("sum_dec"))
+      perDay.agg(count(lit(1)).as("n_buckets"),
+          min(col("sv")).as("min_bucket"), max(col("sv")).as("max_bucket"),
+          sum(col("sum_dec")).as("tot_dec"))
+        .select(col("n_buckets"), col("min_bucket"), col("max_bucket"),
+          col("tot_dec").cast("double").as("sum_buckets"),
+          (col("tot_dec").cast("double") / col("n_buckets").cast("double"))
+            .as("avg_bucket"))
+    }),
+
     // ES serial_diff pipeline agg (lag: 7) over the daily histogram —
     // the week-over-week deseasonalizer (derivative is its lag-1
     // special case). Null for the first 7 buckets, as ES skips them.
@@ -480,6 +500,18 @@ object EsAggQueries {
                      CAST(count(*) AS DOUBLE) AS avg_value
             FROM events GROUP BY 1)
           WHERE avg_value > 50.0""",
+    "es_stats_bucket" ->
+      s"""WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1)
+          SELECT count(*) AS n_buckets,
+                 min(${dd("sum_dec")}) AS min_bucket,
+                 max(${dd("sum_dec")}) AS max_bucket,
+                 ${dd("sum(sum_dec)")} AS sum_buckets,
+                 ${dd("sum(sum_dec)")} / CAST(count(*) AS DOUBLE)
+                   AS avg_bucket
+          FROM per_day""",
     "es_serial_diff" ->
       s"""WITH per_day AS (
             SELECT CAST(ts AS DATE) AS d,

@@ -104,6 +104,36 @@ object EventQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Next-event transition matrix (the Markov view of user journeys —
+    // what Kibana calls a "path analysis"): per user, events in strict
+    // (ts, event_id) order (the unique id breaks millisecond ties, so
+    // both engines chain identically), counted by (from, to) pair with
+    // the row-probability alongside. One user_id exchange for the lag
+    // window; the (from, to) groupBy runs on 25 keys; the per-from
+    // normalizer is a 5-row broadcast join, the division one shared
+    // double expression.
+    "events_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val pairs = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("t"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        // consumed by the normalizer AND the final join — the barrier
+        // keeps the lag window + fact scan from running twice (the
+        // frame is |types|² rows)
+        .localCheckpoint(false)
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("tot"))
+      pairs.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("p"))
+    }),
+
     // Count anomalies per (event_type, hour) with empty buckets
     // gap-filled to 0 (a silent hour is the outage signal). Flag iff
     // (n·x − S)² > 4·(n·Q − S²) — z² > 4 with the divisions multiplied
@@ -185,6 +215,20 @@ object EventQueries {
          FROM events e JOIN u USING (user_id)
          WHERE u.st IS NOT NULL AND epoch_ms(e.ts) >= epoch_ms(u.st)
          GROUP BY 1, 2""",
+    "events_transitions" ->
+      """WITH pairs AS (
+           SELECT event_type AS from_type,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY epoch_ms(ts), event_id) AS to_type
+           FROM events),
+         cnt AS (
+           SELECT from_type, to_type, count(*) AS n
+           FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (
+           SELECT from_type, sum(n)::BIGINT AS tot FROM cnt GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n,
+                CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+         FROM cnt c JOIN tot t USING (from_type)""",
     "events_anomaly" ->
       s"""WITH h AS (
             SELECT event_type, date_trunc('hour', ts) AS hh,
