@@ -1000,6 +1000,80 @@ object CorpusOps {
         md5(concat_ws(" ", chunk)).as("chunk_hash"))
   }
 
+  // ---------------------------------------------------------- RAG retrieval
+
+  /** End-to-end RAG retrieval: sliding-window chunks embedded with the
+    * vocabulary-free hashing trick (signed token buckets — the
+    * [[TextOps.hashFeatures]] kernel at chunk grain) and ranked by
+    * exact cosine against query documents embedded the SAME way. The
+    * sparse integer representation is the scale story:
+    *
+    *  - chunk vectors are (chunk, dim, weight) rows — one corpus
+    *    explode + one (chunk, dim) aggregate; a dense |chunks|·dims
+    *    matrix never materializes;
+    *  - the dot product is an equi-join on dim against the BROADCAST
+    *    query vectors — the corpus is never shuffled to meet a query;
+    *  - weights, dots, and squared norms are integer sums (order-free,
+    *    oracle-exact); only the final cosine normalization is floating
+    *    point, one expression tree shared with the oracle.
+    *
+    * Query docs are excluded from the chunked corpus side, so a query
+    * never retrieves itself. Zero-norm vectors (all buckets cancelled)
+    * are dropped on both sides — cosine is undefined there.
+    */
+  def ragRetrieve(isQuery: Column, window: Int, stride: Int,
+      dims: Int, k: Int)(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.h15
+    val base = docs.filter(col("text").isNotNull)
+    val sz = size(col("__tk"))
+    val nChunks = (floor((greatest(sz - window, lit(0)) +
+      lit(stride - 1)).cast("double") / lit(stride.toDouble)) + 1)
+      .cast("int")
+    val chunkTerms = base.filter(!isQuery)
+      .select(col("doc_id"), tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), col("__tk"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        explode(slice(col("__tk"), col("chunk_no") * stride + 1,
+          lit(window))).as("term"))
+    def vecs(t: DataFrame, keys: Seq[String]): DataFrame = t
+      .withColumn("hv", h15(concat(lit("rag:"), col("term"))))
+      .groupBy(keys.map(col) :+ (col("hv") % dims).as("dim"): _*)
+      .agg(sum(when(expr(s"(hv div $dims) % 2") === 0, 1L)
+        .otherwise(-1L)).as("v"))
+    // the chunk-vector frame is consumed by the dot join AND its norm
+    // aggregate — materialized once, like every posting table
+    val cv = DedupOps.materialize(
+      vecs(chunkTerms, Seq("doc_id", "chunk_no")))
+    val qv = DedupOps.materialize(vecs(
+      base.filter(isQuery)
+        .select(col("doc_id").as("query_id"),
+          explode(tokens(col("text"))).as("term")),
+      Seq("query_id")))
+    val cn = cv.groupBy(col("doc_id"), col("chunk_no"))
+      .agg(sum(col("v") * col("v")).as("cn"))
+    val qn = qv.groupBy(col("query_id"))
+      .agg(sum(col("v") * col("v")).as("qn"))
+    val dot = cv
+      .join(broadcast(qv.select(col("query_id"), col("dim"),
+        col("v").as("qw"))), Seq("dim"))
+      .groupBy(col("query_id"), col("doc_id"), col("chunk_no"))
+      .agg(sum(col("v") * col("qw")).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"), col("chunk_no"))
+    dot
+      .join(cn, Seq("doc_id", "chunk_no"))
+      .join(broadcast(qn), Seq("query_id"))
+      .filter(col("cn") > 0 && col("qn") > 0)
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("cn").cast("double")) * sqrt(col("qn").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("chunk_no"),
+        col("dot"), col("cos"), col("rank"))
+  }
+
   // -------------------------------------------------------- bigram LM gate
 
   /** The class every out-of-vocabulary token maps to before bigram

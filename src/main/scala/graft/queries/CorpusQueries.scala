@@ -42,6 +42,10 @@ object CorpusQueries {
   // DSIR target-domain slice: sources playing the "wiki-like" corpus
   // the importance weights steer toward
   private val DsirTargets = Seq("src0", "src1", "src2")
+  // RAG retrieval: every 101st doc plays the query set (5 at 500 docs)
+  private val RagQueryMod = 101
+  private val RagDims = 64
+  private val RagK = 3
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -138,6 +142,16 @@ object CorpusQueries {
           ((t + CorpusOps.DsirBuckets).toDouble))).toLong
       CorpusOps.dsirScore(w, defaultW)(d)
     }),
+
+    // End-to-end RAG retrieval: sliding-window chunks (same grid as
+    // corpus_chunk_sliding) embedded via the vocabulary-free hashing
+    // trick, exact-cosine-ranked against query docs embedded the same
+    // way. Sparse integer vectors end to end; query side broadcast;
+    // the only fact exchanges are the chunk-vector aggregate and the
+    // per-(query, chunk) dot re-aggregate.
+    "rag_chunk_retrieval" -> ((s, dir) =>
+      CorpusOps.ragRetrieve(pmod(col("doc_id"), lit(RagQueryMod)) === 0,
+        ChunkW, ChunkS, RagDims, RagK)(docs(s, dir))),
 
     // Vocabulary growth / lexical-diversity dashboard per source: exact
     // distinct tokens anchor the sf-small oracle; the HLL sketch —
@@ -346,6 +360,56 @@ object CorpusQueries {
           FROM sh s JOIN e USING (sh)
           WHERE NOT s.is_eval
           GROUP BY s.doc_id""",
+    "rag_chunk_retrieval" -> {
+      val (wnd, st, b, m) = (ChunkW, ChunkS, RagDims, RagQueryMod)
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          ct AS (
+            SELECT doc_id, t.i::BIGINT AS chunk_no,
+                   unnest(tk[t.i*$st+1 : t.i*$st+$wnd]) AS term
+            FROM (SELECT * FROM d WHERE doc_id % $m <> 0) cd
+            CROSS JOIN LATERAL (
+              SELECT unnest(range(0,
+                (greatest(length(tk) - $wnd, 0) + ${st - 1})
+                  // $st + 1)) AS i) t),
+          cv AS (
+            SELECT doc_id, chunk_no, hv % $b AS dim,
+                   sum(CASE WHEN (hv // $b) % 2 = 0 THEN 1 ELSE -1
+                     END)::BIGINT AS v
+            FROM (SELECT doc_id, chunk_no,
+                    ${h15("concat('rag:', term)")} AS hv FROM ct)
+            GROUP BY 1, 2, 3),
+          qv AS (
+            SELECT query_id, hv % $b AS dim,
+                   sum(CASE WHEN (hv // $b) % 2 = 0 THEN 1 ELSE -1
+                     END)::BIGINT AS v
+            FROM (SELECT doc_id AS query_id,
+                    ${h15("concat('rag:', term)")} AS hv
+                  FROM (SELECT doc_id, unnest(tk) AS term FROM d
+                        WHERE doc_id % $m = 0))
+            GROUP BY 1, 2),
+          cn AS (SELECT doc_id, chunk_no, sum(v*v)::BIGINT AS cn
+                 FROM cv GROUP BY 1, 2),
+          qn AS (SELECT query_id, sum(v*v)::BIGINT AS qn
+                 FROM qv GROUP BY 1),
+          dt AS (
+            SELECT q.query_id, c.doc_id, c.chunk_no,
+                   sum(c.v * q.v)::BIGINT AS dot
+            FROM cv c JOIN qv q USING (dim) GROUP BY 1, 2, 3),
+          sc AS (
+            SELECT dt.query_id, dt.doc_id, dt.chunk_no, dt.dot,
+                   CAST(dot AS DOUBLE) /
+                     (sqrt(CAST(cn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE)))
+                     AS cos
+            FROM dt JOIN cn USING (doc_id, chunk_no)
+                    JOIN qn USING (query_id)
+            WHERE cn > 0 AND qn > 0)
+          SELECT query_id, doc_id, chunk_no, dot, cos, rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, doc_id, chunk_no) AS rank
+                FROM sc)
+          WHERE rank <= $RagK"""
+    },
     "corpus_dsir_sample" -> {
       val targets = DsirTargets.map(s => s"'$s'").mkString(", ")
       val B = CorpusOps.DsirBuckets
