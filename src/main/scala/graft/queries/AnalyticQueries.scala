@@ -258,6 +258,27 @@ object AnalyticQueries {
           ntile(4).over(w).cast("long").as("quartile"))
     }),
 
+    // first/last/nth_value complete the value-window inventory (the
+    // rank family is window_rank_stats/window_ntile). The whole-
+    // partition frame makes first = partition min and last = partition
+    // max of the TOTAL order (unique (orderkey, linenumber) tail, so
+    // both engines see identical row sequences), nth_value(2) the
+    // runner-up.
+    "window_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"),
+          first(col("l_quantity")).over(w).as("min_qty"),
+          last(col("l_quantity")).over(w).as("max_qty"),
+          nth_value(col("l_quantity"), 2).over(w).as("second_qty"))
+    }),
+
     // Stratified deterministic sampling: a different keep-rate per event
     // class (downsample the fire-hose `view`s, keep every rare
     // `purchase`) decided by the portable 60-bit hash — reproducible
@@ -403,6 +424,16 @@ object AnalyticQueries {
          FROM lineitem
          WINDOW w AS (PARTITION BY l_returnflag
                       ORDER BY l_quantity, l_orderkey, l_linenumber)""",
+    "window_first_last" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                first_value(l_quantity) OVER w AS min_qty,
+                last_value(l_quantity) OVER w AS max_qty,
+                nth_value(l_quantity, 2) OVER w AS second_qty
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_quantity, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)""",
     "sample_stratified" ->
       s"""SELECT event_id, user_id, event_type FROM events
           WHERE ${Duck.h15("concat('strat:', event_id::VARCHAR)")} % 100 <

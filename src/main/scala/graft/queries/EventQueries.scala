@@ -134,6 +134,25 @@ object EventQueries {
           (col("n").cast("double") / col("tot").cast("double")).as("p"))
     }),
 
+    // DAU/MAU stickiness: distinct daily actives over distinct
+    // calendar-month actives — the engagement ratio on every product
+    // dashboard. Two countDistinct aggregates (day and month grain);
+    // the month frame broadcasts into the day frame; exact distincts
+    // both (the HLL variant is the corpus_vocab_growth discipline).
+    "events_dau_mau" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val dau = e.groupBy(to_date(col("ts")).as("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = e.groupBy(date_format(col("ts"), "yyyy-MM").as("m"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.withColumn("m", date_format(col("d"), "yyyy-MM"))
+        .join(broadcast(mau), Seq("m"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("mau"),
+          (col("dau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+    }),
+
     // Count anomalies per (event_type, hour) with empty buckets
     // gap-filled to 0 (a silent hour is the outage signal). Flag iff
     // (n·x − S)² > 4·(n·Q − S²) — z² > 4 with the divisions multiplied
@@ -229,6 +248,17 @@ object EventQueries {
          SELECT c.from_type, c.to_type, c.n,
                 CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
          FROM cnt c JOIN tot t USING (from_type)""",
+    "events_dau_mau" ->
+      """WITH dau AS (
+           SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS dau
+           FROM events GROUP BY 1),
+         mau AS (
+           SELECT strftime(ts, '%Y-%m') AS m,
+                  count(DISTINCT user_id) AS mau
+           FROM events GROUP BY 1)
+         SELECT strftime(d, '%Y-%m-%d') AS day, dau, mau,
+                CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+         FROM dau JOIN mau ON strftime(d, '%Y-%m') = m""",
     "events_anomaly" ->
       s"""WITH h AS (
             SELECT event_type, date_trunc('hour', ts) AS hh,

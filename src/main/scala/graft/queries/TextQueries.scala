@@ -33,6 +33,22 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"),
         langId(tokens(col("text"))).as("lang_guess"))),
 
+    // Lang-id evaluation against the table's labeled `lang` column: the
+    // confusion matrix + within-label share — the accuracy dashboard a
+    // curation team keeps for its classifier. One fact groupBy; label
+    // totals broadcast; the share division is one shared expression.
+    "text_langid_confusion" -> ((s, dir) => {
+      val per = docs(s, dir)
+        .select(col("lang"), langId(tokens(col("text"))).as("lid"))
+        .groupBy(col("lang"), col("lid")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // consumed by totals AND the final join
+      val tot = per.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+      per.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("lid"), col("n"),
+          (col("n").cast("double") / col("tot").cast("double"))
+            .as("share"))
+    }),
+
     // Document fingerprinting: exact content hash + min-shingle rolling
     // hash (1-perm MinHash sketch).
     "text_fingerprint" -> ((s, dir) =>
@@ -303,6 +319,13 @@ object TextQueries {
     "text_lang_id" ->
       s"""SELECT doc_id, $langCase AS lang_guess
           FROM documents""",
+    "text_langid_confusion" ->
+      s"""WITH c AS (SELECT lang, $langCase AS lid, count(*) AS n
+                     FROM documents GROUP BY 1, 2),
+          t AS (SELECT lang, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+          SELECT c.lang, c.lid, c.n,
+                 CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+          FROM c JOIN t USING (lang)""",
     "text_fingerprint" ->
       s"""SELECT doc_id,
           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
