@@ -305,13 +305,24 @@ object SimilarityOps {
       // cell leads the sort: the partitioned write REQUIRES task rows
       // ordered by the partition column (V1Writes would insert a second
       // sort otherwise), and vec_id within it makes the per-file order
-      // contractual rather than an artifact of sort stability
-      spark.read.parquet(cur)
+      // contractual rather than an artifact of sort stability.
+      // Tombstoned vectors are purged physically here; the new version
+      // starts with no deletes_v<N+1> table, i.e. tombstone-free.
+      minusTombstones(spark, dir, spark.read.parquet(cur))
         .repartition(col("cell"))
         .sortWithinPartitions(col("cell"), col("vec_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(vdir)
     }
-    im.prune(spark, dir, keep = 2)
+    // retire old versions AND their per-version tombstone tables
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    im.prune(spark, dir, keep = 2).foreach { v =>
+      val dp = new org.apache.hadoop.fs.Path(
+        s"${dir.stripSuffix("/")}/deletes_v$v")
+      if (fs.exists(dp) && !fs.delete(dp, true))
+        throw new java.io.IOException(
+          s"compactIndex: could not clear tombstones at $dp")
+    }
   }
 
   /** Scan of an index directory restricted to the probed cells: the
@@ -320,13 +331,52 @@ object SimilarityOps {
     * column comes back as the inferred int type; normalized to long for
     * the join key.) Shared by both persisted-index search paths.
     */
+  /** Delete vectors from a persisted index by id — GDPR/TTL retirement,
+    * the delete-by-id half of the lifecycle ES provides the reference.
+    * Ids append to a PER-VERSION tombstone table beside the manifest
+    * (the partitioned version directories must stay pure `cell=N`
+    * layout, so the table cannot live inside them; keying it by version
+    * lets an old-version reader keep its tombstones until that version
+    * prunes); every probed scan anti-joins it, making deletes
+    * search-invisible immediately; the next [[compactIndex]] physically
+    * purges the rows and starts the new version tombstone-free. Serves
+    * both [[buildIndex]] and [[buildIvfPqIndex]] stores (shared scan
+    * path). Re-appending a deleted id before the purge is illegal — the
+    * tombstone would swallow the new row too.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    vecIds.toDF("vec_id").write.mode("append")
+      .parquet(tombstoneDir(spark, dir))
+  }
+
+  private def tombstoneDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val v = graft.sources.IndexManifest.currentVersion(spark, dir)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"deleteFromIndex: no index published under $dir"))
+    s"${dir.stripSuffix("/")}/deletes_v$v"
+  }
+
+  private def minusTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String, scan: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(tombstoneDir(spark, dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      scan.join(spark.read.parquet(p.toString).distinct(),
+        Seq("vec_id"), "left_anti")
+    else scan
+  }
+
   private def probedCellScan(spark: org.apache.spark.sql.SparkSession,
       dir: String, qcells: DataFrame): DataFrame = {
     val probed = qcells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(graft.sources.IndexManifest.resolve(spark, dir))
-      .filter(col("cell").isInCollection(probed))
-      .withColumn("cell", col("cell").cast("long"))
+    minusTombstones(spark, dir,
+      spark.read.parquet(graft.sources.IndexManifest.resolve(spark, dir))
+        .filter(col("cell").isInCollection(probed))
+        .withColumn("cell", col("cell").cast("long")))
   }
 
   /** Search a [[buildIndex]] directory: assign probe cells to the query

@@ -220,6 +220,47 @@ class AsofJoinSpec extends SparkSpec {
     assert(rows().sameElements(before), "compaction changed the result")
   }
 
+  test("index deletes: tombstone hides vectors, compaction purges them") {
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val all = Seq(
+      0L -> v(1.0, 0.05), 1L -> v(1.0, 0.1), 2L -> v(0.9, 0.0),
+      10L -> v(0.05, 1.0), 11L -> v(0.0, 0.95), 12L -> v(0.1, 1.0))
+    val full = all.toDF("vec_id", "embedding")
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"vec_id" === 2L || $"vec_id" === 12L)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_emb"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-del").toString + "/idx"
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-ivf-delB").toString + "/idx"
+    SimilarityOps.buildIndex(full, cents(full), dir)
+    SimilarityOps.deleteFromIndex(spark, dir, Seq(1L))
+    // reference: an index that never contained vector 1
+    SimilarityOps.buildIndex(
+      all.filterNot(_._1 == 1L).toDF("vec_id", "embedding"),
+      cents(full), dirB)
+    val q = full.filter($"vec_id" === 0L || $"vec_id" === 10L)
+    def rows(d: String) = SimilarityOps.searchIndex(spark, d, q, 2)
+      .select($"query_id", $"neighbor_id", $"rank", $"cos")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val want = rows(dirB)
+    assert(want.nonEmpty && want.forall(_._2 != 1L))
+    assert(rows(dir).sameElements(want)) // hidden immediately
+    SimilarityOps.compactIndex(spark, dir)
+    assert(rows(dir).sameElements(want)) // still gone after the purge
+    // physically purged; the new version is tombstone-free while v1
+    // keeps its table for old readers inside the keep=2 grace window
+    val data = spark.read.parquet(
+      graft.sources.IndexManifest.resolve(spark, dir))
+    assert(!data.select($"vec_id").as[Long].collect().contains(1L))
+    assert(!new java.io.File(s"$dir/deletes_v2").exists())
+    assert(new java.io.File(s"$dir/deletes_v1").exists())
+    // the second compaction retires v1 and clears its tombstones with it
+    SimilarityOps.compactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/deletes_v1").exists())
+    assert(rows(dir).sameElements(want))
+  }
+
   test("hash sampling is deterministic, salted, and monotone in percent") {
     val ids = (0L until 1000L).toDF("doc_id")
     def sample(pct: Int, salt: String) = ids
