@@ -309,6 +309,35 @@ object EsAggQueries {
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("doc_count"), col("avg_value"))),
 
+    // ES auto_date_histogram (buckets: 25): the interval is CHOSEN from
+    // the rounding ladder (hour → day → week) as the smallest unit
+    // whose bucket count fits the target — replayed deterministically
+    // in both engines from the 1-row min/max span (integer division
+    // only; allowlisted). The data's 30-day span lands on 'week' at
+    // every sf; the ladder logic itself is what the oracle re-derives.
+    "es_auto_date_histogram" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val choice = e
+        .agg(min(unix_millis(col("ts"))).as("mn"),
+          max(unix_millis(col("ts"))).as("mx"))
+        .select(
+          when(expr("(mx - mn) div 3600000") + 1 <= 25, "hour")
+            .when(expr("(mx - mn) div 86400000") + 1 <= 25, "day")
+            .otherwise("week").as("unit"))
+      e.crossJoin(broadcast(choice))
+        .groupBy(col("unit"),
+          when(col("unit") === "hour",
+            date_format(date_trunc("hour", col("ts")),
+              "yyyy-MM-dd HH:00:00"))
+            .when(col("unit") === "day",
+              date_format(date_trunc("day", col("ts")),
+                "yyyy-MM-dd 00:00:00"))
+            .otherwise(date_format(date_trunc("week", col("ts")),
+              "yyyy-MM-dd 00:00:00")).as("bucket"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
     // ES stats_bucket pipeline agg: min/max/avg/sum OF the daily-sum
     // buckets (sibling-level stats, not doc-level). Day-grain input with
     // exact decimal bucket sums; the final 1-row aggregate is over ≤
@@ -500,6 +529,24 @@ object EsAggQueries {
                      CAST(count(*) AS DOUBLE) AS avg_value
             FROM events GROUP BY 1)
           WHERE avg_value > 50.0""",
+    "es_auto_date_histogram" ->
+      s"""WITH b AS (SELECT min(epoch_ms(ts)) AS mn, max(epoch_ms(ts))
+                       AS mx FROM events),
+          u AS (SELECT CASE
+                  WHEN (mx - mn) // 3600000 + 1 <= 25 THEN 'hour'
+                  WHEN (mx - mn) // 86400000 + 1 <= 25 THEN 'day'
+                  ELSE 'week' END AS unit FROM b)
+          SELECT unit,
+                 CASE unit
+                   WHEN 'hour' THEN strftime(date_trunc('hour', ts),
+                     '%Y-%m-%d %H:00:00')
+                   WHEN 'day' THEN strftime(date_trunc('day', ts),
+                     '%Y-%m-%d 00:00:00')
+                   ELSE strftime(date_trunc('week', ts),
+                     '%Y-%m-%d 00:00:00') END AS bucket,
+                 count(*) AS doc_count,
+                 ${dd("sum(CAST(value AS DECIMAL(28,10)))")} AS sum_value
+          FROM events CROSS JOIN u GROUP BY 1, 2""",
     "es_stats_bucket" ->
       s"""WITH per_day AS (
             SELECT CAST(ts AS DATE) AS d,

@@ -381,6 +381,7 @@ object PlanSpec {
     "es_histogram" -> 1,      // 1-row min/max bounds for the bucket spine
     "es_serial_diff" -> 1,    // lag-7 window over the day-grain frame
     "es_stats_bucket" -> 1,   // final 1-row stats over day-grain buckets
+    "es_auto_date_histogram" -> 1, // 1-row span for the interval ladder
     "events_funnel" -> 1)     // final 3-counter rollup (1 row)
     // (events_anomaly's 1-row bounds aggregate runs behind its
     // checkpoint barrier, so the swept plan shows none)
