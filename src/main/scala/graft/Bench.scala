@@ -71,69 +71,70 @@ object Bench {
     "text_token_count", "topk_orders", "window_lag_lead",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
-  /** The round-8 registered set (135 queries), pinned for rounds 9+
-    * (`standing_r8_total`) — adds the derived-partsupp TPC-H quartet,
-    * the recall gate, the source-quality/mixture corpus queries, the
-    * persisted nprobe=2 search, the bigram-LM/chunking corpus ops,
-    * semantic dedup, SQ8 (in-memory + persisted)/knn-graph ANN, BM25 +
-    * phrase search, the leak-proof split, and incremental store dedup
-    * on top of the r7 basket.
+  /** The FINAL round-8 registered set (163 queries), pinned for rounds
+    * 9+ (`standing_r8_total`) — everything in the library at the end of
+    * r8: the derived-partsupp TPC-H quartet, recall gate, corpus-prep
+    * and mixture families, the full persisted-index tier (IVF/IVF+PQ/
+    * SQ8/BM25/MinHash/percolator), the complete ES search + aggregation
+    * DSL, graph analytics, event analytics (funnel/retention/anomaly/
+    * transitions/DAU-MAU), DSIR resampling, and RAG chunk retrieval.
     */
   val standingSetR8: Set[String] = Set(
     "anti_join_customers", "approx_user_stats", "asof_join_orders",
-    "band_join_followups", "corpus_bigram_lm",
-    "corpus_chunk_sliding", "corpus_contamination",
-    "corpus_curation", "corpus_gopher_gate",
-    "corpus_mixture_epochs",
+    "band_join_followups", "corpus_bigram_lm", "corpus_chunk_sliding",
+    "corpus_contamination", "corpus_curation", "corpus_dsir_sample",
+    "corpus_gopher_gate", "corpus_mixture_epochs",
     "corpus_mixture_sample", "corpus_mixture_temperature",
-    "corpus_oov_ratio",
-    "corpus_pack_sequences", "corpus_quality_funnel",
-    "corpus_segment_dedup", "corpus_vocab_growth",
+    "corpus_oov_ratio", "corpus_pack_sequences",
+    "corpus_quality_funnel", "corpus_segment_dedup",
     "corpus_shard_order", "corpus_source_quality", "corpus_split",
-    "corpus_tfidf_terms", "corr_qty_price", "cube_daily",
-    "d2_schema_id", "d3_avro_decode", "d3_avro_rich",
+    "corpus_tfidf_terms", "corpus_vocab_growth", "corr_qty_price",
+    "cube_daily", "d2_schema_id", "d3_avro_decode", "d3_avro_rich",
     "d4_json_decode", "d5_nil_filter", "d6_malformed_skip",
-    "dedup_canonical", "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_duplicate_spans", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
-    "dedup_simhash_pairs", "entry_pipeline",
-    "events_sessionize", "graph_clustering", "graph_pagerank",
-    "grouping_sets_day_type",
-    "histogram_value", "k2_dedup_create", "k2_dedup_window",
-    "m1_consumer_lag", "m2_throughput", "mm_decode_features",
-    "mm_frame_sample", "mm_resize", "percentile_price",
-    "pivot_type_day", "q10_returned_items", "q11_important_stock",
-    "q12_priority_lines", "q13_order_counts", "q14_promo_effect",
-    "q15_top_supplier", "q16_part_supplier_counts",
-    "q17_small_qty_revenue", "q18_large_orders", "q19_disjunctive",
-    "q1_pricing_summary", "q20_promo_suppliers",
-    "q21_sole_late_supplier", "q22_idle_balance",
-    "q2_min_cost_supplier", "q3_shipping_priority",
+    "dedup_canonical", "dedup_clusters", "dedup_duplicate_spans",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
+    "dedup_simhash", "dedup_simhash_pairs", "entry_pipeline",
+    "es_adjacency_matrix", "es_auto_date_histogram",
+    "es_bucket_selector", "es_composite_page", "es_cumulative_sum",
+    "es_date_histogram", "es_derivative", "es_extended_stats",
+    "es_filters_agg", "es_histogram", "es_percentiles", "es_range_agg",
+    "es_rare_terms", "es_serial_diff", "es_stats_bucket",
+    "es_terms_top_hits", "events_anomaly", "events_dau_mau",
+    "events_funnel", "events_retention", "events_sessionize",
+    "events_transitions", "graph_clustering", "graph_dedup_density",
+    "graph_pagerank", "grouping_sets_day_type", "histogram_value",
+    "k2_dedup_create", "k2_dedup_window", "m1_consumer_lag",
+    "m2_throughput", "mm_decode_features", "mm_frame_sample",
+    "mm_resize", "percentile_price", "pivot_type_day",
+    "q10_returned_items", "q11_important_stock", "q12_priority_lines",
+    "q13_order_counts", "q14_promo_effect", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_disjunctive", "q1_pricing_summary",
+    "q20_promo_suppliers", "q21_sole_late_supplier",
+    "q22_idle_balance", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_late_shipping", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "r1_routing_value", "r2_bucket_day", "r2_bucket_hour",
     "r3_index_column_route", "r3_index_route", "r4_doc_id",
-    "r4_doc_id_column", "rollup_daily", "sample_hash",
-    "sample_stratified", "semi_join_parts", "set_except",
-    "set_intersect", "sim_bruteforce_topk", "sim_ivf_kmeans",
-    "sim_ivf_persisted", "sim_ivf_persisted_probe2",
+    "r4_doc_id_column", "rag_chunk_retrieval", "rollup_daily",
+    "sample_hash", "sample_stratified", "semi_join_parts",
+    "set_except", "set_intersect", "sim_bruteforce_topk",
+    "sim_ivf_kmeans", "sim_ivf_persisted", "sim_ivf_persisted_probe2",
     "sim_ivf_probe2", "sim_ivf_topk", "sim_ivfpq_persisted",
     "sim_ivfpq_topk", "sim_kmeans_cells", "sim_knn_graph",
-    "sim_pq_kmeans",
-    "sim_pq_topk", "sim_recall_at_k", "sim_sq8_persisted", "sim_sq8_topk",
-    "sim_srp_multiprobe",
+    "sim_pq_kmeans", "sim_pq_topk", "sim_recall_at_k",
+    "sim_sq8_persisted", "sim_sq8_topk", "sim_srp_multiprobe",
     "sim_srp_topk", "skew_join_salted", "t1_timestamp_inject",
     "t2_key_avro", "t2_key_include", "t2_key_json", "t3_blacklist",
-    "text_fingerprint", "text_hash_features", "text_lang_id",
-    "text_quality",
-    "text_redact", "text_repetition", "text_significant_terms",
-    "text_search_bm25",
-    "text_search_bm25_persisted", "text_search_bool",
-    "text_search_fuzzy", "text_search_highlight", "text_search_mlt",
-    "text_search_phrase", "text_search_prefix",
-    "text_token_count",
-    "topk_orders", "window_lag_lead", "window_ntile",
+    "text_classify_quality", "text_fingerprint", "text_hash_features",
+    "text_lang_id", "text_langid_confusion", "text_percolate",
+    "text_quality", "text_redact", "text_repetition",
+    "text_search_bm25", "text_search_bm25_persisted",
+    "text_search_bool", "text_search_fuzzy", "text_search_highlight",
+    "text_search_mlt", "text_search_phrase", "text_search_prefix",
+    "text_significant_terms", "text_token_count", "topk_orders",
+    "window_first_last", "window_lag_lead", "window_ntile",
     "window_rank_stats", "window_rolling_sum", "window_supplier_rank")
 
   def main(args: Array[String]): Unit = {

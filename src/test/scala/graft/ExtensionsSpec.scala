@@ -79,6 +79,6 @@ class ExtensionsSpec extends SparkSpec {
       val ghosts = basket -- registered
       assert(ghosts.isEmpty, s"$name basket names unknown queries: $ghosts")
     }
-    assert(Bench.standingSetR8.size == 135)
+    assert(Bench.standingSetR8.size == 163)
   }
 }
