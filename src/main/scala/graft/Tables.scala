@@ -50,20 +50,31 @@ object Tables {
       mk: => DataFrame): DataFrame =
     spreadCache.getOrElseUpdate((spark, dir, name), spread(spark, mk))
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects outright. Read it as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to a µs timestamp
-    * with integer division — `ts div 1000` stays in long arithmetic, so no
-    * double-mantissa precision loss on ~1.7e18 nano values. Downstream
-    * comparisons are at ms precision (the reference's own unit).
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
+    * outright — read as long nanos via spark.sql.legacy.parquet.nanosAsLong
+    * and truncate with integer division, no double-mantissa loss) and plain
+    * TIMESTAMP(MICROS) (read natively). Branch on the decoded type so both
+    * generations load identically; downstream comparisons are at ms
+    * precision (the reference's own unit).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cachedSpread(spark, dir, "events") {
-      load(spark, dir, "events")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = load(spark, dir, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ parquet (isAdjustedToUTC=false). Sessions pin UTC, so the
+          // cast is wall-clock-preserving and matches DuckDB's naive read;
+          // downstream code (unix_millis, window()) needs TIMESTAMP.
+          raw.withColumn("ts",
+            raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
