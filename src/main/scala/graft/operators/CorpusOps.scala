@@ -1472,4 +1472,120 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  // ------------------------------------------------- BPE tokenizer training
+
+  /** Initial BPE symbol string for a word: characters separated by
+    * single spaces plus the `</w>` word-end marker (the classic
+    * Sennrich/GPT-2 formulation). `regexp_replace` with a capture group
+    * inserts the separators identically in Spark and DuckDB.
+    */
+  private def bpeInitSym(word: Column): Column =
+    concat(trim(regexp_replace(word, "(.)", "$1 ")), lit(" </w>"))
+
+  /** One greedy left-to-right merge pass: adjacent (l, r) symbol pairs
+    * collapse into l+r, non-overlapping, scanning left to right — in a
+    * run of overlapping matches (p1 == p2) every OTHER occurrence
+    * applies, exactly the classic BPE apply rule. Expressed as a fold
+    * (`functions.aggregate`): append each symbol; when the accumulator
+    * tail equals `l` and the incoming symbol is `r`, replace the tail
+    * with the merged symbol. The fold is greedy-correct because a just-
+    * merged tail (l+r, both non-empty) can never equal `l` again, so a
+    * consumed symbol cannot re-merge within the pass. Pure array
+    * expression — no UDF, no shuffle.
+    */
+  private[graft] def bpeMergePass(syms: Column, l: String, r: String)
+      : Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, t) =>
+        // try_element_at: NULL on the empty accumulator (ANSI-safe),
+        // and NULL === l is NULL ⇒ the otherwise branch — no predicate
+        // short-circuit assumption needed.
+        when(try_element_at(acc, lit(-1)) === lit(l) && t === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(t))))
+
+  /** Train `k` BPE merges on the corpus — the tokenizer-training half of
+    * a pre-training pipeline, on the word-frequency formulation: BPE
+    * statistics are a function of the (word, count) table, so the ONLY
+    * corpus-scale operation is the first tokenize + word-count shuffle
+    * (map-side combined). Everything after runs on the vocabulary frame,
+    * which is model-bounded (distinct words, Zipf-bounded in any natural
+    * corpus) — each iteration is one vocab-grain pair-count aggregate,
+    * one 1-row argmax (count desc, pair asc — deterministic at any
+    * partitioning), and one pure-map merge apply, localCheckpointed so
+    * iteration i+1 does not re-run iteration i's fold tower.
+    *
+    * Returns (rank, lhs, rhs, merged, freq) — the learned merge table,
+    * k rows of model state.
+    */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame =
+    bpeTrain(docs, k)._1
+
+  /** [[bpeMerges]] plus the final per-word segmentation
+    * (word, cnt, sym) — the trained tokenizer state that
+    * [[bpeTokenCounts]] applies online.
+    */
+  private[graft] def bpeTrain(docs: DataFrame, k: Int)
+      : (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        split(bpeInitSym(col("word")), " ").as("syms"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (i <- 1 to k) {
+      // the `when` guards single-symbol words: Spark's sequence(0, -1)
+      // would generate a DESCENDING ramp (and element_at(_, 0) throws
+      // under ANSI), so 1-symbol rows contribute an empty pair array
+      val best = vocab
+        .select(col("cnt"), explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(0), size(col("syms")) - 2),
+              j => struct(element_at(col("syms"), j + 1).as("l"),
+                element_at(col("syms"), j + 2).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("f"))
+        .orderBy(col("f").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val row = best.head
+        val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((i.toLong, l, r, l + r, f))
+        vocab = vocab
+          .withColumn("syms", bpeMergePass(col("syms"), l, r))
+          .localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    (merges.result().toDF("rank", "lhs", "rhs", "merged", "freq"), vocab)
+  }
+
+  /** ONLINE apply of the trained tokenizer: per-document word count and
+    * BPE token count under the learned segmentation. The trained vocab
+    * is the broadcast model (word → symbol count); the corpus side is a
+    * narrow explode + broadcast join + per-doc sum — the corpus never
+    * shuffles on the word key. Documents with no tokens (null text)
+    * report 0/0.
+    */
+  def bpeTokenCounts(docs: DataFrame, trainedVocab: DataFrame): DataFrame = {
+    val model = broadcast(
+      trainedVocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_sym")))
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(model, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "right_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
 }

@@ -46,6 +46,8 @@ object CorpusQueries {
   private val RagQueryMod = 101
   private val RagDims = 64
   private val RagK = 3
+  // BPE merges learned by corpus_bpe_merges / applied by _tokenize
+  private val BpeK = 8
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -297,7 +299,26 @@ object CorpusQueries {
     // exact duplicates can never straddle splits (see
     // CorpusOps.splitLeakproof). Pure scan-side map, zero shuffles.
     "corpus_split" -> ((s, dir) =>
-      CorpusOps.splitLeakproof(TrainPct, ValPct)(docs(s, dir)))
+      CorpusOps.splitLeakproof(TrainPct, ValPct)(docs(s, dir))),
+
+    // BPE tokenizer training (Sennrich-style, word-frequency
+    // formulation): the k highest-frequency adjacent-symbol merges,
+    // learned iteratively. The only corpus-scale operation is the one
+    // word-count shuffle; each of the k iterations runs on the
+    // model-bounded vocabulary frame (see CorpusOps.bpeMerges). The
+    // oracle replays every iteration — pair counts, deterministic
+    // argmax, and the greedy left-to-right merge apply (gaps-and-islands
+    // replay of the Spark-side fold).
+    "corpus_bpe_merges" -> ((s, dir) =>
+      CorpusOps.bpeMerges(docs(s, dir), BpeK)),
+
+    // ...and the trained tokenizer applied back to the corpus: per-doc
+    // word and BPE-token counts under the learned segmentation — the
+    // train-offline/apply-online split (vocab model broadcast; the
+    // corpus never shuffles on the word key).
+    "corpus_bpe_tokenize" -> ((s, dir) =>
+      CorpusOps.bpeTokenCounts(docs(s, dir),
+        CorpusOps.bpeTrain(docs(s, dir), BpeK)._2))
   )
 
   import Duck.{h15, toks}
@@ -586,8 +607,83 @@ object CorpusQueries {
             CASE WHEN bkt < $TrainPct THEN 'train'
                  WHEN bkt < ${TrainPct + ValPct} THEN 'val'
                  ELSE 'test' END AS split
-          FROM b"""
+          FROM b""",
+
+    // BPE training replay: every iteration's pair counts, argmax, and
+    // greedy merge apply (see bpeCtes); the merge table is the UNION of
+    // the per-iteration argmax rows.
+    "corpus_bpe_merges" ->
+      s"""WITH $bpeCtes
+          ${(1 to BpeK).map(i =>
+            s"""SELECT ${i}::BIGINT AS rank, x AS lhs, y AS rhs,
+                x || y AS merged, f AS freq FROM bpe_b$i""")
+          .mkString(" UNION ALL ")}""",
+    "corpus_bpe_tokenize" ->
+      s"""WITH $bpeCtes,
+          bpe_n AS (SELECT word,
+                   length(string_split(sym, ' '))::BIGINT AS n_sym
+                 FROM bpe_w$BpeK),
+          bpe_d AS (SELECT t.doc_id, count(*)::BIGINT AS n_words,
+                   sum(n.n_sym)::BIGINT AS n_bpe_tokens
+                 FROM bpe_tok t JOIN bpe_n n ON n.word = t.t GROUP BY 1)
+          SELECT d.doc_id, COALESCE(b.n_words, 0)::BIGINT AS n_words,
+            COALESCE(b.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+          FROM documents d LEFT JOIN bpe_d b ON b.doc_id = d.doc_id"""
   )
+
+  /** BPE training replay chain: the word-count base `bpe_w0`, then
+    * `BpeK` unrolled iterations. Iteration i: split the symbol string
+    * (`bpe_a`), enumerate adjacent pairs (`bpe_p`), count + argmax with
+    * the (freq desc, pair asc) tiebreak (`bpe_b`), find match positions
+    * (`bpe_m`), keep every other match inside consecutive runs —
+    * gaps-and-islands, ≡ the Spark fold's greedy left-to-right scan
+    * (`bpe_g`) — and rebuild the symbol string, dropping the consumed
+    * right element and substituting the merged symbol (`bpe_w`).
+    */
+  private def bpeCtes: String = {
+    val bs1 = "\\1" // regex backreference, kept out of the s-interpolation
+    val iters = (1 to BpeK).map { i =>
+      s"""bpe_a$i AS MATERIALIZED (SELECT word, cnt, string_split(sym, ' ') AS a
+                 FROM bpe_w${i - 1}),
+          bpe_p$i AS MATERIALIZED (SELECT a.word, a.cnt, t.j,
+                   a.a[t.j+1] AS x, a.a[t.j+2] AS y
+                 FROM bpe_a$i a CROSS JOIN LATERAL (
+                   SELECT unnest(range(0, length(a.a) - 1)) AS j) t),
+          bpe_b$i AS MATERIALIZED (SELECT x, y, f FROM (
+                   SELECT x, y, sum(cnt)::BIGINT AS f
+                   FROM bpe_p$i GROUP BY 1, 2)
+                 ORDER BY f DESC, x, y LIMIT 1),
+          bpe_m$i AS MATERIALIZED (SELECT p.word, p.j FROM bpe_p$i p JOIN bpe_b$i b
+                   ON p.x = b.x AND p.y = b.y),
+          bpe_g$i AS MATERIALIZED (SELECT word, j FROM (
+                   SELECT word, j,
+                     (j - min(j) OVER (PARTITION BY word, grp)) % 2 = 0
+                       AS app
+                   FROM (SELECT word, j,
+                           j - row_number() OVER (PARTITION BY word
+                             ORDER BY j) AS grp
+                         FROM bpe_m$i)) WHERE app),
+          bpe_w$i AS MATERIALIZED (SELECT s.word, s.cnt,
+                   array_to_string(list(CASE WHEN g1.j IS NOT NULL
+                       THEN b.x || b.y ELSE s.e END ORDER BY s.j), ' ')
+                     AS sym
+                 FROM (SELECT a.word, a.cnt, t.j, a.a[t.j+1] AS e
+                       FROM bpe_a$i a CROSS JOIN LATERAL (
+                         SELECT unnest(range(0, length(a.a))) AS j) t) s
+                 CROSS JOIN bpe_b$i b
+                 LEFT JOIN bpe_g$i g1 ON g1.word = s.word AND g1.j = s.j
+                 LEFT JOIN bpe_g$i g0 ON g0.word = s.word
+                   AND g0.j = s.j - 1
+                 WHERE g0.j IS NULL
+                 GROUP BY s.word, s.cnt)"""
+    }.mkString(",\n")
+    s"""bpe_tok AS MATERIALIZED (SELECT doc_id, unnest($toks) AS t FROM documents),
+        bpe_w0 AS MATERIALIZED (SELECT t AS word, count(*)::BIGINT AS cnt,
+                 trim(regexp_replace(t, '(.)', '$bs1 ', 'g')) || ' </w>'
+                   AS sym
+               FROM bpe_tok GROUP BY t),
+        $iters"""
+  }
 
   /** The gopher-gate oracle, shared verbatim with the funnel. */
   private def gopherSql: String = {
