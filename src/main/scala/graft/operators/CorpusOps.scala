@@ -349,6 +349,21 @@ object CorpusOps {
   private def bm25RankFromTf(tf: DataFrame,
       queryTerms: Seq[(Long, String)], k: Int, k1: Double, b: Double)
       : DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25ScoredFromTf(tf, queryTerms, k1, b)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
+        col("score"), col("rank"))
+  }
+
+  /** The per-(query, doc) BM25 score frame — the stage both the plain
+    * ranked search and the field-collapsing search rank from.
+    */
+  private def bm25ScoredFromTf(tf: DataFrame,
+      queryTerms: Seq[(Long, String)], k1: Double, b: Double)
+      : DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
@@ -362,8 +377,6 @@ object CorpusOps {
       (col("df").cast("double") + lit(0.5))
     val denom = tfD + lit(k1) * (lit(1.0 - b) +
       (lit(b) * col("dl").cast("double")) / col("__avgdl"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
     qt.join(tf, Seq("term"))
       .join(dfreq, Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -374,10 +387,34 @@ object CorpusOps {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("tw")).as("score"),
         count(lit(1)).as("n_terms_hit"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** ES `collapse` (field collapsing) over BM25 retrieval: the scored
+    * doc list collapses to its best hit per (query, `field`) group —
+    * ties to the smaller doc_id — groups re-rank by their top hit, and
+    * each reports its total hit count (the `inner_hits` cardinality).
+    * Collapse runs BEFORE pagination, as in ES: the group windows see
+    * every scored doc, then the top-k cut applies to groups. Both
+    * windows partition by (query, group) / query — bounded fanout, no
+    * single-partition funnel.
+    */
+  def bm25Collapse(queryTerms: Seq[(Long, String)], field: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75)(docs: DataFrame): DataFrame = {
+    val tf = DedupOps.materialize(bm25Postings(docs))
+    val scored = bm25ScoredFromTf(tf, queryTerms, k1, b)
+      .join(docs.select(col("doc_id"), col(field)), Seq("doc_id"))
+    val grpW = Window.partitionBy(col("query_id"), col(field))
+    val grpOrd = grpW.orderBy(col("score").desc, col("doc_id"))
+    val qW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("__rn", row_number().over(grpOrd))
+      .withColumn("group_hits", count(lit(1)).over(grpW).cast("long"))
+      .filter(col("__rn") === 1)
+      .withColumn("rank", row_number().over(qW).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
-        col("score"), col("rank"))
+      .select(col("query_id"), col(field), col("doc_id"),
+        col("n_terms_hit"), col("score"), col("group_hits"), col("rank"))
   }
 
   /** Persist the BM25 inverted index — what the reference ships rows to
@@ -1565,6 +1602,34 @@ object CorpusOps {
     }
     import spark.implicits._
     (merges.result().toDF("rank", "lhs", "rhs", "merged", "freq"), vocab)
+  }
+
+  /** Apply a learned merge list to ANY word (the standard BPE
+    * tokenizer apply): the initial character segmentation, then each
+    * merge pass in rank order — exactly the sequence training ran, so
+    * for every training-corpus word this reproduces the trained
+    * segmentation, and unseen words segment correctly too. Pure nested
+    * array expressions ⇒ runs unchanged in Structured Streaming.
+    */
+  def bpeApplySyms(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(bpeInitSym(word), " ")) {
+      case (syms, (l, r)) => bpeMergePass(syms, l, r)
+    }
+
+  /** Merge-list (model-as-literal) form of [[bpeTokenCounts]]: per-doc
+    * word/BPE-token counts with the segmentation computed per word by
+    * [[bpeApplySyms]] — no vocabulary join, no shuffle, null text
+    * reports 0/0. The scan-side shape a live ingest stream uses.
+    */
+  def bpeTokenCountsOnline(merges: Seq[(String, String)])(
+      docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    docs.select(col("doc_id"),
+      coalesce(size(tk).cast("long"), lit(0L)).as("n_words"),
+      coalesce(
+        aggregate(tk, lit(0L),
+          (acc, w) => acc + size(bpeApplySyms(w, merges)).cast("long")),
+        lit(0L)).as("n_bpe_tokens"))
   }
 
   /** ONLINE apply of the trained tokenizer: per-document word count and

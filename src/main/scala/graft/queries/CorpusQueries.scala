@@ -318,7 +318,24 @@ object CorpusQueries {
     // corpus never shuffles on the word key).
     "corpus_bpe_tokenize" -> ((s, dir) =>
       CorpusOps.bpeTokenCounts(docs(s, dir),
-        CorpusOps.bpeTrain(docs(s, dir), BpeK)._2))
+        CorpusOps.bpeTrain(docs(s, dir), BpeK)._2)),
+
+    // Tokenizer fertility per source (BPE tokens / word) — the
+    // vocabulary-fit dashboard. One rollup shuffle over the per-doc
+    // counts; fertility is the one shared double expression.
+    "corpus_bpe_fertility" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.bpeTokenCounts(d, CorpusOps.bpeTrain(d, BpeK)._2)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_bpe_tokens")).as("total_bpe_tokens"))
+        .select(col("source"), col("n_docs"), col("total_words"),
+          col("total_bpe_tokens"),
+          (col("total_bpe_tokens").cast("double") /
+            col("total_words").cast("double")).as("fertility"))
+    })
   )
 
   import Duck.{h15, toks}
@@ -620,16 +637,40 @@ object CorpusQueries {
           .mkString(" UNION ALL ")}""",
     "corpus_bpe_tokenize" ->
       s"""WITH $bpeCtes,
-          bpe_n AS (SELECT word,
-                   length(string_split(sym, ' '))::BIGINT AS n_sym
-                 FROM bpe_w$BpeK),
-          bpe_d AS (SELECT t.doc_id, count(*)::BIGINT AS n_words,
-                   sum(n.n_sym)::BIGINT AS n_bpe_tokens
-                 FROM bpe_tok t JOIN bpe_n n ON n.word = t.t GROUP BY 1)
+          $bpeApplyCtes
           SELECT d.doc_id, COALESCE(b.n_words, 0)::BIGINT AS n_words,
             COALESCE(b.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
-          FROM documents d LEFT JOIN bpe_d b ON b.doc_id = d.doc_id"""
+          FROM documents d LEFT JOIN bpe_d b ON b.doc_id = d.doc_id""",
+
+    // Tokenizer fertility dashboard: BPE tokens per word, rolled up by
+    // source — the report a tokenizer team reads to find domains the
+    // vocabulary serves poorly. Shares the training + apply CTE chains
+    // verbatim with corpus_bpe_tokenize (no drift by construction).
+    "corpus_bpe_fertility" ->
+      s"""WITH $bpeCtes,
+          $bpeApplyCtes
+          SELECT d.source, count(*)::BIGINT AS n_docs,
+            CAST(sum(COALESCE(b.n_words, 0)) AS BIGINT) AS total_words,
+            CAST(sum(COALESCE(b.n_bpe_tokens, 0)) AS BIGINT)
+              AS total_bpe_tokens,
+            CAST(sum(COALESCE(b.n_bpe_tokens, 0)) AS BIGINT)::DOUBLE
+              / CAST(sum(COALESCE(b.n_words, 0)) AS BIGINT)::DOUBLE
+              AS fertility
+          FROM documents d LEFT JOIN bpe_d b ON b.doc_id = d.doc_id
+          GROUP BY d.source"""
   )
+
+  /** The trained-tokenizer APPLY tail (per-word symbol counts joined
+    * back to the corpus tokens), shared by `corpus_bpe_tokenize` and
+    * `corpus_bpe_fertility`.
+    */
+  private def bpeApplyCtes: String =
+    s"""bpe_n AS MATERIALIZED (SELECT word,
+             length(string_split(sym, ' '))::BIGINT AS n_sym
+           FROM bpe_w$BpeK),
+        bpe_d AS MATERIALIZED (SELECT t.doc_id, count(*)::BIGINT AS n_words,
+             sum(n.n_sym)::BIGINT AS n_bpe_tokens
+           FROM bpe_tok t JOIN bpe_n n ON n.word = t.t GROUP BY 1)"""
 
   /** BPE training replay chain: the word-count base `bpe_w0`, then
     * `BpeK` unrolled iterations. Iteration i: split the symbol string

@@ -125,6 +125,31 @@ object DedupQueries {
     "dedup_duplicate_spans" -> ((s, dir) =>
       DedupOps.duplicateSpans(SpanK, SpanMaxDup)(docs(s, dir))),
 
+    // First-occurrence novelty (the crawl-dedup dashboard): per doc,
+    // the share of its distinct k-shingles whose FIRST corpus
+    // occurrence (min doc_id) is an earlier document — "how much of
+    // this doc had we already seen when it arrived". Works on 60-bit
+    // shingle hashes (long keys on the wire, posting-list discipline);
+    // the shingle frame is materialized once and consumed by both the
+    // first-occurrence aggregate and the rejoin; both are equi-shuffles
+    // on the hash key with map-side combine.
+    "dedup_novelty" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+          explode(array_distinct(graft.operators.TextOps.shingleHashes(
+            graft.operators.TextOps.tokens(col("text")), SpanK)))
+            .as("sh"))
+        .localCheckpoint(false)
+      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+      sh.join(first, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("fd") < col("doc_id"), 1L).otherwise(0L))
+            .as("n_seen"))
+        .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+          (col("n_seen").cast("double") /
+            col("n_shingles").cast("double")).as("seen_share"))
+    }),
+
     // SemDeDup-style semantic dedup: k-means cells (the SAME memoized
     // Lloyd model the IVF family trains) bound the candidate space,
     // exact cosine verifies within each cell, connected components
@@ -295,6 +320,19 @@ object DedupQueries {
     // positional shingles → df≥2 hashes → per-doc sorted starts →
     // exact interval merge via lead(); COALESCE 0 for clean docs
     "dedup_duplicate_spans" -> spansSql,
+    "dedup_novelty" ->
+      s"""WITH shn AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(0, greatest(length(tk) - $SpanK, 0) + 1),
+              i -> ${h15(s"array_to_string(tk[i+1 : i+$SpanK], ' ')")})))
+              AS sh
+            FROM (SELECT doc_id, $toks AS tk FROM documents)),
+          fst AS (SELECT sh, min(doc_id) AS fd FROM shn GROUP BY sh)
+          SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+            CAST(sum(CASE WHEN f.fd < s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_seen,
+            CAST(sum(CASE WHEN f.fd < s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT)::DOUBLE / count(*)::DOUBLE AS seen_share
+          FROM shn s JOIN fst f USING (sh) GROUP BY s.doc_id""",
     // Lloyd replay (shared CTE chain) → final trained centroids →
     // argmax-cosine cell per vector → within-cell pairs at cos ≥ 0.35 →
     // recursive min-reachable component ≡ GraphOps' fixpoint → keep.

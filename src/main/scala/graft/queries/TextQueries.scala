@@ -137,6 +137,14 @@ object TextQueries {
       graft.operators.CorpusOps.searchBm25Index(s,
         builtBm25Index(s, dir), Bm25Queries, Bm25K, Bm25K1, Bm25B)),
 
+    // ES field collapsing over the same BM25 retrieval: one best hit
+    // per (query, source) group, groups re-ranked by their top hit,
+    // inner_hits cardinality reported. Shares the scored-doc stage with
+    // text_search_bm25 (one Spark kernel, one oracle CTE chain).
+    "text_search_collapse" -> ((s, dir) =>
+      graft.operators.CorpusOps.bm25Collapse(Bm25Queries, "source",
+        Bm25K, Bm25K1, Bm25B)(docs(s, dir))),
+
     // Fuzzy term match (ES fuzziness:1): SymSpell deletion-join
     // candidates + exact levenshtein verify — never a vocab×query
     // distance scan. Fixtures cover an insertion (scann→scan), a
@@ -385,6 +393,7 @@ object TextQueries {
             AND ${h15("concat('curation:', doc_id::VARCHAR)")} % 100 < 50""",
 
     "text_search_bm25" -> bm25Sql,
+    "text_search_collapse" -> collapseSql,
     // persisted search: same postings (df/dl/stats derive from them),
     // same tail — same replay
     "text_search_bm25_persisted" -> bm25Sql,
@@ -547,7 +556,11 @@ object TextQueries {
             FROM sel) WHERE rank <= $BoolK"""
   }
 
-  private def bm25Sql: String = {
+  /** The BM25 scored-doc CTE chain (postings → dl/stats → per-(query,
+    * doc) integer scores in `doc`), shared by the ranked search and the
+    * field-collapsing search ≡ CorpusOps.bm25ScoredFromTf.
+    */
+  private def bm25DocCtes: String = {
     val values = Bm25Queries
       .map { case (q, t) => s"($q::BIGINT, ${sqlStr(t)})" }.mkString(", ")
     s"""$postingsCtes,
@@ -568,12 +581,35 @@ object TextQueries {
                  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
           doc AS (SELECT query_id, doc_id, sum(w)::BIGINT AS score,
                     count(*)::BIGINT AS n_terms_hit
-                  FROM scored GROUP BY 1, 2)
+                  FROM scored GROUP BY 1, 2)"""
+  }
+
+  private def bm25Sql: String =
+    s"""$bm25DocCtes
           SELECT query_id, doc_id, n_terms_hit, score, rank FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, doc_id) AS rank
             FROM doc) WHERE rank <= $Bm25K"""
-  }
+
+  /** Field-collapsing replay: the shared scored-doc chain, the group
+    * top-hit/size windows, then the per-query group re-rank.
+    */
+  private def collapseSql: String =
+    s"""$bm25DocCtes,
+          grp AS (SELECT doc.*, d2.source
+                  FROM doc JOIN documents d2 USING (doc_id)),
+          gtop AS (SELECT *,
+                     row_number() OVER (PARTITION BY query_id, source
+                       ORDER BY score DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY query_id, source)
+                       ::BIGINT AS group_hits
+                   FROM grp)
+          SELECT query_id, source, doc_id, n_terms_hit, score,
+            group_hits, rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank
+                FROM gtop WHERE rn = 1)
+          WHERE rank <= $Bm25K"""
 
   /** Shared posting-list CTE chain ≡ CorpusOps.bm25Postings plus the
     * document-frequency aggregate: d (tokenized docs) → tf → dfreq.

@@ -57,4 +57,30 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(counts.toList == List((1L, 3L, 5L), (2L, 1L, 1L), (3L, 0L, 0L)))
   }
+
+  test("merge-list apply ≡ vocabulary lookup on training words, and segments unseen words") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aa ab aa"), (2L, "aa"),
+        (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val (merges, vocab) = CorpusOps.bpeTrain(docs, 2)
+    val mlist = merges.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // parity on the training corpus: replaying the merge list per word
+    // reproduces the trained segmentation's counts exactly
+    val viaVocab = CorpusOps.bpeTokenCounts(docs, vocab)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val viaMerges = CorpusOps.bpeTokenCountsOnline(mlist)(docs)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(viaVocab == viaMerges)
+    // an UNSEEN word still segments (the vocab-join path cannot):
+    // merges (a,</w>) then (a,a</w>) apply to "ba" → b a </w> → b a</w>
+    val unseen = CorpusOps.bpeTokenCountsOnline(mlist)(
+        Seq((9L, "ba")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(unseen.toList == List((9L, 1L, 2L)))
+  }
 }

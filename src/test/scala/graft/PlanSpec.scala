@@ -370,6 +370,7 @@ object PlanSpec {
     "corpus_tfidf_terms" -> 1,    // global doc count N (1 row, Q22 shape)
     "text_search_bm25" -> 1,      // global N/avgdl stats (1 row)
     "text_search_bm25_persisted" -> 1, // same stats over stored postings
+    "text_search_collapse" -> 1,  // same shared BM25 stats (1 row)
     "text_significant_terms" -> 1, // global doc count (1 row, Q22 shape)
     // ES-agg family: bucket-grain frames bounded by CONSTRUCTION
     // (calendar buckets / named filters), never by data volume

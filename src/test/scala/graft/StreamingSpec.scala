@@ -409,6 +409,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batched && streamed.size == 4)
   }
 
+  test("offline-trained BPE tokenizer counts tokens on a live stream (train/apply split)") {
+    import graft.operators.CorpusOps
+    // offline: learn the merge table on a batch corpus
+    val corpus = Seq((1L, "aa ab aa"), (2L, "aa aa ab"))
+      .toDF("doc_id", "text")
+    val mlist = CorpusOps.bpeMerges(corpus, 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // online: the SAME pure merge-list expressions on a stream — docs
+    // with trained words, an unseen word, and null text
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val rows = Seq((10L, "aa aa"), (11L, "ba"),
+      (12L, null.asInstanceOf[String]))
+    stream.addData(rows)
+    val out = Files.createTempDirectory("graft-bpe").toString
+    val q = CorpusOps.bpeTokenCountsOnline(mlist)(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpe_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bpe_out")
+      .as[(Long, Long, Long)].collect().toSet
+    val batched = CorpusOps.bpeTokenCountsOnline(mlist)(
+        rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batched)
+    assert(streamed.contains((12L, 0L, 0L)), "null text must report 0/0")
+    // non-vacuous: the trained words actually compressed below their
+    // character segmentation
+    val compressed = streamed.find(_._1 == 10L).get
+    assert(compressed._3 < 2L * 3L + compressed._2,
+      s"no merge applied on the stream: $compressed")
+  }
+
   test("streaming embedding ingest: foreachBatch appends to the persisted IVF index") {
     import graft.operators.SimilarityOps
     def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
