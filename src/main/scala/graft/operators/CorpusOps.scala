@@ -1566,7 +1566,20 @@ object CorpusOps {
     * [[bpeTokenCounts]] applies online.
     */
   private[graft] def bpeTrain(docs: DataFrame, k: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    { val (m, v, _) = bpeTrainMeasured(docs, k, measure = false); (m, v) }
+
+  /** Tokenizer compression curve: the corpus token total (Σ cnt·|syms|
+    * over the vocabulary) after each of the first 0..k merges, with
+    * fertility = tokens per word instance — the diminishing-returns
+    * plot a tokenizer team sizes its vocabulary from. Each point is one
+    * vocab-grain 1-row aggregate inside the same training loop.
+    */
+  def bpeCompressionCurve(docs: DataFrame, k: Int): DataFrame =
+    bpeTrainMeasured(docs, k, measure = true)._3
+
+  private def bpeTrainMeasured(docs: DataFrame, k: Int, measure: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     var vocab = docs
       .select(explode(tokens(col("text"))).as("word"))
@@ -1574,6 +1587,15 @@ object CorpusOps {
       .select(col("word"), col("cnt"),
         split(bpeInitSym(col("word")), " ").as("syms"))
       .localCheckpoint(false)
+    val curve = Seq.newBuilder[(Long, Long, Long, Double)]
+    def measureState(rank: Int): Unit = if (measure) {
+      val r = vocab.agg(
+        sum(col("cnt") * size(col("syms"))).as("tt"),
+        sum(col("cnt")).as("tw")).collect().head
+      val (tt, tw) = (r.getLong(0), r.getLong(1))
+      curve += ((rank.toLong, tt, tw, tt.toDouble / tw.toDouble))
+    }
+    measureState(0)
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     for (i <- 1 to k) {
       // the `when` guards single-symbol words: Spark's sequence(0, -1)
@@ -1599,9 +1621,12 @@ object CorpusOps {
           .withColumn("syms", bpeMergePass(col("syms"), l, r))
           .localCheckpoint(false)
       }
+      measureState(i)
     }
     import spark.implicits._
-    (merges.result().toDF("rank", "lhs", "rhs", "merged", "freq"), vocab)
+    (merges.result().toDF("rank", "lhs", "rhs", "merged", "freq"), vocab,
+      curve.result()
+        .toDF("rank", "total_tokens", "total_words", "fertility"))
   }
 
   /** Apply a learned merge list to ANY word (the standard BPE

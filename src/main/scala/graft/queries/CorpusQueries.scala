@@ -320,6 +320,13 @@ object CorpusQueries {
       CorpusOps.bpeTokenCounts(docs(s, dir),
         CorpusOps.bpeTrain(docs(s, dir), BpeK)._2)),
 
+    // Tokenizer compression curve: corpus token total and fertility
+    // after each of the first 0..k merges — the diminishing-returns
+    // plot a tokenizer team sizes its vocabulary from. One vocab-grain
+    // 1-row aggregate per point inside the one training loop.
+    "corpus_bpe_curve" -> ((s, dir) =>
+      CorpusOps.bpeCompressionCurve(docs(s, dir), BpeK)),
+
     // Tokenizer fertility per source (BPE tokens / word) — the
     // vocabulary-fit dashboard. One rollup shuffle over the per-doc
     // counts; fertility is the one shared double expression.
@@ -641,6 +648,20 @@ object CorpusQueries {
           SELECT d.doc_id, COALESCE(b.n_words, 0)::BIGINT AS n_words,
             COALESCE(b.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
           FROM documents d LEFT JOIN bpe_d b ON b.doc_id = d.doc_id""",
+
+    // Compression-curve replay: one 1-row sum per training state
+    // bpe_w0..bpe_wK; the fertility division is the same
+    // BIGINT→DOUBLE expression both engines evaluate.
+    "corpus_bpe_curve" ->
+      s"""WITH $bpeCtes
+          ${(0 to BpeK).map(i =>
+            s"""SELECT ${i}::BIGINT AS rank,
+                CAST(sum(cnt * length(string_split(sym, ' '))) AS BIGINT)
+                  AS total_tokens,
+                CAST(sum(cnt) AS BIGINT) AS total_words,
+                CAST(sum(cnt * length(string_split(sym, ' '))) AS BIGINT)
+                  ::DOUBLE / CAST(sum(cnt) AS BIGINT)::DOUBLE AS fertility
+                FROM bpe_w$i""").mkString(" UNION ALL ")}""",
 
     // Tokenizer fertility dashboard: BPE tokens per word, rolled up by
     // source — the report a tokenizer team reads to find domains the

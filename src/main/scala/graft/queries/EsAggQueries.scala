@@ -309,6 +309,22 @@ object EsAggQueries {
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           col("doc_count"), col("avg_value"))),
 
+    // ES bucket_sort pipeline agg: the parent date_histogram's buckets
+    // re-ordered by their metric and truncated (size: 5) — "the five
+    // busiest days". The sort runs on the day-grain aggregate frame and
+    // plans as a TakeOrdered top-k (no global-sort exchange, same shape
+    // es_composite_page pins); ties break on the bucket key.
+    "es_bucket_sort" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).as("sum_dec"))
+        .orderBy(col("sum_dec").desc, col("d"))
+        .limit(5)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("doc_count"),
+          col("sum_dec").cast("double").as("sum_value"))),
+
     // ES auto_date_histogram (buckets: 25): the interval is CHOSEN from
     // the rounding ladder (hour → day → week) as the smallest unit
     // whose bucket count fits the target — replayed deterministically
@@ -529,6 +545,14 @@ object EsAggQueries {
                      CAST(count(*) AS DOUBLE) AS avg_value
             FROM events GROUP BY 1)
           WHERE avg_value > 50.0""",
+    "es_bucket_sort" ->
+      s"""SELECT strftime(d, '%Y-%m-%d') AS day, doc_count,
+            ${dd("sum_dec")} AS sum_value
+          FROM (
+            SELECT CAST(ts AS DATE) AS d, count(*) AS doc_count,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1)
+          ORDER BY sum_dec DESC, d LIMIT 5""",
     "es_auto_date_histogram" ->
       s"""WITH b AS (SELECT min(epoch_ms(ts)) AS mn, max(epoch_ms(ts))
                        AS mx FROM events),

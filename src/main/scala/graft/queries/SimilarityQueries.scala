@@ -236,6 +236,34 @@ object SimilarityQueries {
           col("cc_fp"))
     }),
 
+    // Embedding-distribution drift monitor: the corpus split into a
+    // deterministic reference/live pair (vec_id parity — stands in for
+    // yesterday's snapshot vs today's ingest), both assigned to the
+    // SAME trained cells, per-cell counts and share deltas reported —
+    // the dashboard that catches a shifted embedding model or a
+    // changed upstream corpus before an index rebuild bakes it in.
+    // Assignment is the pure-map IVF kernel; one cell-grain groupBy;
+    // the 1-row totals aggregate broadcasts back (Q22 shape,
+    // allowlisted).
+    "sim_drift" -> ((s, dir) => {
+      val cells = SimilarityOps.assignCells(trained(s, dir))(embs(s, dir))
+        .select(col("vec_id"), col("cell"),
+          (col("vec_id") % 2 === 0).as("is_ref"))
+      val per = cells.groupBy(col("cell")).agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_live"))
+      val tot = per.agg(sum(col("n_ref")).as("t_ref"),
+        sum(col("n_live")).as("t_live"))
+      val shareRef = col("n_ref").cast("double") /
+        col("t_ref").cast("double")
+      val shareLive = col("n_live").cast("double") /
+        col("t_live").cast("double")
+      per.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_ref"), col("n_live"),
+          shareRef.as("share_ref"), shareLive.as("share_live"),
+          (shareLive - shareRef).as("share_delta"))
+    }),
+
     // One-hop label propagation over the k-NN graph (semi-supervised
     // auto-labeling / weak supervision): each vector takes the majority
     // label of its graph neighbors, ties broken by smallest label —
@@ -475,6 +503,25 @@ object SimilarityQueries {
           SELECT vec_id, neighbor_id, rank, cos FROM knn""",
     "graph_pagerank" -> pageRankSql,
     "graph_clustering" -> clusteringSql,
+    "sim_drift" ->
+      s"""WITH $lloydCtes,
+          $trainedCellsCtes,
+          dr_a AS (SELECT vec_id, cell, (vec_id % 2 = 0) AS is_ref
+                 FROM cell3),
+          dr_per AS (SELECT cell,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_ref,
+                   CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_live
+                 FROM dr_a GROUP BY cell),
+          dr_tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                   CAST(sum(n_live) AS BIGINT) AS t_live FROM dr_per)
+          SELECT cell, n_ref, n_live,
+            n_ref::DOUBLE / t_ref::DOUBLE AS share_ref,
+            n_live::DOUBLE / t_live::DOUBLE AS share_live,
+            n_live::DOUBLE / t_live::DOUBLE
+              - n_ref::DOUBLE / t_ref::DOUBLE AS share_delta
+          FROM dr_per CROSS JOIN dr_tot""",
     "sim_label_propagation" ->
       s"""WITH $knnEdgeCtes,
           lp_votes AS (SELECT k.vec_id, e.label::BIGINT AS nlabel,
