@@ -417,6 +417,40 @@ object CorpusOps {
         col("n_terms_hit"), col("score"), col("group_hits"), col("rank"))
   }
 
+  /** ES `rescore` over BM25 retrieval: the primary ranked list's top
+    * `window` hits re-scored with a secondary phrase-proximity signal
+    * (exact-phrase hit count × `boost`, the match_phrase rescorer) and
+    * re-ranked; top `k` reported with both ranks. Scale shape: the
+    * primary window is ≤ |Q|·window rows; the phrase pass is the
+    * zero-shuffle scan-side map [[phraseSearch]] is; the rescore join
+    * shuffles only phrase HITS, never the corpus, and both rank
+    * windows partition by query_id. Integer scores throughout — the
+    * re-rank is order-free at any partitioning.
+    */
+  def bm25Rescore(queryTerms: Seq[(Long, String)],
+      phrases: Seq[(Long, String)], window: Int, k: Int, boost: Long,
+      k1: Double = 1.2, b: Double = 0.75)(docs: DataFrame): DataFrame = {
+    val tf = DedupOps.materialize(bm25Postings(docs))
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val top = bm25ScoredFromTf(tf, queryTerms, k1, b)
+      .withColumn("rank0", row_number().over(w0).cast("long"))
+      .filter(col("rank0") <= window)
+    val ph = phraseSearch(phrases)(docs)
+      .select(col("query_id"), col("doc_id"), col("n_hits"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("new_score").desc, col("doc_id"))
+    top.join(ph, Seq("query_id", "doc_id"), "left_outer")
+      .withColumn("n_phrase_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("new_score",
+        col("score") + lit(boost) * col("n_phrase_hits"))
+      .withColumn("rank", row_number().over(w1).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("n_phrase_hits"), col("new_score"), col("rank"),
+        col("rank0"))
+  }
+
   /** Persist the BM25 inverted index — what the reference ships rows to
     * Elasticsearch to build, as a parquet posting table. ONLY the
     * postings are stored: df/dl/avgdl derive from them at search time

@@ -64,6 +64,32 @@ object CorpusQueries {
     "corpus_pack_sequences" -> ((s, dir) =>
       CorpusOps.packSequences(docs(s, dir), PackBudget, bucketWidth = 100L)),
 
+    // Packing efficiency dashboard: per-sequence document counts
+    // (starting vs continuing — continuing docs are the cross-document
+    // attention-contamination surface) and exact fill tokens, derived
+    // from the packing grid by exploding each doc's sequence span. The
+    // span explode fans out ≤ (n_tokens/budget + 1) rows per doc; the
+    // only shuffle is the sequence-grain rollup.
+    "corpus_pack_stats" -> ((s, dir) => {
+      val packed = CorpusOps.packSequences(docs(s, dir), PackBudget,
+        bucketWidth = 100L).filter(col("n_tokens") > 0)
+      val before = col("seq_first") * PackBudget + col("tok_offset")
+      packed
+        .select(col("doc_id"), col("n_tokens"), col("seq_first"),
+          before.as("tok_before"),
+          explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+        .groupBy(col("seq"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("seq_first") === col("seq"), 1L).otherwise(0L))
+            .as("n_starting"),
+          sum(when(col("seq_first") < col("seq"), 1L).otherwise(0L))
+            .as("n_continuing"),
+          sum(least(col("tok_before") + col("n_tokens"),
+              (col("seq") + 1) * PackBudget) -
+            greatest(col("tok_before"), col("seq") * PackBudget))
+            .as("fill_tokens"))
+    }),
+
     // Contamination: training docs sharing an 8-token shingle with the
     // 10% eval hash-sample.
     "corpus_contamination" -> ((s, dir) =>
@@ -389,6 +415,35 @@ object CorpusQueries {
             ((tok_before + n_tokens - 1) // $PackBudget)::BIGINT AS seq_last,
             (tok_before % $PackBudget)::BIGINT AS tok_offset
           FROM c""",
+    // pack-stats replay: the same prefix-sum chain as
+    // corpus_pack_sequences, then the span explode + sequence rollup
+    "corpus_pack_stats" ->
+      s"""WITH t AS (SELECT doc_id, length($toks)::BIGINT AS n_tokens
+                     FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                  (sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   )::BIGINT - n_tokens AS tok_before
+                FROM t),
+          p AS (SELECT doc_id, n_tokens, tok_before,
+                  (tok_before // $PackBudget)::BIGINT AS sf,
+                  ((tok_before + n_tokens - 1) // $PackBudget)::BIGINT
+                    AS sl
+                FROM c WHERE n_tokens > 0),
+          x AS (SELECT p.doc_id, p.n_tokens, p.tok_before, p.sf, p.sl,
+                  u.s
+                FROM p CROSS JOIN LATERAL (
+                  SELECT unnest(range(sf, sl + 1)) AS s) u)
+          SELECT s::BIGINT AS seq, count(*)::BIGINT AS n_docs,
+            CAST(sum(CASE WHEN sf = s THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_starting,
+            CAST(sum(CASE WHEN sf < s THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_continuing,
+            CAST(sum(least(tok_before + n_tokens, (s+1) * $PackBudget)
+                   - greatest(tok_before, s * $PackBudget)) AS BIGINT)
+              AS fill_tokens
+          FROM x GROUP BY s""",
+
     "corpus_contamination" ->
       s"""WITH d AS (SELECT doc_id, $toks AS tk,
                 ${h15("concat('eval:', doc_id::VARCHAR)")} % 100 < $EvalPct

@@ -145,6 +145,14 @@ object TextQueries {
       graft.operators.CorpusOps.bm25Collapse(Bm25Queries, "source",
         Bm25K, Bm25K1, Bm25B)(docs(s, dir))),
 
+    // ES rescore: the BM25 top-10 window re-scored with an exact-phrase
+    // proximity boost and re-ranked (see CorpusOps.bm25Rescore); both
+    // primary and final ranks reported.
+    "text_search_rescore" -> ((s, dir) =>
+      graft.operators.CorpusOps.bm25Rescore(Bm25Queries, RescorePhrases,
+        RescoreWindow, RescoreK, RescoreBoost, Bm25K1, Bm25B)(
+        docs(s, dir))),
+
     // Fuzzy term match (ES fuzziness:1): SymSpell deletion-join
     // candidates + exact levenshtein verify — never a vocab×query
     // distance scan. Fixtures cover an insertion (scann→scan), a
@@ -242,6 +250,16 @@ object TextQueries {
   /** Phrase-search query set, interpolated into BOTH engines. */
   private[queries] val PhraseQueries: Seq[(Long, String)] = Seq(
     0L -> "table hash", 1L -> "slow hash batch")
+
+  /** Rescore phrases (one per BM25 query id) + window/boost — both
+    * phrases occur 35-40× in the corpus so the secondary signal
+    * actually reorders the primary window.
+    */
+  private[queries] val RescorePhrases: Seq[(Long, String)] = Seq(
+    0L -> "spark big", 1L -> "spark join")
+  private[queries] val RescoreWindow = 10
+  private[queries] val RescoreK = 5
+  private[queries] val RescoreBoost = 1000000L
 
   /** BM25 query-term sets + top-k, interpolated into BOTH engines. */
   private[queries] val Bm25Queries: Seq[(Long, String)] = Seq(
@@ -394,6 +412,7 @@ object TextQueries {
 
     "text_search_bm25" -> bm25Sql,
     "text_search_collapse" -> collapseSql,
+    "text_search_rescore" -> rescoreSql,
     // persisted search: same postings (df/dl/stats derive from them),
     // same tail — same replay
     "text_search_bm25_persisted" -> bm25Sql,
@@ -590,6 +609,41 @@ object TextQueries {
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, doc_id) AS rank
             FROM doc) WHERE rank <= $Bm25K"""
+
+  /** Rescore replay: the shared scored-doc chain, primary top-window
+    * QUALIFY, the phrase-hit blocks (same positional-shingle-hash
+    * arithmetic as text_search_phrase, over the chain's `d`), boost +
+    * re-rank.
+    */
+  private def rescoreSql: String = {
+    val phBlocks = RescorePhrases.map { case (qid, phrase) =>
+      val k = phrase.trim.split("\\s+").length
+      s"""SELECT $qid::BIGINT AS query_id, doc_id,
+            length(list_filter(
+              list_transform(range(0, greatest(length(tk) - $k, 0) + 1),
+                i -> ${h15(s"array_to_string(tk[i+1:i+$k], ' ')")}),
+              h -> h = ${h15(s"'$phrase'")}))::BIGINT AS n_hits
+          FROM d"""
+    }.mkString(" UNION ALL ")
+    s"""$bm25DocCtes,
+          rs_top AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank0
+                 FROM doc QUALIFY rank0 <= $RescoreWindow),
+          rs_ph AS (SELECT query_id, doc_id, n_hits FROM ($phBlocks)
+                 WHERE n_hits > 0),
+          rs_j AS (SELECT t.query_id, t.doc_id, t.score, t.rank0,
+                   COALESCE(p.n_hits, 0)::BIGINT AS n_phrase_hits,
+                   (t.score + $RescoreBoost * COALESCE(p.n_hits, 0))
+                     ::BIGINT AS new_score
+                 FROM rs_top t LEFT JOIN rs_ph p
+                   ON p.query_id = t.query_id AND p.doc_id = t.doc_id)
+          SELECT query_id, doc_id, score, n_phrase_hits, new_score,
+            rank, rank0
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY new_score DESC, doc_id) AS rank FROM rs_j)
+          WHERE rank <= $RescoreK"""
+  }
 
   /** Field-collapsing replay: the shared scored-doc chain, the group
     * top-hit/size windows, then the per-query group re-rank.

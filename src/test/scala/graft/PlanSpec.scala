@@ -372,6 +372,7 @@ object PlanSpec {
     "text_search_bm25" -> 1,      // global N/avgdl stats (1 row)
     "text_search_bm25_persisted" -> 1, // same stats over stored postings
     "text_search_collapse" -> 1,  // same shared BM25 stats (1 row)
+    "text_search_rescore" -> 1,   // same shared BM25 stats (1 row)
     "text_significant_terms" -> 1, // global doc count (1 row, Q22 shape)
     // ES-agg family: bucket-grain frames bounded by CONSTRUCTION
     // (calendar buckets / named filters), never by data volume

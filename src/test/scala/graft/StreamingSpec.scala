@@ -444,6 +444,38 @@ class StreamingSpec extends SparkSpec {
       s"no merge applied on the stream: $compressed")
   }
 
+  test("trained-cell assignment runs unchanged on a stream (drift monitor online half)") {
+    import graft.operators.{KMeansOps, SimilarityOps}
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    // offline: the trained Lloyd model (collected driver-side into
+    // literal state — the stream side stays a pure map)
+    val base = Seq(0L -> v(1.0, 0.05), 1L -> v(0.9, 0.1),
+      10L -> v(0.05, 1.0), 11L -> v(0.1, 0.9))
+      .toDF("vec_id", "embedding")
+    val model = KMeansOps.lloyd(base, "vec_id", "embedding",
+      seedIds = Seq(0L, 10L), iters = 1).localCheckpoint(false)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val rows = Seq(20L -> v(0.8, 0.2).toSeq, 21L -> v(0.0, 1.0).toSeq,
+      22L -> v(0.7, 0.6).toSeq)
+    stream.addData(rows)
+    val out = Files.createTempDirectory("graft-drift").toString
+    val q = SimilarityOps.assignCells(model)(
+        stream.toDF().toDF("vec_id", "embedding"))
+      .select($"vec_id", $"cell")
+      .writeStream.format("memory").queryName("drift_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("drift_out")
+      .as[(Long, Long)].collect().toSet
+    val batched = SimilarityOps.assignCells(model)(
+        rows.toDF("vec_id", "embedding"))
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    assert(streamed == batched && streamed.size == 3)
+    // non-vacuous: the streamed vectors split across both cells
+    assert(streamed.map(_._2).size == 2)
+  }
+
   test("streaming embedding ingest: foreachBatch appends to the persisted IVF index") {
     import graft.operators.SimilarityOps
     def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
