@@ -198,6 +198,37 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
 
+  /** Winnowing-based near-dup pairs: candidates share at least one
+    * winnowed fingerprint (distinct `w`-window minima over the
+    * positional `k`-shingle hashes — the SWA/MOSS sketch), verified
+    * with exact Jaccard over the SAME distinct shingle-hash sets. The
+    * coverage guarantee makes candidate recall structural: any shared
+    * run of `w+k-1` tokens shares a fingerprint, so long verbatim
+    * overlaps can never be missed the way a MinHash band can
+    * probabilistically miss them. One scan computes sets AND
+    * fingerprints; the candidate join is an equi-join on the
+    * fingerprint key (fanout Σ df² over fingerprints, the banding
+    * geometry), verification is the shared sorted-merge intersect.
+    */
+  def winnowingPairs(k: Int = 5, w: Int = 4, threshold: Double = 0.5)(
+      df: DataFrame): DataFrame = {
+    val hs = TextOps.shingleHashes(tokens(col("text")), k)
+    val base = materialize(df.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.sortedLongs(array_distinct(hs))
+          .as("shingles"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(hs) - w, lit(0))),
+          i => array_min(slice(hs, i + 1, lit(w))))).as("fps")))
+    val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val cand = fp.select(col("fp"), col("doc_id").as("a"))
+      .join(fp.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    mhVerify(cand, base.select(col("doc_id"), col("shingles")),
+      base.select(col("doc_id"), col("shingles")), threshold)
+  }
+
   def minhashLshPairs(k: Int = 2, bands: Int = 8, rows: Int = 2,
       threshold: Double = 0.5)(df: DataFrame): DataFrame = {
     val sets = mhSets(df, k)

@@ -253,4 +253,41 @@ object GraphOps {
             " div (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("cc_fp"))
   }
+
+  /** Fixed-round k-core peel: `iters` rounds of "recompute degrees
+    * within the surviving set, drop nodes below `k`", then a final
+    * recount — the density-core view (which vectors sit in mutually
+    * dense neighborhoods, the complement of the rare/outlier tail).
+    * Fixed `iters` rather than peel-to-convergence keeps the plan a
+    * deterministic unrollable chain (the PageRank discipline — both
+    * engines replay the same rounds); `in_core` therefore means
+    * "survived `iters` peels", an upper bound on the true k-core that
+    * the oracle replays exactly. Each round is one degree aggregate +
+    * one semi-join pair, all hash-partitioned on node id; the alive
+    * frame only shrinks.
+    */
+  def kCore(edges: DataFrame, vertices: DataFrame, k: Int, iters: Int)
+      : DataFrame = {
+    val und = DedupOps.materialize(edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val sym = und.select(col("lo").as("id"), col("hi").as("nb"))
+      .unionAll(und.select(col("hi").as("id"), col("lo").as("nb")))
+    def degreesWithin(alive: DataFrame): DataFrame =
+      sym.join(alive, Seq("id"))
+        .join(alive.select(col("id").as("nb")), Seq("nb"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var alive = vertices.select(col("id"))
+    for (_ <- 1 to iters)
+      alive = DedupOps.materialize(
+        degreesWithin(alive).filter(col("deg") >= k).select(col("id")))
+    val coreDeg = degreesWithin(alive)
+    vertices.select(col("id"))
+      .join(alive.withColumn("__in", lit(true)), Seq("id"), "left_outer")
+      .join(coreDeg, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("__in"), lit(false)).as("in_core"),
+        coalesce(when(col("__in"), col("deg")), lit(0L)).as("core_deg"))
+  }
 }

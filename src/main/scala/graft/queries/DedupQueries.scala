@@ -105,6 +105,14 @@ object DedupQueries {
       DedupOps.minhashLshPairs(k = 2, bands = 8, rows = 2,
         threshold = 0.5)(docs(s, dir))),
 
+    // Winnowing near-dup pairs: shared winnowed fingerprints generate
+    // candidates (structural recall — any shared 8-token run shares a
+    // fingerprint), exact Jaccard over the same shingle-hash sets
+    // verifies. Same 0.5 threshold as the other near-dup paths.
+    "dedup_winnowing" -> ((s, dir) =>
+      DedupOps.winnowingPairs(k = 5, w = 4, threshold = 0.5)(
+        docs(s, dir))),
+
     // SimHash sketch per document.
     "dedup_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -294,6 +302,27 @@ object DedupQueries {
                      ON x.band = y.band AND x.band_key = y.band_key
                        AND x.doc_id < $IncrSplitId
                        AND y.doc_id >= $IncrSplitId)
+          $mhJaccardSelect""",
+    // winnowing replay: positional 5-shingle hashes → distinct
+    // 4-window minima → fingerprint equi-join → the shared exact-
+    // Jaccard tail (sha/shb = the same distinct shingle-hash sets)
+    "dedup_winnowing" ->
+      s"""WITH wd AS (SELECT doc_id, $toks AS tk FROM documents
+                      WHERE text IS NOT NULL),
+          wh AS (SELECT doc_id, list_transform(
+                   range(0, greatest(length(tk) - 5, 0) + 1),
+                   i -> ${h15("array_to_string(tk[i+1:i+5], ' ')")})
+                   AS hsh
+                 FROM wd),
+          ws AS (SELECT doc_id, list_distinct(hsh) AS sh,
+                   unnest(list_distinct(list_transform(
+                     range(0, greatest(length(hsh) - 4, 0) + 1),
+                     i -> list_min(hsh[i+1:i+4])))) AS fp
+                 FROM wh),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     x.sh AS sha, y.sh AS shb
+                   FROM ws x JOIN ws y
+                     ON x.fp = y.fp AND x.doc_id < y.doc_id)
           $mhJaccardSelect""",
     "dedup_simhash" ->
       s"""$duckSimhash SELECT doc_id, sh FROM shv""",

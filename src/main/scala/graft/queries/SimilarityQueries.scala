@@ -44,6 +44,12 @@ object SimilarityQueries {
   // PageRank iterations + fixed-point scale over the k-NN graph
   private val PrIters = 3
   private val PrScale = 1000000000000L
+  // k-core peel threshold + fixed rounds over the same graph. The
+  // symmetrized 3-NN graph has degree ≥ 3 everywhere, so k must exceed
+  // 3 for the peel to do work: k=4 keeps ~half of sf0.01 after round 1
+  // and the second round peels further (non-vacuous at every sf).
+  private val KcK = 4
+  private val KcIters = 2
   // clustering-coefficient fixed-point scale
   private[queries] val CcScale = 1000000L
 
@@ -234,6 +240,20 @@ object SimilarityQueries {
         embs(s, dir).select(col("vec_id").as("id")), CcScale)
         .select(col("id").as("vec_id"), col("deg"), col("n_tri"),
           col("cc_fp"))
+    }),
+
+    // Fixed-round k-core peel over the k-NN graph (the density-core
+    // complement of rare_terms: which vectors survive repeated "drop
+    // everything with < k surviving neighbors" rounds). Same edge
+    // construction as graph_pagerank/graph_clustering; see
+    // GraphOps.kCore for the fixed-iteration contract.
+    "graph_kcore" -> ((s, dir) => {
+      val edges = SimilarityOps.knnGraph(trained(s, dir), KnnK)(
+        embs(s, dir))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.GraphOps.kCore(edges,
+        embs(s, dir).select(col("vec_id").as("id")), KcK, KcIters)
+        .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
     }),
 
     // Embedding-distribution drift monitor: the corpus split into a
@@ -503,6 +523,7 @@ object SimilarityQueries {
           SELECT vec_id, neighbor_id, rank, cos FROM knn""",
     "graph_pagerank" -> pageRankSql,
     "graph_clustering" -> clusteringSql,
+    "graph_kcore" -> kcoreSql,
     "sim_drift" ->
       s"""WITH $lloydCtes,
           $trainedCellsCtes,
@@ -1057,6 +1078,40 @@ object SimilarityQueries {
                FROM pr_verts CROSS JOIN nn),
         $iterCtes
         SELECT vec_id, r AS rank_fp FROM pr_r$PrIters"""
+  }
+
+  /** k-core replay: symmetrize/dedup the knn edges, then `KcIters`
+    * unrolled peel rounds (degree-within-alive semi-joins, drop < KcK)
+    * and the final recount — the same fixed-round arithmetic as
+    * GraphOps.kCore.
+    */
+  private def kcoreSql: String = {
+    val rounds = (1 to KcIters).map { i =>
+      s"""kc_d$i AS (SELECT s.id, count(*)::BIGINT AS deg
+                 FROM kc_sym s
+                 JOIN kc_a${i - 1} x ON s.id = x.id
+                 JOIN kc_a${i - 1} y ON s.nb = y.id
+                 GROUP BY s.id),
+          kc_a$i AS (SELECT id FROM kc_d$i WHERE deg >= $KcK)"""
+    }.mkString(",\n")
+    s"""WITH $knnEdgeCtes,
+        kc_und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS lo,
+                 greatest(vec_id, neighbor_id) AS hi
+               FROM knn WHERE vec_id <> neighbor_id),
+        kc_sym AS (SELECT lo AS id, hi AS nb FROM kc_und
+               UNION ALL SELECT hi AS id, lo AS nb FROM kc_und),
+        kc_a0 AS (SELECT vec_id AS id FROM embeddings),
+        $rounds,
+        kc_f AS (SELECT s.id, count(*)::BIGINT AS deg
+               FROM kc_sym s
+               JOIN kc_a$KcIters x ON s.id = x.id
+               JOIN kc_a$KcIters y ON s.nb = y.id
+               GROUP BY s.id)
+        SELECT v.vec_id, (a.id IS NOT NULL) AS in_core,
+          COALESCE(f.deg, 0)::BIGINT AS core_deg
+        FROM embeddings v
+        LEFT JOIN kc_a$KcIters a ON a.id = v.vec_id
+        LEFT JOIN kc_f f ON f.id = v.vec_id"""
   }
 
   /** Clustering replay: symmetrize/dedup the knn edges, then the shared

@@ -56,6 +56,26 @@ object TextQueries {
         contentHash(col("text")).as("content_hash"),
         shingleFingerprint(col("text"), 5).as("shingle_fp"))),
 
+    // Winnowing fingerprints (Schleimer-Wilkerson-Aiken / MOSS): the
+    // distinct minima of every w-window over the positional 5-shingle
+    // hashes — the guaranteed-coverage sketch between a full shingle
+    // set (n hashes) and the 1-perm MinHash (1 hash): any shared run of
+    // w+k-1 tokens shares a fingerprint. Pure array expressions, zero
+    // shuffles; the density column shows the sketch's compression.
+    "text_winnowing" -> ((s, dir) => {
+      val hs = TextOps.shingleHashes(tokens(col("text")), WinnowK)
+      val wins = transform(
+        sequence(lit(0), greatest(size(hs) - WinnowW, lit(0))),
+        i => array_min(slice(hs, i + 1, lit(WinnowW))))
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(hs).cast("long").as("n_shingles"),
+          size(array_distinct(wins)).cast("long").as("n_fingerprints"),
+          array_min(hs).as("min_fp"),
+          (size(array_distinct(wins)).cast("double") /
+            size(hs).cast("double")).as("fp_density"))
+    }),
+
     // Deterministic 10% hash sample (reproducible subset selection).
     "sample_hash" -> ((s, dir) =>
       docs(s, dir)
@@ -251,6 +271,12 @@ object TextQueries {
   private[queries] val PhraseQueries: Seq[(Long, String)] = Seq(
     0L -> "table hash", 1L -> "slow hash batch")
 
+  /** Winnowing shingle size + window (guarantee threshold
+    * = WinnowW + WinnowK − 1 = 8 tokens).
+    */
+  private[queries] val WinnowK = 5
+  private[queries] val WinnowW = 4
+
   /** Rescore phrases (one per BM25 query id) + window/boost — both
     * phrases occur 35-40× in the corpus so the secondary signal
     * actually reorders the primary window.
@@ -361,6 +387,24 @@ object TextQueries {
             i -> ${h15(s"array_to_string(($toks)[i+1:i+5], ' ')")}))
             AS shingle_fp
           FROM documents""",
+    "text_winnowing" -> {
+      val hs = s"""list_transform(
+            range(0, greatest(length(tk) - $WinnowK, 0) + 1),
+            i -> ${h15(s"array_to_string(tk[i+1:i+$WinnowK], ' ')")})"""
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          h AS (SELECT doc_id, $hs AS hsh FROM d),
+          w AS (SELECT doc_id, hsh,
+                  list_distinct(list_transform(
+                    range(0, greatest(length(hsh) - $WinnowW, 0) + 1),
+                    i -> list_min(hsh[i+1:i+$WinnowW]))) AS fps
+                FROM h)
+          SELECT doc_id, length(hsh)::BIGINT AS n_shingles,
+            length(fps)::BIGINT AS n_fingerprints,
+            list_min(hsh) AS min_fp,
+            length(fps)::DOUBLE / length(hsh)::DOUBLE AS fp_density
+          FROM w"""
+    },
     "sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
           WHERE ${h15("concat('sample:', doc_id::VARCHAR)")} % 100 < 10""",

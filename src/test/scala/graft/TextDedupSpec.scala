@@ -74,6 +74,29 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(0) != fp(2))
   }
 
+  test("winnowing guarantee: a shared w+k-1 token run shares a fingerprint") {
+    // k=5 shingles, w=4 windows → any shared run of 8 tokens must
+    // yield at least one common winnowed fingerprint (the
+    // Schleimer-Wilkerson-Aiken coverage theorem); fully disjoint text
+    // shares none.
+    import org.apache.spark.sql.functions._
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = docs(
+      (1L, s"p1 p2 p3 $shared q1 q2"),
+      (2L, s"r1 r2 $shared t1 t2 t3"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+    val hs = TextOps.shingleHashes(TextOps.tokens($"text"), 5)
+    val wins = array_distinct(transform(
+      sequence(lit(0), greatest(size(hs) - 4, lit(0))),
+      i => array_min(slice(hs, i + 1, lit(4)))))
+    val fps = df.select($"doc_id", wins.as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty,
+      "shared 8-token run produced no common fingerprint")
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).isEmpty,
+      "disjoint docs share a fingerprint")
+  }
+
   test("ngram jaccard: identical docs have jaccard 1.0") {
     val df = docs((1L, "w x y z w x y z"), (2L, "w x y z w x y z"),
       (3L, "totally different words here"))
