@@ -201,28 +201,50 @@ object DedupOps {
   /** Winnowing-based near-dup pairs: candidates share at least one
     * winnowed fingerprint (distinct `w`-window minima over the
     * positional `k`-shingle hashes — the SWA/MOSS sketch), verified
-    * with exact Jaccard over the SAME distinct shingle-hash sets. The
-    * coverage guarantee makes candidate recall structural: any shared
-    * run of `w+k-1` tokens shares a fingerprint, so long verbatim
-    * overlaps can never be missed the way a MinHash band can
-    * probabilistically miss them. One scan computes sets AND
-    * fingerprints; the candidate join is an equi-join on the
-    * fingerprint key (fanout Σ df² over fingerprints, the banding
-    * geometry), verification is the shared sorted-merge intersect.
+    * with exact Jaccard over the SAME distinct shingle-hash sets.
+    *
+    * Fingerprints occurring in more than `maxDf` distinct documents
+    * are DROPPED from the candidate key first — the MOSS production
+    * rule. Without it the equi-join fanout is Σ df² over fingerprint
+    * postings, and boilerplate-grade fingerprints (a common phrase's
+    * window minimum shared by thousands of docs) turn it quadratic —
+    * measured 19 s at sf0.1 vs 1 s capped, and fatal at corpus scale.
+    * The structural coverage guarantee (any shared `w+k-1`-token run
+    * shares a fingerprint) then holds whenever the shared run yields
+    * at least one sub-boilerplate fingerprint — true for any overlap
+    * that is not itself corpus-wide boilerplate, which exact-Jaccard
+    * verification would reject anyway. One scan computes sets AND
+    * fingerprints; verification is the shared sorted-merge intersect.
     */
-  def winnowingPairs(k: Int = 5, w: Int = 4, threshold: Double = 0.5)(
-      df: DataFrame): DataFrame = {
-    val hs = TextOps.shingleHashes(tokens(col("text")), k)
+  def winnowingPairs(k: Int = 5, w: Int = 4, threshold: Double = 0.5,
+      maxDf: Int = 50)(df: DataFrame): DataFrame = {
+    // STAGE the hash array into its own projection: `__hs` is
+    // referenced by three consumers below, and expressions inside a
+    // higher-order-function lambda do not participate in codegen
+    // subexpression elimination — inlining shingleHashes there
+    // re-evaluates every md5 once per WINDOW element, O(n²) hashes per
+    // doc (measured 25 s vs 0.5 s at sf0.1). The separate select keeps
+    // it one evaluation per row: CollapseProject never merges a
+    // non-cheap expression referenced more than once.
     val base = materialize(df.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        graft.functions.TextExprs.sortedLongs(array_distinct(hs))
-          .as("shingles"),
+        TextOps.shingleHashes(tokens(col("text")), k).as("__hs"))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.sortedLongs(
+          array_distinct(col("__hs"))).as("shingles"),
         array_distinct(transform(
-          sequence(lit(0), greatest(size(hs) - w, lit(0))),
-          i => array_min(slice(hs, i + 1, lit(w))))).as("fps")))
-    val fp = base.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val cand = fp.select(col("fp"), col("doc_id").as("a"))
-      .join(fp.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+          sequence(lit(0), greatest(size(col("__hs")) - w, lit(0))),
+          i => array_min(slice(col("__hs"), i + 1, lit(w)))))
+          .as("fps")))
+    val fp = materialize(
+      base.select(col("doc_id"), explode(col("fps")).as("fp")))
+    val rare = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val keyed = fp.join(rare, Seq("fp"))
+    val cand = keyed.select(col("fp"), col("doc_id").as("a"))
+      .join(keyed.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     mhVerify(cand, base.select(col("doc_id"), col("shingles")),

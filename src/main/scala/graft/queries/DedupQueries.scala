@@ -24,6 +24,11 @@ object DedupQueries {
   private[queries] val SpanK = 8
   private[queries] val SpanMaxDup = 0.5
 
+  /** Winnowing candidate-key df cap (boilerplate-fingerprint cutoff),
+    * shared by the operator call and the oracle.
+    */
+  private[queries] val WinnowMaxDf = 50
+
   /** simhash pairs → connected components, memoized per (session, dir):
     * `dedup_clusters` and `dedup_canonical` are two consumers of ONE
     * cluster resolution (exactly how a real dedup pipeline materializes
@@ -105,13 +110,14 @@ object DedupQueries {
       DedupOps.minhashLshPairs(k = 2, bands = 8, rows = 2,
         threshold = 0.5)(docs(s, dir))),
 
-    // Winnowing near-dup pairs: shared winnowed fingerprints generate
-    // candidates (structural recall — any shared 8-token run shares a
-    // fingerprint), exact Jaccard over the same shingle-hash sets
-    // verifies. Same 0.5 threshold as the other near-dup paths.
+    // Winnowing near-dup pairs: shared sub-boilerplate winnowed
+    // fingerprints (df <= 50) generate candidates, exact Jaccard over
+    // the same shingle-hash sets verifies. Same 0.5 threshold as the
+    // other near-dup paths; see DedupOps.winnowingPairs for the df cap
+    // rationale.
     "dedup_winnowing" -> ((s, dir) =>
-      DedupOps.winnowingPairs(k = 5, w = 4, threshold = 0.5)(
-        docs(s, dir))),
+      DedupOps.winnowingPairs(k = 5, w = 4, threshold = 0.5,
+        maxDf = WinnowMaxDf)(docs(s, dir))),
 
     // SimHash sketch per document.
     "dedup_simhash" -> ((s, dir) =>
@@ -319,10 +325,14 @@ object DedupQueries {
                      range(0, greatest(length(hsh) - 4, 0) + 1),
                      i -> list_min(hsh[i+1:i+4])))) AS fp
                  FROM wh),
+          wrare AS (SELECT fp FROM (
+                   SELECT fp, count(*) AS wdf FROM ws GROUP BY fp)
+                 WHERE wdf <= $WinnowMaxDf),
           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                      x.sh AS sha, y.sh AS shb
                    FROM ws x JOIN ws y
-                     ON x.fp = y.fp AND x.doc_id < y.doc_id)
+                     ON x.fp = y.fp AND x.doc_id < y.doc_id
+                   JOIN wrare r ON r.fp = x.fp)
           $mhJaccardSelect""",
     "dedup_simhash" ->
       s"""$duckSimhash SELECT doc_id, sh FROM shv""",

@@ -134,6 +134,28 @@ object EventQueries {
           (col("n").cast("double") / col("tot").cast("double")).as("p"))
     }),
 
+    // Top event paths: the 20 most common length-3 event-type
+    // sequences across users (the path-analysis view behind the
+    // transition matrix — which three-step journeys dominate). Same
+    // per-user (ts, event_id) ordering contract as events_transitions;
+    // one lead window partitioned by user, one type-trigram-grain
+    // rollup, top-20 as a TakeOrdered.
+    "events_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("t"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+          col("t3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    }),
+
     // DAU/MAU stickiness: distinct daily actives over distinct
     // calendar-month actives — the engagement ratio on every product
     // dashboard. Two countDistinct aggregates (day and month grain);
@@ -248,6 +270,18 @@ object EventQueries {
          SELECT c.from_type, c.to_type, c.n,
                 CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
          FROM cnt c JOIN tot t USING (from_type)""",
+    "events_paths" ->
+      """WITH tri AS (
+           SELECT event_type AS step1,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY epoch_ms(ts), event_id) AS step2,
+                  lead(event_type, 2) OVER (PARTITION BY user_id
+                    ORDER BY epoch_ms(ts), event_id) AS step3
+           FROM events)
+         SELECT step1, step2, step3, count(*) AS n
+         FROM tri WHERE step3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, step1, step2, step3 LIMIT 20""",
     "events_dau_mau" ->
       """WITH dau AS (
            SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS dau

@@ -63,17 +63,23 @@ object TextQueries {
     // w+k-1 tokens shares a fingerprint. Pure array expressions, zero
     // shuffles; the density column shows the sketch's compression.
     "text_winnowing" -> ((s, dir) => {
-      val hs = TextOps.shingleHashes(tokens(col("text")), WinnowK)
+      // hash array staged into its own projection — see
+      // DedupOps.winnowingPairs for why (HOF lambdas get no
+      // subexpression elimination; inlined, the md5s re-run per window)
       val wins = transform(
-        sequence(lit(0), greatest(size(hs) - WinnowW, lit(0))),
-        i => array_min(slice(hs, i + 1, lit(WinnowW))))
+        sequence(lit(0), greatest(size(col("__hs")) - WinnowW, lit(0))),
+        i => array_min(slice(col("__hs"), i + 1, lit(WinnowW))))
       docs(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"),
-          size(hs).cast("long").as("n_shingles"),
-          size(array_distinct(wins)).cast("long").as("n_fingerprints"),
-          array_min(hs).as("min_fp"),
-          (size(array_distinct(wins)).cast("double") /
-            size(hs).cast("double")).as("fp_density"))
+          TextOps.shingleHashes(tokens(col("text")), WinnowK).as("__hs"))
+        .select(col("doc_id"), col("__hs"), wins.as("__wins"))
+        .select(col("doc_id"),
+          size(col("__hs")).cast("long").as("n_shingles"),
+          size(array_distinct(col("__wins"))).cast("long")
+            .as("n_fingerprints"),
+          array_min(col("__hs")).as("min_fp"),
+          (size(array_distinct(col("__wins"))).cast("double") /
+            size(col("__hs")).cast("double")).as("fp_density"))
     }),
 
     // Deterministic 10% hash sample (reproducible subset selection).
