@@ -77,6 +77,80 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein '98):
+    * the exact-cosine top-`window` per query, then `k` greedy rounds —
+    * each picks argmax of `lambda·rel − penalty·max_sim_to_selected`
+    * (ties to the smaller id), the standard diversity re-rank between
+    * retrieval and a RAG prompt. The candidate window and its pairwise
+    * sims are materialized ONCE (|Q|·window and |Q|·window² rows —
+    * bounded by the query batch, not the corpus); each round is an
+    * anti-join + max aggregate + per-query argmax window. `penalty` is
+    * passed explicitly rather than computed as 1−lambda so both
+    * engines share the exact double literal.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, window: Int,
+      k: Int, lambda: Double, penalty: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      DedupOps.norm(col("embedding")).as("q_nrm")))
+    val scored = corpus.select(col("vec_id").as("cid"), col("embedding"),
+        DedupOps.norm(col("embedding")).as("c_nrm"))
+      .join(q, col("cid") =!= col("query_id"))
+      .withColumn("rel", DedupOps.dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("c_nrm")))
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid"))
+    val mc = DedupOps.materialize(scored
+      .withColumn("__rk", row_number().over(w0))
+      .filter(col("__rk") <= window)
+      .select(col("query_id"), col("cid"), col("embedding"),
+        col("c_nrm"), col("rel")))
+    val mp = DedupOps.materialize(
+      mc.select(col("query_id"), col("cid").as("ca"),
+          col("embedding").as("ea"), col("c_nrm").as("na"))
+        .join(mc.select(col("query_id"), col("cid").as("cb"),
+          col("embedding").as("eb"), col("c_nrm").as("nb")),
+          Seq("query_id"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("query_id"), col("ca"), col("cb"),
+          (DedupOps.dot(col("ea"), col("eb")) /
+            (col("na") * col("nb"))).as("sim")))
+    val first = mc
+      .withColumn("__rk", row_number().over(w0))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("cid"), lit(1L).as("round"),
+        col("rel"), (lit(lambda) * col("rel")).as("mmr"))
+    var picks = Vector(first)
+    var selIds = DedupOps.materialize(
+      first.select(col("query_id"), col("cid")))
+    for (r <- 2 to k) {
+      val toSel = mp.join(
+        selIds.select(col("query_id"), col("cid").as("cb")),
+        Seq("query_id", "cb"))
+      val ms = mc.select(col("query_id"), col("cid"), col("rel"))
+        .join(selIds, Seq("query_id", "cid"), "left_anti")
+        .join(toSel.select(col("query_id"), col("ca").as("cid"),
+          col("sim")), Seq("query_id", "cid"))
+        .groupBy(col("query_id"), col("cid"), col("rel"))
+        .agg(max(col("sim")).as("ms"))
+      val score = lit(lambda) * col("rel") - lit(penalty) * col("ms")
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("__mmr").desc, col("cid"))
+      val pick = ms.withColumn("__mmr", score)
+        .withColumn("__rk", row_number().over(wr))
+        .filter(col("__rk") === 1)
+        .select(col("query_id"), col("cid"), lit(r.toLong).as("round"),
+          col("rel"), col("__mmr").as("mmr"))
+      picks = picks :+ pick
+      selIds = DedupOps.materialize(
+        selIds.union(pick.select(col("query_id"), col("cid"))))
+    }
+    picks.reduce(_ unionByName _)
+      .select(col("query_id"), col("cid").as("vec_id"), col("round"),
+        col("rel"), col("mmr"))
+  }
+
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * cells around centroid vectors, then search only the cells the query
     * probes. Each corpus vector lives in exactly ONE cell (its argmax-

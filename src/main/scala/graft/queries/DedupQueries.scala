@@ -29,6 +29,26 @@ object DedupQueries {
     */
   private[queries] val WinnowMaxDf = 50
 
+  /** First-occurrence novelty frame — the `dedup_novelty` construction,
+    * shared with `corpus_dedup_report`'s per-source rollup.
+    */
+  private[queries] def noveltyFrame(d: DataFrame): DataFrame = {
+    val sh = d.select(col("doc_id"),
+        explode(array_distinct(graft.operators.TextOps.shingleHashes(
+          graft.operators.TextOps.tokens(col("text")), SpanK)))
+          .as("sh"))
+      .localCheckpoint(false)
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        (col("n_seen").cast("double") /
+          col("n_shingles").cast("double")).as("seen_share"))
+  }
+
   /** simhash pairs → connected components, memoized per (session, dir):
     * `dedup_clusters` and `dedup_canonical` are two consumers of ONE
     * cluster resolution (exactly how a real dedup pipeline materializes
@@ -147,21 +167,52 @@ object DedupQueries {
     // the shingle frame is materialized once and consumed by both the
     // first-occurrence aggregate and the rejoin; both are equi-shuffles
     // on the hash key with map-side combine.
-    "dedup_novelty" -> ((s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"),
-          explode(array_distinct(graft.operators.TextOps.shingleHashes(
-            graft.operators.TextOps.tokens(col("text")), SpanK)))
-            .as("sh"))
-        .localCheckpoint(false)
-      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("fd"))
-      sh.join(first, Seq("sh"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("fd") < col("doc_id"), 1L).otherwise(0L))
-            .as("n_seen"))
-        .select(col("doc_id"), col("n_shingles"), col("n_seen"),
-          (col("n_seen").cast("double") /
-            col("n_shingles").cast("double")).as("seen_share"))
+    "dedup_novelty" -> ((s, dir) => noveltyFrame(docs(s, dir))),
+
+    // The per-source DEDUP REPORT — the one dashboard a curation team
+    // reads before deciding what to re-crawl or drop: exact-dup share
+    // (distinct content hashes), mean first-occurrence novelty, mean
+    // duplicate-span coverage, and the share of docs in at least one
+    // verified near-dup pair. Each signal is the REGISTERED operator's
+    // construction (noveltyFrame, duplicateSpans, minhashLshPairs)
+    // rolled up by source with exact DECIMAL sums; the oracle splices
+    // the same three replay chains as derived tables — one definition
+    // per signal, both engines.
+    "corpus_dedup_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def dec38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,10)")
+      val src = d.select(col("doc_id"), col("source"))
+      val base = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(graft.operators.TextOps.contentHash(col("text")))
+          .as("n_distinct"))
+      val nov = noveltyFrame(d).join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(dec38(col("seen_share"))).as("nov_dec"),
+          count(lit(1)).as("nov_n"))
+      val sp = DedupOps.duplicateSpans(SpanK, SpanMaxDup)(d)
+        .join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(dec38(col("dup_ratio"))).as("span_dec"),
+          count(lit(1)).as("span_n"))
+      val near = DedupOps.minhashLshPairs(k = 2, bands = 8, rows = 2,
+          threshold = 0.5)(d)
+        .select(explode(array(col("a"), col("b"))).as("doc_id"))
+        .distinct()
+        .join(src, Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_near"))
+      base.join(nov, Seq("source"), "left_outer")
+        .join(sp, Seq("source"), "left_outer")
+        .join(near, Seq("source"), "left_outer")
+        .select(col("source"), col("n_docs"),
+          (lit(1.0) - col("n_distinct").cast("double") /
+            col("n_docs").cast("double")).as("exact_dup_share"),
+          (col("nov_dec").cast("double") /
+            col("nov_n").cast("double")).as("avg_seen_share"),
+          (col("span_dec").cast("double") /
+            col("span_n").cast("double")).as("avg_span_dup_share"),
+          (coalesce(col("n_near"), lit(0L)).cast("double") /
+            col("n_docs").cast("double")).as("near_dup_doc_share"))
     }),
 
     // SemDeDup-style semantic dedup: k-means cells (the SAME memoized
@@ -261,6 +312,35 @@ object DedupQueries {
                FROM g CROSS JOIN range(0, 8) r(b))"""
   }
 
+  /** The full dedup_minhash_lsh replay as one self-contained query —
+    * also spliced (as a derived table) into `corpus_dedup_report`.
+    */
+  private def minhashPairsSql: String =
+    s"""WITH $minhashBandCtes,
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   x.sh AS sha, y.sh AS shb
+                 FROM bd x JOIN bd y
+                   ON x.band = y.band AND x.band_key = y.band_key
+                     AND x.doc_id < y.doc_id)
+        $mhJaccardSelect"""
+
+  /** The dedup_novelty replay — also spliced into
+    * `corpus_dedup_report`.
+    */
+  private def noveltySql: String =
+    s"""WITH shn AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(length(tk) - $SpanK, 0) + 1),
+            i -> ${h15(s"array_to_string(tk[i+1 : i+$SpanK], ' ')")})))
+            AS sh
+          FROM (SELECT doc_id, $toks AS tk FROM documents)),
+        fst AS (SELECT sh, min(doc_id) AS fd FROM shn GROUP BY sh)
+        SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+          CAST(sum(CASE WHEN f.fd < s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seen,
+          CAST(sum(CASE WHEN f.fd < s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT)::DOUBLE / count(*)::DOUBLE AS seen_share
+        FROM shn s JOIN fst f USING (sh) GROUP BY s.doc_id"""
+
   /** Exact-Jaccard verification tail over a `cand(a, b, sha, shb)` CTE —
     * ≡ DedupOps.mhVerify at threshold 0.5.
     */
@@ -290,14 +370,7 @@ object DedupQueries {
               (any_value(a.sz) + any_value(b.sz) - count(*))::DOUBLE AS jaccard
           FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING jaccard >= 0.5""",
-    "dedup_minhash_lsh" ->
-      s"""WITH $minhashBandCtes,
-          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                     x.sh AS sha, y.sh AS shb
-                   FROM bd x JOIN bd y
-                     ON x.band = y.band AND x.band_key = y.band_key
-                       AND x.doc_id < y.doc_id)
-          $mhJaccardSelect""",
+    "dedup_minhash_lsh" -> minhashPairsSql,
     // incremental replay: SAME band chain and verify, candidates
     // restricted to (history, new-batch) pairs across the split id
     "dedup_incremental" ->
@@ -359,19 +432,42 @@ object DedupQueries {
     // positional shingles → df≥2 hashes → per-doc sorted starts →
     // exact interval merge via lead(); COALESCE 0 for clean docs
     "dedup_duplicate_spans" -> spansSql,
-    "dedup_novelty" ->
-      s"""WITH shn AS (SELECT doc_id, unnest(list_distinct(list_transform(
-              range(0, greatest(length(tk) - $SpanK, 0) + 1),
-              i -> ${h15(s"array_to_string(tk[i+1 : i+$SpanK], ' ')")})))
-              AS sh
-            FROM (SELECT doc_id, $toks AS tk FROM documents)),
-          fst AS (SELECT sh, min(doc_id) AS fd FROM shn GROUP BY sh)
-          SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
-            CAST(sum(CASE WHEN f.fd < s.doc_id THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_seen,
-            CAST(sum(CASE WHEN f.fd < s.doc_id THEN 1 ELSE 0 END)
-              AS BIGINT)::DOUBLE / count(*)::DOUBLE AS seen_share
-          FROM shn s JOIN fst f USING (sh) GROUP BY s.doc_id""",
+    "dedup_novelty" -> noveltySql,
+    "corpus_dedup_report" -> {
+      def dec(e: String) = s"CAST(CAST($e AS VARCHAR) AS DECIMAL(38,10))"
+      def dd(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      s"""WITH rep_base AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 count(DISTINCT md5(regexp_replace(lower(trim(text)),
+                   '\\s+', ' ', 'g'))) AS n_distinct
+               FROM documents GROUP BY source),
+          rep_nov AS (SELECT d.source,
+                 sum(${dec("nv.seen_share")}) AS nov_dec,
+                 count(*)::BIGINT AS nov_n
+               FROM ($noveltySql) nv
+               JOIN documents d USING (doc_id) GROUP BY d.source),
+          rep_sp AS (SELECT d.source,
+                 sum(${dec("sp.dup_ratio")}) AS span_dec,
+                 count(*)::BIGINT AS span_n
+               FROM ($spansSql) sp
+               JOIN documents d USING (doc_id) GROUP BY d.source),
+          rep_pairs AS MATERIALIZED (SELECT a, b FROM ($minhashPairsSql)),
+          rep_near AS (SELECT d.source, count(*)::BIGINT AS n_near
+               FROM (SELECT DISTINCT id FROM (
+                       SELECT a AS id FROM rep_pairs
+                       UNION ALL SELECT b AS id FROM rep_pairs)) x
+               JOIN documents d ON d.doc_id = x.id GROUP BY d.source)
+          SELECT b.source, b.n_docs,
+            CAST(1 AS DOUBLE) - b.n_distinct::DOUBLE / b.n_docs::DOUBLE
+              AS exact_dup_share,
+            ${dd("n.nov_dec")} / n.nov_n::DOUBLE AS avg_seen_share,
+            ${dd("s.span_dec")} / s.span_n::DOUBLE AS avg_span_dup_share,
+            COALESCE(r.n_near, 0)::DOUBLE / b.n_docs::DOUBLE
+              AS near_dup_doc_share
+          FROM rep_base b
+          LEFT JOIN rep_nov n USING (source)
+          LEFT JOIN rep_sp s USING (source)
+          LEFT JOIN rep_near r USING (source)"""
+    },
     // Lloyd replay (shared CTE chain) → final trained centroids →
     // argmax-cosine cell per vector → within-cell pairs at cos ≥ 0.35 →
     // recursive min-reachable component ≡ GraphOps' fixpoint → keep.

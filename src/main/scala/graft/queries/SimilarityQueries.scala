@@ -44,6 +44,14 @@ object SimilarityQueries {
   // PageRank iterations + fixed-point scale over the k-NN graph
   private val PrIters = 3
   private val PrScale = 1000000000000L
+  // MMR re-rank: candidate window, picks, trade-off weights. The
+  // penalty is a separate literal (NOT 1−λ: 1−0.7 is
+  // 0.30000000000000004 in IEEE — both engines must share the exact
+  // written constant).
+  private val MmrWindow = 10
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+  private val MmrPenalty = 0.3
   // k-core peel threshold + fixed rounds over the same graph. The
   // symmetrized 3-NN graph has degree ≥ 3 everywhere, so k must exceed
   // 3 for the peel to do work: k=4 keeps ~half of sf0.01 after round 1
@@ -240,6 +248,17 @@ object SimilarityQueries {
         embs(s, dir).select(col("vec_id").as("id")), CcScale)
         .select(col("id").as("vec_id"), col("deg"), col("n_tri"),
           col("cc_fp"))
+    }),
+
+    // MMR diversity re-rank (Carbonell-Goldstein): greedy
+    // relevance-vs-redundancy selection over the exact-cosine top-10
+    // window — the re-rank between retrieval and a RAG prompt. Each of
+    // the 5 rounds is replayed exactly by the oracle (argmax of
+    // λ·rel − penalty·max-sim-to-selected, ties to smaller id).
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.mmrRerank(e, queriesOf(e), MmrWindow, MmrK,
+        MmrLambda, MmrPenalty)
     }),
 
     // Fixed-round k-core peel over the k-NN graph (the density-core
@@ -524,6 +543,7 @@ object SimilarityQueries {
     "graph_pagerank" -> pageRankSql,
     "graph_clustering" -> clusteringSql,
     "graph_kcore" -> kcoreSql,
+    "sim_mmr_rerank" -> mmrSql,
     "sim_drift" ->
       s"""WITH $lloydCtes,
           $trainedCellsCtes,
@@ -1078,6 +1098,65 @@ object SimilarityQueries {
                FROM pr_verts CROSS JOIN nn),
         $iterCtes
         SELECT vec_id, r AS rank_fp FROM pr_r$PrIters"""
+  }
+
+  /** MMR replay: exact-cosine candidate window `mmr_mc`, pairwise sims
+    * `mmr_mp`, then `MmrK` unrolled greedy rounds — round 1 is the
+    * plain relevance argmax; round r scores the not-yet-selected
+    * candidates with λ·rel − penalty·max(sim to selected). CTEs are
+    * MATERIALIZED (each round references the prior selection twice —
+    * default inlining goes exponential over the chain).
+    */
+  private def mmrSql: String = {
+    val (l, p) = (MmrLambda, MmrPenalty)
+    val rounds = (2 to MmrK).map { r =>
+      s"""mmr_r$r AS MATERIALIZED (
+             SELECT query_id, cid, rel, $l * rel - $p * ms AS mmr FROM (
+               SELECT query_id, cid, rel, ms,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY $l * rel - $p * ms DESC, cid) AS rk
+               FROM (SELECT c.query_id, c.cid, c.rel, max(s.sim) AS ms
+                     FROM mmr_mc c
+                     JOIN mmr_mp s ON s.query_id = c.query_id
+                       AND s.ca = c.cid
+                     JOIN mmr_sel${r - 1} x ON x.query_id = s.query_id
+                       AND x.cid = s.cb
+                     WHERE NOT EXISTS (SELECT 1 FROM mmr_sel${r - 1} e
+                       WHERE e.query_id = c.query_id AND e.cid = c.cid)
+                     GROUP BY c.query_id, c.cid, c.rel))
+             WHERE rk = 1),
+          mmr_sel$r AS MATERIALIZED (
+             SELECT query_id, cid FROM mmr_sel${r - 1}
+             UNION ALL SELECT query_id, cid FROM mmr_r$r)"""
+    }.mkString(",\n")
+    val finals = (1 to MmrK).map(r =>
+      s"""SELECT query_id, cid AS vec_id, $r::BIGINT AS round, rel, mmr
+          FROM mmr_r$r""").mkString(" UNION ALL ")
+    s"""WITH mmr_q AS (SELECT vec_id AS query_id, embedding AS qe
+                     FROM embeddings WHERE vec_id < $NQ),
+        mmr_sc AS MATERIALIZED (
+             SELECT query_id, e.vec_id AS cid, e.embedding AS ce,
+               ${cosine("qe", "e.embedding")} AS rel
+             FROM mmr_q CROSS JOIN embeddings e
+             WHERE e.vec_id <> query_id),
+        mmr_mc AS MATERIALIZED (
+             SELECT query_id, cid, ce, rel FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, cid) AS rk FROM mmr_sc)
+             WHERE rk <= $MmrWindow),
+        mmr_mp AS MATERIALIZED (
+             SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+               ${cosine("a.ce", "b.ce")} AS sim
+             FROM mmr_mc a JOIN mmr_mc b
+               ON a.query_id = b.query_id AND a.cid <> b.cid),
+        mmr_r1 AS MATERIALIZED (
+             SELECT query_id, cid, rel, $l * rel AS mmr FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, cid) AS rk FROM mmr_mc)
+             WHERE rk = 1),
+        mmr_sel1 AS MATERIALIZED (SELECT query_id, cid FROM mmr_r1),
+        $rounds
+        $finals"""
   }
 
   /** k-core replay: symmetrize/dedup the knn edges, then `KcIters`
