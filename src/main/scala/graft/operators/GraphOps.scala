@@ -254,6 +254,87 @@ object GraphOps {
           .otherwise(lit(0L)).as("cc_fp"))
   }
 
+  /** Link prediction over an undirected graph (symmetrized + deduped
+    * internally): for every NON-adjacent pair sharing at least one
+    * neighbor, the common-neighbor count and the Jaccard coefficient of
+    * the two neighborhoods — the "which near-duplicates did the k-NN
+    * cutoff miss" / "which docs should be related" ranking. Jaccard is
+    * the integer fixed-point `(scale·cn) div (deg_a + deg_b − cn)` —
+    * all Long, bit-identical at any partitioning. Candidate volume is
+    * wedge-bounded (Σ deg(v)² over common-neighbor pivots — linear on
+    * bounded-degree k-NN graphs, the same bound as triangleStats); the
+    * existing-edge anti-join and the two degree joins all run on
+    * node/edge-grain frames, and the top-N is a TakeOrdered (no global
+    * sort exchange).
+    */
+  def linkPrediction(edges: DataFrame, topN: Int,
+      scale: Long = 1000000L): DataFrame = {
+    val und = DedupOps.materialize(edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val sym = und.select(col("lo").as("id"), col("hi").as("nb"))
+      .unionAll(und.select(col("hi").as("id"), col("lo").as("nb")))
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // wedge pivot: common neighbor id links (a, b), a < b
+    val cn = sym.select(col("id"), col("nb").as("a"))
+      .join(sym.select(col("id"), col("nb").as("b")), Seq("id"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    cn.join(und, cn("a") === und("lo") && cn("b") === und("hi"),
+        "left_anti")
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")),
+        Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
+        expr(s"($scale * cn) div (deg_a + deg_b - cn)").as("jaccard_fp"))
+      .orderBy(col("jaccard_fp").desc, col("cn").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  /** Per-cluster Newman modularity contribution over an undirected edge
+    * list and a (id, component) cluster table: q_c = e_c/m − (d_c/2m)²
+    * — the "are these clusters actually denser than chance" check on any
+    * component resolution (near-dup CC, DBSCAN, semantic cells). e_c and
+    * d_c are exact Long counts; the two divisions and the square are the
+    * IDENTICAL double expression in both engines (each IEEE op exactly
+    * rounded ⇒ bit-equal). m is a 1-row aggregate broadcast back
+    * (allowlisted Q22 shape); everything else is edge/node-grain.
+    * Nodes absent from `clusters` (never paired) are ignored — a
+    * singleton contributes 0 to every term anyway.
+    */
+  def modularity(edges: DataFrame, clusters: DataFrame): DataFrame = {
+    val und = DedupOps.materialize(edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val m = und.agg(count(lit(1)).as("m"))
+    val cl = clusters.select(col("id"), col("component"))
+    val deg = und.select(col("lo").as("id"))
+      .unionAll(und.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val dTot = deg.join(cl, Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_tot"))
+    val eIn = und
+      .join(cl.select(col("id").as("lo"), col("component").as("ca")),
+        Seq("lo"))
+      .join(cl.select(col("id").as("hi"), col("component").as("cb")),
+        Seq("hi"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("component"))
+      .agg(count(lit(1)).as("e_in"))
+    val md = col("m").cast("double")
+    val half = col("d_tot").cast("double") / (lit(2.0) * md)
+    dTot.join(eIn, Seq("component"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select(col("component"), col("n_nodes"), col("d_tot"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        (coalesce(col("e_in"), lit(0L)).cast("double") / md -
+          half * half).as("q_part"))
+  }
+
   /** Fixed-round k-core peel: `iters` rounds of "recompute degrees
     * within the surviving set, drop nodes below `k`", then a final
     * recount — the density-core view (which vectors sit in mutually

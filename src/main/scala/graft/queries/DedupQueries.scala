@@ -257,6 +257,23 @@ object DedupQueries {
           col("cc_fp"))
     }),
 
+    // Per-cluster Newman modularity over the simhash near-dup graph —
+    // the "are these clusters denser than chance" audit on the SAME
+    // memoized component resolution dedup_clusters/dedup_canonical
+    // consume (one resolution, many consumers). e_in/d_tot are exact
+    // Longs; q_part = e_in/m − (d_tot/2m)² is the identical double
+    // expression in both engines; m is the one allowlisted 1-row
+    // aggregate. Non-vacuous: template-family cliques score near their
+    // d²-penalty bound while chained drift components score lower.
+    "graph_modularity" -> ((s, dir) => {
+      val pairs = DedupOps.simhashPairs(maxHamming = 8, chunks = 10)(
+        docs(s, dir))
+        .select(col("a").as("src"), col("b").as("dst"))
+      graft.operators.GraphOps.modularity(pairs, simhashComponents(s, dir))
+        .select(col("component").as("cluster_id"), col("n_nodes"),
+          col("d_tot"), col("e_in"), col("q_part"))
+    }),
+
     // End-to-end dedup: the surviving corpus — every unclustered doc plus
     // the minimum-id representative of each near-dup cluster (pairs →
     // components → anti-join the non-canonical members away).
@@ -498,6 +515,38 @@ object DedupQueries {
           SELECT doc_id, lang, source FROM documents
           WHERE doc_id NOT IN (
             SELECT id FROM cc WHERE component <> id)""",
+    // same simhash pair set + the SAME recursive component closure as
+    // dedup_clusters, then the modularity tail: exact Long e_in/d_tot
+    // per component, the double formula shaped identically to the Spark
+    // expression (every IEEE op exactly rounded ⇒ bit-equal).
+    "graph_modularity" ->
+      s"""${duckSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          $simhashPairsCtes,
+          $ccClosureCtes,
+          md_und AS (SELECT DISTINCT least(a, b) AS lo,
+                       greatest(a, b) AS hi
+                     FROM pr WHERE a <> b),
+          md_m AS (SELECT count(*)::BIGINT AS m FROM md_und),
+          md_deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+                       SELECT lo AS id FROM md_und
+                       UNION ALL SELECT hi AS id FROM md_und) GROUP BY 1),
+          md_d AS (SELECT cc.component, count(*)::BIGINT AS n_nodes,
+                     sum(d.deg)::BIGINT AS d_tot
+                   FROM md_deg d JOIN cc ON cc.id = d.id GROUP BY 1),
+          md_e AS (SELECT x.component, count(*)::BIGINT AS e_in
+                   FROM md_und u
+                   JOIN cc x ON x.id = u.lo
+                   JOIN cc y ON y.id = u.hi
+                   WHERE x.component = y.component GROUP BY 1)
+          SELECT d.component AS cluster_id, d.n_nodes, d.d_tot,
+            COALESCE(e.e_in, 0)::BIGINT AS e_in,
+            (COALESCE(e.e_in, 0)::DOUBLE / m.m::DOUBLE
+              - (d.d_tot::DOUBLE / (CAST(2 AS DOUBLE) * m.m::DOUBLE))
+                * (d.d_tot::DOUBLE / (CAST(2 AS DOUBLE) * m.m::DOUBLE)))
+              AS q_part
+          FROM md_d d
+          LEFT JOIN md_e e ON e.component = d.component
+          CROSS JOIN md_m m""",
     // same simhash pair set, then the SHARED wedge-closure tail (one
     // SQL definition with graph_clustering's knn replay — see
     // SimilarityQueries.clusteringTailSql)

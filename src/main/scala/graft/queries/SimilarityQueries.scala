@@ -58,6 +58,9 @@ object SimilarityQueries {
   // and the second round peels further (non-vacuous at every sf).
   private val KcK = 4
   private val KcIters = 2
+  // link prediction: result size + Jaccard fixed-point scale
+  private val LpTopN = 20
+  private val LpScale = 1000000L
   // clustering-coefficient fixed-point scale
   private[queries] val CcScale = 1000000L
 
@@ -273,6 +276,19 @@ object SimilarityQueries {
       graft.operators.GraphOps.kCore(edges,
         embs(s, dir).select(col("vec_id").as("id")), KcK, KcIters)
         .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
+    }),
+
+    // Link prediction over the k-NN graph: the top-20 NON-adjacent
+    // pairs by neighborhood Jaccard (common-neighbor wedges, integer
+    // fixed-point) — "which near-neighbors did the k-NN cutoff miss",
+    // the candidate-generation step of graph-based retrieval expansion.
+    // Same edge construction as the other graph_* consumers; the kernel
+    // is wedge-bounded and the top-20 is a TakeOrdered.
+    "graph_link_prediction" -> ((s, dir) => {
+      val edges = SimilarityOps.knnGraph(trained(s, dir), KnnK)(
+        embs(s, dir))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.GraphOps.linkPrediction(edges, LpTopN, LpScale)
     }),
 
     // Embedding-distribution drift monitor: the corpus split into a
@@ -543,6 +559,7 @@ object SimilarityQueries {
     "graph_pagerank" -> pageRankSql,
     "graph_clustering" -> clusteringSql,
     "graph_kcore" -> kcoreSql,
+    "graph_link_prediction" -> lpSql,
     "sim_mmr_rerank" -> mmrSql,
     "sim_drift" ->
       s"""WITH $lloydCtes,
@@ -1192,6 +1209,35 @@ object SimilarityQueries {
         LEFT JOIN kc_a$KcIters a ON a.id = v.vec_id
         LEFT JOIN kc_f f ON f.id = v.vec_id"""
   }
+
+  /** Link-prediction replay: symmetrize/dedup the knn edges, wedge
+    * pivots count common neighbors per non-adjacent (a < b) pair, the
+    * Jaccard fixed-point is the same integer `//` arithmetic as
+    * GraphOps.linkPrediction, top-LpTopN under the identical total
+    * order.
+    */
+  private def lpSql: String =
+    s"""WITH $knnEdgeCtes,
+        lp_und AS (SELECT DISTINCT least(vec_id, neighbor_id) AS lo,
+                     greatest(vec_id, neighbor_id) AS hi
+                   FROM knn WHERE vec_id <> neighbor_id),
+        lp_sym AS (SELECT lo AS id, hi AS nb FROM lp_und
+                   UNION ALL SELECT hi AS id, lo AS nb FROM lp_und),
+        lp_deg AS (SELECT id, count(*)::BIGINT AS deg FROM lp_sym
+                   GROUP BY 1),
+        lp_cn AS (SELECT x.nb AS a, y.nb AS b, count(*)::BIGINT AS cn
+                  FROM lp_sym x JOIN lp_sym y
+                    ON x.id = y.id AND x.nb < y.nb
+                  GROUP BY 1, 2)
+        SELECT c.a, c.b, c.cn, da.deg AS deg_a, db.deg AS deg_b,
+          (($LpScale * c.cn) // (da.deg + db.deg - c.cn))::BIGINT
+            AS jaccard_fp
+        FROM lp_cn c
+        JOIN lp_deg da ON da.id = c.a
+        JOIN lp_deg db ON db.id = c.b
+        WHERE NOT EXISTS (SELECT 1 FROM lp_und u
+                          WHERE u.lo = c.a AND u.hi = c.b)
+        ORDER BY jaccard_fp DESC, cn DESC, a, b LIMIT $LpTopN"""
 
   /** Clustering replay: symmetrize/dedup the knn edges, then the shared
     * wedge-closure tail (see [[clusteringTailSql]]).

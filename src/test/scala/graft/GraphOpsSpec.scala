@@ -120,4 +120,38 @@ class GraphOpsSpec extends SparkSpec {
       iters = 1, scale = 1000000L).as[(Long, Long)].collect().toMap
     assert(got1 == got)
   }
+
+  test("linkPrediction: cycle + pendant, hand-checked Jaccard") {
+    // square 1-2-3-4-1 with pendant 5 on node 1. Non-adjacent pairs
+    // with a common neighbor: (2,4) cn={1,3} jac 2/2; (1,3) cn={2,4}
+    // jac 2/3; (2,5),(4,5) cn={1} jac 1/2. (3,5) shares nothing.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L))
+      .toDF("src", "dst")
+    val got = GraphOps.linkPrediction(edges, topN = 10)
+      .select("a", "b", "cn", "jaccard_fp")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 4L, 2L, 1000000L),
+      (1L, 3L, 2L, 666666L),
+      (2L, 5L, 1L, 500000L),
+      (4L, 5L, 1L, 500000L)))
+    // topN truncates under the same total order
+    val top2 = GraphOps.linkPrediction(edges, topN = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(top2 == Seq((2L, 4L), (1L, 3L)))
+  }
+
+  test("modularity: two bridged triangles, hand-checked q") {
+    // triangles {1,2,3} and {4,5,6} bridged by (3,4): m=7,
+    // each cluster has e_in=3, d_tot=7 → q = 3/7 − (7/14)² each
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "component")
+    val got = GraphOps.modularity(edges, clusters)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val q = 3.0 / 7.0 - 0.25
+    assert(got == Map(1L -> ((3L, 7L, 3L, q)), 4L -> ((3L, 7L, 3L, q))))
+  }
 }

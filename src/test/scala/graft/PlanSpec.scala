@@ -385,7 +385,8 @@ object PlanSpec {
     "es_serial_diff" -> 1,    // lag-7 window over the day-grain frame
     "es_stats_bucket" -> 1,   // final 1-row stats over day-grain buckets
     "es_auto_date_histogram" -> 1, // 1-row span for the interval ladder
-    "events_funnel" -> 1)     // final 3-counter rollup (1 row)
+    "events_funnel" -> 1,     // final 3-counter rollup (1 row)
+    "graph_modularity" -> 1)  // 1-row total-edge count m (Q22 shape)
     // (events_anomaly's 1-row bounds aggregate runs behind its
     // checkpoint barrier, so the swept plan shows none)
 }
