@@ -50,6 +50,12 @@ object EsAggQueries {
     */
   private val SparseType = "purchase"
   private val SparseMin = 95.0
+  /** percentile_ranks thresholds (value median ≈ 35, max ≈ 490 — the
+    * three land at roughly the 20th/65th/95th ranks, all non-vacuous).
+    */
+  private val RankT1 = 10.0
+  private val RankT2 = 50.0
+  private val RankT3 = 150.0
 
   val all: Map[String, Q] = Map(
     // ES date_histogram, fixed_interval: 1h, min_doc_count: 0 — buckets
@@ -200,6 +206,28 @@ object EsAggQueries {
             .as("p90_ok"),
           (col("ap")(2) >= col("lo99") && col("ap")(2) <= col("hi99"))
             .as("p99_ok"))),
+
+    // ES percentile_ranks: per type, the percent of values at or below
+    // each requested threshold — the inverse of `percentiles`, and
+    // unlike it EXACT here (a rank is a count ratio, no sketch): one
+    // conditional-sum pass over the type groupBy, the ratio the
+    // identical double expression in both engines, rows emitted in ES's
+    // long form (one per threshold) via stack.
+    "es_percentile_ranks" -> ((s, dir) => {
+      def le(t: Double) = sum(when(col("value") <= t, 1L).otherwise(0L))
+      ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          le(RankT1).as("le1"), le(RankT2).as("le2"), le(RankT3).as("le3"))
+        .select(col("event_type"),
+          expr(s"stack(3, CAST($RankT1 AS DOUBLE), le1," +
+            s" CAST($RankT2 AS DOUBLE), le2," +
+            s" CAST($RankT3 AS DOUBLE), le3) AS (threshold, n_le)"),
+          col("n"))
+        .select(col("event_type"), col("threshold"), col("n_le"), col("n"),
+          (lit(100.0) * col("n_le").cast("double") /
+            col("n").cast("double")).as("pct_rank"))
+    }),
 
     // ES adjacency_matrix agg: named filters and their pairwise
     // intersections counted in ONE conditional aggregate pass (ES
@@ -479,6 +507,23 @@ object EsAggQueries {
       """SELECT event_type, count(*) AS n,
                 true AS p50_ok, true AS p90_ok, true AS p99_ok
          FROM events GROUP BY 1""",
+    "es_percentile_ranks" ->
+      s"""WITH g AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+              sum(CASE WHEN value <= $RankT1 THEN 1 ELSE 0 END)::BIGINT
+                AS le1,
+              sum(CASE WHEN value <= $RankT2 THEN 1 ELSE 0 END)::BIGINT
+                AS le2,
+              sum(CASE WHEN value <= $RankT3 THEN 1 ELSE 0 END)::BIGINT
+                AS le3
+            FROM events GROUP BY 1)
+          SELECT event_type, t.threshold, t.n_le, n,
+            100.0 * CAST(t.n_le AS DOUBLE) / CAST(n AS DOUBLE)
+              AS pct_rank
+          FROM g, LATERAL (
+            SELECT CAST($RankT1 AS DOUBLE) AS threshold, le1 AS n_le
+            UNION ALL SELECT CAST($RankT2 AS DOUBLE), le2
+            UNION ALL SELECT CAST($RankT3 AS DOUBLE), le3) t""",
     "es_adjacency_matrix" ->
       """SELECT
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)

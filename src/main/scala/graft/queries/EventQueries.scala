@@ -175,6 +175,41 @@ object EventQueries {
             .as("stickiness"))
     }),
 
+    // Last-touch attribution: each purchase credits the most recent
+    // preceding view/click by the same user within 24 h (the marketing
+    // dashboard's conversion-credit model); no touch in the window →
+    // 'direct'. The two IGNORE-NULLS window lasts read the SAME
+    // preceding row (their CASE nulls coincide), so t/type stay
+    // consistent without a struct; the (t, event_id) order makes the
+    // pick deterministic in both engines. One user_id exchange for the
+    // window, a 3-key channel rollup, revenue through exact DECIMAL,
+    // and the share window runs on the channel-grain frame
+    // (allowlisted). purchase value is the credited revenue.
+    "events_attribution" -> ((s, dir) => {
+      val touch = col("event_type") === "view" || col("event_type") === "click"
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = ev(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_millis(col("ts")).as("t"))
+      val attributed = e
+        .withColumn("at", last(when(touch, col("t")), true).over(w))
+        .withColumn("aty",
+          last(when(touch, col("event_type")), true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(when(col("at").isNotNull &&
+            col("t") - col("at") <= StepWindowMs, col("aty"))
+          .otherwise("direct").as("channel"), col("value"))
+      val g = attributed.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(28,10)")).as("rev_dec"))
+      val wAll = Window.partitionBy()
+      g.select(col("channel"), col("n_purchases"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("n_purchases").cast("double") /
+            sum(col("n_purchases")).over(wAll).cast("double")).as("share"))
+    }),
+
     // Count anomalies per (event_type, hour) with empty buckets
     // gap-filled to 0 (a silent hour is the outage signal). Flag iff
     // (n·x − S)² > 4·(n·Q − S²) — z² > 4 with the divisions multiplied
@@ -293,6 +328,33 @@ object EventQueries {
          SELECT strftime(d, '%Y-%m-%d') AS day, dau, mau,
                 CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
          FROM dau JOIN mau ON strftime(d, '%Y-%m') = m""",
+    "events_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+                  epoch_ms(ts) AS t FROM events),
+          w AS (SELECT *,
+                  last_value(CASE WHEN event_type IN ('view', 'click')
+                      THEN t END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS at,
+                  last_value(CASE WHEN event_type IN ('view', 'click')
+                      THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS aty
+                FROM e),
+          p AS (SELECT CASE WHEN at IS NOT NULL
+                    AND t - at <= $StepWindowMs
+                  THEN aty ELSE 'direct' END AS channel, value
+                FROM w WHERE event_type = 'purchase'),
+          g AS (SELECT channel, count(*)::BIGINT AS n_purchases,
+                  CAST(CAST(sum(CAST(value AS DECIMAL(28,10)))
+                    AS VARCHAR) AS DOUBLE) AS revenue
+                FROM p GROUP BY 1)
+          SELECT channel, n_purchases, revenue,
+            CAST(n_purchases AS DOUBLE) /
+              CAST(sum(n_purchases) OVER () AS DOUBLE) AS share
+          FROM g""",
     "events_anomaly" ->
       s"""WITH h AS (
             SELECT event_type, date_trunc('hour', ts) AS hh,

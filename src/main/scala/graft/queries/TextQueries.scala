@@ -82,6 +82,39 @@ object TextQueries {
             size(col("__hs")).cast("double")).as("fp_density"))
     }),
 
+    // PMI collocations: the top-20 adjacent-token pairs by pointwise
+    // mutual information — the phrase-mining view of the corpus (which
+    // bigrams are "words" that the whitespace tokenizer split). Ranking
+    // by c12/(c1·c2) IS the PMI order (the log and the constant corpus
+    // total N are monotone, so neither is computed — no transcendentals
+    // and no 1-row aggregate), fixed-pointed on the shared integer
+    // scale. Scale shape: one token-grain and one bigram-grain groupBy
+    // (map-side combined); the two unigram joins run at vocabulary
+    // grain; top-20 is a TakeOrdered. The Long product c1·c2 holds to
+    // ~3×10⁹ occurrences per token — beyond that the scale drops or the
+    // product widens to DECIMAL (documented, not hit at any test sf).
+    "text_collocations" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+      // vocabulary frame consumed by BOTH endpoint joins
+      val uni = base.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint(false)
+      val bi = base.filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1)," +
+            " i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= CollMinPair)
+      bi.join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c1").as("c2")), Seq("w2"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          expr(s"($CollScale * c12) div (c1 * c2)").as("pmi_fp"))
+        .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+        .limit(CollTopN)
+    }),
+
     // Deterministic 10% hash sample (reproducible subset selection).
     "sample_hash" -> ((s, dir) =>
       docs(s, dir)
@@ -280,6 +313,10 @@ object TextQueries {
   /** Winnowing shingle size + window (guarantee threshold
     * = WinnowW + WinnowK − 1 = 8 tokens).
     */
+  // PMI collocations: min pair count, fixed-point scale, result size
+  private[queries] val CollMinPair = 5L
+  private[queries] val CollScale = 1000000000000L
+  private[queries] val CollTopN = 20
   private[queries] val WinnowK = 5
   private[queries] val WinnowW = 4
 
@@ -411,6 +448,22 @@ object TextQueries {
             length(fps)::DOUBLE / length(hsh)::DOUBLE AS fp_density
           FROM w"""
     },
+    "text_collocations" ->
+      s"""WITH tok AS (SELECT $toks AS tk FROM documents
+                       WHERE text IS NOT NULL),
+          uni AS (SELECT t AS w, count(*)::BIGINT AS c1
+                  FROM (SELECT unnest(tk) AS t FROM tok) GROUP BY 1),
+          bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM (
+                   SELECT unnest(tk[1:len(tk)-1]) AS w1,
+                          unnest(tk[2:len(tk)]) AS w2
+                   FROM tok WHERE len(tk) >= 2)
+                 GROUP BY 1, 2 HAVING count(*) >= $CollMinPair)
+          SELECT b.w1, b.w2, b.c12, u1.c1 AS c1, u2.c1 AS c2,
+            (($CollScale * b.c12) // (u1.c1 * u2.c1))::BIGINT AS pmi_fp
+          FROM bi b
+          JOIN uni u1 ON u1.w = b.w1
+          JOIN uni u2 ON u2.w = b.w2
+          ORDER BY pmi_fp DESC, b.w1, b.w2 LIMIT $CollTopN""",
     "sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
           WHERE ${h15("concat('sample:', doc_id::VARCHAR)")} % 100 < 10""",

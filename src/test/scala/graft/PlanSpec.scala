@@ -386,7 +386,8 @@ object PlanSpec {
     "es_stats_bucket" -> 1,   // final 1-row stats over day-grain buckets
     "es_auto_date_histogram" -> 1, // 1-row span for the interval ladder
     "events_funnel" -> 1,     // final 3-counter rollup (1 row)
-    "graph_modularity" -> 1)  // 1-row total-edge count m (Q22 shape)
+    "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
+    "events_attribution" -> 1) // share window over the 3-row channel frame
     // (events_anomaly's 1-row bounds aggregate runs behind its
     // checkpoint barrier, so the swept plan shows none)
 }
