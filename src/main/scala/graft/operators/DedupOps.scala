@@ -572,6 +572,60 @@ object DedupOps {
       .select(col("a"), col("b"), col("cell"), col("cos"))
   }
 
+  /** DBSCAN over embeddings, with the eps-neighborhood generated
+    * within trained cells (the [[semanticNearDupPairs]] geometry —
+    * same cross-cell recall trade, documented there): `eps` is a
+    * cosine-SIMILARITY floor, a neighbor is a within-cell vector with
+    * cos ≥ eps, a CORE point has ≥ `minPts` neighbors (self excluded —
+    * the convention both engines replay), clusters are connected
+    * components over core–core edges (min-reachable-id labels), and a
+    * BORDER point is a non-core with ≥ 1 core neighbor, assigned the
+    * smallest cluster id among its core neighbors (deterministic at
+    * any partitioning — plain DBSCAN leaves this assignment
+    * order-dependent). Everything else is noise (cluster NULL —
+    * honest, not a sentinel). Scale shape: candidate volume is the
+    * cell-bounded Σ|cell|²; the degree count and border argmin are
+    * map-side-combined aggregates on the pair frame; the CC loop runs
+    * on the (much smaller) core–core edge set.
+    */
+  def dbscan(centroids: DataFrame, eps: Double, minPts: Int)(
+      df: DataFrame): DataFrame = {
+    val pairs = materialize(
+      semanticNearDupPairs(centroids, eps)(df).select(col("a"), col("b")))
+    val sym = pairs.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(pairs.select(col("b").as("id"), col("a").as("nb")))
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("n_nbrs"))
+    val core = materialize(
+      deg.filter(col("n_nbrs") >= minPts).select(col("id")))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a")), Seq("a"))
+      .join(core.select(col("id").as("b")), Seq("b"))
+      .select(col("a"), col("b"))
+    val comp = GraphOps.connectedComponents(coreEdges)
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreCl = core.join(comp, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id"))
+        .as("cluster"))
+      .localCheckpoint(false) // consumed by the border argmin AND final
+    val borderCl = sym
+      .join(core, Seq("id"), "left_anti")
+      .join(coreCl.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    df.select(col("vec_id"))
+      .join(coreCl.select(col("id").as("vec_id"),
+        col("cluster").as("core_cl")), Seq("vec_id"), "left_outer")
+      .join(borderCl.select(col("id").as("vec_id"),
+        col("cluster").as("border_cl")), Seq("vec_id"), "left_outer")
+      .join(deg.select(col("id").as("vec_id"), col("n_nbrs")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        when(col("core_cl").isNotNull, lit("core"))
+          .when(col("border_cl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cl"), col("border_cl")).as("cluster"))
+  }
+
   def embeddingNearDupPairs(threshold: Double, planes: Int = 8,
       dim: Int = 64)(df: DataFrame): DataFrame = {
     val withBucket = df.select(col("vec_id"), col("embedding"),

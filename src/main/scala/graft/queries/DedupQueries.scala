@@ -85,6 +85,16 @@ object DedupQueries {
         .localCheckpoint(false)
     })
 
+  /** DBSCAN: cosine-similarity eps floor + core minPts (self excluded).
+    * 0.3 sits just below the semantic-dedup pair threshold (same
+    * trained cells generate both neighborhoods) — at 0.35 the
+    * near-random embeddings max out at degree 3 and the roles collapse;
+    * 0.3/minPts 3 splits sf0.01 into 60 core / 118 border / 322 noise
+    * over 28 clusters (fixture-tuned tripwire, like the recall floors).
+    */
+  private val DbEps = 0.3
+  private val DbMinPts = 3
+
   /** Incremental-dedup split point: docs below are "history" (the
     * persisted store), docs at/above are the new ingest batch. Shared
     * with the oracle SQL.
@@ -230,6 +240,15 @@ object DedupQueries {
           (coalesce(col("component"), col("vec_id")) === col("vec_id"))
             .as("keep"))
     }),
+
+    // DBSCAN over the embedding corpus, neighborhoods generated within
+    // the SAME trained cells as dedup_semantic (one model, many
+    // consumers — the within-cell recall trade is documented at the
+    // kernel). Each vector reports its neighbor count, role
+    // (core/border/noise), and cluster (NULL for noise).
+    "sim_dbscan" -> ((s, dir) =>
+      DedupOps.dbscan(SimilarityQueries.trained(s, dir), DbEps,
+        DbMinPts)(embs(s, dir))),
 
     // Cluster resolution: near-dup PAIRS (simhash banding) → per-document
     // component id via distributed min-label connected components
@@ -500,6 +519,44 @@ object DedupQueries {
             COALESCE(cc.component, emb.vec_id) AS component,
             (COALESCE(cc.component, emb.vec_id) = emb.vec_id) AS keep
           FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id""",
+    // DBSCAN replay: the SAME cell chain as dedup_semantic, an eps-pair
+    // frame, degree/core sets, the recursive component closure over
+    // core–core edges only (fed in as `pr`), then border argmin — every
+    // step the same arithmetic as DedupOps.dbscan.
+    "sim_dbscan" ->
+      s"""WITH RECURSIVE ${SimilarityQueries.lloydCtes},
+          ${SimilarityQueries.trainedCellsCtes},
+          db_pr AS (SELECT x.vec_id AS a, y.vec_id AS b
+                 FROM cell3 x JOIN cell3 y
+                   ON x.cell = y.cell AND x.vec_id < y.vec_id
+                 WHERE ${cosine("x.embedding", "y.embedding")} >= $DbEps),
+          db_sym AS (SELECT a AS id, b AS nb FROM db_pr
+                 UNION ALL SELECT b AS id, a AS nb FROM db_pr),
+          db_deg AS (SELECT id, count(*)::BIGINT AS n_nbrs FROM db_sym
+                 GROUP BY 1),
+          db_core AS (SELECT id FROM db_deg WHERE n_nbrs >= $DbMinPts),
+          pr AS (SELECT a, b FROM db_pr
+                 WHERE a IN (SELECT id FROM db_core)
+                   AND b IN (SELECT id FROM db_core)),
+          $ccClosureCtes,
+          db_corecl AS (SELECT c.id,
+                   COALESCE(cc.component, c.id) AS cluster
+                 FROM db_core c LEFT JOIN cc ON cc.id = c.id),
+          db_border AS (SELECT s.id, min(k.cluster) AS cluster
+                 FROM db_sym s
+                 JOIN db_corecl k ON k.id = s.nb
+                 WHERE s.id NOT IN (SELECT id FROM db_core)
+                 GROUP BY 1)
+          SELECT v.vec_id, COALESCE(d.n_nbrs, 0)::BIGINT AS n_nbrs,
+            CASE WHEN c.cluster IS NOT NULL THEN 'core'
+                 WHEN b.cluster IS NOT NULL THEN 'border'
+                 ELSE 'noise' END AS role,
+            COALESCE(c.cluster, b.cluster) AS cluster
+          FROM embeddings v
+          LEFT JOIN db_corecl c ON c.id = v.vec_id
+          LEFT JOIN db_border b ON b.id = v.vec_id
+          LEFT JOIN db_deg d ON d.id = v.vec_id""",
+
     // same simhash pair set, then min-label components as a recursive
     // reachability closure (min over every reachable node ≡ the fixpoint
     // GraphOps.connectedComponents converges to)

@@ -82,4 +82,32 @@ class KMeansSpec extends SparkSpec {
       .as[(Int, Seq[Double])].collect()
     assert(cents.length == 2) // completed, one row per cell
   }
+
+  test("dbscan: core, border, isolated-core, and noise hand case") {
+    // unit vectors at 0°/10°/20°/50°/90°/97° in one cell, eps = 0.98
+    // (cos 10° ≈ .985 passes, cos 20° ≈ .940 fails), minPts = 2:
+    //  - 2 sees both 1 and 3 → the only core; no core-core edge →
+    //    singleton cluster 2
+    //  - 1 and 3 are sub-minPts WITH a core neighbor → border, cluster 2
+    //  - 5 and 6 are mutual neighbors but NEITHER is core → both noise
+    //    (the pair-below-minPts trap a naive "has a neighbor" tag hits)
+    //  - 4 has no neighbor at all → noise
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r))
+    }
+    val pts = Seq(1L -> at(0), 2L -> at(10), 3L -> at(20), 4L -> at(50),
+      5L -> at(90), 6L -> at(97)).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cell", "centroid")
+    val got = DedupOps.dbscan(cents, eps = 0.98, minPts = 2)(pts)
+      .as[(Long, Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((1L, "border", Some(2L))),
+      2L -> ((2L, "core", Some(2L))),
+      3L -> ((1L, "border", Some(2L))),
+      4L -> ((0L, "noise", None)),
+      5L -> ((1L, "noise", None)),
+      6L -> ((1L, "noise", None))))
+  }
 }
