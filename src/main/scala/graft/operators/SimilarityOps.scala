@@ -285,6 +285,59 @@ object SimilarityOps {
     assignHome(cents)(withNorm(corpus))
   }
 
+  /** Farthest-first traversal (Gonzalez k-center — the deterministic
+    * analogue of k-means++ seeding, D²-sampling replaced by the exact
+    * argmax so both engines replay it): start from `seedId`, then k−1
+    * rounds of "pick the vector FARTHEST from the selected set" in
+    * cosine geometry — i.e. the argmin of max-cos-to-selected, ties to
+    * the smaller vec_id. Returns the k picks as (round, center_id,
+    * max_cos) — max_cos is the picked vector's coverage radius (NULL
+    * for the seed), the k-center quality certificate (2-approximation
+    * by Gonzalez' theorem). Scale shape: the running max-cos frame is
+    * updated against ONLY the newest center each round (one pure map
+    * over a literal center + checkpoint — k scans total, not k²); each
+    * pick is a TakeOrdered(1); driver state is k ids + one row per
+    * round, model-sized like the Lloyd centroids.
+    */
+  def farthestFirst(df: DataFrame, k: Int, seedId: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k >= 1, "farthestFirst: k must be positive")
+    val base = withNorm(df)
+    def embOf(id: Long): Seq[Double] = base.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    // cosine against a literal center — same driver-side-norm IEEE fold
+    // as cscores, same NaN guards
+    def cosTo(c: Seq[Double]): Column = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) lit(Double.NaN)
+      else when(col("nrm") === 0.0, lit(Double.NaN))
+        .otherwise(DedupOps.dot(col("embedding"), typedlit(c)) /
+          (col("nrm") * lit(n)))
+    }
+    var cur = seedId
+    var picks = Vector[(Long, Long, Option[Double])]((1L, seedId, None))
+    var mc: DataFrame = null
+    for (r <- 2 to k) {
+      val cosNew = cosTo(embOf(cur))
+      mc = (if (mc == null)
+          base.filter(col("vec_id") =!= seedId)
+            .select(col("vec_id"), col("embedding"), col("nrm"),
+              cosNew.as("mc"))
+        else
+          mc.filter(col("vec_id") =!= cur)
+            .select(col("vec_id"), col("embedding"), col("nrm"),
+              greatest(col("mc"), cosNew).as("mc")))
+        .localCheckpoint(false)
+      val row = mc.orderBy(col("mc").asc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("mc")).head()
+      cur = row.getLong(0)
+      picks = picks :+ ((r.toLong, cur, Some(row.getDouble(1))))
+    }
+    picks.toDF("round", "center_id", "max_cos")
+  }
+
   /** The search tail shared by in-memory and persisted-index IVF:
     * equi-join assigned cells against the broadcast probe set, exact
     * cosine, per-query top-k.

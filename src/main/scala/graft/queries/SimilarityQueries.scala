@@ -61,6 +61,9 @@ object SimilarityQueries {
   // link prediction: result size + Jaccard fixed-point scale
   private val LpTopN = 20
   private val LpScale = 1000000L
+  // farthest-first traversal: center count + fixed seed vector
+  private val FfK = 8
+  private val FfSeed = 42L
   // clustering-coefficient fixed-point scale
   private[queries] val CcScale = 1000000L
 
@@ -277,6 +280,16 @@ object SimilarityQueries {
         embs(s, dir).select(col("vec_id").as("id")), KcK, KcIters)
         .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
     }),
+
+    // Farthest-first center seeding (the deterministic k-means++
+    // analogue): 8 centers from a fixed seed, each round picking the
+    // vector farthest (argmin max-cos, ties to smaller id) from the
+    // selected set — the principled alternative to the fixed SEEDS ids
+    // the IVF family trains from, with the per-round coverage radius
+    // as the k-center quality certificate. The oracle unrolls all 7
+    // selection rounds.
+    "sim_kmeanspp" -> ((s, dir) =>
+      SimilarityOps.farthestFirst(embs(s, dir), FfK, FfSeed)),
 
     // Link prediction over the k-NN graph: the top-20 NON-adjacent
     // pairs by neighborhood Jaccard (common-neighbor wedges, integer
@@ -560,6 +573,7 @@ object SimilarityQueries {
     "graph_clustering" -> clusteringSql,
     "graph_kcore" -> kcoreSql,
     "graph_link_prediction" -> lpSql,
+    "sim_kmeanspp" -> ffSql,
     "sim_mmr_rerank" -> mmrSql,
     "sim_drift" ->
       s"""WITH $lloydCtes,
@@ -1238,6 +1252,43 @@ object SimilarityQueries {
         WHERE NOT EXISTS (SELECT 1 FROM lp_und u
                           WHERE u.lo = c.a AND u.hi = c.b)
         ORDER BY jaccard_fp DESC, cn DESC, a, b LIMIT $LpTopN"""
+
+  /** Farthest-first replay: FfK−1 unrolled selection rounds. Each round
+    * joins the running frame against the single newest center row and
+    * takes greatest(mc, cos) — the same one-new-center update as
+    * SimilarityOps.farthestFirst — then argmin (mc asc, vec_id) LIMIT 1.
+    * CTEs MATERIALIZED: each round references the prior pick twice and
+    * default inlining goes exponential over the chain (the MMR lesson).
+    */
+  private def ffSql: String = {
+    val rounds = (3 to FfK).map { r =>
+      s"""ff_m$r AS MATERIALIZED (
+             SELECT e.vec_id, e.embedding,
+               greatest(e.mc, ${cosine("e.embedding", "c.embedding")})
+                 AS mc
+             FROM ff_m${r - 1} e JOIN embeddings c
+               ON c.vec_id = (SELECT center_id FROM ff_p${r - 1})
+             WHERE e.vec_id <> (SELECT center_id FROM ff_p${r - 1})),
+          ff_p$r AS MATERIALIZED (
+             SELECT vec_id AS center_id, mc FROM ff_m$r
+             ORDER BY mc ASC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    val finals = (2 to FfK).map(r =>
+      s"SELECT $r::BIGINT AS round, center_id, mc AS max_cos FROM ff_p$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ff_m2 AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+              ${cosine("e.embedding", "c.embedding")} AS mc
+            FROM embeddings e JOIN embeddings c ON c.vec_id = $FfSeed
+            WHERE e.vec_id <> $FfSeed),
+        ff_p2 AS MATERIALIZED (
+            SELECT vec_id AS center_id, mc FROM ff_m2
+            ORDER BY mc ASC, vec_id LIMIT 1),
+        $rounds
+        SELECT 1::BIGINT AS round, $FfSeed::BIGINT AS center_id,
+          CAST(NULL AS DOUBLE) AS max_cos
+        UNION ALL $finals"""
+  }
 
   /** Clustering replay: symmetrize/dedup the knn edges, then the shared
     * wedge-closure tail (see [[clusteringTailSql]]).

@@ -83,6 +83,23 @@ class KMeansSpec extends SparkSpec {
     assert(cents.length == 2) // completed, one row per cell
   }
 
+  test("farthestFirst: picks the most orthogonal vector each round") {
+    // seed (1,0); the near-opposite (-1,0.1) is farthest (cos ≈ −0.995),
+    // then the orthogonal (0,1) (max-cos to {seed, pick2} ≈ 0.0995);
+    // the near-duplicate (0.9,0.44) is never picked
+    val pts = Seq(
+      1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.44),
+      3L -> Seq(0.0, 1.0), 4L -> Seq(-1.0, 0.1)
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.SimilarityOps.farthestFirst(pts, 3, 1L)
+      .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 1L), (2L, 4L),
+      (3L, 3L)))
+    assert(got(0)._3.isEmpty)
+    assert(math.abs(got(1)._3.get - (-0.995)) < 0.01)
+    assert(math.abs(got(2)._3.get - 0.0995) < 0.01)
+  }
+
   test("dbscan: core, border, isolated-core, and noise hand case") {
     // unit vectors at 0°/10°/20°/50°/90°/97° in one cell, eps = 0.98
     // (cos 10° ≈ .985 passes, cos 20° ≈ .940 fails), minPts = 2:
