@@ -134,16 +134,33 @@ object CorpusQueries {
     // CorpusOps.bigramLmScore). On THIS synthetic corpus (31 distinct
     // tokens) the spread is narrow, so like sim_recall_at_k the gate is
     // an honest regression tripwire, not a quality sieve.
-    "corpus_bigram_lm" -> ((s, dir) => {
-      val d = docs(s, dir)
-      import s.implicits._
-      val vocab = CorpusOps.vocabulary(d, VocabV)
-        .as[String].collect().toSet
-      val model = CorpusOps.bigramModel(vocab)(d)
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-        .toMap
-      CorpusOps.bigramLmScore(vocab, model, VocabV, LmKeepAbove)(d)
+    "corpus_bigram_lm" -> ((s, dir) => bigramScored(s, dir)),
+
+    // CCNet's head/middle/tail split: per-source LM-score terciles
+    // (ntile over avg_prob desc, ties to doc_id — deterministic in
+    // both engines), each bucket reporting its size and exact mean
+    // probability (integer lm_fp/n_bigrams sums, ONE double division).
+    // Shares the training + scoring CODE with corpus_bigram_lm but
+    // pays its own model (honest per-query cost); docs without bigram
+    // evidence are absent, mirroring the LM frame. The ntile window
+    // partitions by source; the rollup is bucket-grain.
+    "corpus_ccnet_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("avg_prob").desc, col("doc_id"))
+      bigramScored(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .withColumn("b", ntile(3).over(w))
+        .groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("lm_fp")).as("sfp"),
+          sum(col("n_bigrams")).as("sbg"))
+        .select(col("source"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          col("n_docs"),
+          (col("sfp").cast("double") /
+            (lit(1000000.0) * col("sbg").cast("double"))).as("mean_prob"))
     }),
 
     // DSIR importance resampling (Xie et al. 2023): hashed-unigram
@@ -607,6 +624,23 @@ object CorpusQueries {
       // mirror the operator's getOrElse(0) for models that did not see
       // a pair (self-trained models always do — belt and braces)
       bigramSql,
+    // the SAME LM replay as a subquery, tercile'd per source; mean is
+    // exact integer sums with one double division (the bigramSql
+    // denominator style)
+    "corpus_ccnet_buckets" ->
+      s"""SELECT source,
+            CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+            count(*)::BIGINT AS n_docs,
+            CAST(sum(lm_fp) AS BIGINT)::DOUBLE /
+              (1000000.0 * CAST(sum(n_bigrams) AS BIGINT))::DOUBLE
+              AS mean_prob
+          FROM (
+            SELECT d.source, l.doc_id, l.lm_fp, l.n_bigrams,
+              ntile(3) OVER (PARTITION BY d.source
+                ORDER BY l.avg_prob DESC, l.doc_id) AS b
+            FROM ($bigramSql) l JOIN documents d USING (doc_id))
+          GROUP BY 1, 2""",
     "corpus_vocab_growth" ->
       s"""SELECT source, count(*)::BIGINT AS total_tokens,
             count(DISTINCT t)::BIGINT AS distinct_tokens,
@@ -837,6 +871,23 @@ object CorpusQueries {
               AND (stop_hits >= $GMinStop)
               AND (distinct_ratio >= $GMinDistinct::DOUBLE)) AS keep
           FROM s"""
+  }
+
+  /** The trained bigram-LM score frame — ONE training + scoring
+    * definition consumed by corpus_bigram_lm and corpus_ccnet_buckets
+    * (each caller pays its own training run; only the code is shared,
+    * mirroring how bigramSql is one SQL definition for both oracles).
+    */
+  private def bigramScored(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    import s.implicits._
+    val vocab = CorpusOps.vocabulary(d, VocabV)
+      .as[String].collect().toSet
+    val model = CorpusOps.bigramModel(vocab)(d)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    CorpusOps.bigramLmScore(vocab, model, VocabV, LmKeepAbove)(d)
   }
 
   /** The bigram-LM oracle, shared verbatim with the funnel. */
