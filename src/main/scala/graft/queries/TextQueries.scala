@@ -115,6 +115,46 @@ object TextQueries {
         .limit(CollTopN)
     }),
 
+    // RAKE keyphrases (Rose et al. 2010): candidate phrases are maximal
+    // stopword-free token runs (gaps-and-islands: pos − row_number per
+    // doc), capped at RakeMaxLen words; word score = deg/freq in
+    // integer fixed-point (deg = Σ phrase-length over occurrences);
+    // phrase score = Σ word scores with multiplicity; top-20 by
+    // (score, n_occ, phrase). Scale shape: one (doc, island) groupBy,
+    // then everything runs at vocabulary/phrase grain; the candidate
+    // frame is materialized once for its two consumers (word stats +
+    // phrase grain); top-20 is a TakeOrdered.
+    "text_keyphrases" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .withColumnRenamed("col", "w")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val ph = tok
+        .filter(!col("w").isin(RakeStop: _*) && col("w") =!= "")
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w"))).as("phrase"),
+          count(lit(1)).as("plen"))
+        .filter(col("plen") <= RakeMaxLen)
+        .localCheckpoint(false)
+      val wfp = ph
+        .select(explode(split(col("phrase"), " ")).as("w"), col("plen"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("w"), expr(s"($RakeScale * deg) div freq").as("wfp"))
+      ph.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+        .select(col("phrase"), col("n_occ"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(wfp, Seq("w"))
+        .groupBy(col("phrase"), col("n_occ"))
+        .agg(sum(col("wfp")).as("score_fp"))
+        .orderBy(col("score_fp").desc, col("n_occ").desc, col("phrase"))
+        .limit(RakeTopN)
+    }),
+
     // Deterministic 10% hash sample (reproducible subset selection).
     "sample_hash" -> ((s, dir) =>
       docs(s, dir)
@@ -317,6 +357,15 @@ object TextQueries {
   private[queries] val CollMinPair = 5L
   private[queries] val CollScale = 1000000000000L
   private[queries] val CollTopN = 20
+  /** RAKE: phrase-boundary stopwords (the en langMarkers list — the one
+    * function-word set this synthetic corpus contains), candidate cap
+    * (the practical RAKE device for stopword-sparse text: uncapped, the
+    * top-k is just the longest runs), fixed-point scale, result size.
+    */
+  private[queries] val RakeStop = Seq("the", "a", "of", "and", "is")
+  private[queries] val RakeMaxLen = 4
+  private[queries] val RakeScale = 1000000L
+  private[queries] val RakeTopN = 20
   private[queries] val WinnowK = 5
   private[queries] val WinnowW = 4
 
@@ -447,6 +496,40 @@ object TextQueries {
             list_min(hsh) AS min_fp,
             length(fps)::DOUBLE / length(hsh)::DOUBLE AS fp_density
           FROM w"""
+    },
+    "text_keyphrases" -> {
+      val stopList = RakeStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, t.i AS pos, d.tk[t.i] AS w
+              FROM (SELECT doc_id, $toks AS tk FROM documents
+                    WHERE text IS NOT NULL) d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(1, len(d.tk)+1)) AS i) t),
+          rk_ns AS (SELECT doc_id, pos, w,
+               pos - row_number() OVER (PARTITION BY doc_id
+                 ORDER BY pos) AS grp
+             FROM tok WHERE w NOT IN ($stopList) AND w <> ''),
+          rk_ph AS (SELECT doc_id, grp,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               count(*)::BIGINT AS plen
+             FROM rk_ns GROUP BY 1, 2
+             HAVING count(*) <= $RakeMaxLen),
+          rk_ws AS (SELECT w, count(*)::BIGINT AS freq,
+               sum(plen)::BIGINT AS deg
+             FROM (SELECT unnest(string_split(phrase, ' ')) AS w, plen
+                   FROM rk_ph)
+             GROUP BY 1),
+          rk_wfp AS (SELECT w, (($RakeScale * deg) // freq)::BIGINT
+               AS wfp FROM rk_ws),
+          rk_d AS (SELECT phrase, count(*)::BIGINT AS n_occ
+             FROM rk_ph GROUP BY 1)
+          SELECT d.phrase, d.n_occ, CAST(sum(f.wfp) AS BIGINT)
+            AS score_fp
+          FROM rk_d d
+          CROSS JOIN LATERAL (
+            SELECT unnest(string_split(d.phrase, ' ')) AS w) u
+          JOIN rk_wfp f ON f.w = u.w
+          GROUP BY 1, 2
+          ORDER BY score_fp DESC, n_occ DESC, phrase LIMIT $RakeTopN"""
     },
     "text_collocations" ->
       s"""WITH tok AS (SELECT $toks AS tk FROM documents
