@@ -451,6 +451,76 @@ object CorpusOps {
         col("rank0"))
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion (the ES 8.x `rrf`
+    * retriever; Cormack-Clarke-Buettcher 2009): the BM25 lexical
+    * ranking and a dense cosine ranking each contribute their top
+    * `window`, fused per (query, doc) as Σ_side scale/(rrfK + rank) —
+    * integer fixed-point, so fusion and the final re-rank are exact
+    * BIGINT at any partitioning (only each side's INTERNAL ordering
+    * touches a double, and that expression tree is shared with the
+    * oracle). The dense side embeds docs with the vocabulary-free
+    * signed hashing trick at doc grain — same "rag:" feature space as
+    * [[ragRetrieve]] — REUSING the BM25 posting frame as its term
+    * weights, so the corpus tokenizes once for both sides.
+    *
+    * Scale shape: postings materialize once; the dense dot is an
+    * equi-join on dim against BROADCAST query vectors (the corpus never
+    * shuffles to meet a query); both per-side rank windows partition by
+    * query_id; the fusion join runs on two ≤ |Q|·window frames.
+    */
+  def hybridRrf(queryTerms: Seq[(Long, String)], dims: Int, window: Int,
+      k: Int, rrfK: Int, scale: Long, k1: Double = 1.2,
+      b: Double = 0.75)(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.h15
+    val tf = DedupOps.materialize(bm25Postings(docs))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25ScoredFromTf(tf, queryTerms, k1, b)
+      .withColumn("bm25_rank", row_number().over(wLex).cast("long"))
+      .filter(col("bm25_rank") <= window)
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def signed(t: DataFrame, keys: Seq[String], wt: Column): DataFrame = t
+      .withColumn("hv", h15(concat(lit("rag:"), col("term"))))
+      .groupBy(keys.map(col) :+ (col("hv") % dims).as("dim"): _*)
+      .agg(sum(when(expr(s"(hv div $dims) % 2") === 0, wt)
+        .otherwise(-wt)).as("v"))
+    // doc vectors feed the dot join AND their norm aggregate
+    val dv = DedupOps.materialize(
+      signed(tf, Seq("doc_id"), col("tf")))
+    val qv = DedupOps.materialize(
+      signed(broadcast(queryTerms.toDF("query_id", "term")),
+        Seq("query_id"), lit(1L)))
+    val dn = dv.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("dn"))
+    val qn = qv.groupBy(col("query_id")).agg(sum(col("v") * col("v")).as("qn"))
+    val wDen = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val dense = dv
+      .join(broadcast(qv.select(col("query_id"), col("dim"),
+        col("v").as("qw"))), Seq("dim"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("v") * col("qw")).as("dot"))
+      .join(dn, Seq("doc_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .filter(col("dn") > 0 && col("qn") > 0)
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("dn").cast("double")) * sqrt(col("qn").cast("double"))))
+      .withColumn("dense_rank", row_number().over(wDen).cast("long"))
+      .filter(col("dense_rank") <= window)
+      .select(col("query_id"), col("doc_id"), col("dense_rank"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_fp", expr(
+        s"coalesce($scale div ($rrfK + bm25_rank), CAST(0 AS BIGINT)) + " +
+          s"coalesce($scale div ($rrfK + dense_rank), CAST(0 AS BIGINT))"))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"),
+        col("dense_rank"), col("rrf_fp"), col("rank"))
+  }
+
   /** Persist the BM25 inverted index — what the reference ships rows to
     * Elasticsearch to build, as a parquet posting table. ONLY the
     * postings are stored: df/dl/avgdl derive from them at search time

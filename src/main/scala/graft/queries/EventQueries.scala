@@ -41,6 +41,14 @@ object EventQueries {
   private val StepWindowMs = 86400000L
   /** bucket_selector-style threshold for the anomaly gate's z². */
   private val ZSq = 4L
+  /** Markov stationary distribution: power-iteration rounds + the
+    * integer fixed-point scale (pageRank discipline — `(r·n) div tot`
+    * is exact BIGINT, order-free at any partitioning; at 100 TB the
+    * r·n product warrants DECIMAL(38,0), same widening note as the
+    * anomaly gate's squares).
+    */
+  private val MkIters = 10
+  private val MkScale = 1000000000L
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -210,6 +218,56 @@ object EventQueries {
             sum(col("n_purchases")).over(wAll).cast("double")).as("share"))
     }),
 
+    // Stationary distribution of the event-type Markov chain (the
+    // long-run behavioral mix the transition matrix converges to —
+    // "where do user journeys spend their time", the summary statistic
+    // over events_transitions' 25 cells). Ten power-iteration rounds in
+    // exact integer fixed-point: π'(to) = Σ_from (π(from)·n) div tot —
+    // the pageRank discipline, so the result is bit-identical at any
+    // partitioning. The observed per-type event share rides along: the
+    // gap between π and the observed mix is the "journeys end here vs
+    // pass through here" signal. Scale shape: one user_id exchange for
+    // the lead window; every iteration frame is |types|²-bounded (25
+    // rows); the observed-share window runs on the |types|-row frame
+    // (allowlisted 1-row partial).
+    "events_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val pairs = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("t"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // fact scan runs once, not once per round
+      val tot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      val ed = pairs.join(broadcast(tot), Seq("from_type"))
+      val types = ev(s, dir).select(col("event_type")).distinct()
+        .localCheckpoint(false) // iteration spine + the count below
+      val nTypes = types.count() // model-sized driver action (|types|)
+      var pi = types.select(col("event_type"),
+        lit(MkScale / nTypes).as("r"))
+      for (_ <- 1 to MkIters) {
+        val contrib = ed.join(pi.withColumnRenamed("event_type", "from_type"),
+            Seq("from_type"))
+          .select(col("to_type"), expr("(r * n) div tot").as("c"))
+          .groupBy(col("to_type")).agg(sum(col("c")).as("c"))
+        pi = types.join(contrib,
+            types("event_type") === contrib("to_type"), "left_outer")
+          .select(types("event_type"),
+            coalesce(col("c"), lit(0L)).as("r"))
+      }
+      val obs = ev(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val wAll = Window.partitionBy()
+      pi.join(obs, Seq("event_type"))
+        .select(col("event_type"), col("r").as("pi_fp"),
+          (col("r").cast("double") / lit(MkScale.toDouble)).as("pi"),
+          (col("n_events").cast("double") /
+            sum(col("n_events")).over(wAll).cast("double")).as("obs_share"))
+    }),
+
     // Count anomalies per (event_type, hour) with empty buckets
     // gap-filled to 0 (a silent hour is the outage signal). Flag iff
     // (n·x − S)² > 4·(n·Q − S²) — z² > 4 with the divisions multiplied
@@ -249,6 +307,45 @@ object EventQueries {
           col("x").as("doc_count"))
     })
   )
+
+  /** Markov replay: the transition chain of events_transitions, then
+    * MkIters unrolled power-iteration CTEs — each `(r·n) // tot` in
+    * BIGINT, exactly the Spark fold.
+    */
+  private def markovSql: String = {
+    val iterCtes = (1 to MkIters).map { i =>
+      s"""mk_c$i AS (SELECT e.to_type AS event_type,
+                   sum((r.r * e.n) // e.tot)::BIGINT AS c
+                 FROM mk_ed e JOIN mk_r${i - 1} r
+                   ON r.event_type = e.from_type GROUP BY 1),
+          mk_r$i AS (SELECT t.event_type,
+                   COALESCE(c.c, 0)::BIGINT AS r
+                 FROM mk_ty t LEFT JOIN mk_c$i c USING (event_type))"""
+    }.mkString(",\n")
+    s"""WITH mk_p AS (
+          SELECT event_type AS from_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS to_type
+          FROM events),
+        mk_c AS (SELECT from_type, to_type, count(*) AS n
+              FROM mk_p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        mk_t AS (SELECT from_type, sum(n)::BIGINT AS tot
+              FROM mk_c GROUP BY 1),
+        mk_ed AS (SELECT c.from_type, c.to_type, c.n, t.tot
+               FROM mk_c c JOIN mk_t t USING (from_type)),
+        mk_ty AS (SELECT DISTINCT event_type FROM events),
+        mk_nn AS (SELECT count(*)::BIGINT AS n FROM mk_ty),
+        mk_r0 AS (SELECT event_type, ($MkScale // mk_nn.n)::BIGINT AS r
+               FROM mk_ty CROSS JOIN mk_nn),
+        $iterCtes,
+        mk_obs AS (SELECT event_type, count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1)
+        SELECT r.event_type, r.r AS pi_fp,
+               CAST(r.r AS DOUBLE) / ${MkScale.toDouble} AS pi,
+               CAST(o.n_events AS DOUBLE) /
+                 CAST(sum(o.n_events) OVER () AS DOUBLE) AS obs_share
+        FROM mk_r$MkIters r JOIN mk_obs o USING (event_type)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "events_funnel" ->
@@ -355,6 +452,7 @@ object EventQueries {
             CAST(n_purchases AS DOUBLE) /
               CAST(sum(n_purchases) OVER () AS DOUBLE) AS share
           FROM g""",
+    "events_markov" -> markovSql,
     "events_anomaly" ->
       s"""WITH h AS (
             SELECT event_type, date_trunc('hour', ts) AS hh,

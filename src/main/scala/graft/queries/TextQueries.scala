@@ -252,6 +252,19 @@ object TextQueries {
         RescoreWindow, RescoreK, RescoreBoost, Bm25K1, Bm25B)(
         docs(s, dir))),
 
+    // Hybrid retrieval with Reciprocal Rank Fusion (the ES 8.x `rrf`
+    // retriever): BM25 lexical top-20 fused with dense hashed-bag
+    // cosine top-20 as Σ scale/(60+rank) — integer fixed-point fusion,
+    // each side's rank window shared with its standalone registration
+    // (BM25 ≡ text_search_bm25's scored chain; the dense space is the
+    // "rag:" hashing trick at doc grain). The output shows genuine
+    // hybridity: docs ranked by one side only still surface via the
+    // other's coalesced-0 contribution.
+    "text_search_rrf" -> ((s, dir) =>
+      graft.operators.CorpusOps.hybridRrf(Bm25Queries, RrfDims,
+        RrfWindow, RrfTopK, RrfKConst, RrfScale, Bm25K1, Bm25B)(
+        docs(s, dir))),
+
     // Fuzzy term match (ES fuzziness:1): SymSpell deletion-join
     // candidates + exact levenshtein verify — never a vocab×query
     // distance scan. Fixtures cover an insertion (scann→scan), a
@@ -386,6 +399,15 @@ object TextQueries {
   private[queries] val Bm25K = 10
   private[queries] val Bm25K1 = 1.2
   private[queries] val Bm25B = 0.75
+
+  /** RRF hybrid fusion: dense hashed-feature width, per-side window,
+    * fused top-k, the standard rrf k=60, and the integer fusion scale.
+    */
+  private[queries] val RrfDims = 32
+  private[queries] val RrfWindow = 20
+  private[queries] val RrfTopK = 10
+  private[queries] val RrfKConst = 60
+  private[queries] val RrfScale = 1000000000L
 
   /** Fuzzy / prefix / more-like-this fixtures + limits, interpolated
     * into BOTH engines (tuned against the corpus vocabulary — see the
@@ -597,6 +619,7 @@ object TextQueries {
             AND ${h15("concat('curation:', doc_id::VARCHAR)")} % 100 < 50""",
 
     "text_search_bm25" -> bm25Sql,
+    "text_search_rrf" -> rrfSql,
     "text_search_collapse" -> collapseSql,
     "text_search_rescore" -> rescoreSql,
     // persisted search: same postings (df/dl/stats derive from them),
@@ -788,6 +811,60 @@ object TextQueries {
                     count(*)::BIGINT AS n_terms_hit
                   FROM scored GROUP BY 1, 2)"""
   }
+
+  /** RRF replay: the shared BM25 scored chain gives the lexical window;
+    * the dense side rebuilds the "rag:" signed hashed doc vectors FROM
+    * THE SAME tf CTE (weights = tf, query weights = 1, ≡
+    * CorpusOps.hybridRrf); fusion and re-rank are integer `//`.
+    */
+  private def rrfSql: String =
+    s"""$bm25DocCtes,
+          rrf_lex AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS bm25_rank
+                 FROM doc QUALIFY bm25_rank <= $RrfWindow),
+          rrf_dv AS (SELECT doc_id, hv % $RrfDims AS dim,
+                   sum(CASE WHEN (hv // $RrfDims) % 2 = 0 THEN tf
+                     ELSE -tf END)::BIGINT AS v
+                 FROM (SELECT doc_id, tf,
+                         ${h15("concat('rag:', term)")} AS hv FROM tf)
+                 GROUP BY 1, 2),
+          rrf_qv AS (SELECT query_id, hv % $RrfDims AS dim,
+                   sum(CASE WHEN (hv // $RrfDims) % 2 = 0 THEN 1
+                     ELSE -1 END)::BIGINT AS v
+                 FROM (SELECT query_id,
+                         ${h15("concat('rag:', term)")} AS hv FROM qt)
+                 GROUP BY 1, 2),
+          rrf_dn AS (SELECT doc_id, sum(v * v)::BIGINT AS dn
+                 FROM rrf_dv GROUP BY 1),
+          rrf_qn AS (SELECT query_id, sum(v * v)::BIGINT AS qn
+                 FROM rrf_qv GROUP BY 1),
+          rrf_dot AS (SELECT q.query_id, d.doc_id,
+                   sum(d.v * q.v)::BIGINT AS dot
+                 FROM rrf_dv d JOIN rrf_qv q USING (dim) GROUP BY 1, 2),
+          rrf_den AS (SELECT t.query_id, t.doc_id,
+                   row_number() OVER (PARTITION BY t.query_id
+                     ORDER BY CAST(t.dot AS DOUBLE) /
+                       (sqrt(CAST(n.dn AS DOUBLE)) *
+                        sqrt(CAST(qq.qn AS DOUBLE))) DESC,
+                       t.doc_id) AS dense_rank
+                 FROM rrf_dot t JOIN rrf_dn n USING (doc_id)
+                      JOIN rrf_qn qq USING (query_id)
+                 WHERE n.dn > 0 AND qq.qn > 0
+                 QUALIFY dense_rank <= $RrfWindow),
+          rrf_f AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+                   COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                   l.bm25_rank::BIGINT AS bm25_rank,
+                   d.dense_rank::BIGINT AS dense_rank,
+                   (COALESCE($RrfScale // ($RrfKConst + l.bm25_rank), 0)
+                    + COALESCE($RrfScale // ($RrfKConst + d.dense_rank),
+                        0))::BIGINT AS rrf_fp
+                 FROM rrf_lex l FULL OUTER JOIN rrf_den d
+                   ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+          SELECT query_id, doc_id, bm25_rank, dense_rank, rrf_fp, rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_fp DESC, doc_id) AS rank FROM rrf_f)
+          WHERE rank <= $RrfTopK"""
 
   private def bm25Sql: String =
     s"""$bm25DocCtes

@@ -373,6 +373,7 @@ object PlanSpec {
     "text_search_bm25_persisted" -> 1, // same stats over stored postings
     "text_search_collapse" -> 1,  // same shared BM25 stats (1 row)
     "text_search_rescore" -> 1,   // same shared BM25 stats (1 row)
+    "text_search_rrf" -> 1,       // same shared BM25 stats (1 row)
     "text_significant_terms" -> 1, // global doc count (1 row, Q22 shape)
     // ES-agg family: bucket-grain frames bounded by CONSTRUCTION
     // (calendar buckets / named filters), never by data volume
@@ -387,7 +388,8 @@ object PlanSpec {
     "es_auto_date_histogram" -> 1, // 1-row span for the interval ladder
     "events_funnel" -> 1,     // final 3-counter rollup (1 row)
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
-    "events_attribution" -> 1) // share window over the 3-row channel frame
+    "events_attribution" -> 1, // share window over the 3-row channel frame
+    "events_markov" -> 1)     // obs-share window over the |types|-row frame
     // (events_anomaly's 1-row bounds aggregate runs behind its
     // checkpoint barrier, so the swept plan shows none)
 }
