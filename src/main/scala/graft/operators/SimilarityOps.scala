@@ -984,4 +984,68 @@ object SimilarityOps {
       .collect()
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
+
+  /** Top principal component of the embedding matrix by power iteration
+    * — the "embedding health" axis (a collapsed/anisotropic embedding
+    * model shows one dominated direction; the loading vector says which
+    * dims carry it). EVERY arithmetic step is exact integer/decimal, so
+    * the result is bit-identical at any partitioning and the oracle
+    * replays all rounds:
+    *
+    *  - embeddings quantize once to `floor(x·qScale)` BIGINT (both
+    *    engines floor the same IEEE product);
+    *  - centering multiplies through by n: c = n·q − Σq — no division,
+    *    no mean rounding (direction is scale-invariant);
+    *  - each round computes t = C·v and w = Cᵀ·t in DECIMAL(38,0)
+    *    (overflow-free at any corpus size), then renormalizes to
+    *    `±(|·|·vScale) div max|·|` — sign handled explicitly because
+    *    Spark `div` truncates while DuckDB `//` floors (they agree only
+    *    on non-negatives).
+    *
+    * Scale shape: the quantized (vec_id, dim, c) frame materializes
+    * once; per round, t is one dim-broadcast join + vec_id aggregate
+    * and w is one vec_id equi-join + dim aggregate (the honest
+    * distributed C·v / Cᵀ·t pair — the corpus shuffles on its own key,
+    * never ×k); the renormalizers are 1-row partial→final aggregates
+    * (allowlisted). Frames t/w checkpoint per round — each is consumed
+    * by its max AND the next stage (the BPE/winnowing re-evaluation
+    * lesson).
+    */
+  def pcaPower(embs: DataFrame, iters: Int, qScale: Long,
+      vScale: Long): DataFrame = {
+    val dec = "cast(1 as decimal(38,0))"
+    val qrows = DedupOps.materialize(embs
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * lit(qScale.toDouble))
+          .cast("long").as("q")))
+    val n = embs.count() // 1-value driver action (the pageRank n)
+    val sums = DedupOps.materialize(
+      qrows.groupBy(col("dim")).agg(sum(col("q")).as("s")))
+    val c = DedupOps.materialize(qrows
+      .join(broadcast(sums), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        (lit(n) * col("q") - col("s")).as("c")))
+    var v = sums.select(col("dim"), lit(vScale).as("v"))
+    for (_ <- 1 to iters) {
+      val t = DedupOps.materialize(c.join(broadcast(v), Seq("dim"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("c").cast("decimal(38,0)") * col("v")).as("t")))
+      val mt = t.agg(max(abs(col("t"))).as("m"))
+      val tp = t.crossJoin(broadcast(mt))
+        .select(col("vec_id"),
+          (when(col("t") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(t) * $vScale) div greatest(m, $dec)")).as("tp"))
+      val w = DedupOps.materialize(c.join(tp, Seq("vec_id"))
+        .groupBy(col("dim"))
+        .agg(sum(col("c").cast("decimal(38,0)") * col("tp")).as("w")))
+      val mw = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(mw))
+        .select(col("dim"),
+          (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(w) * $vScale) div greatest(m, $dec)")).as("v"))
+    }
+    sums.join(v, Seq("dim"))
+      .select(col("dim"), col("s").as("sum_q"), col("v").as("v_fp"))
+  }
 }

@@ -66,6 +66,11 @@ object SimilarityQueries {
   private val FfSeed = 42L
   // clustering-coefficient fixed-point scale
   private[queries] val CcScale = 1000000L
+  // PCA power iteration: rounds, embedding quantization scale, direction
+  // fixed-point scale (see SimilarityOps.pcaPower for the overflow story)
+  private val PcaIters = 6
+  private val PcaQ = 10000L
+  private val PcaV = 100000L
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -280,6 +285,15 @@ object SimilarityQueries {
         embs(s, dir).select(col("vec_id").as("id")), KcK, KcIters)
         .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
     }),
+
+    // Top principal component of the embedding matrix (power iteration,
+    // exact integer/decimal arithmetic end to end — see
+    // SimilarityOps.pcaPower): the anisotropy/"embedding health" axis.
+    // The per-dim centered sums ride along (sum_q), so the output shows
+    // both where the mass sits and which dims carry the dominant
+    // direction. The oracle unrolls all 6 rounds in HUGEINT.
+    "sim_pca_power" -> ((s, dir) =>
+      SimilarityOps.pcaPower(embs(s, dir), PcaIters, PcaQ, PcaV)),
 
     // Farthest-first center seeding (the deterministic k-means++
     // analogue): 8 centers from a fixed seed, each round picking the
@@ -574,6 +588,7 @@ object SimilarityQueries {
     "graph_kcore" -> kcoreSql,
     "graph_link_prediction" -> lpSql,
     "sim_kmeanspp" -> ffSql,
+    "sim_pca_power" -> pcaSql,
     "sim_mmr_rerank" -> mmrSql,
     "sim_drift" ->
       s"""WITH $lloydCtes,
@@ -1360,6 +1375,49 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY vec_id
                 ORDER BY cscore DESC, cell) AS rn
             FROM asn3) WHERE rn = 1)"""
+
+  /** PCA power-iteration replay: quantize → center (×n, no division) →
+    * `PcaIters` unrolled t = C·v / w = Cᵀ·t rounds in HUGEINT with the
+    * ±(|·|·V) // max|·| renormalizer (sign split off — `//` floors,
+    * Spark `div` truncates; they agree on the non-negative magnitudes).
+    * CTEs MATERIALIZED: t/w are each referenced by their max AND the
+    * next stage (the BPE inlining-blowup lesson).
+    */
+  private def pcaSql: String = {
+    val (q, v) = (PcaQ, PcaV)
+    val iterCtes = (1 to PcaIters).map { i =>
+      s"""pca_t$i AS MATERIALIZED (
+             SELECT c.vec_id, sum(c.c::HUGEINT * v.v)::HUGEINT AS t
+             FROM pca_c c JOIN pca_v${i - 1} v USING (dim) GROUP BY 1),
+          pca_mt$i AS (SELECT max(abs(t))::HUGEINT AS m FROM pca_t$i),
+          pca_tp$i AS MATERIALIZED (
+             SELECT vec_id, (CASE WHEN t < 0 THEN -1 ELSE 1 END)
+                  * ((abs(t) * $v) // greatest(m.m, 1::HUGEINT)) AS tp
+             FROM pca_t$i CROSS JOIN pca_mt$i m),
+          pca_w$i AS MATERIALIZED (
+             SELECT c.dim, sum(c.c::HUGEINT * t.tp)::HUGEINT AS w
+             FROM pca_c c JOIN pca_tp$i t USING (vec_id) GROUP BY 1),
+          pca_mw$i AS (SELECT max(abs(w))::HUGEINT AS m FROM pca_w$i),
+          pca_v$i AS MATERIALIZED (
+             SELECT dim, ((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                  * ((abs(w) * $v) // greatest(m.m, 1::HUGEINT)))
+                  ::HUGEINT AS v
+             FROM pca_w$i CROSS JOIN pca_mw$i m)"""
+    }.mkString(",\n")
+    s"""WITH pca_q AS MATERIALIZED (
+            SELECT vec_id, d.i::BIGINT AS dim,
+                   floor(embedding[d.i+1]::DOUBLE * $q.0)::BIGINT AS q
+            FROM embeddings CROSS JOIN range(0, 64) d(i)),
+        pca_n AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        pca_s AS (SELECT dim, sum(q)::BIGINT AS s FROM pca_q GROUP BY 1),
+        pca_c AS MATERIALIZED (
+            SELECT qq.vec_id, qq.dim, (n.n * qq.q - s.s)::BIGINT AS c
+            FROM pca_q qq JOIN pca_s s USING (dim) CROSS JOIN pca_n n),
+        pca_v0 AS (SELECT dim, $v::HUGEINT AS v FROM pca_s),
+        $iterCtes
+        SELECT s.dim, s.s AS sum_q, v.v::BIGINT AS v_fp
+        FROM pca_s s JOIN pca_v$PcaIters v USING (dim)"""
+  }
 
   /** The 2-iteration Lloyd replay as a reusable CTE chain (ends at `m2`;
     * consumers join `c1e`/`m2` for the final means). See the

@@ -316,6 +316,38 @@ object TextQueries {
     "text_significant_terms" -> ((s, dir) =>
       graft.operators.CorpusOps.significantTerms(SigM)(docs(s, dir))),
 
+    // TextRank keywords (Mihalcea-Tarau 2004): PageRank over the
+    // corpus-level word co-occurrence graph — adjacent non-stopword
+    // token pairs, symmetrized + deduped — the graph-centrality
+    // complement of RAKE's deg/freq scoring (same stopword list, same
+    // candidate universe, different ranking theory). Reuses the exact
+    // integer-fixed-point GraphOps.pageRank kernel, so the scores are
+    // bit-identical at any partitioning; the oracle unrolls all rounds.
+    // Scale shape: one corpus explode + one vocab²-bounded distinct;
+    // every iteration frame is vocabulary-grain; top-20 is a
+    // TakeOrdered.
+    "text_textrank" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("text").isNotNull)
+        .select(tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val pairs = base.select(explode(expr(
+          "transform(sequence(1, size(tk) - 1)," +
+            " i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .filter(col("w1") =!= col("w2") &&
+          !col("w1").isin(RakeStop: _*) && !col("w2").isin(RakeStop: _*))
+      val und = pairs.select(least(col("w1"), col("w2")).as("lo"),
+          greatest(col("w1"), col("w2")).as("hi")).distinct()
+        .localCheckpoint(false) // both edge directions read it
+      val edges = und.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionAll(und.select(col("hi").as("src"), col("lo").as("dst")))
+      val verts = edges.select(col("src").as("id")).distinct()
+      graft.operators.GraphOps.pageRank(edges, verts, TrIters, TrScale)
+        .orderBy(col("rank_fp").desc, col("id"))
+        .limit(TrTopN)
+        .select(col("id").as("word"), col("rank_fp"))
+    }),
+
     // Hashing-trick featurizer: fixed-width signed bag-of-words, no
     // vocabulary model (sparse (doc, dim, v) rows; FhDims buckets).
     "text_hash_features" -> ((s, dir) =>
@@ -381,6 +413,12 @@ object TextQueries {
   private[queries] val RakeTopN = 20
   private[queries] val WinnowK = 5
   private[queries] val WinnowW = 4
+  /** TextRank: power-iteration rounds, fixed-point scale, result size
+    * (stopwords = RakeStop — one list for both keyphrase extractors).
+    */
+  private[queries] val TrIters = 10
+  private[queries] val TrScale = 1000000000000L
+  private[queries] val TrTopN = 20
 
   /** Rescore phrases (one per BM25 query id) + window/boost — both
     * phrases occur 35-40× in the corpus so the secondary signal
@@ -620,6 +658,7 @@ object TextQueries {
 
     "text_search_bm25" -> bm25Sql,
     "text_search_rrf" -> rrfSql,
+    "text_textrank" -> textrankSql,
     "text_search_collapse" -> collapseSql,
     "text_search_rescore" -> rescoreSql,
     // persisted search: same postings (df/dl/stats derive from them),
@@ -810,6 +849,48 @@ object TextQueries {
           doc AS (SELECT query_id, doc_id, sum(w)::BIGINT AS score,
                     count(*)::BIGINT AS n_terms_hit
                   FROM scored GROUP BY 1, 2)"""
+  }
+
+  /** TextRank replay: the collocation-style zipped bigram pairs,
+    * symmetrize + dedup, then `TrIters` unrolled PageRank rounds —
+    * the same `(r // deg)` / `teleport + (17·c) // 20` BIGINT
+    * arithmetic as GraphOps.pageRank (and the knn pageRankSql).
+    */
+  private def textrankSql: String = {
+    val stop = RakeStop.map(sqlStr).mkString(", ")
+    val iterCtes = (1 to TrIters).map { i =>
+      s"""tr_c$i AS (SELECT e.dst AS id, sum(r.r // e.deg)::BIGINT AS c
+                 FROM tr_ed e JOIN tr_r${i - 1} r ON r.id = e.src
+                 GROUP BY 1),
+          tr_r$i AS (SELECT v.id,
+                   ((3 * ($TrScale // tr_n.n)) // 20
+                    + (17 * COALESCE(c.c, 0)) // 20)::BIGINT AS r
+                 FROM tr_v v CROSS JOIN tr_n
+                      LEFT JOIN tr_c$i c ON c.id = v.id)"""
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+        tr_bi AS (SELECT w1, w2 FROM (
+                 SELECT unnest(tk[1:len(tk)-1]) AS w1,
+                        unnest(tk[2:len(tk)]) AS w2
+                 FROM tok WHERE len(tk) >= 2)
+               WHERE w1 <> w2 AND w1 NOT IN ($stop)
+                 AND w2 NOT IN ($stop)),
+        tr_u AS (SELECT DISTINCT least(w1, w2) AS lo,
+                   greatest(w1, w2) AS hi FROM tr_bi),
+        tr_e AS (SELECT lo AS src, hi AS dst FROM tr_u
+                 UNION ALL SELECT hi, lo FROM tr_u),
+        tr_v AS (SELECT DISTINCT src AS id FROM tr_e),
+        tr_n AS (SELECT count(*)::BIGINT AS n FROM tr_v),
+        tr_deg AS (SELECT src, count(*)::BIGINT AS deg FROM tr_e
+                GROUP BY 1),
+        tr_ed AS (SELECT e.src, e.dst, d.deg FROM tr_e e
+                JOIN tr_deg d USING (src)),
+        tr_r0 AS (SELECT id, ($TrScale // tr_n.n)::BIGINT AS r
+               FROM tr_v CROSS JOIN tr_n),
+        $iterCtes
+        SELECT id AS word, r AS rank_fp FROM tr_r$TrIters
+        ORDER BY rank_fp DESC, word LIMIT $TrTopN"""
   }
 
   /** RRF replay: the shared BM25 scored chain gives the lexical window;

@@ -389,7 +389,10 @@ object PlanSpec {
     "events_funnel" -> 1,     // final 3-counter rollup (1 row)
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
     "events_attribution" -> 1, // share window over the 3-row channel frame
-    "events_markov" -> 1)     // obs-share window over the |types|-row frame
+    "events_markov" -> 1,     // obs-share window over the |types|-row frame
+    "sim_pca_power" -> 1)     // final-round 1-row renormalizer max
+    // (earlier PCA rounds' 1-row maxes run behind their round's
+    // checkpoint barrier, events_anomaly-style)
     // (events_anomaly's 1-row bounds aggregate runs behind its
     // checkpoint barrier, so the swept plan shows none)
 }
