@@ -286,6 +286,43 @@ object SimilarityQueries {
         .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
     }),
 
+    // Per-source centroid similarity matrix: mean embedding per source
+    // (docs joined to their embeddings on doc_id = vec_id, the tables'
+    // 1:1 linkage) through the exact-DECIMAL mean discipline of
+    // KMeansOps, then all-pairs cosine between the 20 source centroids
+    // via the shared left-to-right fold kernel — "which sources are
+    // semantically interchangeable", the mixture-design view a curation
+    // team reads next to corpus_source_quality. Scale shape: one
+    // corpus-sized join + one (source, dim) aggregate; everything after
+    // runs at |sources|² grain (the self-join is model-sized).
+    "sim_source_centroids" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val e = embs(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val joined = d.join(e, Seq("doc_id"))
+        .localCheckpoint(false) // consumed by the means AND the counts
+      val perDim = joined
+        .select(col("source"), posexplode(col("embedding")))
+        .groupBy(col("source"), col("pos").cast("long").as("dim"))
+        .agg((sum(col("col").cast("double").cast("decimal(38,10)"))
+          .cast("double") / count(lit(1)).cast("double")).as("m"))
+      val cents = perDim.groupBy(col("source"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m)))," +
+          " x -> x.m)").as("cent"))
+        .localCheckpoint(false) // both sides of the pair self-join
+      val ns = joined.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val a = cents.select(col("source").as("src_a"), col("cent").as("ca"))
+      val b = cents.select(col("source").as("src_b"), col("cent").as("cb"))
+      a.join(b, col("src_a") < col("src_b"))
+        .join(broadcast(ns.select(col("source").as("src_a"),
+          col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(ns.select(col("source").as("src_b"),
+          col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          graft.operators.DedupOps.cosine(col("ca"), col("cb")).as("cos"))
+    }),
+
     // Top principal component of the embedding matrix (power iteration,
     // exact integer/decimal arithmetic end to end — see
     // SimilarityOps.pcaPower): the anisotropy/"embedding health" axis.
@@ -589,6 +626,26 @@ object SimilarityQueries {
     "graph_link_prediction" -> lpSql,
     "sim_kmeanspp" -> ffSql,
     "sim_pca_power" -> pcaSql,
+    "sim_source_centroids" ->
+      s"""WITH sc_j AS (
+              SELECT d.source, e.embedding
+              FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+          sc_m AS (
+              SELECT source, d.i::BIGINT AS dim,
+                     sum(embedding[d.i+1]::DOUBLE::VARCHAR
+                       ::DECIMAL(38,10))::DOUBLE
+                       / count(*)::DOUBLE AS m
+              FROM sc_j CROSS JOIN range(0, 64) d(i) GROUP BY 1, 2),
+          sc_c AS (SELECT source, list(m ORDER BY dim) AS cent
+                FROM sc_m GROUP BY 1),
+          sc_n AS (SELECT source, count(*)::BIGINT AS n FROM sc_j
+                GROUP BY 1)
+          SELECT a.source AS src_a, b.source AS src_b,
+                 na.n AS n_a, nb.n AS n_b,
+                 ${cosine("a.cent", "b.cent")} AS cos
+          FROM sc_c a JOIN sc_c b ON a.source < b.source
+          JOIN sc_n na ON na.source = a.source
+          JOIN sc_n nb ON nb.source = b.source""",
     "sim_mmr_rerank" -> mmrSql,
     "sim_drift" ->
       s"""WITH $lloydCtes,
