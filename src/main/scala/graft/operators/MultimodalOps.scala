@@ -207,4 +207,79 @@ object MultimodalOps {
         }
     }
   }
+
+  /** Quantized 8×8 DCT-II basis row: cos((2x+1)uπ/16)·10⁶ rounded to a
+    * Long — the ONE cosine table both engines share as literals (no
+    * runtime transcendentals, so the whole pHash is exact integer).
+    */
+  def dctBasis: Seq[(Int, Int, Long)] =
+    for (u <- 0 until 8; x <- 0 until 8)
+      yield (u, x, math.round(math.cos((2 * x + 1) * u * math.Pi / 16)
+        * 1000000.0))
+
+  /** 60-bit perceptual hash (pHash) of the image documents: the classic
+    * resize → DCT → low-frequency sign sketch, with the RESIZE/DECODE
+    * step stubbed deterministically (like [[StubDecoder]] — no codecs
+    * here): the 8×8 grayscale stand-in is a feature-hash texture,
+    * pixel(cell) = (Σ h(shingle)÷64 over shingles hashing to the cell)
+    * mod 256 — content-derived and ALIGNMENT-ROBUST (an edit only
+    * perturbs the buckets its shingles touch), so near-duplicate
+    * payloads yield near-equal pixels, which is the property a real
+    * decoder feeds this pipeline. Everything downstream is the real
+    * production shape:
+    *
+    *  - separable 2-D DCT as two 1-D passes (G = P·Cᵀ then F = C·G) —
+    *    8× fewer terms than the naive double sum, each pass one
+    *    broadcast join against the 64-row literal basis + one bounded
+    *    aggregate;
+    *  - bits = sign of each of the 60 lowest-frequency AC coefficients
+    *    against the AC mean, divisionless (63·F > ΣAC);
+    *  - the 60-bit word feeds the SAME Manku banding/verify machinery
+    *    as SimHash ([[DedupOps.simhashPairsFromSketch]]).
+    *
+    * Integer end to end (pixel ≤ 255 ⇒ |F| ≤ 1.63e16, ΣAC ≤ 1.04e18 —
+    * inside Long at ANY corpus size; bounds are per-image, not
+    * per-corpus). Scale shape: one corpus explode + (doc, cell)
+    * aggregate; the DCT joins broadcast the basis; every frame after
+    * the shingle aggregate is 64-512 rows per doc.
+    */
+  def phashSketch(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.h15
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.filter(col("text").isNotNull &&
+      pmod(col("doc_id"), lit(3)) === 0)
+    val cells = d
+      .select(col("doc_id"),
+        explode(DedupOps.shingleSet(col("text"), 8)).as("s"))
+      .select(col("doc_id"), h15(concat(lit("px:"), col("s"))).as("h"))
+      .groupBy(col("doc_id"), (col("h") % 64).as("cell"))
+      .agg(sum(expr("h div 64")).as("hs"))
+    val grid = d.select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(63L))).as("cell"))
+      .join(cells, Seq("doc_id", "cell"), "left_outer")
+      .select(col("doc_id"),
+        expr("cell div 8").as("x"), (col("cell") % 8).as("y"),
+        (coalesce(col("hs"), lit(0L)) % 256).as("p"))
+    val cq = broadcast(dctBasis.toDF("u", "x", "c"))
+    val g = grid
+      .join(cq.select(col("u").as("v"), col("x").as("yy"),
+        col("c").as("cy")), col("y") === col("yy"))
+      .groupBy(col("doc_id"), col("x"), col("v"))
+      .agg(sum(col("p") * col("cy")).as("gv"))
+    val f = DedupOps.materialize(g
+      .join(cq.select(col("u"), col("x").as("xx"), col("c").as("cx")),
+        col("x") === col("xx"))
+      .groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(sum(col("gv") * col("cx")).as("fv")))
+    val st = f.groupBy(col("doc_id"))
+      .agg((sum(col("fv")) -
+        max(when(col("u") === 0 && col("v") === 0, col("fv")))).as("sac"))
+    f.join(st, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(expr("u * 8 + v between 1 and 60") &&
+        lit(63L) * col("fv") > col("sac"),
+        expr("shiftleft(CAST(1 AS BIGINT), u * 8 + v - 1)"))
+        .otherwise(lit(0L))).as("ph"))
+  }
 }

@@ -28,6 +28,25 @@ object MultimodalQueries {
         .select(col("doc_id"), col("frame_no"), length(col("frame"))
           .as("frame_len"))),
 
+    // Perceptual hash of the image documents (pHash: stub-decode →
+    // 8×8 feature-hash texture → separable integer DCT → 60-bit
+    // low-frequency sign sketch — see MultimodalOps.phashSketch).
+    "mm_phash" -> ((s, dir) =>
+      MultimodalOps.phashSketch(Tables.documents(s, dir))),
+
+    // ...and the sketch promoted to image near-dup pairs through the
+    // SAME Manku banding/verify machinery as dedup_simhash_pairs:
+    // chunks=12 (5-bit chunks, C(12,2)=66 10-bit pair-combo keys),
+    // maxHamming=9 — agree ≥ 3 chunks guaranteed, so the banding is
+    // EXACT for the threshold (the oracle brute-forces all pairs; the
+    // pigeonhole proves Spark's candidate set contains every
+    // qualifying one). Thresholds sit in the fixture's measured gap
+    // (real near-dups ≤ 9, hash-noise floor ≥ 14 at both test SFs).
+    "mm_phash_dedup" -> ((s, dir) =>
+      graft.operators.DedupOps.simhashPairsFromSketch(PhMaxHam, PhChunks)(
+        MultimodalOps.phashSketch(Tables.documents(s, dir))
+          .select(col("doc_id"), col("ph").as("sh")))),
+
     // resize seam: byte-stride downsample to ≤64 bytes, content verified
     // by hash (the oracle rebuilds the identical stride sample).
     // NOTE: the oracle strides CHARACTERS while the operator strides
@@ -41,7 +60,73 @@ object MultimodalQueries {
           col("new_bytes"), md5(col("content")).as("content_hash")))
   )
 
+  private val PhMaxHam = 9
+  private val PhChunks = 12
+
+  /** pHash replay: the shingle feature-hash texture, the shared literal
+    * DCT basis (MultimodalOps.dctBasis — the ONE cosine table), the
+    * separable two-pass DCT, and the divisionless sign bits. Ends at
+    * `ph_w(doc_id, ph)`.
+    */
+  private def phashCtes: String = {
+    val cqvals = MultimodalOps.dctBasis
+      .map { case (u, x, c) => s"($u, $x, $c)" }.mkString(", ")
+    val toks = """string_split_regex(trim(text), '\s+')"""
+    s"""WITH ph_d AS (
+            SELECT doc_id, $toks AS tk FROM documents
+            WHERE text IS NOT NULL AND doc_id % 3 = 0),
+        ph_s AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(0, greatest(length(tk) - 8, 0) + 1),
+                     i -> array_to_string(tk[i+1:i+8], ' ')))) AS s
+            FROM ph_d),
+        ph_h AS (SELECT doc_id,
+                   ('0x' || substring(md5('px:' || s), 1, 15))::BIGINT AS h
+                 FROM ph_s),
+        ph_c AS (SELECT doc_id, h % 64 AS cell,
+                   sum(h // 64)::BIGINT AS hs
+                 FROM ph_h GROUP BY 1, 2),
+        ph_g AS (SELECT d.doc_id, c.i AS cell,
+                   COALESCE(p.hs, 0) % 256 AS p
+                 FROM (SELECT DISTINCT doc_id FROM ph_d) d
+                 CROSS JOIN range(0, 64) c(i)
+                 LEFT JOIN ph_c p
+                   ON p.doc_id = d.doc_id AND p.cell = c.i),
+        ph_px AS (SELECT doc_id, cell // 8 AS x, cell % 8 AS y, p
+                FROM ph_g),
+        ph_cq(u, x, c) AS (SELECT * FROM (VALUES $cqvals)),
+        ph_1 AS (SELECT p.doc_id, p.x, cv.u AS v,
+                   sum(p.p * cv.c)::BIGINT AS gv
+                 FROM ph_px p JOIN ph_cq cv ON cv.x = p.y
+                 GROUP BY 1, 2, 3),
+        ph_2 AS (SELECT g.doc_id, cu.u, g.v,
+                   sum(g.gv * cu.c)::BIGINT AS fv
+                 FROM ph_1 g JOIN ph_cq cu ON cu.x = g.x
+                 GROUP BY 1, 2, 3),
+        ph_st AS (SELECT doc_id,
+                    (sum(fv) - max(CASE WHEN u = 0 AND v = 0
+                       THEN fv END))::BIGINT AS sac
+                  FROM ph_2 GROUP BY 1),
+        ph_w AS (SELECT f.doc_id,
+                   sum(CASE WHEN u * 8 + v BETWEEN 1 AND 60
+                         AND 63 * fv > st.sac
+                       THEN 1::BIGINT << (u * 8 + v - 1)
+                       ELSE 0 END)::BIGINT AS ph
+                 FROM ph_2 f JOIN ph_st st USING (doc_id) GROUP BY 1)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_phash" ->
+      s"""$phashCtes
+          SELECT doc_id, ph FROM ph_w""",
+    // banding is candidate generation only — the pigeonhole proves the
+    // Spark result ≡ this exhaustive pair scan at the threshold
+    "mm_phash_dedup" ->
+      s"""$phashCtes
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+          FROM ph_w a JOIN ph_w b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ph, b.ph)) <= $PhMaxHam""",
     "mm_decode_features" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
