@@ -417,7 +417,105 @@ object EsAggQueries {
           col("sum_dec").cast("double").as("sum_value"),
           (col("sum_dec").cast("double") - col("p7").cast("double"))
             .as("diff7"))
-    })
+    }),
+
+    // ES multi_terms agg (terms over a COMPOSITE key, size: 10): buckets
+    // keyed by (event_type, day-of-week), ordered by doc_count desc with
+    // key tiebreaks. Day-of-week is derived by epoch-day arithmetic from
+    // a fixed Monday (1970-01-05) — identical integer math in both
+    // engines, no locale-dependent formatting. One map-side-combined
+    // groupBy; the order-by-count+limit plans as TakeOrdered (no
+    // global-sort exchange, the es_bucket_sort shape).
+    "es_multi_terms" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("event_type"),
+          pmod(datediff(to_date(col("ts")), lit("1970-01-05")), lit(7))
+            .cast("long").as("dow"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).as("sum_dec"))
+        .orderBy(col("doc_count").desc, col("event_type"), col("dow"))
+        .limit(10)
+        .select(col("event_type"), col("dow"), col("doc_count"),
+          col("sum_dec").cast("double").as("sum_value"))),
+
+    // ES weighted_avg agg: per event_type, `value` weighted by the
+    // payload weight `props.$.k` (the injector's decoded JSON field —
+    // same extraction path d4 pins). Numerator and denominator are
+    // exact DECIMAL sums (order-independent under any partitioning);
+    // the single division runs on doubles at the edge, one shared
+    // expression tree. Rows with null/zero weight contribute nothing —
+    // ES's value_count excludes them, mirrored by the weight filter.
+    "es_weighted_avg" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("w", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("w").isNotNull && col("w") > 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value") * col("w").cast("double"))).as("num_dec"),
+          sum(dec(col("w").cast("double"))).as("den_dec"))
+        .select(col("event_type"), col("n"),
+          (col("num_dec").cast("double") / col("den_dec").cast("double"))
+            .as("weighted_avg"))),
+
+    // ES t_test agg (type: heteroscedastic — Welch's unpaired test):
+    // purchase vs click `value` populations. One conditional-sum pass
+    // over the fact table (1-row aggregate, allowlisted) collects exact
+    // DECIMAL Σx/Σx² per arm; means, n−1 sample variances, the t
+    // statistic and the Welch–Satterthwaite df are the IDENTICAL double
+    // expression tree in both engines (the es_extended_stats
+    // discipline). ES returns only the p-value; the t/df pair is the
+    // deterministic sufficient statistic it derives from.
+    "es_t_test" -> ((s, dir) => {
+      def arm(t: String, sfx: String) = Seq(
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as("n" + sfx),
+        sum(when(col("event_type") === t, dec38(col("value")))
+          .otherwise(dec38(lit(0.0)))).as("sx" + sfx),
+        sum(when(col("event_type") === t, dec38(col("value") * col("value")))
+          .otherwise(dec38(lit(0.0)))).as("sxx" + sfx))
+      val aggs = arm("purchase", "a") ++ arm("click", "b")
+      def vr(sfx: String): Column = {
+        val nd = col("n" + sfx).cast("double")
+        val sx = col("sx" + sfx).cast("double")
+        val sxx = col("sxx" + sfx).cast("double")
+        (sxx - sx * sx / nd) / (nd - 1.0)
+      }
+      def mn(sfx: String): Column =
+        col("sx" + sfx).cast("double") / col("n" + sfx).cast("double")
+      ev(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("mean_a", mn("a")).withColumn("mean_b", mn("b"))
+        .withColumn("var_a", vr("a")).withColumn("var_b", vr("b"))
+        .withColumn("se2",
+          col("var_a") / col("na").cast("double") +
+            col("var_b") / col("nb").cast("double"))
+        .select(col("na"), col("nb"), col("mean_a"), col("mean_b"),
+          col("var_a"), col("var_b"),
+          ((col("mean_a") - col("mean_b")) / sqrt(col("se2"))).as("t_stat"),
+          (col("se2") * col("se2") /
+            ((col("var_a") / col("na").cast("double")) *
+              (col("var_a") / col("na").cast("double")) /
+              (col("na").cast("double") - 1.0) +
+              (col("var_b") / col("nb").cast("double")) *
+                (col("var_b") / col("nb").cast("double")) /
+                (col("nb").cast("double") - 1.0))).as("df"))
+    }),
+
+    // ES rate agg (unit: day) inside a weekly date_histogram: per
+    // ISO-week bucket, docs/day and value/day. ES divides by the FULL
+    // unit span (7.0) even for partially-covered edge buckets — the
+    // documented contract, mirrored here with the shared literal.
+    // Week-grain aggregate frame; one fact exchange.
+    "es_rate" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).as("sum_dec"))
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+          col("doc_count"),
+          (col("doc_count").cast("double") / lit(7.0))
+            .as("docs_per_day"),
+          (col("sum_dec").cast("double") / lit(7.0))
+            .as("value_per_day")))
   )
 
   private val D = "CAST(CAST(%s AS VARCHAR) AS DOUBLE)"
@@ -637,6 +735,85 @@ object EsAggQueries {
                  ${dd("sum_dec")} AS sum_value,
                  ${dd("sum_dec")} -
                    ${dd("lag(sum_dec, 7) OVER (ORDER BY d)")} AS diff7
-          FROM per_day"""
+          FROM per_day""",
+    "es_multi_terms" ->
+      s"""SELECT event_type, dow, doc_count, ${dd("sum_dec")} AS sum_value
+          FROM (
+            SELECT event_type,
+                   CAST(((date_diff('day', DATE '1970-01-05',
+                       CAST(ts AS DATE)) % 7) + 7) % 7 AS BIGINT) AS dow,
+                   count(*) AS doc_count,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1, 2)
+          ORDER BY doc_count DESC, event_type, dow LIMIT 10""",
+    "es_weighted_avg" ->
+      s"""WITH g AS (
+            SELECT event_type, count(*) AS n,
+              sum(CAST(value * CAST(json_extract_string(props, '$$.k')
+                    AS INTEGER)::DOUBLE AS DECIMAL(28,10))) AS num_dec,
+              sum(CAST(CAST(json_extract_string(props, '$$.k')
+                    AS INTEGER)::DOUBLE AS DECIMAL(28,10))) AS den_dec
+            FROM events
+            WHERE json_extract_string(props, '$$.k') IS NOT NULL
+              AND CAST(json_extract_string(props, '$$.k') AS INTEGER) > 0
+            GROUP BY 1)
+          SELECT event_type, n,
+                 ${dd("num_dec")} / ${dd("den_dec")} AS weighted_avg
+          FROM g""",
+    "es_t_test" ->
+      s"""WITH g AS (
+            SELECT
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS na,
+              sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(38,10))
+                  ELSE CAST(0.0 AS DECIMAL(38,10)) END) AS sxa,
+              sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value * value AS DECIMAL(38,10))
+                  ELSE CAST(0.0 AS DECIMAL(38,10)) END) AS sxxa,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                END) AS BIGINT) AS nb,
+              sum(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(38,10))
+                  ELSE CAST(0.0 AS DECIMAL(38,10)) END) AS sxb,
+              sum(CASE WHEN event_type = 'click'
+                  THEN CAST(value * value AS DECIMAL(38,10))
+                  ELSE CAST(0.0 AS DECIMAL(38,10)) END) AS sxxb
+            FROM events),
+          m AS (
+            SELECT na, nb,
+              ${dd("sxa")} / CAST(na AS DOUBLE) AS mean_a,
+              ${dd("sxb")} / CAST(nb AS DOUBLE) AS mean_b,
+              (${dd("sxxa")} - ${dd("sxa")} * ${dd("sxa")} /
+                 CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+                AS var_a,
+              (${dd("sxxb")} - ${dd("sxb")} * ${dd("sxb")} /
+                 CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)
+                AS var_b
+            FROM g),
+          t AS (
+            SELECT *, var_a / CAST(na AS DOUBLE) +
+                      var_b / CAST(nb AS DOUBLE) AS se2
+            FROM m)
+          SELECT na, nb, mean_a, mean_b, var_a, var_b,
+                 (mean_a - mean_b) / sqrt(se2) AS t_stat,
+                 se2 * se2 /
+                   ((var_a / CAST(na AS DOUBLE)) *
+                      (var_a / CAST(na AS DOUBLE)) /
+                      (CAST(na AS DOUBLE) - 1.0) +
+                    (var_b / CAST(nb AS DOUBLE)) *
+                      (var_b / CAST(nb AS DOUBLE)) /
+                      (CAST(nb AS DOUBLE) - 1.0)) AS df
+          FROM t""",
+    "es_rate" ->
+      s"""WITH per_w AS (
+            SELECT date_trunc('week', CAST(ts AS DATE)) AS wk,
+                   count(*) AS doc_count,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1)
+          SELECT strftime(wk, '%Y-%m-%d') AS week, doc_count,
+                 CAST(doc_count AS DOUBLE) / 7.0 AS docs_per_day,
+                 ${dd("sum_dec")} / 7.0 AS value_per_day
+          FROM per_w"""
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -305,6 +305,116 @@ object EventQueries {
         .select(col("event_type"),
           date_format(col("hh"), "yyyy-MM-dd HH:00:00").as("bucket"),
           col("x").as("doc_count"))
+    }),
+
+    // RFM segmentation — the CRM rollup over the stream: per-user
+    // Recency (hours since last event vs the global max — 1-row Q22
+    // comparand, allowlisted), Frequency (event count), Monetary (exact
+    // DECIMAL purchase revenue), scored 1-5 by FIXED thresholds (a pure
+    // map — the production form; quantile scoring would need a global
+    // sort AND re-buckets users whenever the corpus grows). One user_id
+    // exchange; the segment rollup runs on the ≤125-cell frame.
+    "events_rfm" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(28,10)")
+      val u = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(unix_millis(col("ts"))).as("last_t"),
+          count(lit(1)).as("freq"),
+          sum(when(col("event_type") === "purchase", dec(col("value")))
+            .otherwise(dec(lit(0.0)))).as("m_dec"))
+      val mx = ev(s, dir).agg(max(unix_millis(col("ts"))).as("mx"))
+      u.crossJoin(broadcast(mx))
+        .withColumn("rh", expr("(mx - last_t) div 3600000"))
+        .withColumn("md", col("m_dec").cast("double"))
+        .withColumn("r_score",
+          when(col("rh") <= 2, 5).when(col("rh") <= 5, 4)
+            .when(col("rh") <= 9, 3).when(col("rh") <= 18, 2)
+            .otherwise(1))
+        .withColumn("f_score",
+          when(col("freq") >= 76, 5).when(col("freq") >= 70, 4)
+            .when(col("freq") >= 64, 3).when(col("freq") >= 57, 2)
+            .otherwise(1))
+        .withColumn("m_score",
+          when(col("md") >= 950.0, 5).when(col("md") >= 700.0, 4)
+            .when(col("md") >= 520.0, 3).when(col("md") >= 330.0, 2)
+            .otherwise(1))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m_dec")).cast("double").as("revenue"))
+    }),
+
+    // Growth accounting (new / retained / resurrected / churned) on
+    // weekly activity — the lifecycle dashboard behind every DAU chart:
+    // per user-week, `new` if first-ever week, `retained` if active the
+    // prior week, `resurrected` after a gap; a user inactive the week
+    // after an active one counts as `churned` in that following week
+    // (the standard attribution, emitted even past the span edge — the
+    // honest definition). One user_id exchange feeds both windows; the
+    // rollup runs on the (week × 4)-cell frame.
+    "events_lifecycle" -> ((s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val st = uw
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("nxt", lead(col("wk"), 1).over(w))
+      val active = st.select(col("wk"),
+        when(col("prev").isNull, "new")
+          .when(datediff(col("wk"), col("prev")) === 7, "retained")
+          .otherwise("resurrected").as("status"))
+      val churned = st
+        .filter(col("nxt").isNull ||
+          datediff(col("nxt"), col("wk")) > 7)
+        .select(date_add(col("wk"), 7).as("wk"),
+          lit("churned").as("status"))
+      active.unionByName(churned)
+        .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+          col("status"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Cohort LTV: cumulative purchase revenue per signup-week cohort by
+    // week offset, normalized per cohort user — the payback curve next
+    // to events_retention's activity matrix. Cohort assignment reuses
+    // the retention discipline (first-signup window over ONE user_id
+    // exchange); revenue is an exact DECIMAL sum; the cumulative sum is
+    // a decimal window over the cohort×offset frame (calendar-bounded,
+    // partitioned by cohort — no global sort); the per-user division is
+    // one shared double expression against the ≤cohort-count broadcast.
+    "events_cohort_ltv" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(28,10)")
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts"), col("value"), unix_millis(col("ts")).as("t"))
+      val wu = Window.partitionBy(col("user_id"))
+      val wc = e.withColumn("signup_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(wu))
+        .filter(col("signup_ts").isNotNull &&
+          col("t") >= unix_millis(col("signup_ts")))
+        .select(col("user_id"),
+          date_format(date_trunc("week", col("signup_ts")), "yyyy-MM-dd")
+            .as("cohort_week"),
+          expr("cast(datediff(to_date(ts), " +
+            "to_date(date_trunc('week', signup_ts))) as bigint) div 7")
+            .as("week_offset"),
+          when(col("event_type") === "purchase", dec(col("value")))
+            .otherwise(dec(lit(0.0))).as("pv"))
+        .localCheckpoint(false)
+      val grain = wc.groupBy(col("cohort_week"), col("week_offset"))
+        .agg(sum(col("pv")).as("rev_dec"))
+      val sizes = wc.groupBy(col("cohort_week"))
+        .agg(countDistinct(col("user_id")).as("cohort_users"))
+      val wk = Window.partitionBy(col("cohort_week"))
+        .orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grain.join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"),
+          col("rev_dec").cast("double").as("week_value"),
+          sum(col("rev_dec")).over(wk).cast("double").as("cum_value"),
+          col("cohort_users"),
+          (sum(col("rev_dec")).over(wk).cast("double") /
+            col("cohort_users").cast("double")).as("ltv_per_user"))
     })
   )
 
@@ -477,6 +587,91 @@ object EventQueries {
                  strftime(f.hh, '%Y-%m-%d %H:00:00') AS bucket,
                  f.x AS doc_count
           FROM f JOIN st USING (event_type)
-          WHERE (n * x - s) * (n * x - s) > $ZSq * (n * q - s * s)"""
+          WHERE (n * x - s) * (n * x - s) > $ZSq * (n * q - s * s)""",
+    "events_rfm" ->
+      """WITH mx AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+          u AS (
+            SELECT user_id, max(epoch_ms(ts)) AS last_t,
+                   count(*) AS freq,
+                   sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(28,10))
+                       ELSE CAST(0.0 AS DECIMAL(28,10)) END) AS m_dec
+            FROM events GROUP BY 1),
+          sc AS (
+            SELECT (mx.mx - u.last_t) // 3600000 AS rh, freq, m_dec,
+                   CAST(CAST(m_dec AS VARCHAR) AS DOUBLE) AS md
+            FROM u CROSS JOIN mx)
+          SELECT
+            CASE WHEN rh <= 2 THEN 5 WHEN rh <= 5 THEN 4
+                 WHEN rh <= 9 THEN 3 WHEN rh <= 18 THEN 2
+                 ELSE 1 END AS r_score,
+            CASE WHEN freq >= 76 THEN 5 WHEN freq >= 70 THEN 4
+                 WHEN freq >= 64 THEN 3 WHEN freq >= 57 THEN 2
+                 ELSE 1 END AS f_score,
+            CASE WHEN md >= 950.0 THEN 5 WHEN md >= 700.0 THEN 4
+                 WHEN md >= 520.0 THEN 3 WHEN md >= 330.0 THEN 2
+                 ELSE 1 END AS m_score,
+            count(*) AS n_users,
+            CAST(CAST(sum(m_dec) AS VARCHAR) AS DOUBLE) AS revenue
+          FROM sc GROUP BY 1, 2, 3""",
+    "events_lifecycle" ->
+      """WITH uw AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', CAST(ts AS DATE)) AS wk
+            FROM events),
+          st AS (
+            SELECT user_id, wk,
+                   lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                     AS prev,
+                   lead(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                     AS nxt
+            FROM uw),
+          a AS (
+            SELECT wk, CASE WHEN prev IS NULL THEN 'new'
+                   WHEN date_diff('day', prev, wk) = 7 THEN 'retained'
+                   ELSE 'resurrected' END AS status
+            FROM st),
+          c AS (
+            SELECT wk + 7 AS wk, 'churned' AS status
+            FROM st WHERE nxt IS NULL OR date_diff('day', wk, nxt) > 7),
+          u AS (SELECT * FROM a UNION ALL SELECT * FROM c)
+          SELECT strftime(wk, '%Y-%m-%d') AS week, status,
+                 count(*) AS n_users
+          FROM u GROUP BY 1, 2""",
+    "events_cohort_ltv" ->
+      """WITH u AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'signup') AS st
+            FROM events GROUP BY 1),
+          f AS (
+            SELECT e.user_id,
+                   strftime(date_trunc('week', u.st), '%Y-%m-%d')
+                     AS cohort_week,
+                   CAST(date_diff('day',
+                       CAST(date_trunc('week', u.st) AS DATE),
+                       CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_offset,
+                   CASE WHEN e.event_type = 'purchase'
+                        THEN CAST(e.value AS DECIMAL(28,10))
+                        ELSE CAST(0.0 AS DECIMAL(28,10)) END AS pv
+            FROM events e JOIN u USING (user_id)
+            WHERE u.st IS NOT NULL AND epoch_ms(e.ts) >= epoch_ms(u.st)),
+          g AS (
+            SELECT cohort_week, week_offset, sum(pv) AS rev_dec
+            FROM f GROUP BY 1, 2),
+          sz AS (
+            SELECT cohort_week, count(DISTINCT user_id) AS cohort_users
+            FROM f GROUP BY 1)
+          SELECT g.cohort_week, g.week_offset,
+                 CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS week_value,
+                 CAST(CAST(sum(rev_dec) OVER (PARTITION BY g.cohort_week
+                     ORDER BY g.week_offset ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+                   AS cum_value,
+                 cohort_users,
+                 CAST(CAST(sum(rev_dec) OVER (PARTITION BY g.cohort_week
+                     ORDER BY g.week_offset ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) /
+                   CAST(cohort_users AS DOUBLE) AS ltv_per_user
+          FROM g JOIN sz USING (cohort_week)"""
   )
 }

@@ -386,7 +386,9 @@ object PlanSpec {
     "es_serial_diff" -> 1,    // lag-7 window over the day-grain frame
     "es_stats_bucket" -> 1,   // final 1-row stats over day-grain buckets
     "es_auto_date_histogram" -> 1, // 1-row span for the interval ladder
+    "es_t_test" -> 1,         // Welch test IS a 1-row conditional agg
     "events_funnel" -> 1,     // final 3-counter rollup (1 row)
+    "events_rfm" -> 1,        // 1-row global-max recency comparand
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
     "events_attribution" -> 1, // share window over the 3-row channel frame
     "events_markov" -> 1,     // obs-share window over the |types|-row frame
