@@ -371,4 +371,39 @@ object GraphOps {
         coalesce(col("__in"), lit(false)).as("in_core"),
         coalesce(when(col("__in"), col("deg")), lit(0L)).as("core_deg"))
   }
+
+  /** Bounded-hop BFS from a literal seed set over the symmetrized
+    * graph: every node reachable within `rounds` hops, with its exact
+    * hop distance (min over paths — each node enters the frontier the
+    * first round it is seen and never again). Fixed-round unrolling,
+    * the PageRank/kCore discipline, so the oracle replays the identical
+    * chain. Scale shape: each round is ONE frontier semi-join + ONE
+    * visited anti-join, both hash-partitioned on node id; the frontier
+    * is the only thing that moves, and the round count bounds the plan
+    * depth (diameter-bounded traversals unroll the same way at any
+    * corpus size). Unreached nodes are absent — the honest contract.
+    */
+  def bfsHops(edges: DataFrame, seeds: Seq[Long], rounds: Int)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = DedupOps.materialize(edges
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val sym = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionAll(und.select(col("hi").as("src"), col("lo").as("dst")))
+    var visited = seeds.toDF("id").withColumn("dist", lit(0))
+    var frontier = visited.select(col("id"))
+    for (i <- 1 to rounds) {
+      val nxt = DedupOps.materialize(
+        sym.join(frontier.select(col("id").as("src")), Seq("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("dist", lit(i)))
+      visited = DedupOps.materialize(visited.unionByName(nxt))
+      frontier = nxt.select(col("id"))
+    }
+    visited
+  }
 }

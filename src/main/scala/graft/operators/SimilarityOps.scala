@@ -77,6 +77,80 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  /** Radius (range) search — the ES/Lucene `knn` query with a
+    * `similarity` threshold instead of a k cap: every corpus vector
+    * within cosine ≥ `theta` of each query. Brute-force exact, and
+    * STRICTLY cheaper than top-k: queries broadcast, the corpus is
+    * never shuffled, and there is no per-query window — the plan is one
+    * scan + filter with ZERO exchanges, so at 100 TB it rides a single
+    * corpus pass however many queries are batched into it.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, theta: Double)
+      : DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      DedupOps.norm(col("embedding")).as("q_nrm")))
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        DedupOps.norm(col("embedding")).as("c_nrm"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("c_nrm")))
+      .filter(col("cos") >= theta)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Simplified silhouette (centroid form — Hruschka et al.): per
+    * vector, cosine to its OWN trained centroid vs the best OTHER
+    * centroid, scored s = (b − a) / max(a, b) on cosine distances
+    * a = 1 − cos_own, b = 1 − cos_next, rolled up per cell — the
+    * clustering-quality certificate read next to the trained k-means
+    * model (full silhouette is all-pairs; the centroid form is the one
+    * that scales, and is exact given the model). Pure map over the
+    * k-centroid literal model (same kernel as the IVF assign — zero
+    * shuffle), then one cell-grain aggregate; the mean is an exact
+    * DECIMAL sum over the shared double scores.
+    */
+  def silhouette(centroids: DataFrame)(corpus: DataFrame): DataFrame = {
+    val cents = collectCents(centroids.select(
+      col("cell").cast("long").as("cent_id"),
+      col("centroid").as("cent_emb")))
+    require(cents.size >= 2, "silhouette needs at least two centroids")
+    val base = withNorm(corpus)
+    // (−score, id, score) structs sorted ascending ≡ score desc, id asc
+    // on ties; NaN (zero-norm guard) ranks first like both engines'
+    // ORDER BY score DESC. __s and __r each live in their own
+    // projection (non-cheap, referenced more than once — the HOF
+    // CollapseProject discipline).
+    val ranked = transform(
+      array_sort(zip_with(col("__s"), typedlit(cents.map(_._1)),
+        (s, id) => struct(
+          when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s)
+            .as("negs"),
+          id.as("id"), s.as("s")))),
+      e => struct(e.getField("id").as("id"), e.getField("s").as("s")))
+    val a = lit(1.0) - col("cos_own")
+    val b = lit(1.0) - col("cos_next")
+    base
+      .select(col("vec_id"),
+        cscores(cents)(col("embedding"), col("nrm")).as("__s"))
+      .select(col("vec_id"), ranked.as("__r"))
+      .select(col("vec_id"),
+        element_at(col("__r"), 1).getField("id").as("cell"),
+        element_at(col("__r"), 1).getField("s").as("cos_own"),
+        element_at(col("__r"), 2).getField("s").as("cos_next"))
+      .withColumn("sil",
+        when(greatest(a, b) === 0.0, lit(0.0))
+          .otherwise((b - a) / greatest(a, b)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sil").cast("decimal(38,10)")).as("sum_dec"),
+        min(col("sil")).as("min_sil"), max(col("sil")).as("max_sil"))
+      .select(col("cell"), col("n_vecs"),
+        (col("sum_dec").cast("double") / col("n_vecs").cast("double"))
+          .as("mean_sil"),
+        col("min_sil"), col("max_sil"))
+  }
+
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein '98):
     * the exact-cosine top-`window` per query, then `k` greedy rounds —
     * each picks argmax of `lambda·rel − penalty·max_sim_to_selected`

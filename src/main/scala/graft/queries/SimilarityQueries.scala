@@ -41,6 +41,12 @@ object SimilarityQueries {
   private val SEEDS = 100 until 108
   // k-NN graph degree
   private val KnnK = 3
+  // range search radius (cosine floor; random 64-dim cosines sit near
+  // 0 ± 0.12, so 0.25 keeps single-digit genuine neighbors per query)
+  private val RsTheta = 0.25
+  // BFS origin seeds + hop bound over the k-NN graph
+  private val BfsSeeds = Seq(100L, 101L)
+  private val BfsRounds = 4
   // PageRank iterations + fixed-point scale over the k-NN graph
   private val PrIters = 3
   private val PrScale = 1000000000000L
@@ -284,6 +290,35 @@ object SimilarityQueries {
       graft.operators.GraphOps.kCore(edges,
         embs(s, dir).select(col("vec_id").as("id")), KcK, KcIters)
         .select(col("id").as("vec_id"), col("in_core"), col("core_deg"))
+    }),
+
+    // Radius search: all corpus vectors within cosine ≥ RsTheta of each
+    // query — the ES knn-with-similarity-threshold shape. Zero
+    // exchanges: one corpus scan + broadcast queries + filter (strictly
+    // cheaper than any top-k; see SimilarityOps.rangeSearch).
+    "sim_range_search" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.rangeSearch(e, queriesOf(e), RsTheta)
+    }),
+
+    // Simplified (centroid-form) silhouette per trained cell — the
+    // clustering-quality certificate over the SAME Lloyd model the IVF
+    // family searches (train once, consume many): mean/min/max of
+    // (b − a)/max(a, b) on cosine distances to own vs next-best
+    // centroid. Pure-map scoring; one cell-grain aggregate.
+    "sim_silhouette" -> ((s, dir) =>
+      SimilarityOps.silhouette(trained(s, dir))(embs(s, dir))),
+
+    // Bounded-hop BFS over the k-NN graph from two fixed seed vectors:
+    // hop distance as semantic "degrees of separation" (the reachability
+    // view next to graph_pagerank's centrality). Same edge construction
+    // as the other graph_* queries; 4 unrolled frontier rounds.
+    "graph_bfs_hops" -> ((s, dir) => {
+      val edges = SimilarityOps.knnGraph(trained(s, dir), KnnK)(
+        embs(s, dir))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.GraphOps.bfsHops(edges, BfsSeeds, BfsRounds)
+        .select(col("id").as("vec_id"), col("dist"))
     }),
 
     // Per-source centroid similarity matrix: mean embedding per source
@@ -624,6 +659,40 @@ object SimilarityQueries {
     "graph_clustering" -> clusteringSql,
     "graph_kcore" -> kcoreSql,
     "graph_link_prediction" -> lpSql,
+    "graph_bfs_hops" -> bfsSql,
+    "sim_range_search" ->
+      s"""SELECT query_id, neighbor_id, cos FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ${cosine("q.embedding", "e.embedding")} AS cos
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < $NQ) q
+            JOIN embeddings e ON e.vec_id <> q.vec_id)
+          WHERE cos >= $RsTheta""",
+    "sim_silhouette" ->
+      s"""WITH $lloydCtes,
+          $trainedCellsCtes,
+          sil_r AS (
+            SELECT vec_id, cell, cscore,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cscore DESC, cell) AS rn
+            FROM asn3),
+          sil_own AS (SELECT vec_id, cell, cscore AS cos_own
+                      FROM sil_r WHERE rn = 1),
+          sil_nxt AS (SELECT vec_id, cscore AS cos_next
+                      FROM sil_r WHERE rn = 2),
+          sil_v AS (
+            SELECT o.cell,
+              CASE WHEN greatest(1.0 - cos_own, 1.0 - cos_next) = 0.0
+                   THEN 0.0
+                   ELSE ((1.0 - cos_next) - (1.0 - cos_own)) /
+                        greatest(1.0 - cos_own, 1.0 - cos_next)
+              END AS sil
+            FROM sil_own o JOIN sil_nxt USING (vec_id))
+          SELECT cell, count(*) AS n_vecs,
+                 CAST(CAST(sum(CAST(sil AS DECIMAL(38,10))) AS VARCHAR)
+                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_sil,
+                 min(sil) AS min_sil, max(sil) AS max_sil
+          FROM sil_v GROUP BY 1""",
     "sim_kmeanspp" -> ffSql,
     "sim_pca_power" -> pcaSql,
     "sim_source_centroids" ->
@@ -1201,6 +1270,33 @@ object SimilarityQueries {
                FROM pr_verts CROSS JOIN nn),
         $iterCtes
         SELECT vec_id, r AS rank_fp FROM pr_r$PrIters"""
+  }
+
+  /** BFS replay: the knn edge chain symmetrized, then `BfsRounds`
+    * unrolled frontier rounds — each "(distinct neighbors of the
+    * frontier) EXCEPT visited", exactly GraphOps.bfsHops' semi-join +
+    * anti-join pair.
+    */
+  private def bfsSql: String = {
+    val seedList = BfsSeeds.mkString("[", ", ", "]")
+    val iterCtes = (1 to BfsRounds).map { i =>
+      val prevFrontier = if (i == 1) "bf_v0" else s"bf_r${i - 1}"
+      val prevVis = if (i == 1) "bf_v0" else s"bf_vis${i - 1}"
+      s"""bf_f$i AS (
+            (SELECT DISTINCT e.dst AS id FROM bf_e e
+             JOIN $prevFrontier v ON v.id = e.src)
+            EXCEPT (SELECT id FROM $prevVis)),
+          bf_r$i AS (SELECT id, $i AS dist FROM bf_f$i),
+          bf_vis$i AS (SELECT * FROM $prevVis
+                       UNION ALL SELECT * FROM bf_r$i)"""
+    }.mkString(",\n")
+    s"""WITH $knnEdgeCtes,
+        bf_e AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn
+                 UNION
+                 SELECT neighbor_id AS src, vec_id AS dst FROM knn),
+        bf_v0 AS (SELECT unnest($seedList)::BIGINT AS id, 0 AS dist),
+        $iterCtes
+        SELECT id AS vec_id, dist FROM bf_vis$BfsRounds"""
   }
 
   /** MMR replay: exact-cosine candidate window `mmr_mc`, pairwise sims

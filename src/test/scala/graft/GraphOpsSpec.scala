@@ -154,4 +154,20 @@ class GraphOpsSpec extends SparkSpec {
     val q = 3.0 / 7.0 - 0.25
     assert(got == Map(1L -> ((3L, 7L, 3L, q)), 4L -> ((3L, 7L, 3L, q))))
   }
+
+  test("bfsHops: exact hop distances, round bound, unreached absent") {
+    // path 1-2-3-4-5-6 plus disjoint 9-10; 4 rounds from seed 1
+    // reach 1..5 at dist 0..4; 6 (5 hops) and 9/10 are absent. Edge
+    // direction must not matter (symmetrized): edges point both ways.
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (5L, 4L), (5L, 6L),
+      (9L, 10L)).toDF("src", "dst")
+    val got = GraphOps.bfsHops(edges, Seq(1L), rounds = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // two seeds: distance is min over seeds (6 now enters via seed 6)
+    val two = GraphOps.bfsHops(edges, Seq(1L, 6L), rounds = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(two == Map(1L -> 0, 6L -> 0, 2L -> 1, 5L -> 1,
+      3L -> 2, 4L -> 2))
+  }
 }

@@ -127,4 +127,27 @@ class KMeansSpec extends SparkSpec {
       5L -> ((1L, "noise", None)),
       6L -> ((1L, "noise", None))))
   }
+
+  test("silhouette: separated clusters score high, boundary scores 0") {
+    // centroids on the axes; members at ±5° of their own axis score
+    // near 1; a 45° vector is equidistant (a = b) and scores exactly 0
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r))
+    }
+    val pts = Seq(1L -> at(5), 2L -> at(-5), 3L -> at(85), 4L -> at(95),
+      5L -> at(45)).toDF("vec_id", "embedding")
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val got = graft.operators.SimilarityOps.silhouette(cents)(pts)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val (n1, mean1, min1, _) = got(1L)
+    val (n2, _, min2, _) = got(2L)
+    assert(n1 == 3L && n2 == 2L) // 45° ties to the smaller cell id
+    assert(min2 > 0.8 && got(2L)._4 <= 1.0)
+    assert(math.abs(min1) < 1e-9) // the tied vector scores exactly 0
+    assert(mean1 > 0.5 && mean1 < 1.0)
+  }
 }
