@@ -500,6 +500,57 @@ object EsAggQueries {
                 (col("nb").cast("double") - 1.0))).as("df"))
     }),
 
+    // ES matrix_stats agg over (l_quantity, l_extendedprice,
+    // l_discount): the full sample covariance/correlation matrix in
+    // long form (diagonal = variance / literal 1.0 — sqrt(x)·sqrt(x)
+    // is not IEEE-exactly x, so both engines write the constant). ONE
+    // 1-row aggregate pass (allowlisted) collects exact DECIMAL
+    // Σx/Σx²/Σxy for every field pair; every double formula is the
+    // shared expression tree (the corr_qty_price discipline).
+    "es_matrix_stats" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val agg = li.agg(
+        count(lit(1)).as("n"),
+        sum(dec38(col("l_quantity"))).as("sq"),
+        sum(dec38(col("l_extendedprice"))).as("sp"),
+        sum(dec38(col("l_discount"))).as("sd"),
+        sum(dec38(col("l_quantity") * col("l_quantity"))).as("sqq"),
+        sum(dec38(col("l_extendedprice") * col("l_extendedprice")))
+          .as("spp"),
+        sum(dec38(col("l_discount") * col("l_discount"))).as("sdd"),
+        sum(dec38(col("l_quantity") * col("l_extendedprice"))).as("sqp"),
+        sum(dec38(col("l_quantity") * col("l_discount"))).as("sqd"),
+        sum(dec38(col("l_extendedprice") * col("l_discount"))).as("spd"))
+      val n = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      def cv(sxy: String, sx: String, sy: String): Column =
+        (d(sxy) - d(sx) * d(sy) / n) / (n - 1.0)
+      def cr(sxy: String, sx: String, sy: String, sxx: String,
+          syy: String): Column =
+        (n * d(sxy) - d(sx) * d(sy)) /
+          (sqrt(n * d(sxx) - d(sx) * d(sx)) *
+            sqrt(n * d(syy) - d(sy) * d(sy)))
+      agg.select(col("n"),
+          cv("sqq", "sq", "sq").as("c_qq"),
+          cv("spp", "sp", "sp").as("c_pp"),
+          cv("sdd", "sd", "sd").as("c_dd"),
+          cv("sqp", "sq", "sp").as("c_qp"),
+          cv("sqd", "sq", "sd").as("c_qd"),
+          cv("spd", "sp", "sd").as("c_pd"),
+          cr("sqp", "sq", "sp", "sqq", "spp").as("r_qp"),
+          cr("sqd", "sq", "sd", "sqq", "sdd").as("r_qd"),
+          cr("spd", "sp", "sd", "spp", "sdd").as("r_pd"))
+        .select(col("n"), expr(
+          "stack(6, " +
+            "'quantity', 'quantity', c_qq, CAST(1.0 AS DOUBLE), " +
+            "'price', 'price', c_pp, CAST(1.0 AS DOUBLE), " +
+            "'discount', 'discount', c_dd, CAST(1.0 AS DOUBLE), " +
+            "'quantity', 'price', c_qp, r_qp, " +
+            "'quantity', 'discount', c_qd, r_qd, " +
+            "'price', 'discount', c_pd, r_pd" +
+            ") AS (field_a, field_b, cov, corr)"))
+    }),
+
     // ES rate agg (unit: day) inside a weekly date_histogram: per
     // ISO-week bucket, docs/day and value/day. ES divides by the FULL
     // unit span (7.0) even for partially-covered edge buckets — the
@@ -805,6 +856,58 @@ object EsAggQueries {
                       (var_b / CAST(nb AS DOUBLE)) /
                       (CAST(nb AS DOUBLE) - 1.0)) AS df
           FROM t""",
+    "es_matrix_stats" ->
+      s"""WITH g AS (
+            SELECT count(*) AS n,
+              sum(CAST(l_quantity AS DECIMAL(38,10))) AS sq,
+              sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS sp,
+              sum(CAST(l_discount AS DECIMAL(38,10))) AS sd,
+              sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10)))
+                AS sqq,
+              sum(CAST(l_extendedprice * l_extendedprice
+                AS DECIMAL(38,10))) AS spp,
+              sum(CAST(l_discount * l_discount AS DECIMAL(38,10)))
+                AS sdd,
+              sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10)))
+                AS sqp,
+              sum(CAST(l_quantity * l_discount AS DECIMAL(38,10)))
+                AS sqd,
+              sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)))
+                AS spd
+            FROM lineitem),
+          m AS (
+            SELECT n, CAST(n AS DOUBLE) AS nd,
+              ${dd("sq")} AS sq, ${dd("sp")} AS sp, ${dd("sd")} AS sd,
+              ${dd("sqq")} AS sqq, ${dd("spp")} AS spp,
+              ${dd("sdd")} AS sdd, ${dd("sqp")} AS sqp,
+              ${dd("sqd")} AS sqd, ${dd("spd")} AS spd
+            FROM g)
+          SELECT n, t.field_a, t.field_b, t.cov, t.corr
+          FROM m, LATERAL (
+            SELECT 'quantity' AS field_a, 'quantity' AS field_b,
+                   (sqq - sq * sq / nd) / (nd - 1.0) AS cov,
+                   CAST(1.0 AS DOUBLE) AS corr
+            UNION ALL SELECT 'price', 'price',
+                   (spp - sp * sp / nd) / (nd - 1.0),
+                   CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'discount', 'discount',
+                   (sdd - sd * sd / nd) / (nd - 1.0),
+                   CAST(1.0 AS DOUBLE)
+            UNION ALL SELECT 'quantity', 'price',
+                   (sqp - sq * sp / nd) / (nd - 1.0),
+                   (nd * sqp - sq * sp) /
+                     (sqrt(nd * sqq - sq * sq) *
+                      sqrt(nd * spp - sp * sp))
+            UNION ALL SELECT 'quantity', 'discount',
+                   (sqd - sq * sd / nd) / (nd - 1.0),
+                   (nd * sqd - sq * sd) /
+                     (sqrt(nd * sqq - sq * sq) *
+                      sqrt(nd * sdd - sd * sd))
+            UNION ALL SELECT 'price', 'discount',
+                   (spd - sp * sd / nd) / (nd - 1.0),
+                   (nd * spd - sp * sd) /
+                     (sqrt(nd * spp - sp * sp) *
+                      sqrt(nd * sdd - sd * sd))) t""",
     "es_rate" ->
       s"""WITH per_w AS (
             SELECT date_trunc('week', CAST(ts AS DATE)) AS wk,
