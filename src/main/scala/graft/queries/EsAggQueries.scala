@@ -500,6 +500,34 @@ object EsAggQueries {
                 (col("nb").cast("double") - 1.0))).as("df"))
     }),
 
+    // ES moving_fn pipeline agg (window: 7, shift: 0 — the window is
+    // the SEVEN PRIOR buckets, current excluded, per the ES default)
+    // over the daily histogram: MovingFunctions.min/max/unweightedAvg.
+    // The seven lags stay exact DECIMALs through least/greatest and the
+    // left-associated sum (order-fixed by the shared expression text),
+    // cast to double only at the edge; emitted once the window is full
+    // (ES yields NaN on partial windows; the full-window slice is the
+    // deterministic cross-engine contract). Day-grain window input
+    // (allowlisted).
+    "es_moving_fn" -> ((s, dir) => {
+      val perDay = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(dec(col("value"))).as("sum_dec"))
+      val w = Window.orderBy(col("d"))
+      val lagged = (1 to 7).foldLeft(perDay) { (df, i) =>
+        df.withColumn(s"p$i", lag(col("sum_dec"), i).over(w))
+      }
+      lagged.filter(col("p7").isNotNull)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("sum_dec").cast("double").as("sum_value"),
+          least((1 to 7).map(i => col(s"p$i")): _*).cast("double")
+            .as("win_min"),
+          greatest((1 to 7).map(i => col(s"p$i")): _*).cast("double")
+            .as("win_max"),
+          ((1 to 7).map(i => col(s"p$i")).reduce(_ + _).cast("double") /
+            7.0).as("win_avg"))
+    }),
+
     // ES matrix_stats agg over (l_quantity, l_extendedprice,
     // l_discount): the full sample covariance/correlation matrix in
     // long form (diagonal = variance / literal 1.0 — sqrt(x)·sqrt(x)
@@ -856,6 +884,29 @@ object EsAggQueries {
                       (var_b / CAST(nb AS DOUBLE)) /
                       (CAST(nb AS DOUBLE) - 1.0)) AS df
           FROM t""",
+    "es_moving_fn" ->
+      s"""WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1),
+          l AS (
+            SELECT d, sum_dec,
+                   lag(sum_dec, 1) OVER (ORDER BY d) AS p1,
+                   lag(sum_dec, 2) OVER (ORDER BY d) AS p2,
+                   lag(sum_dec, 3) OVER (ORDER BY d) AS p3,
+                   lag(sum_dec, 4) OVER (ORDER BY d) AS p4,
+                   lag(sum_dec, 5) OVER (ORDER BY d) AS p5,
+                   lag(sum_dec, 6) OVER (ORDER BY d) AS p6,
+                   lag(sum_dec, 7) OVER (ORDER BY d) AS p7
+            FROM per_day)
+          SELECT strftime(d, '%Y-%m-%d') AS day,
+                 ${dd("sum_dec")} AS sum_value,
+                 ${dd("least(p1, p2, p3, p4, p5, p6, p7)")} AS win_min,
+                 ${dd("greatest(p1, p2, p3, p4, p5, p6, p7)")}
+                   AS win_max,
+                 ${dd("p1 + p2 + p3 + p4 + p5 + p6 + p7")} / 7.0
+                   AS win_avg
+          FROM l WHERE p7 IS NOT NULL""",
     "es_matrix_stats" ->
       s"""WITH g AS (
             SELECT count(*) AS n,

@@ -384,6 +384,7 @@ object PlanSpec {
     "es_cumulative_sum" -> 1, // same day-grain pipeline window
     "es_histogram" -> 1,      // 1-row min/max bounds for the bucket spine
     "es_serial_diff" -> 1,    // lag-7 window over the day-grain frame
+    "es_moving_fn" -> 1,      // 7-lag window over the day-grain frame
     "es_stats_bucket" -> 1,   // final 1-row stats over day-grain buckets
     "es_auto_date_histogram" -> 1, // 1-row span for the interval ladder
     "es_t_test" -> 1,         // Welch test IS a 1-row conditional agg
