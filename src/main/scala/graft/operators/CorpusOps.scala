@@ -688,6 +688,36 @@ object CorpusOps {
       .filter(col("n_hits") > 0)
   }
 
+  /** ES span_near (in_order: true, slop: k): a span is a position pair
+    * (p1, p2) with term1 at p1, term2 at p2, p1 < p2 ≤ p1 + slop + 1 —
+    * the proximity query between match_phrase (slop 0) and plain bool.
+    * Pure per-doc array arithmetic: both terms' position lists are
+    * staged ONCE per (doc, query) via the exploded struct (HOF lambdas
+    * get no codegen subexpression elimination — the winnowing lesson),
+    * then one bounded fold counts qualifying pairs. No UDF, no extra
+    * exchange: the operator is a map over the corpus scan.
+    */
+  def spanNearSearch(queries: Seq[(Long, String, String, Int)])(
+      docs: DataFrame): DataFrame = {
+    def posOf(term: String): Column =
+      filter(zip_with(col("__tk"),
+        sequence(lit(1), size(col("__tk"))),
+        (t, i) => when(t === lit(term), i).otherwise(lit(-1))),
+        v => v > 0)
+    val posRows = queries.map { case (qid, t1, t2, slop) =>
+      struct(lit(qid).as("query_id"), lit(slop + 1).as("w"),
+        posOf(t1).as("p1s"), posOf(t2).as("p2s"))
+    }
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), explode(array(posRows: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        aggregate(col("q.p1s"), lit(0L), (acc, p1) =>
+          acc + size(filter(col("q.p2s"), p2 =>
+            p2 > p1 && p2 <= p1 + col("q.w")))).as("n_spans"))
+      .filter(col("n_spans") > 0)
+  }
+
   // --------------------------------------- fuzzy / prefix / more-like-this
 
   /** All single-character-deletion variants of a term plus the term

@@ -170,6 +170,24 @@ object AvroQueries {
           element_at(col("p.items"), 2).getField("k").as("item1_k"),
           lower(hex(col("p.fid"))).as("fid_hex"))),
 
+    // ES nested + reverse_nested aggs over the decoded rich-Avro items
+    // array (nested docs are exactly what the injector ships when the
+    // payload carries record arrays): explode the nested records, terms
+    // on the item key with an item-level count/sum, and the
+    // reverse_nested distinct-parent count alongside. One explode + one
+    // map-side-combined groupBy over |keys| buckets; sums stay exact
+    // BIGINT (item values are longs).
+    "es_nested_items" -> ((s, dir) =>
+      InjectorOps.decoderForProvider(richSchema,
+        MapSchemaProvider(Map(richId -> richSchema)))(richWire(s, dir))
+        .select(col("event_id"),
+          explode(col("payload.items")).as("item"))
+        .select(col("event_id"), col("item.k").as("k"),
+          col("item.v").as("v"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_items"), sum(col("v")).as("sum_v"),
+          countDistinct(col("event_id")).as("n_docs"))),
+
     // T2 full semantics: the message KEY itself is Confluent-Avro-framed
     // and decoded through the registry seam (encode_decode.go:66-72).
     // Three key shapes are exercised: nil key (row kept, key field null),
@@ -216,6 +234,16 @@ object AvroQueries {
       """SELECT event_id,
            CASE WHEN event_id % 89 <> 0 THEN user_id END AS key_user_id
          FROM events
-         WHERE event_id % 89 = 0 OR event_id % 103 <> 0"""
+         WHERE event_id % 89 = 0 OR event_id % 103 <> 0""",
+    // the fixture writes items = [(a, event_id), (b, user_id)] per event
+    "es_nested_items" ->
+      """WITH it AS (
+           SELECT event_id, 'a' AS k, event_id AS v FROM events
+           UNION ALL
+           SELECT event_id, 'b' AS k, user_id AS v FROM events)
+         SELECT k, count(*) AS n_items,
+                CAST(sum(v) AS BIGINT) AS sum_v,
+                count(DISTINCT event_id) AS n_docs
+         FROM it GROUP BY 1"""
   )
 }

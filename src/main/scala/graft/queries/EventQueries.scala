@@ -307,6 +307,53 @@ object EventQueries {
           col("x").as("doc_count"))
     }),
 
+    // Holt linear (double-exponential) smoothing over the weekly
+    // revenue frame — the forecast panel next to es_derivative's
+    // trend view. α = 3/10, β = 2/10 in EXACT scale-10¹⁰ integer
+    // fixed-point (the PageRank/Markov discipline; sign-split div so
+    // floor ≡ truncate on the negatives a falling trend produces).
+    // The weekly aggregate is distributed (one fact exchange); the
+    // recursion then runs on the CALENDAR-BOUNDED week frame as
+    // driver-side integer state — model-sized like the Lloyd
+    // centroids, replayed exactly by the oracle's recursive CTE.
+    // Init: l₁ = x₁, b₁ = x₂ − x₁ (0 if a single bucket);
+    // update: lₜ = (3xₜ + 7(l+b)) ÷ 10, bₜ = (2(lₜ − l) + 8b) ÷ 10;
+    // forecast_next = lₜ + bₜ.
+    "events_forecast" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val weekly = ev(s, dir)
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
+        .agg(sum(col("value").cast("decimal(28,10)")).as("sum_dec"))
+        .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
+          (col("sum_dec") * lit(10000000000L)).cast("long").as("x_fp"))
+      val rows = weekly.orderBy(col("week")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      def idiv(a: Long, d: Long): Long =
+        if (a < 0) -((-a) / d) else a / d
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)]
+      var l = 0L; var b = 0L
+      for (((wkS, x), i) <- rows.zipWithIndex) {
+        if (i == 0) {
+          l = x
+          b = if (rows.length > 1) rows(1)._2 - x else 0L
+        } else {
+          val lNew = idiv(3L * x + 7L * (l + b), 10L)
+          b = idiv(2L * (lNew - l) + 8L * b, 10L)
+          l = lNew
+        }
+        out += ((wkS, x, l, b))
+      }
+      out.toSeq.toDF("week", "x_fp", "l_fp", "b_fp")
+        .select(col("week"),
+          (col("x_fp").cast("double") / lit(1.0e10)).as("x"),
+          (col("l_fp").cast("double") / lit(1.0e10)).as("level"),
+          (col("b_fp").cast("double") / lit(1.0e10)).as("trend"),
+          ((col("l_fp") + col("b_fp")).cast("double") / lit(1.0e10))
+            .as("forecast_next"))
+    }),
+
     // RFM segmentation — the CRM rollup over the stream: per-user
     // Recency (hours since last event vs the global max — 1-row Q22
     // comparand, allowlisted), Frequency (event count), Monetary (exact
@@ -457,7 +504,42 @@ object EventQueries {
         FROM mk_r$MkIters r JOIN mk_obs o USING (event_type)"""
   }
 
+  /** Holt replay: the weekly fixed-point frame, then a recursive CTE
+    * stepping the SAME sign-split integer arithmetic as the driver-side
+    * fold (the l-expression is inlined twice in the b-step — integer
+    * arithmetic is exact, so textual duplication is safe).
+    */
+  private def forecastSql: String = {
+    val lE = "(3 * w.x_fp + 7 * (h.l + h.b))"
+    val lDiv = s"(CASE WHEN $lE < 0 THEN -((-$lE) // 10) " +
+      s"ELSE $lE // 10 END)"
+    val bE = s"(2 * ($lDiv - h.l) + 8 * h.b)"
+    val bDiv = s"(CASE WHEN $bE < 0 THEN -((-$bE) // 10) " +
+      s"ELSE $bE // 10 END)"
+    s"""WITH RECURSIVE wf AS (
+          SELECT row_number() OVER (ORDER BY wk) AS rn,
+                 strftime(wk, '%Y-%m-%d') AS week,
+                 CAST(sum_dec * 10000000000 AS BIGINT) AS x_fp
+          FROM (SELECT date_trunc('week', CAST(ts AS DATE)) AS wk,
+                       sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+                FROM events GROUP BY 1)),
+        h AS (
+          SELECT w1.rn, w1.week, w1.x_fp, w1.x_fp AS l,
+                 CAST(COALESCE(w2.x_fp - w1.x_fp, 0) AS BIGINT) AS b
+          FROM wf w1 LEFT JOIN wf w2 ON w2.rn = 2
+          WHERE w1.rn = 1
+          UNION ALL
+          SELECT w.rn, w.week, w.x_fp, $lDiv AS l, $bDiv AS b
+          FROM h JOIN wf w ON w.rn = h.rn + 1)
+        SELECT week, CAST(x_fp AS DOUBLE) / 1.0E10 AS x,
+               CAST(l AS DOUBLE) / 1.0E10 AS level,
+               CAST(b AS DOUBLE) / 1.0E10 AS trend,
+               CAST(l + b AS DOUBLE) / 1.0E10 AS forecast_next
+        FROM h"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_forecast" -> forecastSql,
     "events_funnel" ->
       s"""WITH u AS (
             SELECT user_id,

@@ -228,6 +228,12 @@ object TextQueries {
     "text_search_phrase" -> ((s, dir) =>
       graft.operators.CorpusOps.phraseSearch(PhraseQueries)(docs(s, dir))),
 
+    // ES span_near (in_order, slop): ordered proximity pairs — the
+    // query family between match_phrase (slop 0) and bool. Pure per-doc
+    // position arithmetic; see CorpusOps.spanNearSearch.
+    "text_search_span" -> ((s, dir) =>
+      graft.operators.CorpusOps.spanNearSearch(SpanQueries)(docs(s, dir))),
+
     // ...and BM25 over the PERSISTED posting index (what the reference
     // ships rows to ES for — built once as parquet, searched many
     // times; raw text never reopened). Same postings, df/dl/stats
@@ -394,6 +400,11 @@ object TextQueries {
   /** Phrase-search query set, interpolated into BOTH engines. */
   private[queries] val PhraseQueries: Seq[(Long, String)] = Seq(
     0L -> "table hash", 1L -> "slow hash batch")
+
+  /** span_near fixtures: (query_id, first term, second term, slop). */
+  private[queries] val SpanQueries: Seq[(Long, String, String, Int)] =
+    Seq((1L, "table", "scan", 3), (2L, "key", "agg", 2),
+      (3L, "spark", "query", 4))
 
   /** Winnowing shingle size + window (guarantee threshold
     * = WinnowW + WinnowK − 1 = 8 tokens).
@@ -771,6 +782,26 @@ object TextQueries {
                      WHERE text IS NOT NULL)
           SELECT query_id, doc_id, n_hits FROM ($blocks)
           WHERE n_hits > 0"""
+    },
+    "text_search_span" -> {
+      def posOf(term: String) =
+        s"""list_filter(list_transform(
+              list_zip(tk, range(1, len(tk) + 1)),
+              x -> CASE WHEN x[1] = '$term' THEN x[2] ELSE -1 END),
+            v -> v > 0)"""
+      val blocks = SpanQueries.map { case (qid, t1, t2, slop) =>
+        val w = slop + 1
+        s"""SELECT $qid::BIGINT AS query_id, doc_id,
+              COALESCE(CAST(list_sum(list_transform(${posOf(t1)},
+                p1 -> len(list_filter(${posOf(t2)},
+                  p2 -> p2 > p1 AND p2 <= p1 + $w)))) AS BIGINT), 0)
+                AS n_spans
+            FROM d"""
+      }.mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL)
+          SELECT query_id, doc_id, n_spans FROM ($blocks)
+          WHERE n_spans > 0"""
     }
   )
 

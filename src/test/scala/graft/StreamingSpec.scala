@@ -476,6 +476,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).size == 2)
   }
 
+  test("range search runs unchanged on a stream (radius alerting)") {
+    import graft.operators.SimilarityOps
+    def v(x: Double, y: Double) = Seq(x, y)
+    // watch-list queries are literal broadcast state; the stream side is
+    // one scan + filter (zero exchanges), so it runs per micro-batch
+    // unchanged — the "alert when anything lands near this vector" shape
+    val queries = Seq(100L -> v(1.0, 0.0)).toDF("vec_id", "embedding")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val rows = Seq(1L -> v(0.95, 0.1), 2L -> v(0.0, 1.0),
+      3L -> v(0.9, 0.3))
+    stream.addData(rows)
+    val out = Files.createTempDirectory("graft-range").toString
+    val q = SimilarityOps.rangeSearch(
+        stream.toDF().toDF("vec_id", "embedding"), queries, 0.8)
+      .writeStream.format("memory").queryName("range_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("range_out")
+      .as[(Long, Long, Double)].collect().toSet
+    val batched = SimilarityOps.rangeSearch(
+        rows.toDF("vec_id", "embedding"), queries, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batched && streamed.map(_._2) == Set(1L, 3L))
+  }
+
   test("streaming embedding ingest: foreachBatch appends to the persisted IVF index") {
     import graft.operators.SimilarityOps
     def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
