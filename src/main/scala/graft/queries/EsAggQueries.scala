@@ -500,6 +500,69 @@ object EsAggQueries {
                 (col("nb").cast("double") - 1.0))).as("df"))
     }),
 
+    // ES boxplot agg per event_type: min / q1 / median / q3 / max with
+    // the quartiles as EXACT type-1 order statistics — the value at
+    // rank ⌈p·n⌉ under the total (value, event_id) order. ES's own
+    // boxplot is tdigest-approximate; exact ranks are strictly better
+    // in a batch engine AND deterministically cross-engine (integer
+    // rank picks, no interpolation arithmetic to match). One fact
+    // window per type + a type-grain pivot of the three picked rows.
+    "es_boxplot" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val ranked = ev(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val picks = ranked.filter(
+        col("rn") === expr("(n + 3) div 4") ||
+          col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(3 * n + 3) div 4"))
+        .groupBy(col("event_type"))
+        .agg(
+          min(when(col("rn") === expr("(n + 3) div 4"), col("value")))
+            .as("q1"),
+          min(when(col("rn") === expr("(n + 1) div 2"), col("value")))
+            .as("median"),
+          min(when(col("rn") === expr("(3 * n + 3) div 4"),
+            col("value"))).as("q3"))
+      val ext = ev(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+      ext.join(broadcast(picks), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("min_v"), col("q1"),
+          col("median"), col("q3"), col("max_v"))
+    }),
+
+    // ES median_absolute_deviation agg: MAD = median(|x − median(x)|),
+    // both medians the same exact type-1 order statistic as es_boxplot
+    // (ES's MAD is tdigest-approximate; same exactness upgrade). Two
+    // chained windows over the SAME type partitioning — one exchange,
+    // the second window reuses it.
+    "es_mad" -> ((s, dir) => {
+      val wt = Window.partitionBy(col("event_type"))
+      val w1 = wt.orderBy(col("value"), col("event_id"))
+      // base feeds BOTH the median pick and the deviation join — the
+      // barrier keeps the rank window from evaluating once per consumer
+      val base = ev(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(wt))
+        .localCheckpoint(false)
+      val med = base
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val dev = base.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val w2 = Window.partitionBy(col("event_type"))
+        .orderBy(col("dev"), col("event_id"))
+      dev.withColumn("rn2", row_number().over(w2))
+        .filter(col("rn2") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n"), col("med").as("median"),
+          col("dev").as("mad"))
+    }),
+
     // ES moving_fn pipeline agg (window: 7, shift: 0 — the window is
     // the SEVEN PRIOR buckets, current excluded, per the ES default)
     // over the daily histogram: MovingFunctions.min/max/unweightedAvg.
@@ -536,7 +599,7 @@ object EsAggQueries {
     // Σx/Σx²/Σxy for every field pair; every double formula is the
     // shared expression tree (the corr_qty_price discipline).
     "es_matrix_stats" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.lineitemSpread(s, dir)
       val agg = li.agg(
         count(lit(1)).as("n"),
         sum(dec38(col("l_quantity"))).as("sq"),
@@ -884,6 +947,51 @@ object EsAggQueries {
                       (var_b / CAST(nb AS DOUBLE)) /
                       (CAST(nb AS DOUBLE) - 1.0)) AS df
           FROM t""",
+    "es_boxplot" ->
+      """WITH r AS (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         p AS (
+           SELECT event_type,
+                  min(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+                  min(CASE WHEN rn = (n + 1) // 2 THEN value END)
+                    AS median,
+                  min(CASE WHEN rn = (3 * n + 3) // 4 THEN value END)
+                    AS q3
+           FROM r
+           WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2
+              OR rn = (3 * n + 3) // 4
+           GROUP BY 1),
+         e AS (
+           SELECT event_type, count(*) AS n, min(value) AS min_v,
+                  max(value) AS max_v
+           FROM events GROUP BY 1)
+         SELECT e.event_type, e.n, e.min_v, p.q1, p.median, p.q3,
+                e.max_v
+         FROM e JOIN p USING (event_type)""",
+    "es_mad" ->
+      """WITH r AS (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         med AS (
+           SELECT event_type, value AS med FROM r
+           WHERE rn = (n + 1) // 2),
+         dev AS (
+           SELECT r.event_type, r.event_id, r.n, med.med,
+                  abs(r.value - med.med) AS dev
+           FROM r JOIN med USING (event_type)),
+         d2 AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY dev, event_id) AS rn2
+           FROM dev)
+         SELECT event_type, n, med AS median, dev AS mad
+         FROM d2 WHERE rn2 = (n + 1) // 2""",
     "es_moving_fn" ->
       s"""WITH per_day AS (
             SELECT CAST(ts AS DATE) AS d,

@@ -28,6 +28,16 @@ object MultimodalQueries {
         .select(col("doc_id"), col("frame_no"), length(col("frame"))
           .as("frame_len"))),
 
+    // REAL 16-bit PCM decode over the WAV fixture rows (no codec
+    // needed): sample count, integer duration, Σs² energy, peak |s| —
+    // the loudness/clipping screen. The oracle recomputes every sample
+    // from the text payload (ASCII bytes → little-endian int16 pairs),
+    // so a wrong header offset or endianness fails the hash compare.
+    "mm_wav_stats" -> ((s, dir) =>
+      MultimodalOps.wavStats(
+        MultimodalOps.documentsAsEncodedMedia(
+          s, Tables.documents(s, dir)))),
+
     // Perceptual hash of the image documents (pHash: stub-decode →
     // 8×8 feature-hash texture → separable integer DCT → 60-bit
     // low-frequency sign sketch — see MultimodalOps.phashSketch).
@@ -116,6 +126,32 @@ object MultimodalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // samples re-derived from the text payload: the fixture's WAV data
+    // chunk IS the UTF-8 text (all-ASCII in this corpus, so high bytes
+    // stay < 128 and unsigned reassembly ≡ two's complement)
+    "mm_wav_stats" ->
+      """WITH a AS (
+           SELECT doc_id, text,
+                  (1 + doc_id % 2)::INTEGER AS channels,
+                  (8000 + (doc_id % 8) * 4000)::INTEGER AS sample_rate,
+                  octet_length(encode(text)) // 2 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT doc_id, channels, sample_rate, n,
+                  list_transform(range(0, n), i ->
+                    CAST(ord(substring(text, (1 + 2 * i)::INTEGER, 1)) +
+                         256 * ord(substring(text, (2 + 2 * i)::INTEGER,
+                           1)) AS BIGINT)) AS ss
+           FROM a)
+         SELECT doc_id, channels, sample_rate,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST((n * 1000) // (sample_rate * channels) AS BIGINT)
+                  AS duration_ms,
+                CAST(COALESCE(list_sum(list_transform(ss, v -> v * v)),
+                  0) AS BIGINT) AS sum_sq,
+                CAST(COALESCE(list_max(list_transform(ss, v -> abs(v))),
+                  0) AS BIGINT) AS peak
+         FROM sm""",
     "mm_phash" ->
       s"""$phashCtes
           SELECT doc_id, ph FROM ph_w""",

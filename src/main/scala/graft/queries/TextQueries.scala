@@ -294,6 +294,13 @@ object TextQueries {
       graft.operators.CorpusOps.moreLikeThis(MltSeeds, MltM, MltK)(
         docs(s, dir))),
 
+    // ES term suggester: top-k vocabulary corrections per input term,
+    // ranked (distance, df desc, term) — SymSpell candidates + exact
+    // levenshtein verify; see CorpusOps.termSuggest.
+    "text_suggest_terms" -> ((s, dir) =>
+      graft.operators.CorpusOps.termSuggest(SuggestQueries, SuggestK)(
+        docs(s, dir))),
+
     // Highlighting (ES highlight): every (position, term) occurrence of
     // the query terms per doc — zero shuffles, like phrase search.
     "text_search_highlight" -> ((s, dir) =>
@@ -470,6 +477,15 @@ object TextQueries {
   private[queries] val PrefixK = 5
   private[queries] val MltSeeds: Seq[(Long, Long)] = Seq(
     0L -> 8L, 1L -> 17L)
+  /** term-suggester fixtures: a deletion typo with one clear correction
+    * ("tble" → table; note "tabel" would NOT work — a transposition is
+    * Levenshtein 2), one with several candidates ("sow" → slow/row),
+    * and an exact vocab term (suggests itself at distance 0,
+    * `suggest_mode: always`).
+    */
+  private[queries] val SuggestQueries: Seq[(Long, String)] = Seq(
+    0L -> "tble", 1L -> "sow", 2L -> "query")
+  private[queries] val SuggestK = 3
   /** Highlight fixtures: the BM25 rare+common mix as grouped term sets
     * (multi-term query 0, single-term query 1).
     */
@@ -676,6 +692,7 @@ object TextQueries {
     // same tail — same replay
     "text_search_bm25_persisted" -> bm25Sql,
     "text_search_fuzzy" -> fuzzySql,
+    "text_suggest_terms" -> suggestSql,
     "text_search_prefix" -> prefixSql,
     "text_search_mlt" -> mltSql,
 
@@ -1081,6 +1098,26 @@ object TextQueries {
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY n_hits DESC, doc_id) AS rank
             FROM doc) WHERE rank <= $FuzzyK"""
+  }
+
+  /** Suggester replay: brute-force levenshtein over the vocabulary
+    * (the oracle can afford the |vocab|×|Q| scan Spark's deletion-join
+    * avoids), same (distance, df desc, term) ranking.
+    */
+  private def suggestSql: String = {
+    val values = SuggestQueries
+      .map { case (q, t) => s"($q::BIGINT, ${sqlStr(t)})" }.mkString(", ")
+    s"""$postingsCtes,
+          q AS (SELECT * FROM (VALUES $values) v(query_id, qt)),
+          m AS (SELECT query_id, qt, term, df,
+                  levenshtein(qt, term)::BIGINT AS distance
+                FROM q, dfreq WHERE levenshtein(qt, term) <= 1)
+          SELECT query_id, qt AS input, term AS suggestion, distance,
+                 df, rank
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY distance, df DESC, term) AS rank
+            FROM m) WHERE rank <= $SuggestK"""
   }
 
   /** Prefix replay: LIKE over the vocabulary, df-descending top-k. */
