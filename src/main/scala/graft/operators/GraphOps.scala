@@ -192,19 +192,23 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, vertices: DataFrame, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
-    val n = vertices.count()
+    // the vertex frame is read by EVERY iteration's restore join (plus
+    // init) — materialize once or a derived frame (a distinct over the
+    // edge list, say) re-runs its shuffle `iters + 1` times
+    val verts = DedupOps.materialize(vertices.select(col("id")))
+    val n = verts.count()
     require(n > 0, "pageRank: empty vertex set")
     val init = scale / n
     val teleport = (3L * init) / 20L
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = DedupOps.materialize(edges.join(deg, Seq("src")))
-    var ranks = vertices.select(col("id"), lit(init).as("r"))
+    var ranks = verts.select(col("id"), lit(init).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(ranks, ed("src") === ranks("id"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      ranks = vertices
-        .join(contrib, vertices("id") === contrib("dst"), "left_outer")
+      ranks = verts
+        .join(contrib, verts("id") === contrib("dst"), "left_outer")
         .select(col("id"),
           (lit(teleport) +
             expr("(17 * coalesce(c, CAST(0 AS BIGINT))) div 20")).as("r"))
