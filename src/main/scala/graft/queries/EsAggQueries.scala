@@ -500,6 +500,30 @@ object EsAggQueries {
                 (col("nb").cast("double") - 1.0))).as("df"))
     }),
 
+    // ES scripted_metric agg: per event_type, the max/min inter-arrival
+    // gap between consecutive events — the canonical scripted_metric
+    // example (needs ordered per-bucket state no stock agg provides;
+    // ES runs a map/combine/reduce script, here it is one lag window
+    // over the (type) exchange). Exact epoch-ms integers; ties on the
+    // millisecond are ordered by event_id so both engines chain
+    // identically; avg gap is the telescoping (last−first)/(n−1) — one
+    // shared double division, no gap summation needed.
+    "es_scripted_metric" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("t"))
+        .withColumn("prev", lag(col("t"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("t") - col("prev")).as("max_gap_ms"),
+          min(when(col("prev").isNotNull, col("t") - col("prev")))
+            .as("min_gap_ms"),
+          ((max(col("t")) - min(col("t"))).cast("double") /
+            (count(lit(1)).cast("double") - 1.0)).as("avg_gap_ms"))
+    }),
+
     // ES boxplot agg per event_type: min / q1 / median / q3 / max with
     // the quartiles as EXACT type-1 order statistics — the value at
     // rank ⌈p·n⌉ under the total (value, event_id) order. ES's own
@@ -947,6 +971,19 @@ object EsAggQueries {
                       (var_b / CAST(nb AS DOUBLE)) /
                       (CAST(nb AS DOUBLE) - 1.0)) AS df
           FROM t""",
+    "es_scripted_metric" ->
+      """WITH g AS (
+           SELECT event_type, epoch_ms(ts) AS t,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY event_type
+                    ORDER BY epoch_ms(ts), event_id) AS prev
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                max(t - prev) AS max_gap_ms,
+                min(CASE WHEN prev IS NOT NULL THEN t - prev END)
+                  AS min_gap_ms,
+                CAST(max(t) - min(t) AS DOUBLE) /
+                  (CAST(count(*) AS DOUBLE) - 1.0) AS avg_gap_ms
+         FROM g GROUP BY 1""",
     "es_boxplot" ->
       """WITH r AS (
            SELECT event_type, event_id, value,
