@@ -293,6 +293,94 @@ object AnalyticQueries {
             concat(lit("strat:"), col("event_id").cast("string"))),
           lit(100L)) < coalesce(rate(col("event_type")), lit(0L)))
         .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // Column profiling (the Deequ/"ANALYZE TABLE" dataops surface): per
+    // column of the event stream — row count, null count, exact
+    // distinct count, and (for discrete columns) the top value with
+    // its count, ties to the smaller value. ONE 1-row multi-
+    // countDistinct aggregate (Spark plans the distincts via Expand —
+    // a constant ×|columns| row amplification, allowlisted) plus one
+    // TakeOrdered(1) per discrete column; doubles are profiled by
+    // count metrics only (their top/extremes render engine-specifically
+    // as strings, and numeric stats live in es_extended_stats).
+    "profile_events" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val counts = e.agg(
+        count(lit(1)).as("n"),
+        nn("event_id").as("z_event_id"), nn("user_id").as("z_user_id"),
+        nn("event_type").as("z_event_type"), nn("value").as("z_value"),
+        nn("props").as("z_props"),
+        countDistinct(col("event_id")).as("d_event_id"),
+        countDistinct(col("user_id")).as("d_user_id"),
+        countDistinct(col("event_type")).as("d_event_type"),
+        countDistinct(col("value")).as("d_value"),
+        countDistinct(col("props")).as("d_props"))
+      val long = counts.select(expr(
+        "stack(5, " +
+          "'event_id', z_event_id, d_event_id, " +
+          "'user_id', z_user_id, d_user_id, " +
+          "'event_type', z_event_type, d_event_type, " +
+          "'value', z_value, d_value, " +
+          "'props', z_props, d_props" +
+          ") AS (column_name, n_null, n_distinct)"), col("n"))
+      def top(c: String): DataFrame = e
+        .groupBy(col(c).cast("string").as("tv"))
+        .agg(count(lit(1)).as("tc"))
+        .orderBy(col("tc").desc, col("tv")).limit(1)
+        .select(lit(c).as("column_name"), col("tv").as("top_value"),
+          col("tc").as("top_count"))
+      val tops = top("event_type").unionByName(top("user_id"))
+        .unionByName(top("props"))
+      long.join(broadcast(tops), Seq("column_name"), "left_outer")
+        .select(col("column_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("top_value"), col("top_count"))
+    }),
+
+    // Assertion-style data-quality checks (the Deequ verification
+    // suite): uniqueness, domain, range, and a referential FK check —
+    // each row (check, n_checked, n_violations, pass). The five event
+    // checks ride ONE 1-row conditional aggregate (allowlisted); the
+    // lineitem→orders FK is one anti-join count (orders keys build the
+    // join's hash side; at scale this is the standard shuffled
+    // left_anti on the key). Timestamps compare on epoch ms.
+    "dq_checks" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val lo = unix_millis(to_timestamp(lit("2020-01-01 00:00:00")))
+      val hi = unix_millis(to_timestamp(lit("2030-01-01 00:00:00")))
+      val domain = Seq("click", "view", "purchase", "signup", "error")
+      val agg = e.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("v_unique"),
+        sum(when(col("user_id").isNull || col("user_id") <= 0L, 1L)
+          .otherwise(0L)).as("v_user"),
+        sum(when(unix_millis(col("ts")) < lo ||
+            unix_millis(col("ts")) >= hi, 1L).otherwise(0L)).as("v_ts"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("v_value"),
+        sum(when(!col("event_type").isin(domain: _*), 1L).otherwise(0L))
+          .as("v_domain"))
+      val evChecks = agg.select(expr(
+        "stack(5, " +
+          "'event_id_unique', n, v_unique, " +
+          "'user_id_positive', n, v_user, " +
+          "'ts_in_range', n, v_ts, " +
+          "'value_non_negative', n, v_value, " +
+          "'event_type_in_domain', n, v_domain" +
+          ") AS (check_name, n_checked, n_violations)"))
+      val li = t(s, dir, "lineitem")
+      val ok = t(s, dir, "orders").select(col("o_orderkey"))
+      val fk = li.select(col("l_orderkey"))
+        .join(ok, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_orders_fk").as("check_name"),
+          lit(0L).as("n_checked"), col("n_violations"))
+      val liN = li.agg(count(lit(1)).as("cnt"))
+      val fkN = fk.crossJoin(broadcast(liN))
+        .select(col("check_name"), col("cnt").as("n_checked"),
+          col("n_violations"))
+      evChecks.unionByName(fkN)
+        .withColumn("pass", col("n_violations") === 0L)
     })
   )
 
@@ -300,6 +388,89 @@ object AnalyticQueries {
   private def dd(e: String) = D.format(e)
 
   val oracles: Map[String, String] = Map(
+    "profile_events" ->
+      """WITH c AS (
+           SELECT count(*) AS n,
+             sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS z_event_id,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS z_user_id,
+             sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS z_event_type,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS z_value,
+             sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS z_props,
+             count(DISTINCT event_id) AS d_event_id,
+             count(DISTINCT user_id) AS d_user_id,
+             count(DISTINCT event_type) AS d_event_type,
+             count(DISTINCT value) AS d_value,
+             count(DISTINCT props) AS d_props
+           FROM events),
+         l AS (
+           SELECT 'event_id' AS column_name, n, z_event_id AS n_null,
+                  d_event_id AS n_distinct FROM c
+           UNION ALL SELECT 'user_id', n, z_user_id, d_user_id FROM c
+           UNION ALL SELECT 'event_type', n, z_event_type,
+                  d_event_type FROM c
+           UNION ALL SELECT 'value', n, z_value, d_value FROM c
+           UNION ALL SELECT 'props', n, z_props, d_props FROM c),
+         t1 AS (
+           SELECT 'event_type' AS column_name,
+                  CAST(event_type AS VARCHAR) AS top_value,
+                  count(*) AS top_count
+           FROM events GROUP BY 2
+           ORDER BY top_count DESC, top_value LIMIT 1),
+         t2 AS (
+           SELECT 'user_id' AS column_name,
+                  CAST(user_id AS VARCHAR) AS top_value,
+                  count(*) AS top_count
+           FROM events GROUP BY 2
+           ORDER BY top_count DESC, top_value LIMIT 1),
+         t3 AS (
+           SELECT 'props' AS column_name,
+                  CAST(props AS VARCHAR) AS top_value,
+                  count(*) AS top_count
+           FROM events GROUP BY 2
+           ORDER BY top_count DESC, top_value LIMIT 1),
+         tops AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+                  UNION ALL SELECT * FROM t3)
+         SELECT l.column_name, n, n_null, n_distinct, top_value,
+                top_count
+         FROM l LEFT JOIN tops USING (column_name)""",
+    "dq_checks" ->
+      """WITH a AS (
+           SELECT count(*) AS n,
+             (count(*) - count(DISTINCT event_id))::BIGINT AS v_unique,
+             sum(CASE WHEN user_id IS NULL OR user_id <= 0
+                 THEN 1 ELSE 0 END)::BIGINT AS v_user,
+             sum(CASE WHEN epoch_ms(ts) <
+                   epoch_ms(TIMESTAMP '2020-01-01 00:00:00')
+                 OR epoch_ms(ts) >=
+                   epoch_ms(TIMESTAMP '2030-01-01 00:00:00')
+                 THEN 1 ELSE 0 END)::BIGINT AS v_ts,
+             sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END)::BIGINT
+               AS v_value,
+             sum(CASE WHEN event_type NOT IN
+                   ('click', 'view', 'purchase', 'signup', 'error')
+                 THEN 1 ELSE 0 END)::BIGINT AS v_domain
+           FROM events),
+         ev AS (
+           SELECT 'event_id_unique' AS check_name, n AS n_checked,
+                  v_unique AS n_violations FROM a
+           UNION ALL SELECT 'user_id_positive', n, v_user FROM a
+           UNION ALL SELECT 'ts_in_range', n, v_ts FROM a
+           UNION ALL SELECT 'value_non_negative', n, v_value FROM a
+           UNION ALL SELECT 'event_type_in_domain', n, v_domain FROM a),
+         fk AS (
+           SELECT 'lineitem_orders_fk' AS check_name,
+                  (SELECT count(*) FROM lineitem)::BIGINT AS n_checked,
+                  (SELECT count(*) FROM lineitem li
+                   LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+                   WHERE o.o_orderkey IS NULL)::BIGINT AS n_violations)
+         SELECT check_name, n_checked, n_violations,
+                n_violations = 0 AS pass
+         FROM (SELECT * FROM ev UNION ALL SELECT * FROM fk)""",
     "q6_revenue_delta" ->
       s"""SELECT ${dd("sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10)))")}
             AS revenue

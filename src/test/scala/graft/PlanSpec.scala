@@ -389,6 +389,8 @@ object PlanSpec {
     "es_auto_date_histogram" -> 1, // 1-row span for the interval ladder
     "es_t_test" -> 1,         // Welch test IS a 1-row conditional agg
     "es_matrix_stats" -> 1,   // the matrix IS a 1-row moment aggregate
+    "profile_events" -> 1,    // profiling IS a 1-row multi-distinct agg
+    "dq_checks" -> 3,         // 1-row check agg + FK count + row count
     "events_funnel" -> 1,     // final 3-counter rollup (1 row)
     "events_rfm" -> 1,        // 1-row global-max recency comparand
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
