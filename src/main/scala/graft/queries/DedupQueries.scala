@@ -149,6 +149,31 @@ object DedupQueries {
       DedupOps.winnowingPairs(k = 5, w = 4, threshold = 0.5,
         maxDf = WinnowMaxDf)(docs(s, dir))),
 
+    // MinHash threshold-tuning curve: verified pair / involved-doc
+    // counts at 0.3 / 0.5 / 0.7 from ONE banding + verification pass
+    // (the knob a curation team turns before committing a dedup
+    // threshold; candidates are the SAME 8×2 banding, so the curve
+    // reads "what this index finds at each cut", the honest contract —
+    // banding recall itself varies with the cut). The verified pair
+    // frame materializes once; each threshold is a filter + two
+    // bounded aggregates.
+    "dedup_minhash_curve" -> ((s, dir) => {
+      val pairs = DedupOps.minhashLshPairs(k = 2, bands = 8, rows = 2,
+        threshold = 0.3)(docs(s, dir)).localCheckpoint(false)
+      val th = pairs.sparkSession.range(1)
+        .select(explode(typedlit(Seq(0.3, 0.5, 0.7))).as("threshold"))
+      val sel = pairs.join(broadcast(th),
+        col("jaccard") >= col("threshold")).localCheckpoint(false)
+      val np = sel.groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = sel.select(col("threshold"), col("a").as("d"))
+        .union(sel.select(col("threshold"), col("b").as("d")))
+        .distinct()
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+      np.join(nd, Seq("threshold"))
+        .select(col("threshold"), col("n_pairs"), col("n_docs"))
+    }),
+
     // SimHash sketch per document.
     "dedup_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -391,6 +416,35 @@ object DedupQueries {
              - length(list_intersect(sha, shb)))::DOUBLE >= 0.5"""
 
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_curve" ->
+      s"""WITH $minhashBandCtes,
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                     x.sh AS sha, y.sh AS shb
+                   FROM bd x JOIN bd y
+                     ON x.band = y.band AND x.band_key = y.band_key
+                       AND x.doc_id < y.doc_id),
+          pairs AS MATERIALIZED (
+            SELECT a, b,
+              length(list_intersect(sha, shb))::DOUBLE /
+                (length(sha) + length(shb)
+                 - length(list_intersect(sha, shb)))::DOUBLE AS jaccard
+            FROM cand
+            WHERE length(list_intersect(sha, shb))::DOUBLE /
+                (length(sha) + length(shb)
+                 - length(list_intersect(sha, shb)))::DOUBLE >= 0.3),
+          th AS (SELECT unnest([0.3::DOUBLE, 0.5::DOUBLE, 0.7::DOUBLE])
+                   AS threshold),
+          sel AS MATERIALIZED (
+            SELECT th.threshold, p.a, p.b
+            FROM th JOIN pairs p ON p.jaccard >= th.threshold),
+          np AS (SELECT threshold, count(*) AS n_pairs
+                 FROM sel GROUP BY 1),
+          d2 AS (SELECT threshold, a AS d FROM sel
+                 UNION SELECT threshold, b FROM sel),
+          nd AS (SELECT threshold, count(*) AS n_docs
+                 FROM d2 GROUP BY 1)
+          SELECT threshold, n_pairs, n_docs
+          FROM np JOIN nd USING (threshold)""",
     "dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
             AS content_hash,
