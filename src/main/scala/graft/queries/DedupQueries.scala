@@ -150,7 +150,9 @@ object DedupQueries {
         maxDf = WinnowMaxDf)(docs(s, dir))),
 
     // MinHash threshold-tuning curve: verified pair / involved-doc
-    // counts at 0.3 / 0.5 / 0.7 from ONE banding + verification pass
+    // counts at 0.5 / 0.95 / 0.975 from ONE banding + verification
+    // pass (cuts probed against the fixture: verified jaccards span
+    // .909-.989, so the upper cuts genuinely thin the pair set)
     // (the knob a curation team turns before committing a dedup
     // threshold; candidates are the SAME 8×2 banding, so the curve
     // reads "what this index finds at each cut", the honest contract —
@@ -161,7 +163,7 @@ object DedupQueries {
       val pairs = DedupOps.minhashLshPairs(k = 2, bands = 8, rows = 2,
         threshold = 0.3)(docs(s, dir)).localCheckpoint(false)
       val th = pairs.sparkSession.range(1)
-        .select(explode(typedlit(Seq(0.3, 0.5, 0.7))).as("threshold"))
+        .select(explode(typedlit(Seq(0.5, 0.95, 0.975))).as("threshold"))
       val sel = pairs.join(broadcast(th),
         col("jaccard") >= col("threshold")).localCheckpoint(false)
       val np = sel.groupBy(col("threshold"))
@@ -432,7 +434,7 @@ object DedupQueries {
             WHERE length(list_intersect(sha, shb))::DOUBLE /
                 (length(sha) + length(shb)
                  - length(list_intersect(sha, shb)))::DOUBLE >= 0.3),
-          th AS (SELECT unnest([0.3::DOUBLE, 0.5::DOUBLE, 0.7::DOUBLE])
+          th AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.975::DOUBLE])
                    AS threshold),
           sel AS MATERIALIZED (
             SELECT th.threshold, p.a, p.b
