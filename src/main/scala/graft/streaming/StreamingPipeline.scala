@@ -4,7 +4,7 @@ import graft.operators.InjectorOps
 import graft.operators.InjectorOps.InjectorConfig
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** One state row per Kafka partition: the consumer-group progress the
@@ -13,6 +13,12 @@ import org.apache.spark.sql.types.StructType
   * by the state store.
   */
 case class PartitionProgress(partition: Int, highWater: Long, records: Long)
+
+/** Chained funnel timestamps per user; -1 = stage not reached. */
+case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+/** Emitted each time a user's furthest funnel stage advances. */
+case class FunnelAdvance(user_id: Long, stage: Int, at: Long)
 
 /** The canonical deployment shape of the reference (SURVEY.md §3.2):
   * Kafka consumer-group source → decode/enrich/route → Elasticsearch bulk
@@ -222,6 +228,48 @@ object StreamingPipeline {
           }
           st.update((hw, n))
           PartitionProgress(part, hw, n)
+      }
+  }
+
+  /** Funnel-stage tracking as ARBITRARY stateful streaming — the
+    * events_funnel dual via `flatMapGroupsWithState` (the emit-only-on-
+    * change API the other duals don't exercise): per-user state is the
+    * chained (t1, t2, t3) minima under the same 24 h step windows as
+    * the batch funnel, and a row is emitted exactly when a user's
+    * furthest stage ADVANCES (view → first view; click/purchase →
+    * first hit inside the previous stage's window). Contract: events
+    * are processed in (t, order-of-arrival) within each batch and
+    * assumed in order ACROSS batches (the per-partition Kafka ordering
+    * the reference relies on) — a late view cannot retroactively
+    * re-chain clicks that already streamed past. State is 3 longs per
+    * user (bounded by the user universe, no watermark needed); runs
+    * identically on a batch Dataset (empty state, one group call) —
+    * StreamingSpec pins batch ≡ streamed emissions.
+    */
+  def funnelStages(events: Dataset[(Long, String, Long)],
+      stepWindowMs: Long): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[FunnelAdvance]
+          rows.toSeq.sortBy(_._3).foreach { case (_, ty, t) =>
+            if (ty == "view" && st.t1 < 0L) {
+              st = st.copy(t1 = t); out += FunnelAdvance(uid, 1, t)
+            } else if (ty == "click" && st.t1 >= 0L && st.t2 < 0L &&
+                t > st.t1 && t <= st.t1 + stepWindowMs) {
+              st = st.copy(t2 = t); out += FunnelAdvance(uid, 2, t)
+            } else if (ty == "purchase" && st.t2 >= 0L && st.t3 < 0L &&
+                t > st.t2 && t <= st.t2 + stepWindowMs) {
+              st = st.copy(t3 = t); out += FunnelAdvance(uid, 3, t)
+            }
+          }
+          state.update(st)
+          out.iterator
       }
   }
 

@@ -476,6 +476,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).size == 2)
   }
 
+  test("funnel stages advance across micro-batches (flatMapGroupsWithState)") {
+    val W = 86400000L // 24 h, the batch funnel's step window
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    // u1 completes across TWO batches (state carries t1/t2 over);
+    // u2's click lands outside the window (no advance, ever);
+    // u3 purchases before any click (chain order enforced);
+    // u1's second view must NOT re-emit stage 1.
+    val batchA = Seq((1L, "view", 1000L), (1L, "click", 2000L),
+      (2L, "view", 1000L), (3L, "view", 1000L),
+      (3L, "purchase", 1500L))
+    val batchB = Seq((1L, "view", 2500L), (1L, "purchase", 3000L),
+      (2L, "click", 1000L + W + 1L))
+    val out = Files.createTempDirectory("graft-funnel").toString
+    stream.addData(batchA)
+    val q = graft.streaming.StreamingPipeline
+      .funnelStages(stream.toDS(), W)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/cp").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(batchB)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("funnel_out")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(streamed == Set(
+      (1L, 1, 1000L), (1L, 2, 2000L), (1L, 3, 3000L),
+      (2L, 1, 1000L), (3L, 1, 1000L)))
+    // batch mode (one group call, empty state) emits the same set
+    val batched = graft.streaming.StreamingPipeline
+      .funnelStages((batchA ++ batchB).toDS(), W)
+      .collect().map(a => (a.user_id, a.stage, a.at)).toSet
+    assert(batched == streamed)
+  }
+
   test("range search runs unchanged on a stream (radius alerting)") {
     import graft.operators.SimilarityOps
     def v(x: Double, y: Double) = Seq(x, y)
