@@ -111,6 +111,31 @@ object CorpusQueries {
     "corpus_chunk_sliding" -> ((s, dir) =>
       CorpusOps.chunkSliding(ChunkW, ChunkS)(docs(s, dir))),
 
+    // Deterministic token-dropout augmentation (the text-side
+    // aug-multiplicity op of a training pipeline): each (doc, position,
+    // token) is dropped iff its portable hash lands in the 10% bucket —
+    // reproducible across engines, partitionings, AND reruns (the
+    // property real augmentation pipelines need for caching). Pure
+    // scan-side array arithmetic, zero shuffles; the kept-token frame
+    // stages in its own projection (HOF CollapseProject discipline).
+    "corpus_augment_dropout" -> ((s, dir) =>
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), col("__tk"),
+          filter(zip_with(col("__tk"),
+            sequence(lit(1), size(col("__tk"))),
+            (t, i) => struct(t.as("t"), i.as("i"))),
+            e => pmod(graft.functions.PortableHash.h15(
+              concat(lit("aug:"), col("doc_id").cast("string"),
+                lit(":"), e.getField("i").cast("string"), lit(":"),
+                e.getField("t"))), lit(10L)) =!= 0L).as("__kept"))
+        .select(col("doc_id"),
+          size(col("__tk")).cast("long").as("n_tokens"),
+          (size(col("__tk")) - size(col("__kept"))).cast("long")
+            .as("n_dropped"),
+          array_join(transform(col("__kept"), e => e.getField("t")),
+            " ").as("aug_text"))),
+
     // Deterministic shard assignment + intra-shard order — the
     // pre-trainer "global shuffle" without a global sort (8 shards).
     "corpus_shard_order" -> ((s, dir) =>
@@ -575,6 +600,19 @@ object CorpusQueries {
               / count(*)::DOUBLE AS oov_ratio
           FROM tok LEFT JOIN v ON tok.t = v.t
           GROUP BY tok.doc_id""",
+    "corpus_augment_dropout" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          k AS (SELECT doc_id, tk,
+                  list_filter(list_zip(tk, range(1, len(tk) + 1)),
+                    x -> ${h15("concat('aug:', doc_id::VARCHAR, ':', " +
+                      "x[2]::VARCHAR, ':', x[1])")} % 10 <> 0) AS kept
+                FROM d)
+          SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+                 (len(tk) - len(kept))::BIGINT AS n_dropped,
+                 array_to_string(list_transform(kept, x -> x[1]), ' ')
+                   AS aug_text
+          FROM k""",
     "corpus_chunk_sliding" ->
       s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents),
           c AS (SELECT doc_id, tk, t.i AS chunk_no

@@ -500,6 +500,21 @@ object EsAggQueries {
                 (col("nb").cast("double") - 1.0))).as("df"))
     }),
 
+    // ES top_metrics agg (size: 2, sort: value desc): per event_type,
+    // the metrics of the two LARGEST-value events — top_hits' sibling
+    // that sorts by a metric field instead of recency. One rank window
+    // per type; millisecond/value ties break on event_id so both
+    // engines pick identical rows.
+    "es_top_metrics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+    }),
+
     // ES scripted_metric agg: per event_type, the max/min inter-arrival
     // gap between consecutive events — the canonical scripted_metric
     // example (needs ordered per-bucket state no stock agg provides;
@@ -971,6 +986,12 @@ object EsAggQueries {
                       (var_b / CAST(nb AS DOUBLE)) /
                       (CAST(nb AS DOUBLE) - 1.0)) AS df
           FROM t""",
+    "es_top_metrics" ->
+      """SELECT event_type, event_id, ts_ms, value, rank FROM (
+           SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS rank
+           FROM events) WHERE rank <= 2""",
     "es_scripted_metric" ->
       """WITH g AS (
            SELECT event_type, epoch_ms(ts) AS t,
