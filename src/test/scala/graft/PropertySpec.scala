@@ -262,6 +262,51 @@ class PropertySpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("∀ graphs: bfsHops ≡ textbook BFS from the seed") {
+    import graft.operators.GraphOps
+    val genEdges = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L) if a != b
+    } yield (a, b))
+    check(Prop.forAll(genEdges) { edges =>
+      val rounds = 3
+      val got = GraphOps.bfsHops(edges.toDF("src", "dst"), Seq(0L),
+        rounds).as[(Long, Int)].collect().toMap
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = Map(0L -> 0)
+      var frontier = Set(0L)
+      for (d <- 1 to rounds) {
+        val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty[Long])) --
+          dist.keySet
+        dist = dist ++ nxt.map(_ -> d)
+        frontier = nxt
+      }
+      got == dist
+    })
+  }
+
+  test("∀ corpora: silhouette stays in [-1,1] and counts conserve") {
+    import graft.operators.SimilarityOps
+    val genVecs = Gen.nonEmptyListOf(for {
+      x <- Gen.choose(-5, 5); y <- Gen.choose(-5, 5)
+      if x != 0 || y != 0
+    } yield (x.toDouble, y.toDouble))
+    check(Prop.forAll(genVecs) { vs =>
+      val pts = vs.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, Seq(x, y)) }
+        .toDF("vec_id", "embedding")
+      val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+        .toDF("cell", "centroid")
+      val rows = SimilarityOps.silhouette(cents)(pts)
+        .as[(Long, Long, Double, Double, Double)].collect()
+      rows.map(_._2).sum == vs.size &&
+        rows.forall { case (_, _, mean, mn, mx) =>
+          mn <= mean + 1e-9 && mean <= mx + 1e-9 &&
+            mn >= -1.0 - 1e-9 && mx <= 1.0 + 1e-9
+        }
+    })
+  }
+
   test("∀ edge lists: pageRank mass stays within [teleport·n, scale]") {
     import graft.operators.GraphOps
     val genEdges = Gen.nonEmptyListOf(for {
