@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{CorpusOps, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation queries over `documents` (segment boilerplate
@@ -104,6 +104,41 @@ object CorpusQueries {
       val vocab = CorpusOps.vocabulary(d, VocabV)
         .as[String].collect().toSet
       CorpusOps.oovRatio(vocab)(d).select(col("doc_id"), col("oov_ratio"))
+    }),
+
+    // T5-style span corruption (the denoising-objective producer):
+    // 3-token spans hash-gated at 20% are each replaced by ONE numbered
+    // sentinel in the input; the target sequence is sentinel + original
+    // tokens per masked span (Raffel et al.'s exact input/target
+    // shape). Deterministic across engines/reruns like the dropout
+    // augmenter; sentinel numbers are the span's rank among masked
+    // spans. Pure scan-side array arithmetic, zero shuffles; token,
+    // span-id, and masked-span frames each stage in their own
+    // projection (HOF CollapseProject discipline).
+    "corpus_span_corruption" -> ((s, dir) => {
+      val gate = (g: Column) => pmod(graft.functions.PortableHash.h15(
+        concat(lit("span:"), col("doc_id").cast("string"), lit(":"),
+          g.cast("string"))), lit(5L)) === 0L
+      def sentinel(idx: Column): Column =
+        concat(lit("<extra_id_"), idx.cast("string"), lit(">"))
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), col("__tk"),
+          sequence(lit(0), expr("(size(__tk) - 1) div 3")).as("__gid"))
+        .select(col("doc_id"), col("__tk"), col("__gid"),
+          filter(col("__gid"), gate).as("__mg"))
+        .select(col("doc_id"),
+          size(col("__tk")).cast("long").as("n_tokens"),
+          size(col("__mg")).cast("long").as("n_spans_masked"),
+          array_join(flatten(transform(col("__gid"), g =>
+            when(gate(g),
+              array(sentinel(array_position(col("__mg"), g) - 1)))
+              .otherwise(slice(col("__tk"), g * 3 + 1, lit(3))))), " ")
+            .as("corrupted_text"),
+          array_join(flatten(transform(col("__mg"), g =>
+            concat(array(sentinel(array_position(col("__mg"), g) - 1)),
+              slice(col("__tk"), g * 3 + 1, lit(3))))), " ")
+            .as("targets_text"))
     }),
 
     // RAG chunking: overlapping 32-token windows every 24 tokens —
@@ -600,6 +635,32 @@ object CorpusQueries {
               / count(*)::DOUBLE AS oov_ratio
           FROM tok LEFT JOIN v ON tok.t = v.t
           GROUP BY tok.doc_id""",
+    "corpus_span_corruption" -> {
+      val gateE = (g: String) =>
+        h15(s"concat('span:', doc_id::VARCHAR, ':', $g::VARCHAR)") +
+          " % 5 = 0"
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          g AS (SELECT doc_id, tk,
+                  range(0, (len(tk) - 1) // 3 + 1) AS gid
+                FROM d),
+          m AS (SELECT doc_id, tk, gid,
+                  list_filter(gid, gg -> ${gateE("gg")}) AS mg
+                FROM g)
+          SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+                 len(mg)::BIGINT AS n_spans_masked,
+                 array_to_string(flatten(list_transform(gid, gg ->
+                   CASE WHEN list_position(mg, gg) > 0
+                     THEN ['<extra_id_' ||
+                           (list_position(mg, gg) - 1)::VARCHAR || '>']
+                     ELSE tk[gg*3+1 : gg*3+3] END)), ' ')
+                   AS corrupted_text,
+                 COALESCE(array_to_string(flatten(list_transform(mg,
+                   gg -> ['<extra_id_' ||
+                          (list_position(mg, gg) - 1)::VARCHAR || '>'] ||
+                   tk[gg*3+1 : gg*3+3])), ' '), '') AS targets_text
+          FROM m"""
+    },
     "corpus_augment_dropout" ->
       s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
                      WHERE text IS NOT NULL),

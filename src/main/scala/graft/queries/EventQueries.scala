@@ -354,6 +354,49 @@ object EventQueries {
             .as("forecast_next"))
     }),
 
+    // A/B experiment readout: users hash-split 50/50 by the portable
+    // hash (deterministic, balanced, stable across reruns — the
+    // assignment a real experimentation system uses), then Welch's
+    // unpaired t over purchase values between arms — the es_t_test
+    // moment arithmetic with hash-derived populations. ONE 1-row
+    // conditional aggregate (allowlisted); every double formula is the
+    // shared expression tree.
+    "events_ab_test" -> ((s, dir) => {
+      val dec38 = (c: Column) => c.cast("decimal(38,10)")
+      val arm = pmod(graft.functions.PortableHash.h15(
+        concat(lit("exp1:"), col("user_id").cast("string"))), lit(2L))
+      val e = ev(s, dir).filter(col("event_type") === "purchase")
+        .withColumn("arm", arm)
+      def cnt(a: Int) =
+        sum(when(col("arm") === a, 1L).otherwise(0L))
+      def sx(a: Int) =
+        sum(when(col("arm") === a, dec38(col("value")))
+          .otherwise(dec38(lit(0.0))))
+      def sxx(a: Int) =
+        sum(when(col("arm") === a, dec38(col("value") * col("value")))
+          .otherwise(dec38(lit(0.0))))
+      def vr(sfx: String): Column = {
+        val nd = col("n" + sfx).cast("double")
+        val sxc = col("sx" + sfx).cast("double")
+        val sxxc = col("sxx" + sfx).cast("double")
+        (sxxc - sxc * sxc / nd) / (nd - 1.0)
+      }
+      def mn(sfx: String): Column =
+        col("sx" + sfx).cast("double") / col("n" + sfx).cast("double")
+      e.agg(cnt(0).as("na"), sx(0).as("sxa"), sxx(0).as("sxxa"),
+          cnt(1).as("nb"), sx(1).as("sxb"), sxx(1).as("sxxb"))
+        .withColumn("mean_a", mn("a")).withColumn("mean_b", mn("b"))
+        .withColumn("var_a", vr("a")).withColumn("var_b", vr("b"))
+        .withColumn("se2",
+          col("var_a") / col("na").cast("double") +
+            col("var_b") / col("nb").cast("double"))
+        .select(col("na"), col("nb"), col("mean_a"), col("mean_b"),
+          ((col("mean_b") - col("mean_a")) / col("mean_a"))
+            .as("lift"),
+          ((col("mean_a") - col("mean_b")) / sqrt(col("se2")))
+            .as("t_stat"))
+    }),
+
     // RFM segmentation — the CRM rollup over the stream: per-user
     // Recency (hours since last event vs the global max — 1-row Q22
     // comparand, allowlisted), Frequency (event count), Monetary (exact
@@ -538,8 +581,50 @@ object EventQueries {
         FROM h"""
   }
 
+  /** CAST(CAST(x AS VARCHAR) AS DOUBLE) — the decimal→double edge. */
+  private def dd(e: String): String =
+    s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
+    "events_ab_test" -> {
+      val armE = Duck.h15("concat('exp1:', user_id::VARCHAR)") + " % 2"
+      s"""WITH p AS (
+            SELECT value, $armE AS arm FROM events
+            WHERE event_type = 'purchase'),
+          g AS (SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS na,
+            sum(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(38,10))
+                ELSE CAST(0.0 AS DECIMAL(38,10)) END) AS sxa,
+            sum(CASE WHEN arm = 0
+                THEN CAST(value * value AS DECIMAL(38,10))
+                ELSE CAST(0.0 AS DECIMAL(38,10)) END) AS sxxa,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS nb,
+            sum(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(38,10))
+                ELSE CAST(0.0 AS DECIMAL(38,10)) END) AS sxb,
+            sum(CASE WHEN arm = 1
+                THEN CAST(value * value AS DECIMAL(38,10))
+                ELSE CAST(0.0 AS DECIMAL(38,10)) END) AS sxxb
+            FROM p),
+          m AS (SELECT na, nb,
+            ${dd("sxa")} / CAST(na AS DOUBLE) AS mean_a,
+            ${dd("sxb")} / CAST(nb AS DOUBLE) AS mean_b,
+            (${dd("sxxa")} - ${dd("sxa")} * ${dd("sxa")} /
+               CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+              AS var_a,
+            (${dd("sxxb")} - ${dd("sxb")} * ${dd("sxb")} /
+               CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)
+              AS var_b
+            FROM g),
+          t AS (SELECT *, var_a / CAST(na AS DOUBLE) +
+                  var_b / CAST(nb AS DOUBLE) AS se2 FROM m)
+          SELECT na, nb, mean_a, mean_b,
+                 (mean_b - mean_a) / mean_a AS lift,
+                 (mean_a - mean_b) / sqrt(se2) AS t_stat
+          FROM t"""
+    },
     "events_funnel" ->
       s"""WITH u AS (
             SELECT user_id,
