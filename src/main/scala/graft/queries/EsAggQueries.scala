@@ -500,6 +500,44 @@ object EsAggQueries {
                 (col("nb").cast("double") - 1.0))).as("df"))
     }),
 
+    // ES sampler agg: sub-aggregations over a deterministic 20% sample
+    // of each bucket (ES samples per shard by score; the batch analogue
+    // is the portable-hash gate — reproducible across engines, reruns,
+    // and partitionings, and pushed down as a scan filter). Per type:
+    // sampled doc count + avg value over exact decimal sums.
+    "es_sampler" -> ((s, dir) =>
+      ev(s, dir)
+        .filter(pmod(graft.functions.PortableHash.h15(
+          concat(lit("smp:"), col("event_id").cast("string"))),
+          lit(5L)) === 0L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(dec(col("value"))).as("sum_dec"))
+        .select(col("event_type"), col("n_sampled"),
+          (col("sum_dec").cast("double") /
+            col("n_sampled").cast("double")).as("avg_value"))),
+
+    // ES diversified_sampler agg (max_docs_per_value: 2 on user_id):
+    // the de-biased sample — at most two events per user enter each
+    // bucket's sub-agg, picked by (ts, event_id) recency-stable order.
+    // One rank window over the (type, user) exchange; the rollup runs
+    // on the capped frame.
+    "es_diversified_sampler" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(dec(col("value"))).as("sum_dec"))
+        .select(col("event_type"), col("n_sampled"),
+          (col("sum_dec").cast("double") /
+            col("n_sampled").cast("double")).as("avg_value"))
+    }),
+
     // ES top_metrics agg (size: 2, sort: value desc): per event_type,
     // the metrics of the two LARGEST-value events — top_hits' sibling
     // that sorts by a metric field instead of recency. One rank window
@@ -986,6 +1024,24 @@ object EsAggQueries {
                       (var_b / CAST(nb AS DOUBLE)) /
                       (CAST(nb AS DOUBLE) - 1.0)) AS df
           FROM t""",
+    "es_sampler" ->
+      s"""SELECT event_type, count(*) AS n_sampled,
+            ${dd("sum(CAST(value AS DECIMAL(28,10)))")} /
+              CAST(count(*) AS DOUBLE) AS avg_value
+          FROM events
+          WHERE ('0x' || substring(md5(concat('smp:',
+              event_id::VARCHAR)), 1, 15))::BIGINT % 5 = 0
+          GROUP BY 1""",
+    "es_diversified_sampler" ->
+      s"""WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type, user_id
+                     ORDER BY epoch_ms(ts), event_id) AS rn
+            FROM events)
+          SELECT event_type, count(*) AS n_sampled,
+                 ${dd("sum(CAST(value AS DECIMAL(28,10)))")} /
+                   CAST(count(*) AS DOUBLE) AS avg_value
+          FROM r WHERE rn <= 2 GROUP BY 1""",
     "es_top_metrics" ->
       """SELECT event_type, event_id, ts_ms, value, rank FROM (
            SELECT event_type, event_id, epoch_ms(ts) AS ts_ms, value,
