@@ -354,6 +354,38 @@ object EventQueries {
             .as("forecast_next"))
     }),
 
+    // Closed-form OLS trend fit of daily revenue vs day index (the
+    // regression panel under events_forecast's smoother): slope and
+    // intercept from the normal equations over EXACT integer/decimal
+    // sums — x is the integer day offset from the first day (1-row
+    // comparand, allowlisted), y the exact decimal day revenue; the
+    // two closed-form divisions are the shared double trees. The final
+    // fit aggregate runs on the calendar-bounded day frame
+    // (allowlisted).
+    "events_trend_fit" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(28,10)")
+      val perDay = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(dec(col("value"))).as("y_dec"))
+      val d0 = perDay.agg(min(col("d")).as("d0"))
+      val xy = perDay.crossJoin(broadcast(d0))
+        .withColumn("x", datediff(col("d"), col("d0")).cast("long"))
+      val agg = xy.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y_dec")).as("sy_dec"),
+        sum(dec(col("x").cast("double") * col("y_dec").cast("double")))
+          .as("sxy_dec"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sxx = col("sxx").cast("double")
+      val sy = col("sy_dec").cast("double")
+      val sxy = col("sxy_dec").cast("double")
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      agg.select(col("n"), slope.as("slope"),
+        ((sy - slope * sx) / n).as("intercept"))
+    }),
+
     // A/B experiment readout: users hash-split 50/50 by the portable
     // hash (deterministic, balanced, stable across reruns — the
     // assignment a real experimentation system uses), then Welch's
@@ -587,6 +619,34 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
+    "events_trend_fit" -> {
+      val slopeE =
+        s"""(CAST(n AS DOUBLE) * ${dd("sxy_dec")} -
+             CAST(sx AS DOUBLE) * ${dd("sy_dec")}) /
+            (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""
+      s"""WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(28,10))) AS y_dec
+            FROM events GROUP BY 1),
+          d0 AS (SELECT min(d) AS d0 FROM per_day),
+          xy AS (
+            SELECT CAST(date_diff('day', d0.d0, p.d) AS BIGINT) AS x,
+                   y_dec
+            FROM per_day p CROSS JOIN d0),
+          g AS (
+            SELECT count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   sum(y_dec) AS sy_dec,
+                   sum(CAST(CAST(x AS DOUBLE) *
+                     ${dd("y_dec")} AS DECIMAL(28,10))) AS sxy_dec
+            FROM xy)
+          SELECT n, $slopeE AS slope,
+                 (${dd("sy_dec")} - ($slopeE) * CAST(sx AS DOUBLE)) /
+                   CAST(n AS DOUBLE) AS intercept
+          FROM g"""
+    },
     "events_ab_test" -> {
       val armE = Duck.h15("concat('exp1:', user_id::VARCHAR)") + " % 2"
       s"""WITH p AS (
