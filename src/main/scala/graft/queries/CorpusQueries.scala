@@ -106,6 +106,30 @@ object CorpusQueries {
       CorpusOps.oovRatio(vocab)(d).select(col("doc_id"), col("oov_ratio"))
     }),
 
+    // Classifier-calibration curve: the hashed-linear quality
+    // classifier's logit buckets scored against the INDEPENDENT Gopher
+    // rule gate — "does the learned score agree with the rules where
+    // it is confident", the eval a curation team runs before trusting
+    // a model gate. Bucketing floors logit/2000 through doubles (Spark
+    // `div` truncates, DuckDB `//` floors — they disagree on the
+    // negative logits, floor() does not). One doc-grain join of two
+    // scan-side gates + a ≤10-bucket rollup.
+    "corpus_quality_calibration" -> ((s, dir) => {
+      val clf = TextOps.linearClassify(TextQueries.ClfDims)(docs(s, dir))
+      val gop = CorpusOps.gopherGate(GMinTok, GMaxTok, GMinWordLen,
+        GMaxWordLen, GMaxSymbol, GMinAlpha, GMinStop, GMinDistinct)(
+        docs(s, dir)).select(col("doc_id"), col("keep").as("gopher_ok"))
+      clf.join(gop, Seq("doc_id"))
+        .withColumn("bucket",
+          floor(col("logit").cast("double") / lit(2000.0)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("gopher_ok"), 1L).otherwise(0L))
+            .as("n_gopher_ok"))
+        .withColumn("gopher_share",
+          col("n_gopher_ok").cast("double") / col("n_docs").cast("double"))
+    }),
+
     // T5-style span corruption (the denoising-objective producer):
     // 3-token spans hash-gated at 20% are each replaced by ONE numbered
     // sentinel in the input; the target sequence is sentinel + original
@@ -635,6 +659,24 @@ object CorpusQueries {
               / count(*)::DOUBLE AS oov_ratio
           FROM tok LEFT JOIN v ON tok.t = v.t
           GROUP BY tok.doc_id""",
+    "corpus_quality_calibration" ->
+      s"""WITH j AS (
+            SELECT c.doc_id, c.logit, g.keep AS gopher_ok
+            FROM (${TextQueries.clfSql}) c
+            JOIN ($gopherSql) g USING (doc_id)),
+          b AS (
+            SELECT floor(CAST(logit AS DOUBLE) / 2000.0)::BIGINT
+                     AS bucket, gopher_ok
+            FROM j),
+          a AS (
+            SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN gopher_ok THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_gopher_ok
+            FROM b GROUP BY 1)
+          SELECT bucket, n_docs, n_gopher_ok,
+                 CAST(n_gopher_ok AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS gopher_share
+          FROM a""",
     "corpus_span_corruption" -> {
       val gateE = (g: String) =>
         h15(s"concat('span:', doc_id::VARCHAR, ':', $g::VARCHAR)") +

@@ -721,20 +721,7 @@ object TextQueries {
     // weight = h15('clf:w:' || dim) % 1001 − 500 inline, one integer
     // sum per doc; tokenless docs fall back to the bias via the left
     // join (logit 0 here)
-    "text_classify_quality" ->
-      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
-                     WHERE text IS NOT NULL),
-          h AS (SELECT doc_id, ${h15("concat('fh:', t)")} AS hv
-                FROM d, unnest(tk) AS u(t)),
-          s AS (SELECT doc_id,
-                  sum((CASE WHEN (hv // $ClfDims) % 2 = 0
-                       THEN 1 ELSE -1 END) *
-                      (${h15(s"concat('clf:w:', (hv % $ClfDims)::VARCHAR)")}
-                       % 1001 - 500))::BIGINT AS dot
-                FROM h GROUP BY 1)
-          SELECT d.doc_id, COALESCE(dot, 0) AS logit,
-                 COALESCE(dot, 0) > 0 AS keep
-          FROM d LEFT JOIN s USING (doc_id)""",
+    "text_classify_quality" -> clfSql,
 
     // significant-terms replay: posting presence, per-source and
     // background df, JLH in the SAME association order
@@ -1099,6 +1086,24 @@ object TextQueries {
                 ORDER BY n_hits DESC, doc_id) AS rank
             FROM doc) WHERE rank <= $FuzzyK"""
   }
+
+  /** Classifier replay — also spliced into CorpusQueries'
+    * `corpus_quality_calibration`.
+    */
+  private[queries] def clfSql: String =
+    s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                   WHERE text IS NOT NULL),
+        h AS (SELECT doc_id, ${h15("concat('fh:', t)")} AS hv
+              FROM d, unnest(tk) AS u(t)),
+        s AS (SELECT doc_id,
+                sum((CASE WHEN (hv // $ClfDims) % 2 = 0
+                     THEN 1 ELSE -1 END) *
+                    (${h15(s"concat('clf:w:', (hv % $ClfDims)::VARCHAR)")}
+                     % 1001 - 500))::BIGINT AS dot
+              FROM h GROUP BY 1)
+        SELECT d.doc_id, COALESCE(dot, 0) AS logit,
+               COALESCE(dot, 0) > 0 AS keep
+        FROM d LEFT JOIN s USING (doc_id)"""
 
   /** Suggester replay: brute-force levenshtein over the vocabulary
     * (the oracle can afford the |vocab|×|Q| scan Spark's deletion-join
