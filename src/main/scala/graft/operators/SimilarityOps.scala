@@ -777,6 +777,36 @@ object SimilarityOps {
     pqRank(coded.join(qt, col("vec_id") =!= col("query_id")), m, k)
   }
 
+  /** The faiss `refine` pattern: ADC coarse top-`kCoarse` per query
+    * (compressed-domain candidates), then EXACT cosine re-scoring of
+    * only those candidates and a final top-`k` — the production
+    * coarse-then-refine ANN shape. The index answers cheaply in code
+    * space; only |Q|·kCoarse raw vectors are ever touched for exact
+    * math, probed by BROADCASTING the tiny candidate set into the
+    * corpus scan (the corpus itself never shuffles).
+    */
+  def pqRefineTopK(corpus: DataFrame, queries: DataFrame, kCoarse: Int,
+      k: Int, seedIds: Seq[Long], m: Int = 4, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = pqTopK(corpus, queries, kCoarse, seedIds, m, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = withNorm(corpus).select(col("vec_id").as("neighbor_id"),
+      col("embedding"), col("nrm").as("c_nrm"))
+    val q = broadcast(withNorm(queries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    val re = e.join(broadcast(cand), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    re.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos"))
+  }
+
   /** TRAIN the per-subspace codebooks with [[KMeansOps.lloyd]] over the
     * sliced embedding column (spherical k-means — the same
     * cosine-assignment/decimal-mean trainer the IVF path composes, run

@@ -44,6 +44,8 @@ object SimilarityQueries {
   // range search radius (cosine floor; random 64-dim cosines sit near
   // 0 ± 0.12, so 0.25 keeps single-digit genuine neighbors per query)
   private val RsTheta = 0.25
+  // refine pattern: ADC candidates per query before the exact re-rank
+  private val RefineCoarse = 20
   // BFS origin seeds + hop bound over the k-NN graph
   private val BfsSeeds = Seq(100L, 101L)
   private val BfsRounds = 4
@@ -222,6 +224,17 @@ object SimilarityQueries {
     "sim_pq_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       SimilarityOps.pqTopK(e, queriesOf(e), K,
+        seedIds = SEEDS.map(_.toLong))
+    }),
+
+    // The faiss refine pattern: ADC coarse top-20 candidates from the
+    // same seeded codebooks as sim_pq_topk, exactly re-scored and
+    // re-ranked — compressed-domain recall, exact-domain precision;
+    // only |Q|·20 raw vectors are touched (broadcast candidate probe,
+    // the corpus never shuffles). See SimilarityOps.pqRefineTopK.
+    "sim_pq_refine" -> ((s, dir) => {
+      val e = embs(s, dir)
+      SimilarityOps.pqRefineTopK(e, queriesOf(e), RefineCoarse, K,
         seedIds = SEEDS.map(_.toLong))
     }),
 
@@ -643,6 +656,7 @@ object SimilarityQueries {
     // persisted index: same cells, same search tail — same replay
     "sim_ivf_persisted" -> ivfTopkSql,
     "sim_pq_topk" -> pqTopkSql,
+    "sim_pq_refine" -> pqRefineSql,
     "sim_pq_kmeans" -> pqKmeansSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql,
     "sim_ivfpq_persisted" -> ivfPqTopkSql,
@@ -853,11 +867,15 @@ object SimilarityQueries {
     * `cc − 2·x·c`, subtraction only), asymmetric table-lookup scores
     * summed left-associated exactly like the Spark reduce.
     */
-  private def pqTopkSql: String = {
+  /** PQ encode/table/ADC-score chain up through `sc(query_id,
+    * neighbor_id, score)` — shared by the plain top-k and the refine
+    * replay.
+    */
+  private def pqScoreCtes: String = {
     val seedList = SEEDS.mkString("(", ", ", ")")
     val (m, sub) = (4, 16)
     def slice(e: String) = s"$e[c.j*$sub+1 : c.j*$sub+$sub]"
-    s"""WITH js AS (SELECT unnest(range(0, $m)) AS j),
+    s"""js AS (SELECT unnest(range(0, $m)) AS j),
         cb AS (SELECT j.j AS j,
                  row_number() OVER (PARTITION BY j.j ORDER BY e.vec_id)
                    AS code,
@@ -883,14 +901,39 @@ object SimilarityQueries {
                    + max(CASE WHEN x.j = 3 THEN q.t END) AS score
                FROM enc x JOIN qt q ON q.j = x.j AND q.code = x.code
                WHERE x.vec_id <> q.query_id
-               GROUP BY q.query_id, x.vec_id)
+               GROUP BY q.query_id, x.vec_id)"""
+  }
+
+  private def pqTopkSql: String =
+    s"""WITH $pqScoreCtes
         SELECT query_id, neighbor_id, rank, score FROM (
           SELECT query_id, neighbor_id, score,
             row_number() OVER (PARTITION BY query_id
               ORDER BY score DESC, neighbor_id) AS rank
           FROM sc)
         WHERE rank <= $K"""
-  }
+
+  /** Refine replay: coarse ADC top-RefineCoarse from the shared score
+    * chain, then exact cosine re-rank of exactly those candidates.
+    */
+  private def pqRefineSql: String =
+    s"""WITH $pqScoreCtes,
+        cand AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS crank
+            FROM sc) WHERE crank <= $RefineCoarse),
+        re AS (SELECT c.query_id, c.neighbor_id,
+                 ${cosine("q.embedding", "e.embedding")} AS cos
+               FROM cand c
+               JOIN embeddings e ON e.vec_id = c.neighbor_id
+               JOIN embeddings q ON q.vec_id = c.query_id)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM re)
+        WHERE rank <= $K"""
 
   /** IVFPQ replay: the IVF home-cell CTEs composed with the PQ
     * encode/table CTEs — candidates are same-cell pairs, scores are the
