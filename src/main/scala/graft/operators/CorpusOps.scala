@@ -774,6 +774,33 @@ object CorpusOps {
         col("n_hits"), col("rank"))
   }
 
+  /** ES wildcard query: vocabulary terms matching a LIKE pattern
+    * (`%` ≡ ES `*`), docs ranked by summed tf of their matching terms.
+    * Same scale shape as prefixSearch: the pattern probe is a
+    * broadcast nested-loop against the posting frame's term key — the
+    * deliberate |postings|·|Q| predicate evaluation a wildcard costs
+    * any engine — and the corpus text is never re-read.
+    */
+  def wildcardSearch(queries: Seq[(Long, String)], k: Int)(
+      docs: DataFrame): DataFrame =
+    wildcardFromTf(bm25Postings(docs), queries, k)
+
+  private def wildcardFromTf(tf: DataFrame,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.toDF("query_id", "pattern"))
+    val m = tf.join(q, expr("term LIKE pattern"))
+    val doc = m.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    doc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("n_hits"), col("rank"))
+  }
+
   /** ES term suggester: per (possibly misspelled) input term, the
     * top-k vocabulary corrections within edit distance ≤ 1, ranked
     * ES-style by (distance asc, doc-frequency desc, term). Candidates

@@ -285,6 +285,15 @@ object DedupQueries {
       simhashComponents(s, dir)
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))),
 
+    // Component-size histogram over the SAME resolved clusters (the
+    // Q13 histogram-of-counts shape on the dedup graph): "how big do
+    // duplicate families get" — the first chart a dedup report shows.
+    // Two bounded aggregates over the memoized component table.
+    "graph_component_sizes" -> ((s, dir) =>
+      simhashComponents(s, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))),
+
     // Near-dup graph DENSITY: triangle count + local clustering
     // coefficient over the simhash pair graph — the document-side
     // consumer of the generic GraphOps kernel (the k-NN embedding graph
@@ -621,6 +630,12 @@ object DedupQueries {
           $simhashPairsCtes,
           $ccClosureCtes
           SELECT id AS doc_id, component AS cluster_id FROM cc""",
+    "graph_component_sizes" ->
+      s"""${duckSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          $simhashPairsCtes,
+          $ccClosureCtes,
+          sz AS (SELECT component, count(*) AS size FROM cc GROUP BY 1)
+          SELECT size, count(*) AS n_components FROM sz GROUP BY 1""",
     "dedup_canonical" ->
       s"""${duckSimhash.replaceFirst("WITH ", "WITH RECURSIVE ")},
           $simhashPairsCtes,

@@ -354,6 +354,28 @@ object EventQueries {
             .as("forecast_next"))
     }),
 
+    // Revenue concentration (the Pareto view): the top-15 users by
+    // exact-decimal revenue with each one's share of the global total.
+    // Scale-correct concentration analysis: a TakeOrdered top-k (no
+    // global-sort exchange) + ONE 1-row total comparand (allowlisted) —
+    // never a global rank over the user universe.
+    "events_pareto" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast("decimal(28,10)")
+      val perUser = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(dec(col("value"))).as("rev_dec"))
+      val top = perUser
+        .orderBy(col("rev_dec").desc, col("user_id")).limit(15)
+      val tot = perUser.agg(sum(col("rev_dec")).as("tot_dec"),
+        count(lit(1)).as("n_users"))
+      top.crossJoin(broadcast(tot))
+        .select(col("user_id"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") / col("tot_dec").cast("double"))
+            .as("share"),
+          col("n_users"))
+    }),
+
     // Closed-form OLS trend fit of daily revenue vs day index (the
     // regression panel under events_forecast's smoother): slope and
     // intercept from the normal equations over EXACT integer/decimal
@@ -619,6 +641,18 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
+    "events_pareto" ->
+      s"""WITH u AS (
+            SELECT user_id,
+                   sum(CAST(value AS DECIMAL(28,10))) AS rev_dec
+            FROM events GROUP BY 1),
+          t AS (SELECT sum(rev_dec) AS tot_dec, count(*) AS n_users
+                FROM u),
+          top AS (SELECT user_id, rev_dec FROM u
+                  ORDER BY rev_dec DESC, user_id LIMIT 15)
+          SELECT user_id, ${dd("rev_dec")} AS revenue,
+                 ${dd("rev_dec")} / ${dd("tot_dec")} AS share, n_users
+          FROM top CROSS JOIN t""",
     "events_trend_fit" -> {
       val slopeE =
         s"""(CAST(n AS DOUBLE) * ${dd("sxy_dec")} -

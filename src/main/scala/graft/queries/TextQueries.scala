@@ -294,6 +294,13 @@ object TextQueries {
       graft.operators.CorpusOps.moreLikeThis(MltSeeds, MltM, MltK)(
         docs(s, dir))),
 
+    // ES wildcard query: LIKE-pattern term match over the posting
+    // frame, docs ranked by summed matching tf; see
+    // CorpusOps.wildcardSearch.
+    "text_search_wildcard" -> ((s, dir) =>
+      graft.operators.CorpusOps.wildcardSearch(WildcardQueries, WildK)(
+        docs(s, dir))),
+
     // ES term suggester: top-k vocabulary corrections per input term,
     // ranked (distance, df desc, term) — SymSpell candidates + exact
     // levenshtein verify; see CorpusOps.termSuggest.
@@ -486,6 +493,10 @@ object TextQueries {
   private[queries] val SuggestQueries: Seq[(Long, String)] = Seq(
     0L -> "tble", 1L -> "sow", 2L -> "query")
   private[queries] val SuggestK = 3
+  /** wildcard patterns (SQL LIKE; `%` ≡ ES `*`). */
+  private[queries] val WildcardQueries: Seq[(Long, String)] = Seq(
+    0L -> "ta%le", 1L -> "s%w", 2L -> "%ue%")
+  private[queries] val WildK = 5
   /** Highlight fixtures: the BM25 rare+common mix as grouped term sets
     * (multi-term query 0, single-term query 1).
     */
@@ -693,6 +704,7 @@ object TextQueries {
     "text_search_bm25_persisted" -> bm25Sql,
     "text_search_fuzzy" -> fuzzySql,
     "text_suggest_terms" -> suggestSql,
+    "text_search_wildcard" -> wildcardSql,
     "text_search_prefix" -> prefixSql,
     "text_search_mlt" -> mltSql,
 
@@ -1123,6 +1135,23 @@ object TextQueries {
             SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY distance, df DESC, term) AS rank
             FROM m) WHERE rank <= $SuggestK"""
+  }
+
+  /** Wildcard replay: the LIKE probe over the tf frame, tf-sum rank. */
+  private def wildcardSql: String = {
+    val values = WildcardQueries
+      .map { case (q, p) => s"($q::BIGINT, ${sqlStr(p)})" }.mkString(", ")
+    s"""$postingsCtes,
+          q AS (SELECT * FROM (VALUES $values) v(query_id, pattern)),
+          m AS (SELECT query_id, tf.doc_id,
+                  count(*)::BIGINT AS n_terms,
+                  sum(tf.tf)::BIGINT AS n_hits
+                FROM tf JOIN q ON tf.term LIKE q.pattern
+                GROUP BY 1, 2)
+          SELECT query_id, doc_id, n_terms, n_hits, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY n_hits DESC, doc_id) AS rank
+            FROM m) WHERE rank <= $WildK"""
   }
 
   /** Prefix replay: LIKE over the vocabulary, df-descending top-k. */
