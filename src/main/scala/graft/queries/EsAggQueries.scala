@@ -500,6 +500,27 @@ object EsAggQueries {
                 (col("nb").cast("double") - 1.0))).as("df"))
     }),
 
+    // ES date_range agg with ES's exact key spelling ("*-A", "A-B",
+    // "B-*"): boundaries are RELATIVE date math (min+10d / min+20d —
+    // the "now-10d" idiom, regeneration-proof under any testdata span)
+    // from a 1-row min comparand (allowlisted); half-open [from, to)
+    // buckets like the numeric range agg. One fact groupBy over 3 keys.
+    "es_date_range" -> ((s, dir) => {
+      val b = ev(s, dir).agg(min(to_date(col("ts"))).as("d0"))
+      val c1 = date_add(col("d0"), 10)
+      val c2 = date_add(col("d0"), 20)
+      def f(c: Column) = date_format(c, "yyyy-MM-dd")
+      ev(s, dir).crossJoin(broadcast(b))
+        .withColumn("range_key",
+          when(to_date(col("ts")) < c1, concat(lit("*-"), f(c1)))
+            .when(to_date(col("ts")) < c2,
+              concat(f(c1), lit("-"), f(c2)))
+            .otherwise(concat(f(c2), lit("-*"))))
+        .groupBy(col("range_key"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+    }),
+
     // ES sampler agg: sub-aggregations over a deterministic 20% sample
     // of each bucket (ES samples per shard by score; the batch analogue
     // is the portable-hash gate — reproducible across engines, reruns,
@@ -1024,6 +1045,21 @@ object EsAggQueries {
                       (var_b / CAST(nb AS DOUBLE)) /
                       (CAST(nb AS DOUBLE) - 1.0)) AS df
           FROM t""",
+    "es_date_range" ->
+      s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+          k AS (
+            SELECT CASE
+                WHEN CAST(ts AS DATE) < d0 + 10
+                  THEN '*-' || strftime(d0 + 10, '%Y-%m-%d')
+                WHEN CAST(ts AS DATE) < d0 + 20
+                  THEN strftime(d0 + 10, '%Y-%m-%d') || '-' ||
+                       strftime(d0 + 20, '%Y-%m-%d')
+                ELSE strftime(d0 + 20, '%Y-%m-%d') || '-*'
+              END AS range_key, value
+            FROM events CROSS JOIN b)
+          SELECT range_key, count(*) AS doc_count,
+                 ${dd("sum(CAST(value AS DECIMAL(28,10)))")} AS sum_value
+          FROM k GROUP BY 1""",
     "es_sampler" ->
       s"""SELECT event_type, count(*) AS n_sampled,
             ${dd("sum(CAST(value AS DECIMAL(28,10)))")} /

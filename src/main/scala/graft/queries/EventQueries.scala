@@ -354,6 +354,27 @@ object EventQueries {
             .as("forecast_next"))
     }),
 
+    // Time-to-convert histogram: per user, latency from first view to
+    // the first purchase AFTER it (the funnel chain with no window
+    // cap), bucketed into 6-hour bands — the conversion-latency chart
+    // next to events_funnel's counters. One user_id exchange for the
+    // two chained window minima; the histogram rollup is band-grain.
+    "events_time_to_convert" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"))
+      val wu = Window.partitionBy(col("user_id"))
+      e.withColumn("t1",
+          min(when(col("event_type") === "view", col("t"))).over(wu))
+        .withColumn("tp",
+          min(when(col("event_type") === "purchase" &&
+            col("t") > col("t1"), col("t"))).over(wu))
+        .filter(col("t1").isNotNull && col("tp").isNotNull)
+        .select(col("user_id"), col("t1"), col("tp")).distinct()
+        .select(expr("(tp - t1) div 21600000").as("band_6h"))
+        .groupBy(col("band_6h"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Revenue concentration (the Pareto view): the top-15 users by
     // exact-decimal revenue with each one's share of the global total.
     // Scale-correct concentration analysis: a TakeOrdered top-k (no
@@ -641,6 +662,21 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
+    "events_time_to_convert" ->
+      """WITH u AS (
+           SELECT user_id,
+                  min(epoch_ms(ts)) FILTER (WHERE event_type = 'view')
+                    AS t1
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT e.user_id, u.t1, min(epoch_ms(e.ts)) AS tp
+           FROM events e JOIN u USING (user_id)
+           WHERE u.t1 IS NOT NULL AND e.event_type = 'purchase'
+             AND epoch_ms(e.ts) > u.t1
+           GROUP BY 1, 2)
+         SELECT (tp - t1) // 21600000 AS band_6h,
+                count(*) AS n_users
+         FROM p GROUP BY 1""",
     "events_pareto" ->
       s"""WITH u AS (
             SELECT user_id,

@@ -396,6 +396,7 @@ object PlanSpec {
     "events_ab_test" -> 1,    // the experiment readout IS a 1-row agg
     "events_trend_fit" -> 2,  // 1-row first-day comparand + OLS agg
     "events_pareto" -> 1,     // 1-row revenue-total comparand
+    "es_date_range" -> 1,     // 1-row min-date boundary comparand
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
     "events_attribution" -> 1, // share window over the 3-row channel frame
     "events_markov" -> 1,     // obs-share window over the |types|-row frame
