@@ -500,6 +500,31 @@ object EsAggQueries {
                 (col("nb").cast("double") - 1.0))).as("df"))
     }),
 
+    // ES frequent_item_sets agg (size-2 itemsets, transactions = each
+    // user's distinct event types): exact apriori over the bounded
+    // item domain — pair support via the distinct-frame self-join on
+    // the transaction key, support ratio against the 1-row user count
+    // (allowlisted). ES's own implementation is approximate/sampled;
+    // the exact join is strictly better at batch scale and the pair
+    // fanout is |types|²-bounded per user.
+    "es_frequent_item_sets" -> ((s, dir) => {
+      val ut = ev(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(false) // both sides of the pair join read it
+      val n = ev(s, dir).agg(countDistinct(col("user_id")).as("n_users"))
+      ut.select(col("user_id"), col("event_type").as("item_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("item_b")),
+          Seq("user_id"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 10L)
+        .crossJoin(broadcast(n))
+        .select(col("item_a"), col("item_b"), col("support"),
+          (col("support").cast("double") / col("n_users").cast("double"))
+            .as("support_ratio"))
+    }),
+
     // ES date_range agg with ES's exact key spelling ("*-A", "A-B",
     // "B-*"): boundaries are RELATIVE date math (min+10d / min+20d —
     // the "now-10d" idiom, regeneration-proof under any testdata span)
@@ -1045,6 +1070,19 @@ object EsAggQueries {
                       (var_b / CAST(nb AS DOUBLE)) /
                       (CAST(nb AS DOUBLE) - 1.0)) AS df
           FROM t""",
+    "es_frequent_item_sets" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+          p AS (
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   count(*) AS support
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+              AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+          SELECT item_a, item_b, support,
+                 CAST(support AS DOUBLE) / CAST(n_users AS DOUBLE)
+                   AS support_ratio
+          FROM p CROSS JOIN n WHERE support >= 10""",
     "es_date_range" ->
       s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
           k AS (

@@ -397,6 +397,7 @@ object PlanSpec {
     "events_trend_fit" -> 2,  // 1-row first-day comparand + OLS agg
     "events_pareto" -> 1,     // 1-row revenue-total comparand
     "es_date_range" -> 1,     // 1-row min-date boundary comparand
+    "es_frequent_item_sets" -> 1, // 1-row user-count comparand
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
     "events_attribution" -> 1, // share window over the 3-row channel frame
     "events_markov" -> 1,     // obs-share window over the |types|-row frame
