@@ -500,6 +500,41 @@ object EsAggQueries {
                 (col("nb").cast("double") - 1.0))).as("df"))
     }),
 
+    // ES change_point agg (the 8.x mean-shift detector) over the daily
+    // revenue series: the split AFTER day p maximizing the pooled
+    // between-segment criterion (nl·nr/n)·(ml−mr)² — the exact CUSUM
+    // form, replayed deterministically (ES's own is a heuristic
+    // p-value; the exact argmax is the batch-strength upgrade). Day
+    // positions/prefix sums come from one day-grain window
+    // (allowlisted) + a 1-row total (allowlisted); every candidate
+    // split is one row of bounded arithmetic; argmax ties to the
+    // earlier day.
+    "es_change_point" -> ((s, dir) => {
+      val perDay = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(dec(col("value"))).as("sum_dec"))
+      val w = Window.orderBy(col("d"))
+      val cum = perDay
+        .withColumn("p", row_number().over(w).cast("long"))
+        .withColumn("cum_dec", sum(col("sum_dec")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = perDay.agg(sum(col("sum_dec")).as("tot_dec"),
+        count(lit(1)).as("n"))
+      val nl = col("p").cast("double")
+      val nr = (col("n") - col("p")).cast("double")
+      val ml = col("cum_dec").cast("double") / nl
+      val mr = (col("tot_dec").cast("double") -
+        col("cum_dec").cast("double")) / nr
+      cum.crossJoin(broadcast(tot))
+        .filter(col("p") < col("n"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("split_after"),
+          col("p").as("n_left"), (col("n") - col("p")).as("n_right"),
+          ml.as("mean_left"), mr.as("mean_right"),
+          (((nl * nr) / col("n").cast("double")) *
+            ((ml - mr) * (ml - mr))).as("score"))
+        .orderBy(col("score").desc, col("split_after")).limit(1)
+    }),
+
     // ES frequent_item_sets agg (size-2 itemsets, transactions = each
     // user's distinct event types): exact apriori over the bounded
     // item domain — pair support via the distinct-frame self-join on
@@ -1070,6 +1105,36 @@ object EsAggQueries {
                       (var_b / CAST(nb AS DOUBLE)) /
                       (CAST(nb AS DOUBLE) - 1.0)) AS df
           FROM t""",
+    "es_change_point" ->
+      s"""WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+            FROM events GROUP BY 1),
+          cum AS (
+            SELECT d,
+                   CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS p,
+                   sum(sum_dec) OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_dec
+            FROM per_day),
+          tot AS (SELECT sum(sum_dec) AS tot_dec, count(*) AS n
+                  FROM per_day),
+          sc AS (
+            SELECT strftime(d, '%Y-%m-%d') AS split_after,
+                   p AS n_left, n - p AS n_right,
+                   ${dd("cum_dec")} / CAST(p AS DOUBLE) AS mean_left,
+                   (${dd("tot_dec")} - ${dd("cum_dec")}) /
+                     CAST(n - p AS DOUBLE) AS mean_right,
+                   ((CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE)) /
+                     CAST(n AS DOUBLE)) *
+                   ((${dd("cum_dec")} / CAST(p AS DOUBLE) -
+                     (${dd("tot_dec")} - ${dd("cum_dec")}) /
+                       CAST(n - p AS DOUBLE)) *
+                    (${dd("cum_dec")} / CAST(p AS DOUBLE) -
+                     (${dd("tot_dec")} - ${dd("cum_dec")}) /
+                       CAST(n - p AS DOUBLE))) AS score
+            FROM cum CROSS JOIN tot WHERE p < n)
+          SELECT * FROM sc ORDER BY score DESC, split_after LIMIT 1""",
     "es_frequent_item_sets" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
           n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
