@@ -295,6 +295,41 @@ object AnalyticQueries {
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
 
+    // Open-order backlog per day (interval accounting — the ops chart
+    // behind every fulfillment dashboard): an order is open on
+    // [orderdate, last lineitem ship date): daily opened/closed counts
+    // diffed and cumulatively summed over the calendar spine. One
+    // orders↔lineitem equi-join + two day-grain aggregates; the spine
+    // comes from a 1-row bounds comparand and the running sum is a
+    // day-grain window (both allowlisted) — the fact tables never see
+    // a global sort.
+    "orders_backlog" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      val cl = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("cd"))
+      val oc = o.join(cl, col("o_orderkey") === col("l_orderkey"),
+        "left_outer").select(col("od"), col("cd"))
+        .localCheckpoint(false) // feeds starts, closes, AND bounds
+      val starts = oc.groupBy(col("od").as("d"))
+        .agg(count(lit(1)).as("ns"))
+      val closes = oc.filter(col("cd").isNotNull)
+        .groupBy(col("cd").as("d")).agg(count(lit(1)).as("nc"))
+      val bounds = oc.agg(min(col("od")).as("mn"), max(col("cd")).as("mx"))
+      val spine = bounds
+        .select(explode(sequence(col("mn"), col("mx"))).as("d"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(broadcast(starts), Seq("d"), "left_outer")
+        .join(broadcast(closes), Seq("d"), "left_outer")
+        .select(col("d"), coalesce(col("ns"), lit(0L)).as("ns"),
+          coalesce(col("nc"), lit(0L)).as("nc"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("ns").as("n_opened"), col("nc").as("n_closed"),
+          sum(col("ns") - col("nc")).over(w).as("open_orders"))
+    }),
+
     // Column profiling (the Deequ/"ANALYZE TABLE" dataops surface): per
     // column of the event stream — row count, null count, exact
     // distinct count, and (for discrete columns) the top value with
@@ -388,6 +423,30 @@ object AnalyticQueries {
   private def dd(e: String) = D.format(e)
 
   val oracles: Map[String, String] = Map(
+    "orders_backlog" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+                    FROM orders),
+          cl AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE))
+                   AS cd
+                 FROM lineitem GROUP BY 1),
+          oc AS (SELECT od, cd FROM o
+                 LEFT JOIN cl ON o_orderkey = l_orderkey),
+          st AS (SELECT od AS d, count(*) AS ns FROM oc GROUP BY 1),
+          cz AS (SELECT cd AS d, count(*) AS nc FROM oc
+                 WHERE cd IS NOT NULL GROUP BY 1),
+          b AS (SELECT min(od) AS mn, max(cd) AS mx FROM oc),
+          sp AS (SELECT CAST(unnest(generate_series(mn, mx,
+                   INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+          f AS (SELECT sp.d, coalesce(ns, 0) AS ns,
+                       coalesce(nc, 0) AS nc
+                FROM sp LEFT JOIN st ON sp.d = st.d
+                LEFT JOIN cz ON sp.d = cz.d)
+          SELECT strftime(d, '%Y-%m-%d') AS day, ns AS n_opened,
+                 nc AS n_closed,
+                 CAST(sum(ns - nc) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS open_orders
+          FROM f""",
     "profile_events" ->
       """WITH c AS (
            SELECT count(*) AS n,
