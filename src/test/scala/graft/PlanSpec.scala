@@ -399,7 +399,8 @@ object PlanSpec {
     "es_date_range" -> 1,     // 1-row min-date boundary comparand
     "es_frequent_item_sets" -> 1, // 1-row user-count comparand
     "es_change_point" -> 2,   // day-grain prefix window + 1-row total
-    "orders_backlog" -> 2,    // 1-row span bounds + day-grain cumsum
+    "orders_backlog" -> 1,    // day-grain cumsum window (the 1-row
+    // bounds agg runs behind the oc checkpoint barrier)
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
     "events_attribution" -> 1, // share window over the 3-row channel frame
     "events_markov" -> 1,     // obs-share window over the |types|-row frame
