@@ -183,6 +183,25 @@ object EventQueries {
             .as("stickiness"))
     }),
 
+    // Rolling 7-day active users per day — the sliding DISTINCT window
+    // no window function expresses: each user-day fans out to the ≤7
+    // future days it keeps the user "active" for (bounded constant
+    // amplification of the deduplicated user-day frame, clipped at the
+    // 1-row span max, allowlisted), then one day-grain distinct count.
+    // Early days honestly report partial trailing windows.
+    "events_wau_rolling" -> ((s, dir) => {
+      val ud = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val b = ev(s, dir).agg(max(to_date(col("ts"))).as("mx"))
+      ud.crossJoin(broadcast(b))
+        .select(col("user_id"), explode(sequence(col("d"),
+          least(date_add(col("d"), 6), col("mx")))).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("wau"))
+    }),
+
     // Last-touch attribution: each purchase credits the most recent
     // preceding view/click by the same user within 24 h (the marketing
     // dashboard's conversion-credit model); no touch in the window →
@@ -662,6 +681,16 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
+    "events_wau_rolling" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+          b AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+          ex AS (SELECT DISTINCT user_id,
+                   CAST(unnest(generate_series(d, least(d + 6, mx),
+                     INTERVAL 1 DAY)) AS DATE) AS day
+                 FROM ud CROSS JOIN b)
+          SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS wau
+          FROM ex GROUP BY 1""",
     "events_time_to_convert" ->
       """WITH u AS (
            SELECT user_id,

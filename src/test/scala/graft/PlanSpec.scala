@@ -396,6 +396,7 @@ object PlanSpec {
     "events_ab_test" -> 1,    // the experiment readout IS a 1-row agg
     "events_trend_fit" -> 2,  // 1-row first-day comparand + OLS agg
     "events_pareto" -> 1,     // 1-row revenue-total comparand
+    "events_wau_rolling" -> 1, // 1-row span-max clip comparand
     "es_date_range" -> 1,     // 1-row min-date boundary comparand
     "es_frequent_item_sets" -> 1, // 1-row user-count comparand
     "es_change_point" -> 2,   // day-grain prefix window + 1-row total
