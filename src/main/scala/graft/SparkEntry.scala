@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.MultimodalQueries.all ++
       graft.queries.CorpusQueries.all ++
       graft.queries.EsAggQueries.all ++
+      graft.queries.EsDslQueries.all ++
       graft.queries.EventQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.MultimodalQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
       graft.queries.EsAggQueries.oracles ++
+      graft.queries.EsDslQueries.oracles ++
       graft.queries.EventQueries.oracles
 }

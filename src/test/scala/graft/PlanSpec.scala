@@ -399,6 +399,11 @@ object PlanSpec {
     "events_wau_rolling" -> 1, // 1-row span-max clip comparand
     "es_date_range" -> 1,     // 1-row min-date boundary comparand
     "es_frequent_item_sets" -> 1, // 1-row user-count comparand
+    "es_normalize" -> 1,      // 1-row total/min/max over day-grain buckets
+    "es_moving_percentiles" -> 1, // 7-lag window over the day-grain frame
+    "es_variable_width_histogram" -> 1, // ONE exchange feeds the gap lag
+    // window; the top-2 rank window and the 1-row boundary agg reuse the
+    // already-single partition (unit-cell frame, domain-bounded)
     "es_change_point" -> 2,   // day-grain prefix window + 1-row total
     "orders_backlog" -> 1,    // day-grain cumsum window (the 1-row
     // bounds agg runs behind the oc checkpoint barrier)
