@@ -451,6 +451,38 @@ object CorpusOps {
         col("rank0"))
   }
 
+  /** ES `function_score` (field_value_factor, boost_mode: multiply)
+    * plus a `rank_feature` saturation term: every BM25 match re-scores
+    * as `score · field + satBoost · sat(field)` where
+    * `sat(x) = ⌊10⁶·x/(x+pivot)⌋` — the ES rank_feature saturation
+    * curve in EXACT integer arithmetic (the score is already a
+    * fixed-point BIGINT, the field is a BIGINT column, and the
+    * saturation is one integer division), so the combined score is
+    * order-free at any partitioning and bit-identical in the oracle.
+    * The field join touches only SCORED hits (query-bounded), never the
+    * corpus; the final top-k is one per-query rank window.
+    */
+  def bm25FunctionScore(queryTerms: Seq[(Long, String)], field: String,
+      pivot: Long, satBoost: Long, k: Int, k1: Double = 1.2,
+      b: Double = 0.75)(docs: DataFrame): DataFrame = {
+    val tf = DedupOps.materialize(bm25Postings(docs))
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("final_score").desc, col("doc_id"))
+    bm25ScoredFromTf(tf, queryTerms, k1, b)
+      .withColumn("rank0", row_number().over(w0).cast("long"))
+      .join(docs.select(col("doc_id"), col(field).as("fv")), Seq("doc_id"))
+      .withColumn("sat",
+        expr(s"CAST((1000000 * fv) DIV (fv + $pivot) AS BIGINT)"))
+      .withColumn("final_score",
+        col("score") * col("fv") + lit(satBoost) * col("sat"))
+      .withColumn("rank", row_number().over(w1).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("fv"),
+        col("sat"), col("final_score"), col("rank"), col("rank0"))
+  }
+
   /** Hybrid retrieval with Reciprocal Rank Fusion (the ES 8.x `rrf`
     * retriever; Cormack-Clarke-Buettcher 2009): the BM25 lexical
     * ranking and a dense cosine ranking each contribute their top

@@ -49,6 +49,32 @@ object CorpusQueries {
   // BPE merges learned by corpus_bpe_merges / applied by _tokenize
   private val BpeK = 8
 
+  /** Ridge normal-equation solve (corpus_quality_regression): Cramer's
+    * rule on A = XᵀX + λI (intercept + 2 features, λ = 1.0, the
+    * intercept regularized too — documented choice), over the nine
+    * double moment columns (mn, s1, s2, s11, s22, s12, sy, s1y, s2y).
+    * ONE string per determinant, rendered into BOTH engines via
+    * expr()/SQL splice, so the IEEE trees are identical by construction.
+    */
+  private val regA00 = "(mn + 1.0)"
+  private val regA11 = "(s11 + 1.0)"
+  private val regA22 = "(s22 + 1.0)"
+  private[queries] val regDet =
+    s"$regA00 * ($regA11 * $regA22 - s12 * s12) - " +
+      s"s1 * (s1 * $regA22 - s12 * s2) + s2 * (s1 * s12 - $regA11 * s2)"
+  private[queries] val regDet0 =
+    s"sy * ($regA11 * $regA22 - s12 * s12) - " +
+      s"s1 * (s1y * $regA22 - s12 * s2y) + " +
+      s"s2 * (s1y * s12 - $regA11 * s2y)"
+  private[queries] val regDet1 =
+    s"$regA00 * (s1y * $regA22 - s12 * s2y) - " +
+      s"sy * (s1 * $regA22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)"
+  private[queries] val regDet2 =
+    s"$regA00 * ($regA11 * s2y - s1y * s12) - " +
+      s"s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - $regA11 * s2)"
+
+  private def dec38(c: Column): Column = c.cast("decimal(38,10)")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
@@ -210,6 +236,65 @@ object CorpusQueries {
     "corpus_gopher_gate" -> ((s, dir) =>
       CorpusOps.gopherGate(GMinTok, GMaxTok, GMinWordLen, GMaxWordLen,
         GMaxSymbol, GMinAlpha, GMinStop, GMinDistinct)(docs(s, dir))),
+
+    // Quality-classifier TRAINING inside the engine: ridge regression
+    // (linear probability model, λ=1) of the Gopher keep label on
+    // (n_tokens, mean_word_len) — the gate-distillation step a curation
+    // team runs to turn a rule gate into a graded score. Closed form,
+    // exactly replayable: ONE 1-row aggregate collects the nine exact
+    // DECIMAL moments (features are counts / one shared-tree quotient),
+    // the 3×3 normal equations solve by Cramer's rule as ONE expression
+    // string rendered into BOTH engines (regDet/regW* below), and a
+    // second pass scores every doc for SSE/SST/R² (residual squares
+    // through DECIMAL so the sums are order-free). The feature frame is
+    // checkpointed — training and scoring share one extraction. At
+    // 100 TB this is two map-side-combined passes + broadcast model:
+    // the same shape as sim_kmeans/forecast, no driver iteration at all.
+    "corpus_quality_regression" -> ((s, dir) => {
+      val g = CorpusOps.gopherGate(GMinTok, GMaxTok, GMinWordLen,
+          GMaxWordLen, GMaxSymbol, GMinAlpha, GMinStop, GMinDistinct)(
+          docs(s, dir))
+        .select(col("n_tokens").cast("double").as("x1"),
+          col("mean_word_len").as("x2"),
+          when(col("keep"), lit(1.0)).otherwise(lit(0.0)).as("y"))
+        .localCheckpoint(false)
+      val mom = g.agg(
+        count(lit(1)).cast("double").as("mn"),
+        sum(dec38(col("x1"))).as("d1"),
+        sum(dec38(col("x2"))).as("d2"),
+        sum(dec38(col("x1") * col("x1"))).as("d11"),
+        sum(dec38(col("x2") * col("x2"))).as("d22"),
+        sum(dec38(col("x1") * col("x2"))).as("d12"),
+        sum(dec38(col("y"))).as("dy"),
+        sum(dec38(col("x1") * col("y"))).as("d1y"),
+        sum(dec38(col("x2") * col("y"))).as("d2y"))
+        .select(col("mn"), col("d1").cast("double").as("s1"),
+          col("d2").cast("double").as("s2"),
+          col("d11").cast("double").as("s11"),
+          col("d22").cast("double").as("s22"),
+          col("d12").cast("double").as("s12"),
+          col("dy").cast("double").as("sy"),
+          col("d1y").cast("double").as("s1y"),
+          col("d2y").cast("double").as("s2y"))
+      val model = mom.select(
+        (expr(regDet0) / expr(regDet)).as("w0"),
+        (expr(regDet1) / expr(regDet)).as("w1"),
+        (expr(regDet2) / expr(regDet)).as("w2"),
+        expr("sy / mn").as("ybar"))
+      val fit = g.crossJoin(broadcast(model))
+        .withColumn("r", col("y") -
+          (col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))
+        .withColumn("t", col("y") - col("ybar"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(dec38(col("r") * col("r"))).as("ssed"),
+          sum(dec38(col("t") * col("t"))).as("sstd"))
+      fit.crossJoin(broadcast(model))
+        .select(col("n_docs"), col("w0"), col("w1"), col("w2"),
+          col("ssed").cast("double").as("sse"),
+          col("sstd").cast("double").as("sst"),
+          (lit(1.0) - col("ssed").cast("double") /
+            col("sstd").cast("double")).as("r2"))
+    }),
 
     // Bigram-LM quality gate: the top-V class-bigram model (offline,
     // (V+1)²-bounded) scores every doc's mean smoothed bigram
@@ -758,6 +843,7 @@ object CorpusQueries {
             FROM sc)
           WHERE rank <= 3""",
     "corpus_gopher_gate" -> gopherSql,
+    "corpus_quality_regression" -> regressionSql,
     "corpus_bigram_lm" ->
       // same replay: top-V vocab (ties to smaller token), class map via
       // positional LEFT JOIN + lead() pairs, bigram/context counts,
@@ -1012,6 +1098,46 @@ object CorpusQueries {
               AND (stop_hits >= $GMinStop)
               AND (distinct_ratio >= $GMinDistinct::DOUBLE)) AS keep
           FROM s"""
+  }
+
+  /** Ridge-regression replay: the gopher frame as a derived table, the
+    * nine DECIMAL moments, the SAME Cramer strings (regDet*), and the
+    * scoring pass. Every double expression is the shared tree.
+    */
+  private def regressionSql: String = {
+    def dd(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""WITH feat AS (
+          SELECT CAST(n_tokens AS DOUBLE) AS x1, mean_word_len AS x2,
+                 CAST(CASE WHEN keep THEN 1 ELSE 0 END AS DOUBLE) AS y
+          FROM ($gopherSql)),
+        mom AS (
+          SELECT CAST(count(*) AS DOUBLE) AS mn,
+                 ${dd("sum(CAST(x1 AS DECIMAL(38,10)))")} AS s1,
+                 ${dd("sum(CAST(x2 AS DECIMAL(38,10)))")} AS s2,
+                 ${dd("sum(CAST(x1 * x1 AS DECIMAL(38,10)))")} AS s11,
+                 ${dd("sum(CAST(x2 * x2 AS DECIMAL(38,10)))")} AS s22,
+                 ${dd("sum(CAST(x1 * x2 AS DECIMAL(38,10)))")} AS s12,
+                 ${dd("sum(CAST(y AS DECIMAL(38,10)))")} AS sy,
+                 ${dd("sum(CAST(x1 * y AS DECIMAL(38,10)))")} AS s1y,
+                 ${dd("sum(CAST(x2 * y AS DECIMAL(38,10)))")} AS s2y
+          FROM feat),
+        model AS (
+          SELECT ($regDet0) / ($regDet) AS w0,
+                 ($regDet1) / ($regDet) AS w1,
+                 ($regDet2) / ($regDet) AS w2,
+                 sy / mn AS ybar
+          FROM mom),
+        fit AS (
+          SELECT count(*) AS n_docs,
+                 sum(CAST(r * r AS DECIMAL(38,10))) AS ssed,
+                 sum(CAST(t * t AS DECIMAL(38,10))) AS sstd
+          FROM (SELECT y - (w0 + w1 * x1 + w2 * x2) AS r,
+                       y - ybar AS t
+                FROM feat CROSS JOIN model))
+        SELECT n_docs, w0, w1, w2,
+               ${dd("ssed")} AS sse, ${dd("sstd")} AS sst,
+               1.0 - ${dd("ssed")} / ${dd("sstd")} AS r2
+        FROM fit CROSS JOIN model"""
   }
 
   /** The trained bigram-LM score frame — ONE training + scoring

@@ -406,7 +406,56 @@ object EsDslQueries {
           col("lon") >= lit(BoxLonW) && col("lon") <= lit(BoxLonE))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("doc_count"),
-          countDistinct(col("user_id")).as("n_users")))
+          countDistinct(col("user_id")).as("n_users"))),
+
+    // ES geo_line agg (group by user, sort: ts, size: 10): the ordered
+    // movement track of the 5 most-active users (count desc, user asc).
+    // Points render through the SAME %.4f fixed format in both engines
+    // (the derived grid is exact 10⁻⁴ degrees, so the 4th decimal is
+    // never a rounding tie); the per-user window is user-bounded and
+    // the track assembly sorts by the explicit row number, never by
+    // engine-dependent aggregation order.
+    "es_geo_line" -> ((s, dir) => {
+      val g = geoEv(s, dir)
+        .withColumn("pt", concat(
+          format_string("%.4f", col("lon")), lit(" "),
+          format_string("%.4f", col("lat"))))
+      val top = g.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy(col("n_points").desc, col("user_id")).limit(5)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      g.join(broadcast(top), Seq("user_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy(col("user_id"), col("n_points"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("pt")))),
+          x => x.getField("pt")), " ").as("track"))
+        .select(col("user_id"), col("n_points"), col("track"))
+    }),
+
+    // ES parent/child join field (has_child + children agg): orders are
+    // the parents, lineitems the children — per parent bucket
+    // (o_orderpriority), parent count, child doc_count, child revenue.
+    // The one fact-fact equi-shuffle pair on the join key (the plan a
+    // parent/child index also executes at merge time); priority-grain
+    // rollup after.
+    "es_children_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .join(Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey"),
+              dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .as("rev_dec")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_parents"),
+          count(lit(1)).as("n_children"),
+          sum(col("rev_dec")).as("s_dec"))
+        .select(col("o_orderpriority"), col("n_parents"),
+          col("n_children"),
+          col("s_dec").cast("double").as("child_revenue")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -567,6 +616,32 @@ object EsDslQueries {
           FROM geo
           WHERE lat <= $BoxLatN AND lat >= $BoxLatS
             AND lon >= $BoxLonW AND lon <= $BoxLonE
+          GROUP BY 1""",
+    "es_geo_line" ->
+      s"""WITH $geoCte,
+          pts AS (
+            SELECT user_id, ts, event_id,
+                   printf('%.4f', lon) || ' ' || printf('%.4f', lat) AS pt
+            FROM geo),
+          top5 AS (
+            SELECT user_id, count(*) AS n_points
+            FROM pts GROUP BY 1
+            ORDER BY n_points DESC, user_id LIMIT 5),
+          ranked AS (
+            SELECT p.user_id, t.n_points, p.pt,
+                   row_number() OVER (PARTITION BY p.user_id
+                     ORDER BY p.ts, p.event_id) AS rn
+            FROM pts p JOIN top5 t ON p.user_id = t.user_id)
+          SELECT user_id, n_points,
+                 string_agg(pt, ' ' ORDER BY rn) AS track
+          FROM ranked WHERE rn <= 10 GROUP BY 1, 2""",
+    "es_children_agg" ->
+      s"""SELECT o_orderpriority,
+                 count(DISTINCT o_orderkey) AS n_parents,
+                 count(*) AS n_children,
+                 ${dd("sum(CAST(l_extendedprice * (1.0 - l_discount) " +
+                   "AS DECIMAL(28,10)))")} AS child_revenue
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           GROUP BY 1"""
   )
 }

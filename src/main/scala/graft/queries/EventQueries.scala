@@ -202,6 +202,36 @@ object EventQueries {
           col("wau"))
     }),
 
+    // Day-of-week seasonality profile: per-weekday mean daily revenue
+    // vs the all-days mean — the seasonal index a forecaster divides
+    // out before trending (the multiplicative-decomposition classic).
+    // Weekday via epoch-day arithmetic from a fixed Monday (locale-
+    // free, regeneration-proof — the es_multi_terms discipline); daily
+    // sums exact DECIMAL; the global mean is a 1-row comparand over
+    // the day-grain frame (allowlisted, Q22 shape). 7-row output.
+    "events_seasonality" -> ((s, dir) => {
+      val perDay = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(28,10)")).as("s_dec"))
+      val glob = perDay.agg(sum(col("s_dec")).as("tot_dec"),
+        count(lit(1)).as("n_days"))
+      perDay
+        .withColumn("dow", expr(
+          "CAST(((datediff(d, DATE '1970-01-05') % 7) + 7) % 7 AS BIGINT)"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days_dow"),
+          sum(col("s_dec")).as("dow_dec"))
+        .crossJoin(broadcast(glob))
+        .select(col("dow"), col("n_days_dow"),
+          (col("dow_dec").cast("double") /
+            col("n_days_dow").cast("double")).as("mean_rev"),
+          ((col("dow_dec").cast("double") /
+            col("n_days_dow").cast("double")) /
+            (col("tot_dec").cast("double") /
+              col("n_days").cast("double"))).as("seasonal_index"))
+    }),
+
     // Last-touch attribution: each purchase credits the most recent
     // preceding view/click by the same user within 24 h (the marketing
     // dashboard's conversion-credit model); no touch in the window →
@@ -681,6 +711,25 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
+    "events_seasonality" ->
+      s"""WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(28,10))) AS s_dec
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          gstats AS (SELECT sum(s_dec) AS tot_dec, count(*) AS n_days
+                   FROM per_day),
+          dw AS (
+            SELECT CAST(((date_diff('day', DATE '1970-01-05', d) % 7)
+                     + 7) % 7 AS BIGINT) AS dow,
+                   count(*) AS n_days_dow, sum(s_dec) AS dow_dec
+            FROM per_day GROUP BY 1)
+          SELECT dow, n_days_dow,
+                 ${dd("dow_dec")} / CAST(n_days_dow AS DOUBLE)
+                   AS mean_rev,
+                 (${dd("dow_dec")} / CAST(n_days_dow AS DOUBLE)) /
+                   (${dd("tot_dec")} / CAST(n_days AS DOUBLE))
+                   AS seasonal_index
+          FROM dw CROSS JOIN gstats""",
     "events_wau_rolling" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
                      FROM events),

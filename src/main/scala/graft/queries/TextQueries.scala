@@ -258,6 +258,15 @@ object TextQueries {
         RescoreWindow, RescoreK, RescoreBoost, Bm25K1, Bm25B)(
         docs(s, dir))),
 
+    // ES function_score + rank_feature: every BM25 match re-scored as
+    // score·n_chars + boost·saturation(n_chars) — field_value_factor
+    // (boost_mode multiply) and the rank_feature saturation curve in
+    // exact integer arithmetic (see CorpusOps.bm25FunctionScore). Both
+    // primary and final ranks reported; longer docs visibly overtake.
+    "text_search_function_score" -> ((s, dir) =>
+      graft.operators.CorpusOps.bm25FunctionScore(Bm25Queries, "n_chars",
+        FsPivot, FsSatBoost, Bm25K, Bm25K1, Bm25B)(docs(s, dir))),
+
     // Hybrid retrieval with Reciprocal Rank Fusion (the ES 8.x `rrf`
     // retriever): BM25 lexical top-20 fused with dense hashed-bag
     // cosine top-20 as Σ scale/(60+rank) — integer fixed-point fusion,
@@ -462,6 +471,12 @@ object TextQueries {
   private[queries] val Bm25K = 10
   private[queries] val Bm25K1 = 1.2
   private[queries] val Bm25B = 0.75
+
+  /** function_score: rank_feature saturation pivot (chars) + its
+    * fixed-point boost weight, interpolated into BOTH engines.
+    */
+  private[queries] val FsPivot = 300L
+  private[queries] val FsSatBoost = 1000000L
 
   /** RRF hybrid fusion: dense hashed-feature width, per-side window,
     * fused top-k, the standard rrf k=60, and the integer fusion scale.
@@ -699,6 +714,7 @@ object TextQueries {
     "text_textrank" -> textrankSql,
     "text_search_collapse" -> collapseSql,
     "text_search_rescore" -> rescoreSql,
+    "text_search_function_score" -> functionScoreSql,
     // persisted search: same postings (df/dl/stats derive from them),
     // same tail — same replay
     "text_search_bm25_persisted" -> bm25Sql,
@@ -1035,6 +1051,28 @@ object TextQueries {
                   ORDER BY new_score DESC, doc_id) AS rank FROM rs_j)
           WHERE rank <= $RescoreK"""
   }
+
+  /** function_score replay: the shared scored-doc chain, the integer
+    * field factor + saturation, then the final re-rank window.
+    */
+  private def functionScoreSql: String =
+    s"""$bm25DocCtes,
+          fs AS (SELECT doc.query_id, doc.doc_id, doc.score,
+                   d2.n_chars AS fv,
+                   ((1000000 * d2.n_chars) // (d2.n_chars + $FsPivot))
+                     ::BIGINT AS sat,
+                   row_number() OVER (PARTITION BY doc.query_id
+                     ORDER BY doc.score DESC, doc.doc_id) AS rank0
+                 FROM doc JOIN documents d2 USING (doc_id)),
+          fin AS (SELECT query_id, doc_id, score, fv, sat,
+                   (score * fv + $FsSatBoost * sat)::BIGINT
+                     AS final_score, rank0
+                 FROM fs)
+          SELECT query_id, doc_id, score, fv, sat, final_score, rank,
+            rank0
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY final_score DESC, doc_id) AS rank FROM fin)
+          WHERE rank <= $Bm25K"""
 
   /** Field-collapsing replay: the shared scored-doc chain, the group
     * top-hit/size windows, then the per-query group re-rank.

@@ -373,6 +373,10 @@ object PlanSpec {
     "text_search_bm25_persisted" -> 1, // same stats over stored postings
     "text_search_collapse" -> 1,  // same shared BM25 stats (1 row)
     "text_search_rescore" -> 1,   // same shared BM25 stats (1 row)
+    "text_search_function_score" -> 1, // same shared BM25 stats (1 row)
+    "events_seasonality" -> 1,    // 1-row global daily-mean comparand
+    "corpus_quality_regression" -> 3, // 1-row moment agg ×2 subtree
+    // copies (model broadcast into fit AND the final row) + 1-row fit agg
     "text_search_rrf" -> 1,       // same shared BM25 stats (1 row)
     "text_significant_terms" -> 1, // global doc count (1 row, Q22 shape)
     // ES-agg family: bucket-grain frames bounded by CONSTRUCTION
