@@ -1234,6 +1234,24 @@ object CorpusOps {
           col("alpha_ok") && col("stopword_ok") && col("repetition_ok"))
   }
 
+  /** Online half of corpus_quality_regression: the trained (w0, w1, w2)
+    * weights applied as ONE pure column expression over the gopher
+    * feature map (token count, mean word length) — no shuffle, no
+    * state, so the scorer runs unchanged on a live stream
+    * (train-offline / score-online, the bigramLmScore discipline).
+    * Docs with null text are dropped, mirroring the training frame.
+    */
+  def qualityScore(w0: Double, w1: Double, w2: Double)(
+      docs: DataFrame): DataFrame = {
+    val q = TextOps.qualityColumns(col("text")).toMap
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), q("n_tokens").as("n_tokens"),
+        q("avg_token_len").as("mean_word_len"))
+      .withColumn("score", lit(w0) +
+        lit(w1) * col("n_tokens").cast("double") +
+        lit(w2) * col("mean_word_len"))
+  }
+
   // ------------------------------------------------------- sliding chunking
 
   /** RAG-style sliding-window chunking: every document becomes

@@ -75,6 +75,17 @@ object CorpusQueries {
 
   private def dec38(c: Column): Column = c.cast("decimal(38,10)")
 
+  /** Power-of-two length-bucket ladder (corpus_length_buckets), one
+    * shared CASE string for both engines — no log2 (not exactly-rounded
+    * IEEE), just the explicit 7-rung ladder over the token count `n`.
+    */
+  private val LenBucketCap = 1024L
+  private[queries] val lenBucketCase: String =
+    "CAST(CASE " +
+      Seq(16L, 32L, 64L, 128L, 256L, 512L).map(b =>
+        s"WHEN n <= $b THEN $b ").mkString +
+      s"ELSE $LenBucketCap END AS BIGINT)"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
@@ -236,6 +247,32 @@ object CorpusQueries {
     "corpus_gopher_gate" -> ((s, dir) =>
       CorpusOps.gopherGate(GMinTok, GMaxTok, GMinWordLen, GMaxWordLen,
         GMaxSymbol, GMinAlpha, GMinStop, GMinDistinct)(docs(s, dir))),
+
+    // Sequence-length bucketing (the batching-efficiency view): docs
+    // binned to the next power-of-two token budget (16..1024, longer
+    // truncated), reporting per bucket the docs, real tokens, PAD waste
+    // if every doc pads to the bucket size, truncation loss, and the
+    // pad share — the report that decides bucketed-batching vs packing
+    // (corpus_pack_sequences is the packing alternative). The ladder is
+    // ONE shared CASE string in both engines; integer arithmetic
+    // end-to-end except the final share division. One doc-grain map +
+    // one 8-key exchange.
+    "corpus_length_buckets" -> ((s, dir) =>
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .withColumn("b", expr(lenBucketCase))
+        .withColumn("eff", least(col("n"), lit(LenBucketCap)))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("eff")).as("tokens"),
+          sum(col("b") - col("eff")).as("pad_tokens"),
+          sum(greatest(col("n") - lit(LenBucketCap), lit(0L)))
+            .as("trunc_tokens"))
+        .select(col("b").as("bucket"), col("n_docs"), col("tokens"),
+          col("pad_tokens"), col("trunc_tokens"),
+          (col("pad_tokens").cast("double") /
+            (col("pad_tokens") + col("tokens")).cast("double"))
+            .as("pad_share"))),
 
     // Quality-classifier TRAINING inside the engine: ridge regression
     // (linear probability model, λ=1) of the Gopher keep label on
@@ -844,6 +881,21 @@ object CorpusQueries {
           WHERE rank <= 3""",
     "corpus_gopher_gate" -> gopherSql,
     "corpus_quality_regression" -> regressionSql,
+    "corpus_length_buckets" ->
+      s"""WITH t AS (SELECT length($toks)::BIGINT AS n FROM documents
+                     WHERE text IS NOT NULL),
+          bb AS (SELECT n, $lenBucketCase AS b,
+                   least(n, $LenBucketCap) AS eff FROM t),
+          g AS (SELECT b, count(*) AS n_docs,
+                  sum(eff)::BIGINT AS tokens,
+                  sum(b - eff)::BIGINT AS pad_tokens,
+                  sum(greatest(n - $LenBucketCap, 0))::BIGINT
+                    AS trunc_tokens
+                FROM bb GROUP BY 1)
+          SELECT b AS bucket, n_docs, tokens, pad_tokens, trunc_tokens,
+                 CAST(pad_tokens AS DOUBLE) /
+                   CAST(pad_tokens + tokens AS DOUBLE) AS pad_share
+          FROM g""",
     "corpus_bigram_lm" ->
       // same replay: top-V vocab (ties to smaller token), class map via
       // positional LEFT JOIN + lead() pairs, bigram/context counts,

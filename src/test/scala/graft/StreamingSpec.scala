@@ -444,6 +444,39 @@ class StreamingSpec extends SparkSpec {
       s"no merge applied on the stream: $compressed")
   }
 
+  test("offline-trained quality regression scores a live stream (train/score split)") {
+    import graft.operators.CorpusOps
+    // offline: the registered closed-form training on the real corpus
+    val m = SparkEntry.queries("corpus_quality_regression")(
+      spark, "/root/testdata/sf0.001").head()
+    val (w0, w1, w2) = (m.getAs[Double]("w0"), m.getAs[Double]("w1"),
+      m.getAs[Double]("w2"))
+    // online: the SAME pure scoring expression on a stream — a normal
+    // doc, a degenerate one, and null text mid-stream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val rows = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "x"), (12L, null.asInstanceOf[String]))
+    stream.addData(rows)
+    val out = Files.createTempDirectory("graft-qreg").toString
+    val q = CorpusOps.qualityScore(w0, w1, w2)(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qreg_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("qreg_out")
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    val batched = CorpusOps.qualityScore(w0, w1, w2)(
+        rows.toDF("doc_id", "text"))
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    assert(streamed == batched && streamed.size == 2,
+      s"stream/batch drift: $streamed vs $batched")
+    // non-vacuous: the trained model actually separates the two docs
+    val s10 = streamed.find(_._1 == 10L).get._2
+    val s11 = streamed.find(_._1 == 11L).get._2
+    assert(s10 != s11, "model scored both docs identically")
+  }
+
   test("trained-cell assignment runs unchanged on a stream (drift monitor online half)") {
     import graft.operators.{KMeansOps, SimilarityOps}
     def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
