@@ -451,6 +451,34 @@ object CorpusOps {
         col("rank0"))
   }
 
+  /** ES `boosting` query: positive BM25 retrieval with docs matching
+    * any negative term demoted by `negative_boost` = 0.5 — kept exact
+    * as the integer halving `score DIV 2` (scores are fixed-point
+    * BIGINTs). The demotion set is a distinct-doc lookup on the SAME
+    * materialized posting frame (never a second corpus scan), the
+    * final order one per-query rank window. Docs outside the negative
+    * set keep their score bit-for-bit.
+    */
+  def bm25Boosting(queryTerms: Seq[(Long, String)], negTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75)(
+      docs: DataFrame): DataFrame = {
+    val tf = DedupOps.materialize(bm25Postings(docs))
+    val neg = tf.filter(col("term").isin(negTerms: _*))
+      .select(col("doc_id")).distinct()
+      .withColumn("__neg", lit(true))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("final_score").desc, col("doc_id"))
+    bm25ScoredFromTf(tf, queryTerms, k1, b)
+      .join(neg, Seq("doc_id"), "left_outer")
+      .withColumn("demoted", coalesce(col("__neg"), lit(false)))
+      .withColumn("final_score",
+        when(col("demoted"), expr("score DIV 2")).otherwise(col("score")))
+      .withColumn("rank", row_number().over(w1).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("demoted"), col("final_score"), col("rank"))
+  }
+
   /** ES `function_score` (field_value_factor, boost_mode: multiply)
     * plus a `rank_feature` saturation term: every BM25 match re-scores
     * as `score · field + satBoost · sat(field)` where

@@ -258,6 +258,14 @@ object TextQueries {
         RescoreWindow, RescoreK, RescoreBoost, Bm25K1, Bm25B)(
         docs(s, dir))),
 
+    // ES boosting query: the positive BM25 retrieval with docs matching
+    // the negative term demoted by negative_boost 0.5 (exact integer
+    // halving; see CorpusOps.bm25Boosting). The non-demoted minority
+    // visibly rises through the demoted majority.
+    "text_search_boosting" -> ((s, dir) =>
+      graft.operators.CorpusOps.bm25Boosting(Bm25Queries, BoostNegTerms,
+        Bm25K, Bm25K1, Bm25B)(docs(s, dir))),
+
     // ES function_score + rank_feature: every BM25 match re-scored as
     // score·n_chars + boost·saturation(n_chars) — field_value_factor
     // (boost_mode multiply) and the rank_feature saturation curve in
@@ -477,6 +485,11 @@ object TextQueries {
     */
   private[queries] val FsPivot = 300L
   private[queries] val FsSatBoost = 1000000L
+
+  /** boosting query: the negative term set (negative_boost is the exact
+    * integer halving, so no double constant to share).
+    */
+  private[queries] val BoostNegTerms = Seq("slow")
 
   /** RRF hybrid fusion: dense hashed-feature width, per-side window,
     * fused top-k, the standard rrf k=60, and the integer fusion scale.
@@ -715,6 +728,7 @@ object TextQueries {
     "text_search_collapse" -> collapseSql,
     "text_search_rescore" -> rescoreSql,
     "text_search_function_score" -> functionScoreSql,
+    "text_search_boosting" -> boostingSql,
     // persisted search: same postings (df/dl/stats derive from them),
     // same tail — same replay
     "text_search_bm25_persisted" -> bm25Sql,
@@ -1050,6 +1064,26 @@ object TextQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY new_score DESC, doc_id) AS rank FROM rs_j)
           WHERE rank <= $RescoreK"""
+  }
+
+  /** boosting replay: the shared scored-doc chain, the negative-term
+    * demotion set off the SAME tf frame, the integer halving, the
+    * final re-rank window.
+    */
+  private def boostingSql: String = {
+    val negs = BoostNegTerms.map(sqlStr).mkString(", ")
+    s"""$bm25DocCtes,
+          neg AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ($negs)),
+          bq AS (SELECT doc.query_id, doc.doc_id, doc.score,
+                   (neg.doc_id IS NOT NULL) AS demoted,
+                   (CASE WHEN neg.doc_id IS NOT NULL
+                     THEN doc.score // 2 ELSE doc.score END)::BIGINT
+                     AS final_score
+                 FROM doc LEFT JOIN neg ON doc.doc_id = neg.doc_id)
+          SELECT query_id, doc_id, score, demoted, final_score, rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY final_score DESC, doc_id) AS rank FROM bq)
+          WHERE rank <= $Bm25K"""
   }
 
   /** function_score replay: the shared scored-doc chain, the integer

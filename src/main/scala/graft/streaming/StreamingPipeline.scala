@@ -127,6 +127,39 @@ object StreamingPipeline {
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("shingle_fp")
 
+  /** Stream-stream interval join (the one Structured Streaming join
+    * shape the suite did not yet exercise): each purchase joins every
+    * view by the SAME user within `windowMs` BEFORE it — the join-time
+    * form of the last-touch attribution window. The time-range
+    * predicate plus both watermarks bound the join state (Spark retains
+    * each side only `windowMs` + watermark past the event time); on
+    * batch frames `withWatermark` is a no-op and the identical
+    * expression runs as a plain interval join, so batch ≡ streaming by
+    * construction (StreamingSpec pins it). At 100 TB this is the
+    * standard two-stream equi-key + range join: state is per-user and
+    * horizon-bounded, never corpus-bounded.
+    */
+  def viewPurchaseIntervalJoin(views: DataFrame, purchases: DataFrame,
+      windowMs: Long, watermark: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", watermark)
+    // the range predicate lives IN the join condition so the streaming
+    // planner can derive the state eviction bound for both sides
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") -
+            expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"), col("value"))
+  }
+
   /** Streaming dual of the batch `corpus_source_quality` dashboard:
     * per-source quality signals over watermarked tumbling windows — the
     * live monitoring view of a continuously-ingesting corpus. Per-doc

@@ -374,6 +374,7 @@ object PlanSpec {
     "text_search_collapse" -> 1,  // same shared BM25 stats (1 row)
     "text_search_rescore" -> 1,   // same shared BM25 stats (1 row)
     "text_search_function_score" -> 1, // same shared BM25 stats (1 row)
+    "text_search_boosting" -> 1,  // same shared BM25 stats (1 row)
     "events_seasonality" -> 1,    // 1-row global daily-mean comparand
     "corpus_quality_regression" -> 3, // 1-row moment agg ×2 subtree
     // copies (model broadcast into fit AND the final row) + 1-row fit agg

@@ -444,6 +444,44 @@ class StreamingSpec extends SparkSpec {
       s"no merge applied on the stream: $compressed")
   }
 
+  test("stream-stream interval join: purchases meet their in-window views (batch ≡ streaming)") {
+    import graft.streaming.StreamingPipeline
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val viewRows = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00"), 0.0),
+      (2L, 1L, t("2024-01-01 00:30:00"), 0.0),
+      (3L, 3L, t("2024-01-01 02:00:00"), 0.0))
+    val purchRows = Seq(
+      (100L, 1L, t("2024-01-01 01:00:00"), 5.0), // joins views 1 AND 2
+      (101L, 1L, t("2024-01-02 06:00:00"), 7.0), // 30 h later: no match
+      (200L, 2L, t("2024-01-01 01:00:00"), 9.0)) // no view at all
+    implicit val sqlCtx = spark.sqlContext
+    val vs = MemoryStream[(Long, Long, Timestamp, Double)]
+    val ps = MemoryStream[(Long, Long, Timestamp, Double)]
+    vs.addData(viewRows); ps.addData(purchRows)
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts", "value")
+    val out = Files.createTempDirectory("graft-ssj").toString
+    val q = StreamingPipeline.viewPurchaseIntervalJoin(
+        named(vs.toDF()), named(ps.toDF()), 86400000L)
+      .writeStream.format("memory").queryName("ssj_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out")
+      .select("user_id", "view_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val batched = StreamingPipeline.viewPurchaseIntervalJoin(
+        named(viewRows.toDF("a", "b", "c", "d")),
+        named(purchRows.toDF("a", "b", "c", "d")), 86400000L)
+      .select("user_id", "view_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batched,
+      s"stream/batch drift: $streamed vs $batched")
+    assert(streamed == Set((1L, 1L, 100L), (1L, 2L, 100L)),
+      s"wrong join result: $streamed")
+  }
+
   test("offline-trained quality regression scores a live stream (train/score split)") {
     import graft.operators.CorpusOps
     // offline: the registered closed-form training on the real corpus
