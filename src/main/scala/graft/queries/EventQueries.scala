@@ -403,6 +403,52 @@ object EventQueries {
             .as("forecast_next"))
     }),
 
+    // Kaplan-Meier churn survival curve by PURCHASE age (weeks since a
+    // user's first purchase — the revenue-relevant lapse curve; all-event
+    // activity is near-degenerate on this corpus, every user spans it):
+    // users whose last purchase falls before the final purchase week
+    // churned at that age; final-week purchasers are right-censored
+    // (the standard KM treatment — they leave the risk set without
+    // counting as deaths). S(t) = Π (n_t − d_t)/n_t in scale-10¹²
+    // integer fixed point with floor division — the events_forecast
+    // discipline: the per-user min/max aggregate is distributed, the
+    // recursion runs driver-side over the age-bounded frame (≤ span
+    // weeks rows), and the oracle replays the SAME integers with a
+    // recursive CTE. (At ~10⁹ users the s_fp·n product warrants
+    // DECIMAL(38,0) — same widening note as events_markov.)
+    "events_survival" -> ((s, dir) => {
+      val spark2 = s
+      import spark2.implicits._
+      val wk = to_date(date_trunc("week", col("ts")))
+      val purch = ev(s, dir).filter(col("event_type") === "purchase")
+      val uw = purch.groupBy(col("user_id"))
+        .agg(min(wk).as("fw"), max(wk).as("lw"))
+      val mw = purch.agg(max(wk).as("mw"))
+      val ages = uw.crossJoin(broadcast(mw))
+        .select(expr("CAST(datediff(lw, fw) AS BIGINT) div 7").as("age"),
+          (col("lw") === col("mw")).as("cens"))
+        .groupBy(col("age"))
+        .agg(sum(when(col("cens"), 0L).otherwise(1L)).as("d"),
+          sum(when(col("cens"), 1L).otherwise(0L)).as("c"))
+      val rows = ages.orderBy("age").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val FP = 1000000000000L
+      var sFp = FP
+      var atRisk = rows.map(r => r._2 + r._3).sum
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      for ((age, d, c) <- rows) {
+        sFp = if (atRisk > 0) sFp * (atRisk - d) / atRisk else sFp
+        out += ((age, atRisk, d, c, sFp))
+        atRisk -= (d + c)
+      }
+      out.toSeq
+        .toDF("age_weeks", "n_risk", "n_churned", "n_censored", "s_fp")
+        .select(col("age_weeks"), col("n_risk"), col("n_churned"),
+          col("n_censored"),
+          (col("s_fp").cast("double") / lit(1.0e12)).as("survival"))
+    }),
+
     // Time-to-convert histogram: per user, latency from first view to
     // the first purchase AFTER it (the funnel chain with no window
     // cap), bucketed into 6-hour bands — the conversion-latency chart
@@ -711,6 +757,43 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
+    "events_survival" ->
+      // same replay: user min/max week aggregate, age/censor counts,
+      // then the SAME scale-10¹² floor-division KM product stepped by
+      // a recursive CTE (the forecastSql discipline)
+      """WITH RECURSIVE uw AS (
+           SELECT user_id,
+                  min(date_trunc('week', CAST(ts AS DATE))) AS fw,
+                  max(date_trunc('week', CAST(ts AS DATE))) AS lw
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         mw AS (SELECT max(date_trunc('week', CAST(ts AS DATE))) AS mw
+                FROM events WHERE event_type = 'purchase'),
+         ag AS (
+           SELECT CAST(date_diff('day', fw, lw) AS BIGINT) // 7 AS age,
+                  sum(CASE WHEN lw = mw THEN 0 ELSE 1 END)::BIGINT AS d,
+                  sum(CASE WHEN lw = mw THEN 1 ELSE 0 END)::BIGINT AS c
+           FROM uw CROSS JOIN mw GROUP BY 1),
+         tot AS (SELECT sum(d + c)::BIGINT AS total FROM ag),
+         ord AS (SELECT age, d, c,
+                   row_number() OVER (ORDER BY age) AS rn FROM ag),
+         km AS (
+           SELECT o.rn, o.age, t.total AS n_risk, o.d, o.c,
+                  (CASE WHEN t.total > 0
+                    THEN (1000000000000 * (t.total - o.d)) // t.total
+                    ELSE 1000000000000 END)::BIGINT AS s_fp
+           FROM ord o CROSS JOIN tot t WHERE o.rn = 1
+           UNION ALL
+           SELECT o.rn, o.age,
+                  (km.n_risk - km.d - km.c)::BIGINT AS n_risk, o.d, o.c,
+                  (CASE WHEN (km.n_risk - km.d - km.c) > 0
+                    THEN (km.s_fp * ((km.n_risk - km.d - km.c) - o.d))
+                           // (km.n_risk - km.d - km.c)
+                    ELSE km.s_fp END)::BIGINT AS s_fp
+           FROM km JOIN ord o ON o.rn = km.rn + 1)
+         SELECT age AS age_weeks, n_risk, d AS n_churned,
+                c AS n_censored,
+                CAST(s_fp AS DOUBLE) / 1000000000000.0 AS survival
+         FROM km""",
     "events_seasonality" ->
       s"""WITH per_day AS (
             SELECT CAST(ts AS DATE) AS d,
