@@ -403,6 +403,25 @@ object EventQueries {
             .as("forecast_next"))
     }),
 
+    // Weekday × hour activity heatmap (the Kibana punch-card): event
+    // counts per (dow, hour) cell with each cell's share of its
+    // weekday — locale-free epoch-day weekday arithmetic, the share
+    // window partitioned by dow (24-row partitions, never a global
+    // funnel). One fact exchange; 168-cell output.
+    "events_heatmap" -> ((s, dir) => {
+      val wd = Window.partitionBy(col("dow"))
+      ev(s, dir)
+        .select(expr("CAST(((datediff(to_date(ts), DATE '1970-01-05')" +
+          " % 7) + 7) % 7 AS BIGINT)").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("doc_count"))
+        .select(col("dow"), col("hr"), col("doc_count"),
+          (col("doc_count").cast("double") /
+            sum(col("doc_count")).over(wd).cast("double"))
+            .as("dow_share"))
+    }),
+
     // Kaplan-Meier churn survival curve by PURCHASE age (weeks since a
     // user's first purchase — the revenue-relevant lapse curve; all-event
     // activity is near-degenerate on this corpus, every user spans it):
@@ -757,6 +776,18 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
+    "events_heatmap" ->
+      """WITH g AS (
+           SELECT CAST(((date_diff('day', DATE '1970-01-05',
+                    CAST(ts AS DATE)) % 7) + 7) % 7 AS BIGINT) AS dow,
+                  CAST(hour(ts) AS BIGINT) AS hr,
+                  count(*) AS doc_count
+           FROM events GROUP BY 1, 2)
+         SELECT dow, hr, doc_count,
+                CAST(doc_count AS DOUBLE) /
+                  CAST(sum(doc_count) OVER (PARTITION BY dow) AS DOUBLE)
+                  AS dow_share
+         FROM g""",
     "events_survival" ->
       // same replay: user min/max week aggregate, age/censor counts,
       // then the SAME scale-10¹² floor-division KM product stepped by
