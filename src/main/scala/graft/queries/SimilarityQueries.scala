@@ -587,6 +587,36 @@ object SimilarityQueries {
           SimilarityOps.sq8TopK(e, queriesOf(e), K, sq8ModelOf(s, dir))))
     }),
 
+    // The recall-vs-nprobe tuning curve for the seeded IVF index:
+    // recall@K against the shared brute-force ground truth at nprobe
+    // 1 / 2 / 4 over the 8 seed cells — the plot that picks the
+    // latency/recall operating point before deployment. Recall is
+    // provably monotone in nprobe (the candidate set only grows and
+    // scoring is exact within it), so the curve doubles as an index
+    // sanity check. Ground truth computed ONCE (checkpointed); each
+    // curve point pays its own probed search honestly (the
+    // sim_recall_at_k discipline); three 1-row hit-count aggregates
+    // (allowlisted).
+    "sim_recall_curve" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val exact = SimilarityOps.bruteForceTopK(e, queriesOf(e), K)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(false) // consumed by every curve point
+      def point(np: Int): DataFrame =
+        exact.join(
+            SimilarityOps.ivfTopK(e, queriesOf(e), K,
+                seedIds = SEEDS.map(_.toLong), nprobe = np)
+              .select(col("query_id").as("a_qid"),
+                col("neighbor_id").as("a_nid"), lit(1L).as("hit")),
+            col("query_id") === col("a_qid") &&
+              col("neighbor_id") === col("a_nid"), "left_outer")
+          .agg(count(col("hit")).as("hits"))
+          .select(lit(np.toLong).as("nprobe"), col("hits"),
+            (col("hits").cast("double") / lit((K * NQ).toDouble))
+              .as("recall"))
+      point(1).unionAll(point(2)).unionAll(point(4))
+    }),
+
     // Lloyd-trained centroids (graft.operators.KMeansOps): the IVF
     // training step, emitted as exploded (cell, dim, mean) rows. The
     // operator is bit-deterministic by construction (seeded init,
@@ -765,6 +795,7 @@ object SimilarityQueries {
           FROM embeddings v
           LEFT JOIN lp_top t ON t.vec_id = v.vec_id""",
     "sim_recall_at_k" -> recallSql,
+    "sim_recall_curve" -> recallCurveSql,
     "sim_ivf_probe2" -> ivfProbe2Sql,
     // persisted nprobe=2 search: same cells, same tail — same replay
     "sim_ivf_persisted_probe2" -> ivfProbe2Sql,
@@ -1040,6 +1071,45 @@ object SimilarityQueries {
             FROM ${p}sc)
           WHERE rank <= $K)"""
 
+  /** The recall-curve replay: the shared ground truth + three renamed
+    * IVF chains, one hit-count row per nprobe.
+    */
+  private def recallCurveSql: String = {
+    def pointRow(p: String, np: Int): String =
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+            count(a.neighbor_id) AS hits,
+            CAST(count(a.neighbor_id) AS DOUBLE)
+              / CAST(${K * NQ} AS DOUBLE) AS recall
+          FROM bft b LEFT JOIN ${p}apx a
+            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"""
+    s"""WITH $bftCtes,
+        ${ivfExactCtes("n1_", nprobe = 1)},
+        ${ivfExactCtes("n2_", nprobe = 2)},
+        ${ivfExactCtes("n4_", nprobe = 4)}
+        ${pointRow("n1_", 1)}
+        UNION ALL
+        ${pointRow("n2_", 2)}
+        UNION ALL
+        ${pointRow("n4_", 4)}"""
+  }
+
+  /** Brute-force ground-truth chain ending at `bft` (query_id,
+    * neighbor_id) — shared by the recall gate and the recall curve.
+    */
+  private def bftCtes: String =
+    s"""bq AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < $NQ),
+        bscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      ${cosine("qe", "e.embedding")} AS cos
+                    FROM bq CROSS JOIN embeddings e
+                    WHERE e.vec_id <> query_id),
+        bft AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS rank
+                 FROM bscored)
+               WHERE rank <= $K)"""
+
   /** Exact-cosine IVF chain at `nprobe` probed cells, prefix `p`; ends
     * at `${p}apx` (the sim_ivf_probe2 replay, renamed).
     */
@@ -1156,18 +1226,7 @@ object SimilarityQueries {
               >= CAST($floor AS DOUBLE) AS recall_ok
           FROM bft b LEFT JOIN ${p}apx a
             ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"""
-    s"""WITH bq AS (SELECT vec_id AS query_id, embedding AS qe
-               FROM embeddings WHERE vec_id < $NQ),
-        bscored AS (SELECT query_id, e.vec_id AS neighbor_id,
-                      ${cosine("qe", "e.embedding")} AS cos
-                    FROM bq CROSS JOIN embeddings e
-                    WHERE e.vec_id <> query_id),
-        bft AS (SELECT query_id, neighbor_id FROM (
-                 SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, neighbor_id) AS rank
-                 FROM bscored)
-               WHERE rank <= $K),
+    s"""WITH $bftCtes,
         ${ivfExactCtes("i_", nprobe = 2)},
         ${pqOnlyCtes("p_", PQSEEDS)},
         ${ivfPqCtes(nprobe = 2, pqSeeds = PQSEEDS, p = "v_")},

@@ -367,6 +367,7 @@ object PlanSpec {
     "q16_part_supplier_counts" -> 1, // supplier count
     "q20_promo_suppliers" -> 1,   // supplier count
     "sim_recall_at_k" -> 5,       // per-family hit counts (5 families)
+    "sim_recall_curve" -> 3,      // per-nprobe hit counts (3 points)
     "sim_drift" -> 1,             // 1-row ref/live totals (Q22 shape)
     "corpus_tfidf_terms" -> 1,    // global doc count N (1 row, Q22 shape)
     "text_search_bm25" -> 1,      // global N/avgdl stats (1 row)
