@@ -431,6 +431,38 @@ object SimilarityQueries {
           (shareLive - shareRef).as("share_delta"))
     }),
 
+    // Cluster topic labeling (the naming step after embedding
+    // clustering): each trained cell labeled by its 3 most DISTINCTIVE
+    // terms — score = ⌊10⁶ · cell_df / corpus_df⌋, the exact-integer
+    // concentration ratio (a term scores high when its documents all
+    // land in this cell; plain counts would just echo stopwords).
+    // Embeddings join documents on the shared vec_id = doc_id key; the
+    // doc-distinct token frame materializes once and feeds both the
+    // corpus df and the per-cell counts; the top-3 window partitions
+    // by cell. Rides the SAME trained Lloyd model + cell3 replay as
+    // sim_drift/dedup_semantic.
+    "sim_topic_labels" -> ((s, dir) => {
+      val cells = SimilarityOps.assignCells(trained(s, dir))(embs(s, dir))
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val tok = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.operators.TextOps.tokens(col("text")))).as("term"))
+        .localCheckpoint(false) // corpus df + cell counts share it
+      val dfreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val ct = tok.join(cells, Seq("doc_id"))
+        .groupBy(col("cell"), col("term"))
+        .agg(count(lit(1)).as("cell_df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell"))
+        .orderBy(col("score").desc, col("term"))
+      ct.join(dfreq, Seq("term"))
+        .withColumn("score", expr("(1000000 * cell_df) DIV df"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("cell"), col("rk"), col("term"), col("cell_df"),
+          col("df"), col("score"))
+    }),
+
     // One-hop label propagation over the k-NN graph (semi-supervised
     // auto-labeling / weak supervision): each vector takes the majority
     // label of its graph neighbors, ties broken by smallest label —
@@ -796,6 +828,25 @@ object SimilarityQueries {
           LEFT JOIN lp_top t ON t.vec_id = v.vec_id""",
     "sim_recall_at_k" -> recallSql,
     "sim_recall_curve" -> recallCurveSql,
+    "sim_topic_labels" ->
+      s"""WITH $lloydCtes,
+          $trainedCellsCtes,
+          tl_tok AS (
+            SELECT doc_id, unnest(list_distinct(${Duck.toks})) AS term
+            FROM documents WHERE text IS NOT NULL),
+          tl_df AS (SELECT term, count(*) AS df FROM tl_tok GROUP BY 1),
+          tl_ct AS (
+            SELECT c.cell, t.term, count(*) AS cell_df
+            FROM tl_tok t JOIN cell3 c ON c.vec_id = t.doc_id
+            GROUP BY 1, 2)
+          SELECT cell, rk, term, cell_df, df,
+                 ((1000000 * cell_df) // df)::BIGINT AS score
+          FROM (SELECT ct.cell, ct.term, ct.cell_df, d.df,
+                  row_number() OVER (PARTITION BY ct.cell
+                    ORDER BY (1000000 * ct.cell_df) // d.df DESC,
+                      ct.term) AS rk
+                FROM tl_ct ct JOIN tl_df d ON ct.term = d.term)
+          WHERE rk <= 3""",
     "sim_ivf_probe2" -> ivfProbe2Sql,
     // persisted nprobe=2 search: same cells, same tail — same replay
     "sim_ivf_persisted_probe2" -> ivfProbe2Sql,
