@@ -403,6 +403,60 @@ object EventQueries {
             .as("forecast_next"))
     }),
 
+    // Holt-Winters additive triple smoothing on the DAILY revenue
+    // series with a weekly season (m=7; the 30-day corpus holds 4+
+    // seasons): α=3/10, β=2/10, γ=1/10 in EXACT scale-10¹⁰ integer
+    // fixed point with sign-split division — the events_forecast
+    // discipline extended with a 7-slot rotating seasonal state.
+    // Standard init: l₀ = mean(week 1), b₀ = (mean(week 2) −
+    // mean(week 1))/7, sᵢ = xᵢ − l₀; recursion from day 8, each row
+    // also reporting the one-step-ahead fitted value l+b+s BEFORE its
+    // update (the in-sample forecast the residual monitor reads). The
+    // daily aggregate is distributed; the recursion is driver-side
+    // over the calendar-bounded frame; the oracle replays the SAME
+    // integers with a recursive CTE carrying the 7 slots. (At ~10⁹
+    // daily revenue the ×10¹⁰ products warrant DECIMAL(38,0) — the
+    // events_markov widening note.)
+    "events_holt_winters" -> ((s, dir) => {
+      val spark2 = s
+      import spark2.implicits._
+      val daily = ev(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(28,10)")).as("sum_dec"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          (col("sum_dec") * lit(10000000000L)).cast("long").as("x_fp"))
+      val rows = daily.orderBy("day").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      def idiv(a: Long, d: Long): Long =
+        if (a < 0) -((-a) / d) else a / d
+      val m1 = idiv(rows.slice(0, 7).map(_._2).sum, 7L)
+      val m2 = idiv(rows.slice(7, 14).map(_._2).sum, 7L)
+      var l = m1
+      var b = idiv(m2 - m1, 7L)
+      val slots = scala.collection.mutable.Queue(
+        rows.slice(0, 7).map(_._2 - m1): _*)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long, Long)]
+      for ((dayS, x) <- rows.drop(7)) {
+        val sPrev = slots.dequeue()
+        val fitted = l + b + sPrev
+        val lNew = idiv(3L * (x - sPrev) + 7L * (l + b), 10L)
+        val bNew = idiv(2L * (lNew - l) + 8L * b, 10L)
+        val sNew = idiv((x - lNew) + 9L * sPrev, 10L)
+        slots.enqueue(sNew)
+        out += ((dayS, x, lNew, bNew, sNew, fitted))
+        l = lNew; b = bNew
+      }
+      out.toSeq
+        .toDF("day", "x_fp", "l_fp", "b_fp", "s_fp", "f_fp")
+        .select(col("day"),
+          (col("x_fp").cast("double") / lit(1.0e10)).as("x"),
+          (col("l_fp").cast("double") / lit(1.0e10)).as("level"),
+          (col("b_fp").cast("double") / lit(1.0e10)).as("trend"),
+          (col("s_fp").cast("double") / lit(1.0e10)).as("seasonal"),
+          (col("f_fp").cast("double") / lit(1.0e10)).as("fitted"))
+    }),
+
     // Weekday × hour activity heatmap (the Kibana punch-card): event
     // counts per (dow, hour) cell with each cell's share of its
     // weekday — locale-free epoch-day weekday arithmetic, the share
@@ -741,6 +795,55 @@ object EventQueries {
     * fold (the l-expression is inlined twice in the b-step — integer
     * arithmetic is exact, so textual duplication is safe).
     */
+  /** Holt-Winters replay: the same scale-10¹⁰ sign-split integer
+    * recurrences stepped by a recursive CTE that carries the 7-slot
+    * rotating seasonal state (s1 = s_{t−6} … s7 = s_t). lNew is
+    * inlined wherever referenced — SQL cannot alias-within-SELECT —
+    * so the strings are built once here and expanded mechanically.
+    */
+  private def holtWintersSql: String = {
+    def idivS(e: String, d: Long): String =
+      s"(CASE WHEN ($e) < 0 THEN -((-($e)) // $d) ELSE ($e) // $d END)"
+    val lNew = idivS("3*(d.x - hw.s1) + 7*(hw.l + hw.b)", 10L)
+    val bNew = idivS(s"2*(($lNew) - hw.l) + 8*hw.b", 10L)
+    val sNew = idivS(s"(d.x - ($lNew)) + 9*hw.s1", 10L)
+    val b0 = idivS("m2 - m1", 7L)
+    def slot(i: Int): String =
+      s"((SELECT x FROM dser WHERE rn = $i) - m1) AS s$i"
+    val dd10 = "CAST(%s AS DOUBLE) / 10000000000.0"
+    s"""WITH RECURSIVE dser AS (
+          SELECT row_number() OVER (ORDER BY d) AS rn,
+                 strftime(d, '%Y-%m-%d') AS day,
+                 CAST(sum_dec * 10000000000 AS BIGINT) AS x
+          FROM (SELECT CAST(ts AS DATE) AS d,
+                       sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+                FROM events GROUP BY 1)),
+        ini AS (
+          SELECT ((SELECT sum(x) FROM dser WHERE rn <= 7) // 7)::BIGINT
+                   AS m1,
+                 ((SELECT sum(x) FROM dser WHERE rn BETWEEN 8 AND 14)
+                   // 7)::BIGINT AS m2),
+        hw AS (
+          SELECT 7::BIGINT AS rn, CAST(NULL AS VARCHAR) AS day,
+                 CAST(NULL AS BIGINT) AS x, m1 AS l, ($b0)::BIGINT AS b,
+                 ${(1 to 7).map(slot).mkString(", ")},
+                 CAST(NULL AS BIGINT) AS fitted
+          FROM ini
+          UNION ALL
+          SELECT d.rn, d.day, d.x,
+                 ($lNew)::BIGINT AS l, ($bNew)::BIGINT AS b,
+                 hw.s2 AS s1, hw.s3 AS s2, hw.s4 AS s3, hw.s5 AS s4,
+                 hw.s6 AS s5, hw.s7 AS s6, ($sNew)::BIGINT AS s7,
+                 (hw.l + hw.b + hw.s1)::BIGINT AS fitted
+          FROM hw JOIN dser d ON d.rn = hw.rn + 1)
+        SELECT day, ${dd10.format("x")} AS x,
+               ${dd10.format("l")} AS level,
+               ${dd10.format("b")} AS trend,
+               ${dd10.format("s7")} AS seasonal,
+               ${dd10.format("fitted")} AS fitted
+        FROM hw WHERE day IS NOT NULL"""
+  }
+
   private def forecastSql: String = {
     val lE = "(3 * w.x_fp + 7 * (h.l + h.b))"
     val lDiv = s"(CASE WHEN $lE < 0 THEN -((-$lE) // 10) " +
@@ -776,6 +879,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
+    "events_holt_winters" -> holtWintersSql,
     "events_heatmap" ->
       """WITH g AS (
            SELECT CAST(((date_diff('day', DATE '1970-01-05',
