@@ -403,6 +403,43 @@ object EventQueries {
             .as("forecast_next"))
     }),
 
+    // Association rules over per-user event-type baskets (the
+    // market-basket view on top of es_frequent_item_sets' pair
+    // supports): every directed rule A→B with its exact support /
+    // confidence / lift — lift = P(AB)·N / (P(A)·P(B)) as ONE shared
+    // double tree. The distinct basket frame materializes once and
+    // feeds the pair join AND the item supports; rule grain is
+    // |types|²-bounded; the user total is a 1-row comparand
+    // (allowlisted).
+    "events_basket_rules" -> ((s, dir) => {
+      val ut = ev(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(false)
+      val n = ev(s, dir).agg(countDistinct(col("user_id")).as("n_users"))
+      val item = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_item"))
+      ut.select(col("user_id"), col("event_type").as("antecedent"))
+        .join(ut.select(col("user_id"),
+          col("event_type").as("consequent")), Seq("user_id"))
+        .filter(col("antecedent") =!= col("consequent"))
+        .groupBy(col("antecedent"), col("consequent"))
+        .agg(count(lit(1)).as("n_pair"))
+        .join(broadcast(item.select(col("event_type").as("antecedent"),
+          col("n_item").as("n_ant"))), Seq("antecedent"))
+        .join(broadcast(item.select(col("event_type").as("consequent"),
+          col("n_item").as("n_con"))), Seq("consequent"))
+        .crossJoin(broadcast(n))
+        .select(col("antecedent"), col("consequent"), col("n_pair"),
+          col("n_ant"), col("n_con"),
+          (col("n_pair").cast("double") / col("n_users").cast("double"))
+            .as("support"),
+          (col("n_pair").cast("double") / col("n_ant").cast("double"))
+            .as("confidence"),
+          (col("n_pair").cast("double") * col("n_users").cast("double") /
+            (col("n_ant").cast("double") * col("n_con").cast("double")))
+            .as("lift"))
+    }),
+
     // Holt-Winters additive triple smoothing on the DAILY revenue
     // series with a weekly season (m=7; the 30-day corpus holds 4+
     // seasons): α=3/10, β=2/10, γ=1/10 in EXACT scale-10¹⁰ integer
@@ -880,6 +917,30 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
     "events_holt_winters" -> holtWintersSql,
+    "events_basket_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+          item AS (SELECT event_type, count(*) AS n_item
+                   FROM ut GROUP BY 1),
+          p AS (
+            SELECT a.event_type AS antecedent,
+                   b.event_type AS consequent, count(*) AS n_pair
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+            WHERE a.event_type <> b.event_type
+            GROUP BY 1, 2)
+          SELECT antecedent, consequent, n_pair,
+                 ia.n_item AS n_ant, ic.n_item AS n_con,
+                 CAST(n_pair AS DOUBLE) / CAST(n_users AS DOUBLE)
+                   AS support,
+                 CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+                   AS confidence,
+                 CAST(n_pair AS DOUBLE) * CAST(n_users AS DOUBLE) /
+                   (CAST(ia.n_item AS DOUBLE) * CAST(ic.n_item AS DOUBLE))
+                   AS lift
+          FROM p
+          JOIN item ia ON p.antecedent = ia.event_type
+          JOIN item ic ON p.consequent = ic.event_type
+          CROSS JOIN n""",
     "events_heatmap" ->
       """WITH g AS (
            SELECT CAST(((date_diff('day', DATE '1970-01-05',

@@ -405,6 +405,7 @@ object PlanSpec {
     "events_wau_rolling" -> 1, // 1-row span-max clip comparand
     "es_date_range" -> 1,     // 1-row min-date boundary comparand
     "es_frequent_item_sets" -> 1, // 1-row user-count comparand
+    "events_basket_rules" -> 1,   // same 1-row user-count comparand
     "es_normalize" -> 1,      // 1-row total/min/max over day-grain buckets
     "es_moving_percentiles" -> 1, // 7-lag window over the day-grain frame
     "es_variable_width_histogram" -> 1, // ONE exchange feeds the gap lag
