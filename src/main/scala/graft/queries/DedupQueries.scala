@@ -387,7 +387,19 @@ object DedupQueries {
   /** The full dedup_minhash_lsh replay as one self-contained query —
     * also spliced (as a derived table) into `corpus_dedup_report`.
     */
-  private def minhashPairsSql: String =
+  /** The dedup_embedding_cosine replay — also spliced (as a derived
+    * table) into `corpus_hard_negatives`' exclusion set.
+    */
+  private[queries] def embCosinePairsSql: String =
+    s"""WITH g AS (SELECT vec_id, embedding,
+                ${srpBucket("embedding", 4, 64)} AS bucket
+              FROM embeddings)
+        SELECT x.vec_id AS a, y.vec_id AS b,
+          ${cosine("x.embedding", "y.embedding")} AS cos
+        FROM g x JOIN g y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35"""
+
+  private[queries] def minhashPairsSql: String =
     s"""WITH $minhashBandCtes,
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                    x.sh AS sha, y.sh AS shb
@@ -522,14 +534,7 @@ object DedupQueries {
                        AND x.doc_id < y.doc_id)
           SELECT a, b, bit_count(xor(sha, shb))::BIGINT AS hamming
           FROM cand WHERE bit_count(xor(sha, shb)) <= 8""",
-    "dedup_embedding_cosine" ->
-      s"""WITH g AS (SELECT vec_id, embedding,
-                  ${srpBucket("embedding", 4, 64)} AS bucket
-                FROM embeddings)
-          SELECT x.vec_id AS a, y.vec_id AS b,
-            ${cosine("x.embedding", "y.embedding")} AS cos
-          FROM g x JOIN g y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-          WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35""",
+    "dedup_embedding_cosine" -> embCosinePairsSql,
     // positional shingles → df≥2 hashes → per-doc sorted starts →
     // exact interval merge via lead(); COALESCE 0 for clean docs
     "dedup_duplicate_spans" -> spansSql,

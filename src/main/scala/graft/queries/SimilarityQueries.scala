@@ -431,6 +431,45 @@ object SimilarityQueries {
           (shareLive - shareRef).as("share_delta"))
     }),
 
+    // Hard-negative mining for contrastive training (the retrieval-
+    // model data step): for each anchor doc, its 2 most embedding-
+    // similar neighbors that are NOT textual near-duplicates — the
+    // pairs that teach a model the boundary between "related" and
+    // "same". Composition of two shared kernels: the trained-cell k-NN
+    // graph (candidates, cell-bucketed — never all-pairs) anti-joined
+    // against the verified MinHash near-dup pairs (the SAME band
+    // parameters as dedup_minhash_lsh, so the oracle splices that
+    // replay verbatim), then a per-anchor re-rank. Each stage pays its
+    // own model (honest per-query cost).
+    "corpus_hard_negatives" -> ((s, dir) => {
+      val edges = SimilarityOps.knnGraph(trained(s, dir), KnnK)(
+        embs(s, dir))
+      // exclusion set: textual near-dups (MinHash verify) ∪ embedding
+      // near-dups (SRP-bucketed cosine ≥ 0.35) — a too-similar pair is
+      // a likely positive either way, not a hard negative. Both replays
+      // are the registered dedup queries' own parameters.
+      val dups = graft.operators.DedupOps.minhashLshPairs(k = 2,
+          bands = 8, rows = 2, threshold = 0.5)(
+          Tables.documents(s, dir))
+        .select(col("a"), col("b"))
+        .union(graft.operators.DedupOps.embeddingNearDupPairs(
+            threshold = 0.35, planes = 4)(embs(s, dir))
+          .select(col("a"), col("b")))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      edges
+        .withColumn("pa", least(col("vec_id"), col("neighbor_id")))
+        .withColumn("pb", greatest(col("vec_id"), col("neighbor_id")))
+        .join(dups, col("pa") === col("a") && col("pb") === col("b"),
+          "left_anti")
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 2)
+        .select(col("vec_id").as("doc_id"), col("neg_rank"),
+          col("neighbor_id").as("negative_id"), col("cos"))
+    }),
+
     // Cluster topic labeling (the naming step after embedding
     // clustering): each trained cell labeled by its 3 most DISTINCTIVE
     // terms — score = ⌊10⁶ · cell_df / corpus_df⌋, the exact-integer
@@ -828,6 +867,26 @@ object SimilarityQueries {
           LEFT JOIN lp_top t ON t.vec_id = v.vec_id""",
     "sim_recall_at_k" -> recallSql,
     "sim_recall_curve" -> recallCurveSql,
+    "corpus_hard_negatives" ->
+      s"""WITH $knnEdgeCtes,
+          hn_dup AS (SELECT DISTINCT a, b FROM (
+                     SELECT a, b FROM (${DedupQueries.minhashPairsSql})
+                     UNION ALL
+                     SELECT a, b
+                     FROM (${DedupQueries.embCosinePairsSql}))),
+          hn_keep AS (
+            SELECT k.vec_id, k.neighbor_id, k.cos
+            FROM knn k LEFT JOIN hn_dup d
+              ON least(k.vec_id, k.neighbor_id) = d.a
+                AND greatest(k.vec_id, k.neighbor_id) = d.b
+            WHERE d.a IS NULL)
+          SELECT vec_id AS doc_id, neg_rank,
+                 neighbor_id AS negative_id, cos
+          FROM (SELECT vec_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, neighbor_id) AS neg_rank
+                FROM hn_keep)
+          WHERE neg_rank <= 2""",
     "sim_topic_labels" ->
       s"""WITH $lloydCtes,
           $trainedCellsCtes,
