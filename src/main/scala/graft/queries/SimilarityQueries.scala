@@ -431,6 +431,44 @@ object SimilarityQueries {
           (shareLive - shareRef).as("share_delta"))
     }),
 
+    // Degree assortativity of the k-NN graph (Newman's r): the Pearson
+    // correlation of endpoint degrees over the SYMMETRIZED edge list —
+    // positive r = hubs link hubs (a clustered, redundant neighborhood
+    // structure), negative = hub-and-spoke. Out-degree alone is the
+    // constant k, so symmetrization is what makes the statistic
+    // non-degenerate. Exact DECIMAL moment sums + the matrix_stats
+    // corr tree; one 1-row aggregate (allowlisted); edges rebuilt from
+    // the shared trained cells (honest per-query cost).
+    "graph_assortativity" -> ((s, dir) => {
+      def dec38(c: org.apache.spark.sql.Column) =
+        c.cast("decimal(38,10)")
+      val e0 = SimilarityOps.knnGraph(trained(s, dir), KnnK)(embs(s, dir))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      val und = e0
+        .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint(false) // degree frame + both endpoint joins
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val ed = und
+        .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+          Seq("dst"))
+      val m = ed.agg(count(lit(1)).as("n"),
+        sum(dec38(col("dx"))).as("sxd"),
+        sum(dec38(col("dy"))).as("syd"),
+        sum(dec38(col("dx") * col("dx"))).as("sxxd"),
+        sum(dec38(col("dy") * col("dy"))).as("syyd"),
+        sum(dec38(col("dx") * col("dy"))).as("sxyd"))
+      val nD = col("n").cast("double")
+      def d(c: String) = col(c).cast("double")
+      m.select(col("n").as("n_edges"),
+        (d("sxd") / nD).as("mean_deg"),
+        ((nD * d("sxyd") - d("sxd") * d("syd")) /
+          (sqrt(nD * d("sxxd") - d("sxd") * d("sxd")) *
+            sqrt(nD * d("syyd") - d("syd") * d("syd"))))
+          .as("assortativity"))
+    }),
+
     // Hard-negative mining for contrastive training (the retrieval-
     // model data step): for each anchor doc, its 2 most embedding-
     // similar neighbors that are NOT textual near-duplicates — the
@@ -867,6 +905,29 @@ object SimilarityQueries {
           LEFT JOIN lp_top t ON t.vec_id = v.vec_id""",
     "sim_recall_at_k" -> recallSql,
     "sim_recall_curve" -> recallCurveSql,
+    "graph_assortativity" ->
+      s"""WITH $knnEdgeCtes,
+          und AS (SELECT DISTINCT src, dst FROM (
+                    SELECT vec_id AS src, neighbor_id AS dst FROM knn
+                    UNION ALL
+                    SELECT neighbor_id AS src, vec_id AS dst FROM knn)),
+          dg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+          ed AS (SELECT a.deg AS dx, b.deg AS dy
+                 FROM und JOIN dg a ON und.src = a.src
+                      JOIN dg b ON und.dst = b.src),
+          m AS (SELECT count(*) AS n,
+                  ${ddS("sum(CAST(dx AS DECIMAL(38,10)))")} AS sx,
+                  ${ddS("sum(CAST(dy AS DECIMAL(38,10)))")} AS sy,
+                  ${ddS("sum(CAST(dx * dx AS DECIMAL(38,10)))")} AS sxx,
+                  ${ddS("sum(CAST(dy * dy AS DECIMAL(38,10)))")} AS syy,
+                  ${ddS("sum(CAST(dx * dy AS DECIMAL(38,10)))")} AS sxy
+                FROM ed)
+          SELECT n AS n_edges, sx / CAST(n AS DOUBLE) AS mean_deg,
+                 (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                   (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+                    sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+                   AS assortativity
+          FROM m""",
     "corpus_hard_negatives" ->
       s"""WITH $knnEdgeCtes,
           hn_dup AS (SELECT DISTINCT a, b FROM (
@@ -1180,6 +1241,10 @@ object SimilarityQueries {
                 ORDER BY score DESC, neighbor_id) AS rank
             FROM ${p}sc)
           WHERE rank <= $K)"""
+
+  /** DECIMAL→DOUBLE through VARCHAR (the house oracle rule). */
+  private def ddS(e: String): String =
+    s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
 
   /** The recall-curve replay: the shared ground truth + three renamed
     * IVF chains, one hit-count row per nprobe.

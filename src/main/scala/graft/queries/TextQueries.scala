@@ -28,6 +28,39 @@ object TextQueries {
       quality()(docs(s, dir)).select(col("doc_id") +:
         TextOps.qualityColumns(col("text")).map(p => col(p._1)): _*)),
 
+    // Readability scoring (Flesch reading-ease + Flesch-Kincaid grade,
+    // the corpus-filtering classic): exact word / sentence /
+    // vowel-group-syllable counting per doc (the standard heuristic —
+    // ≥1 syllable per word), rolled up per source and scored on the
+    // AGGREGATE ratios with one shared double tree. Pure scan-side
+    // counting into a source-grain exchange; both engines keep split
+    // empties identically and the nonempty filters make them equal.
+    "text_readability" -> ((s, dir) =>
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("source"),
+          expr("CAST(size(filter(split(trim(text), '\\\\s+'), " +
+            "w -> w <> '')) AS BIGINT)").as("w"),
+          expr("greatest(CAST(1 AS BIGINT), " +
+            "CAST(size(filter(split(text, '[.!?]+'), " +
+            "x -> trim(x) <> '')) AS BIGINT))").as("st"),
+          expr("aggregate(filter(split(trim(text), '\\\\s+'), " +
+            "w -> w <> ''), CAST(0 AS BIGINT), (acc, w) -> acc + " +
+            "greatest(CAST(1 AS BIGINT), CAST(size(filter(" +
+            "split(lower(w), '[^aeiouy]+'), p -> p <> '')) AS BIGINT)))")
+            .as("sy"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("tw"),
+          sum(col("st")).as("ts"), sum(col("sy")).as("tsy"))
+        .select(col("source"), col("n_docs"), col("tw").as("total_words"),
+          col("ts").as("total_sentences"), col("tsy").as("total_syllables"),
+          (lit(206.835) -
+            lit(1.015) * (col("tw").cast("double") / col("ts").cast("double")) -
+            lit(84.6) * (col("tsy").cast("double") / col("tw").cast("double")))
+            .as("flesch_ease"),
+          (lit(0.39) * (col("tw").cast("double") / col("ts").cast("double")) +
+            lit(11.8) * (col("tsy").cast("double") / col("tw").cast("double")) -
+            lit(15.59)).as("fk_grade"))),
+
     // Language ID (n-gram/stopword heuristic with deterministic argmax).
     "text_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -729,6 +762,35 @@ object TextQueries {
     "text_search_rescore" -> rescoreSql,
     "text_search_function_score" -> functionScoreSql,
     "text_search_boosting" -> boostingSql,
+    "text_readability" ->
+      """WITH per AS (
+           SELECT source,
+             CAST(length(list_filter(string_split_regex(trim(text),
+               '\s+'), w -> w <> '')) AS BIGINT) AS w,
+             greatest(CAST(1 AS BIGINT),
+               CAST(length(list_filter(string_split_regex(text,
+                 '[.!?]+'), x -> trim(x) <> '')) AS BIGINT)) AS st,
+             COALESCE(list_sum(list_transform(
+               list_filter(string_split_regex(trim(text), '\s+'),
+                 w -> w <> ''),
+               w -> greatest(CAST(1 AS BIGINT),
+                 CAST(length(list_filter(string_split_regex(lower(w),
+                   '[^aeiouy]+'), p -> p <> '')) AS BIGINT)))), 0)
+               ::BIGINT AS sy
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT source, count(*) AS n_docs, sum(w)::BIGINT AS tw,
+                  sum(st)::BIGINT AS ts, sum(sy)::BIGINT AS tsy
+           FROM per GROUP BY 1)
+         SELECT source, n_docs, tw AS total_words,
+                ts AS total_sentences, tsy AS total_syllables,
+                206.835 - 1.015 * (CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE))
+                  - 84.6 * (CAST(tsy AS DOUBLE) / CAST(tw AS DOUBLE))
+                  AS flesch_ease,
+                0.39 * (CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE))
+                  + 11.8 * (CAST(tsy AS DOUBLE) / CAST(tw AS DOUBLE))
+                  - 15.59 AS fk_grade
+         FROM g""",
     // persisted search: same postings (df/dl/stats derive from them),
     // same tail — same replay
     "text_search_bm25_persisted" -> bm25Sql,

@@ -415,6 +415,7 @@ object PlanSpec {
     "orders_backlog" -> 1,    // day-grain cumsum window (the 1-row
     // bounds agg runs behind the oc checkpoint barrier)
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
+    "graph_assortativity" -> 1, // 1-row degree-moment aggregate
     "events_attribution" -> 1, // share window over the 3-row channel frame
     "events_markov" -> 1,     // obs-share window over the |types|-row frame
     "sim_pca_power" -> 1)     // final-round 1-row renormalizer max
