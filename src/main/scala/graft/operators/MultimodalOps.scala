@@ -126,6 +126,50 @@ object MultimodalOps {
       "duration_ms", "sum_sq", "peak")
   }
 
+  /** Energy-based voice-activity detection over the REAL 16-bit PCM
+    * decode (no codec needed — the wavStats sample loop, framed): the
+    * audio splits into `frame`-sample windows (full frames only), a
+    * frame is active when its Σs² energy exceeds `thrEnergy`, and
+    * consecutive active frames merge into segments (the
+    * gaps-and-islands count, tracked inline by the same loop). Audio
+    * shorter than one frame reports 0/0/0 honestly. Per-row narrow
+    * kernel — zero shuffles, the production VAD shape; only a learned
+    * model would replace the energy gate.
+    */
+  def wavVad(frame: Int, thrEnergy: Long)(
+      media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      MediaHeaders.wav(r.content).map { case (_, _, hdrLen) =>
+        val payload =
+          java.util.Arrays.copyOfRange(r.content, hdrLen, r.content.length)
+        val n = payload.length / 2
+        val nf = n / frame
+        var act = 0L
+        var segs = 0L
+        var prev = false
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = f * frame
+          while (i < (f + 1) * frame) {
+            val lo = payload(2 * i) & 0xff
+            val s = ((payload(2 * i + 1).toInt << 8) | lo).toLong
+            e += s * s
+            i += 1
+          }
+          val a = e > thrEnergy
+          if (a) { act += 1; if (!prev) segs += 1 }
+          prev = a
+          f += 1
+        }
+        (r.doc_id, nf.toLong, act, segs,
+          if (nf > 0) act.toDouble / nf.toDouble else 0.0)
+      }
+    }.toDF("doc_id", "n_frames", "n_active", "n_segments",
+      "active_ratio")
+  }
+
   /** Resize/resample plumbing: deterministic byte-stride downsample to at
     * most `targetBytes` (stride k = ceil(n / target), keep every k-th
     * byte). With a codec this seam is image resize / audio resample: the

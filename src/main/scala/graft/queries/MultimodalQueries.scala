@@ -38,6 +38,16 @@ object MultimodalQueries {
         MultimodalOps.documentsAsEncodedMedia(
           s, Tables.documents(s, dir)))),
 
+    // Energy-based VAD over the decoded PCM (50-sample frames, frame
+    // energy gate tuned inside the measured distribution 2.8e10-3.7e10
+    // so BOTH classes exist; see MultimodalOps.wavVad). Sub-frame
+    // audio reports 0/0/0; the oracle replays every sample and the
+    // gaps-and-islands segment count via a lag window.
+    "mm_audio_vad" -> ((s, dir) =>
+      MultimodalOps.wavVad(VadFrame, VadThr)(
+        MultimodalOps.documentsAsEncodedMedia(
+          s, Tables.documents(s, dir)))),
+
     // Perceptual hash of the image documents (pHash: stub-decode →
     // 8×8 feature-hash texture → separable integer DCT → 60-bit
     // low-frequency sign sketch — see MultimodalOps.phashSketch).
@@ -72,6 +82,11 @@ object MultimodalQueries {
 
   private val PhMaxHam = 9
   private val PhChunks = 12
+  /** VAD: 50-sample frames; energy gate inside the measured per-frame
+    * Σs² distribution (2.8e10–3.7e10 on the ASCII-payload fixture).
+    */
+  private val VadFrame = 50
+  private val VadThr = 32000000000L
 
   /** pHash replay: the shingle feature-hash texture, the shared literal
     * DCT basis (MultimodalOps.dctBasis — the ONE cosine table), the
@@ -126,6 +141,47 @@ object MultimodalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same sample re-derivation as mm_wav_stats, framed; the segment
+    // count is the gaps-and-islands lag window; sub-frame docs restore
+    // via LEFT JOIN with 0s
+    "mm_audio_vad" ->
+      s"""WITH a AS (
+           SELECT doc_id, text, octet_length(encode(text)) // 2 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT doc_id, n // $VadFrame AS nf,
+                  list_transform(range(0, n), i ->
+                    CAST(ord(substring(text, (1 + 2 * i)::INTEGER, 1)) +
+                         256 * ord(substring(text, (2 + 2 * i)::INTEGER,
+                           1)) AS BIGINT)) AS ss
+           FROM a),
+         fr AS (
+           SELECT doc_id, f.f AS f,
+                  list_sum(list_transform(
+                    range($VadFrame * f.f, $VadFrame * f.f + $VadFrame),
+                    i -> ss[(i + 1)::INTEGER] * ss[(i + 1)::INTEGER]))
+                    AS e
+           FROM sm CROSS JOIN LATERAL (
+             SELECT unnest(range(0, nf)) AS f) f),
+         fa AS (
+           SELECT doc_id, f, (e > $VadThr) AS act,
+                  lag(e > $VadThr, 1, FALSE) OVER (
+                    PARTITION BY doc_id ORDER BY f) AS pact
+           FROM fr),
+         agg AS (
+           SELECT doc_id, count(*) AS nfr,
+                  sum(CASE WHEN act THEN 1 ELSE 0 END)::BIGINT
+                    AS n_active,
+                  sum(CASE WHEN act AND NOT pact THEN 1 ELSE 0 END)
+                    ::BIGINT AS n_segments
+           FROM fa GROUP BY 1)
+         SELECT s.doc_id, COALESCE(g.nfr, 0)::BIGINT AS n_frames,
+                COALESCE(g.n_active, 0)::BIGINT AS n_active,
+                COALESCE(g.n_segments, 0)::BIGINT AS n_segments,
+                CASE WHEN COALESCE(g.nfr, 0) > 0
+                  THEN CAST(g.n_active AS DOUBLE) / CAST(g.nfr AS DOUBLE)
+                  ELSE 0.0 END AS active_ratio
+         FROM sm s LEFT JOIN agg g USING (doc_id)""",
     // samples re-derived from the text payload: the fixture's WAV data
     // chunk IS the UTF-8 text (all-ASCII in this corpus, so high bytes
     // stay < 128 and unsigned reassembly ≡ two's complement)
