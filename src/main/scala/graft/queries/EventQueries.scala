@@ -403,6 +403,49 @@ object EventQueries {
             .as("forecast_next"))
     }),
 
+    // Item-item collaborative filtering (the Amazon/Sarwar classic)
+    // over the payload item key: each user's per-item interaction
+    // counts form the rating vector, item pairs sharing a user get the
+    // exact-DECIMAL dot product, and cosine = dot/(‖i‖·‖j‖) is one
+    // shared double tree over exact Σc² norms. Top-20 pairs as a
+    // TakeOrdered. Scale shape: the co-occurrence self-join shuffles
+    // on user_id with per-user fanout bounded by that user's distinct
+    // items (the standard cooc shuffle; a 100 TB deployment caps it
+    // with per-user item limits, which this per-user distinct frame
+    // already models); norms broadcast at item grain.
+    "events_item_similarity" -> ((s, dir) => {
+      val ui = ev(s, dir)
+        .withColumn("item", get_json_object(col("props"), "$.k")
+          .cast("int").cast("long"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("user_id"), col("item"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // both pair sides + norms read it
+      val norms = ui.groupBy(col("item"))
+        .agg(sum((col("c") * col("c")).cast("decimal(38,10)"))
+          .as("ssq_dec"))
+      val pairs = ui.select(col("user_id"), col("item").as("item_a"),
+          col("c").as("ca"))
+        .join(ui.select(col("user_id"), col("item").as("item_b"),
+          col("c").as("cb")), Seq("user_id"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_common_users"),
+          sum((col("ca") * col("cb")).cast("decimal(38,10)"))
+            .as("dot_dec"))
+      pairs
+        .join(broadcast(norms.select(col("item").as("item_a"),
+          col("ssq_dec").as("sa"))), Seq("item_a"))
+        .join(broadcast(norms.select(col("item").as("item_b"),
+          col("ssq_dec").as("sb"))), Seq("item_b"))
+        .select(col("item_a"), col("item_b"), col("n_common_users"),
+          (col("dot_dec").cast("double") /
+            (sqrt(col("sa").cast("double")) *
+              sqrt(col("sb").cast("double")))).as("cos"))
+        .orderBy(col("cos").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
     // Association rules over per-user event-type baskets (the
     // market-basket view on top of es_frequent_item_sets' pair
     // supports): every directed rule A→B with its exact support /
@@ -917,6 +960,33 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "events_forecast" -> forecastSql,
     "events_holt_winters" -> holtWintersSql,
+    "events_item_similarity" ->
+      s"""WITH ui AS (
+            SELECT user_id,
+                   CAST(CAST(json_extract_string(props, '$$.k')
+                     AS INTEGER) AS BIGINT) AS item,
+                   count(*) AS c
+            FROM events
+            WHERE json_extract_string(props, '$$.k') IS NOT NULL
+            GROUP BY 1, 2),
+          norms AS (
+            SELECT item, sum(CAST(c * c AS DECIMAL(38,10))) AS ssq_dec
+            FROM ui GROUP BY 1),
+          p AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   count(*) AS n_common_users,
+                   sum(CAST(a.c * b.c AS DECIMAL(38,10))) AS dot_dec
+            FROM ui a JOIN ui b ON a.user_id = b.user_id
+              AND a.item < b.item
+            GROUP BY 1, 2)
+          SELECT item_a, item_b, n_common_users,
+                 ${dd("dot_dec")} /
+                   (sqrt(${dd("na.ssq_dec")}) * sqrt(${dd("nb.ssq_dec")}))
+                   AS cos
+          FROM p
+          JOIN norms na ON p.item_a = na.item
+          JOIN norms nb ON p.item_b = nb.item
+          ORDER BY cos DESC, item_a, item_b LIMIT 20""",
     "events_basket_rules" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
           n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),

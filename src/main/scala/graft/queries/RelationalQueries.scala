@@ -161,6 +161,27 @@ object RelationalQueries {
           col("rolling_sum"))
     }),
 
+    // RANGE window frame (value-based, vs window_rolling_sum's ROWS
+    // frame): per order, the same customer's order count and revenue
+    // within ±3 DAYS of it — the frame every "orders near this one"
+    // audit uses. The range key is integer epoch days, so frame edges
+    // are exact in both engines and the result is tie-order-free by
+    // construction (RANGE frames aggregate peers together).
+    "window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od_day")).rangeBetween(-3, 3)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(datediff(to_date(o_orderdate), DATE '1970-01-01')" +
+            " AS BIGINT)").as("od_day"),
+          col("o_totalprice"))
+        .withColumn("n_near", count(lit(1)).over(w))
+        .withColumn("near_total",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("od_day"),
+          col("n_near"), col("near_total"))
+    }),
+
     // Pivot (conditional aggregation onto a known column set).
     "pivot_type_day" -> ((s, dir) =>
       t(s, dir, "events")
@@ -338,6 +359,18 @@ object RelationalQueries {
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                   AS rolling_sum
          FROM events""",
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS od_day,
+                count(*) OVER w AS n_near,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))
+                  OVER w AS VARCHAR) AS DOUBLE) AS near_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY CAST(date_diff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) AS BIGINT)
+           RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)""",
     "pivot_type_day" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
                 count(*) FILTER (WHERE event_type = 'click') AS click,
