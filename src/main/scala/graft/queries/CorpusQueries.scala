@@ -248,6 +248,42 @@ object CorpusQueries {
       CorpusOps.gopherGate(GMinTok, GMaxTok, GMinWordLen, GMaxWordLen,
         GMaxSymbol, GMinAlpha, GMinStop, GMinDistinct)(docs(s, dir))),
 
+    // The dataset card (the one-row summary a dataset release ships):
+    // corpus size in docs/tokens, exact-duplicate share (normalized
+    // content hash), English share (the langId argmax), and the Gopher
+    // quality pass rate — each signal the registered operator's own
+    // kernel, composed into ONE per-doc pass + the gate join + one
+    // 1-row aggregate (allowlisted). The numbers a reader compares
+    // against the per-source corpus_source_quality table.
+    "corpus_dataset_card" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ntok"),
+          TextOps.contentHash(col("text")).as("ch"),
+          TextOps.langId(TextOps.tokens(col("text"))).as("lid"))
+      val gp = CorpusOps.gopherGate(GMinTok, GMaxTok, GMinWordLen,
+          GMaxWordLen, GMaxSymbol, GMinAlpha, GMinStop, GMinDistinct)(
+          docs(s, dir))
+        .select(col("doc_id"), col("keep"))
+      base.join(gp, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          countDistinct(col("ch")).as("n_distinct"),
+          sum(when(col("lid") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_pass"))
+        .select(col("n_docs"), col("total_tokens"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") /
+            col("n_docs").cast("double")).as("dup_share"),
+          col("n_en"),
+          (col("n_en").cast("double") / col("n_docs").cast("double"))
+            .as("en_share"),
+          col("n_pass"),
+          (col("n_pass").cast("double") / col("n_docs").cast("double"))
+            .as("gopher_pass_rate"),
+          (col("total_tokens").cast("double") /
+            col("n_docs").cast("double")).as("mean_doc_tokens"))
+    }),
+
     // Sequence-length bucketing (the batching-efficiency view): docs
     // binned to the next power-of-two token budget (16..1024, longer
     // truncated), reporting per bucket the docs, real tokens, PAD waste
@@ -881,6 +917,34 @@ object CorpusQueries {
           WHERE rank <= 3""",
     "corpus_gopher_gate" -> gopherSql,
     "corpus_quality_regression" -> regressionSql,
+    "corpus_dataset_card" ->
+      s"""WITH base AS (
+            SELECT doc_id, length($toks)::BIGINT AS ntok,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                     'g')) AS ch,
+                   ${TextQueries.langCase} AS lid
+            FROM documents WHERE text IS NOT NULL),
+          gp AS (SELECT doc_id, keep FROM ($gopherSql)),
+          agg AS (
+            SELECT count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens,
+                   count(DISTINCT ch) AS n_distinct,
+                   sum(CASE WHEN lid = 'en' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_en,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT
+                     AS n_pass
+            FROM base JOIN gp USING (doc_id))
+          SELECT n_docs, total_tokens, n_distinct,
+                 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS dup_share,
+                 n_en,
+                 CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS en_share,
+                 n_pass,
+                 CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS gopher_pass_rate,
+                 CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS mean_doc_tokens
+          FROM agg""",
     "corpus_length_buckets" ->
       s"""WITH t AS (SELECT length($toks)::BIGINT AS n FROM documents
                      WHERE text IS NOT NULL),

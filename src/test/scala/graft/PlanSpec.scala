@@ -377,6 +377,7 @@ object PlanSpec {
     "text_search_function_score" -> 1, // same shared BM25 stats (1 row)
     "text_search_boosting" -> 1,  // same shared BM25 stats (1 row)
     "events_seasonality" -> 1,    // 1-row global daily-mean comparand
+    "corpus_dataset_card" -> 1,   // the card IS a 1-row corpus aggregate
     "corpus_quality_regression" -> 3, // 1-row moment agg ×2 subtree
     // copies (model broadcast into fit AND the final row) + 1-row fit agg
     "text_search_rrf" -> 1,       // same shared BM25 stats (1 row)
