@@ -364,14 +364,24 @@ object CorpusOps {
   private def bm25ScoredFromTf(tf: DataFrame,
       queryTerms: Seq[(Long, String)], k1: Double, b: Double)
       : DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    bm25ScoredFromTfQt(tf, queryTerms.toDF("query_id", "term"), k1, b)
+  }
+
+  /** Same scorer with the (query_id, term) set as a DATAFRAME — the
+    * RM3 expansion path feeds a computed, data-dependent term set
+    * through the identical formula (one scoring definition for every
+    * consumer). The term frame is query-bounded, so it broadcasts.
+    */
+  private def bm25ScoredFromTfQt(tf: DataFrame, qtDf: DataFrame,
+      k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
         .as("__avgdl"))
-    val spark = tf.sparkSession
-    import spark.implicits._
-    val qt = broadcast(queryTerms.toDF("query_id", "term"))
+    val qt = broadcast(qtDf)
     val tfD = col("tf").cast("double")
     val idf = (col("__n") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
@@ -449,6 +459,51 @@ object CorpusOps {
       .select(col("query_id"), col("doc_id"), col("score"),
         col("n_phrase_hits"), col("new_score"), col("rank"),
         col("rank0"))
+  }
+
+  /** RM3-style pseudo-relevance feedback (Lavrenko-Croft / Rocchio
+    * shape): the original BM25 top-`fbDocs` per query form the
+    * feedback set, the `expTerms` highest-tf terms in it (minus the
+    * original query terms — tf desc, term asc, all exact integers)
+    * expand the query, and the EXPANDED term set rescans through the
+    * SAME scorer. Docs surfaced only by expansion report a NULL
+    * original rank honestly. The term-selection join touches feedback
+    * DOCS' postings only (query-bounded); both scorings read the one
+    * materialized tf frame.
+    */
+  def bm25Rm3(queryTerms: Seq[(Long, String)], fbDocs: Int,
+      expTerms: Int, k: Int, k1: Double = 1.2, b: Double = 0.75)(
+      docs: DataFrame): DataFrame = {
+    val tf = DedupOps.materialize(bm25Postings(docs))
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.toDF("query_id", "term")
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val ranked0 = bm25ScoredFromTfQt(tf, qt, k1, b)
+      .withColumn("rank0", row_number().over(w0).cast("long"))
+      .localCheckpoint(false) // feedback cut + final rank0 join
+    val fb = ranked0.filter(col("rank0") <= fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    val cand = fb.join(tf, Seq("doc_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("ftf"))
+      .join(broadcast(qt), Seq("query_id", "term"), "left_anti")
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("ftf").desc, col("term"))
+    val exp = cand.withColumn("__r", row_number().over(we))
+      .filter(col("__r") <= expTerms)
+      .select(col("query_id"), col("term"))
+    val qt2 = qt.select(col("query_id"), col("term")).union(exp)
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25ScoredFromTfQt(tf, qt2, k1, b)
+      .withColumn("rank", row_number().over(w1).cast("long"))
+      .filter(col("rank") <= k)
+      .join(ranked0.select(col("query_id"), col("doc_id"),
+        col("rank0")), Seq("query_id", "doc_id"), "left_outer")
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("n_terms_hit"), col("rank"), col("rank0"))
   }
 
   /** ES `boosting` query: positive BM25 retrieval with docs matching

@@ -291,6 +291,15 @@ object TextQueries {
         RescoreWindow, RescoreK, RescoreBoost, Bm25K1, Bm25B)(
         docs(s, dir))),
 
+    // RM3 pseudo-relevance feedback: BM25 top-3 feedback docs donate
+    // their 2 highest-tf non-query terms, the expanded query rescans
+    // through the SAME scorer, and docs surfaced only by expansion
+    // report a NULL original rank (see CorpusOps.bm25Rm3) — the
+    // query-expansion classic between plain BM25 and a dense retriever.
+    "text_search_rm3" -> ((s, dir) =>
+      graft.operators.CorpusOps.bm25Rm3(Bm25Queries, Rm3FbDocs,
+        Rm3ExpTerms, Bm25K, Bm25K1, Bm25B)(docs(s, dir))),
+
     // ES boosting query: the positive BM25 retrieval with docs matching
     // the negative term demoted by negative_boost 0.5 (exact integer
     // halving; see CorpusOps.bm25Boosting). The non-demoted minority
@@ -523,6 +532,10 @@ object TextQueries {
     * integer halving, so no double constant to share).
     */
   private[queries] val BoostNegTerms = Seq("slow")
+
+  /** RM3 pseudo-relevance feedback: feedback depth and expansion width. */
+  private[queries] val Rm3FbDocs = 3
+  private[queries] val Rm3ExpTerms = 2
 
   /** RRF hybrid fusion: dense hashed-feature width, per-side window,
     * fused top-k, the standard rrf k=60, and the integer fusion scale.
@@ -762,6 +775,7 @@ object TextQueries {
     "text_search_rescore" -> rescoreSql,
     "text_search_function_score" -> functionScoreSql,
     "text_search_boosting" -> boostingSql,
+    "text_search_rm3" -> rm3Sql,
     "text_readability" ->
       """WITH per AS (
            SELECT source,
@@ -966,6 +980,24 @@ object TextQueries {
     * doc) integer scores in `doc`), shared by the ranked search and the
     * field-collapsing search ≡ CorpusOps.bm25ScoredFromTf.
     */
+  /** The scored/doc CTE pair from a given query-term CTE name, output
+    * names prefixed with `p` — ONE scoring-formula definition for every
+    * consumer (the base retrieval and the RM3 expanded rescan).
+    */
+  private def bm25ScoreChain(qtName: String, p: String): String =
+    s"""${p}scored AS (SELECT $qtName.query_id, tf.doc_id,
+              floor(1000000.0
+                * ((s.n - dfreq.df::DOUBLE + 0.5)
+                   / (dfreq.df::DOUBLE + 0.5))
+                * (tf.tf::DOUBLE * ${Bm25K1 + 1.0})
+                / (tf.tf::DOUBLE + $Bm25K1 * (${1.0 - Bm25B}
+                     + ($Bm25B * dl.dl::DOUBLE) / s.avgdl)))::BIGINT AS w
+            FROM $qtName JOIN tf USING (term) JOIN dfreq USING (term)
+                 JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+          ${p}doc AS (SELECT query_id, doc_id, sum(w)::BIGINT AS score,
+                    count(*)::BIGINT AS n_terms_hit
+                  FROM ${p}scored GROUP BY 1, 2)"""
+
   private def bm25DocCtes: String = {
     val values = Bm25Queries
       .map { case (q, t) => s"($q::BIGINT, ${sqlStr(t)})" }.mkString(", ")
@@ -976,19 +1008,46 @@ object TextQueries {
                       sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
                     FROM dl),
           qt AS (SELECT * FROM (VALUES $values) q(query_id, term)),
-          scored AS (SELECT qt.query_id, tf.doc_id,
-              floor(1000000.0
-                * ((s.n - dfreq.df::DOUBLE + 0.5)
-                   / (dfreq.df::DOUBLE + 0.5))
-                * (tf.tf::DOUBLE * ${Bm25K1 + 1.0})
-                / (tf.tf::DOUBLE + $Bm25K1 * (${1.0 - Bm25B}
-                     + ($Bm25B * dl.dl::DOUBLE) / s.avgdl)))::BIGINT AS w
-            FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
-                 JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
-          doc AS (SELECT query_id, doc_id, sum(w)::BIGINT AS score,
-                    count(*)::BIGINT AS n_terms_hit
-                  FROM scored GROUP BY 1, 2)"""
+          ${bm25ScoreChain("qt", "")}"""
   }
+
+  /** RM3 replay: the base chain, the feedback cut, the tf-ranked
+    * expansion terms (anti-joined against the original set), the
+    * expanded rescan through the SAME score chain, and the final
+    * re-rank with the honest NULL original rank.
+    */
+  private def rm3Sql: String =
+    s"""$bm25DocCtes,
+          r_fb AS (SELECT query_id, doc_id FROM (
+              SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS r0
+              FROM doc) WHERE r0 <= $Rm3FbDocs),
+          r_cand AS (SELECT f.query_id, tf.term,
+                       sum(tf.tf)::BIGINT AS ftf
+                     FROM r_fb f JOIN tf ON tf.doc_id = f.doc_id
+                     LEFT JOIN qt q ON q.query_id = f.query_id
+                       AND q.term = tf.term
+                     WHERE q.term IS NULL GROUP BY 1, 2),
+          r_exp AS (SELECT query_id, term FROM (
+              SELECT query_id, term,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY ftf DESC, term) AS rr
+              FROM r_cand) WHERE rr <= $Rm3ExpTerms),
+          qt2 AS (SELECT query_id, term FROM qt
+                  UNION ALL SELECT query_id, term FROM r_exp),
+          ${bm25ScoreChain("qt2", "x_")},
+          r_rank0 AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank0
+              FROM doc)
+          SELECT x.query_id, x.doc_id, x.score, x.n_terms_hit, x.rank,
+                 r0.rank0
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank FROM x_doc) x
+          LEFT JOIN r_rank0 r0 ON r0.query_id = x.query_id
+            AND r0.doc_id = x.doc_id
+          WHERE x.rank <= $Bm25K"""
 
   /** TextRank replay: the collocation-style zipped bigram pairs,
     * symmetrize + dedup, then `TrIters` unrolled PageRank rounds —

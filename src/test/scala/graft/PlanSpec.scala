@@ -376,6 +376,8 @@ object PlanSpec {
     "text_search_rescore" -> 1,   // same shared BM25 stats (1 row)
     "text_search_function_score" -> 1, // same shared BM25 stats (1 row)
     "text_search_boosting" -> 1,  // same shared BM25 stats (1 row)
+    "text_search_rm3" -> 1,       // same stats (the base chain's copy
+    // runs behind the feedback checkpoint barrier)
     "events_seasonality" -> 1,    // 1-row global daily-mean comparand
     "corpus_dataset_card" -> 1,   // the card IS a 1-row corpus aggregate
     "corpus_quality_regression" -> 3, // 1-row moment agg ×2 subtree
