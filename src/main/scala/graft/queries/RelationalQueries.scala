@@ -161,6 +161,35 @@ object RelationalQueries {
           col("rolling_sum"))
     }),
 
+    // ABC inventory classification (the Pareto curve as a report):
+    // parts ranked by exact revenue, classified by their cumulative
+    // revenue share INCLUDING self — A up to 80%, B to 95%, C the tail
+    // — then rolled up per class. The rank/cumsum windows run on the
+    // PART-GRAIN frame (catalog-bounded, not fact-bounded — the 1-row
+    // total and the global window are allowlisted on that basis); the
+    // only fact-sized exchange is the partkey groupBy.
+    "orders_abc_analysis" -> ((s, dir) => {
+      val pr = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_dec"))
+      val tot = pr.agg(sum(col("rev_dec")).as("tot_dec"))
+      val w = Window.orderBy(col("rev_dec").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pr.crossJoin(broadcast(tot))
+        .withColumn("cum_share",
+          sum(col("rev_dec")).over(w).cast("double") /
+            col("tot_dec").cast("double"))
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev_dec")).as("cls_dec"))
+        .select(col("abc_class"), col("n_parts"),
+          col("cls_dec").cast("double").as("class_revenue"))
+    }),
+
     // RANGE window frame (value-based, vs window_rolling_sum's ROWS
     // frame): per order, the same customer's order count and revenue
     // within ±3 DAYS of it — the frame every "orders near this one"
@@ -359,6 +388,28 @@ object RelationalQueries {
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                   AS rolling_sum
          FROM events""",
+    "orders_abc_analysis" ->
+      """WITH pr AS (
+           SELECT l_partkey,
+                  sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(28,10))) AS rev_dec
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(rev_dec) AS tot_dec FROM pr),
+         c AS (
+           SELECT l_partkey, rev_dec,
+                  CAST(CAST(sum(rev_dec) OVER (
+                      ORDER BY rev_dec DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS VARCHAR) AS DOUBLE) /
+                    CAST(CAST(tot_dec AS VARCHAR) AS DOUBLE) AS cum_share
+           FROM pr CROSS JOIN tot)
+         SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+                     WHEN cum_share <= 0.95 THEN 'B'
+                     ELSE 'C' END AS abc_class,
+                count(*) AS n_parts,
+                CAST(CAST(sum(rev_dec) AS VARCHAR) AS DOUBLE)
+                  AS class_revenue
+         FROM c GROUP BY 1""",
     "window_range_frame" ->
       """SELECT o_orderkey, o_custkey,
                 CAST(date_diff('day', DATE '1970-01-01',

@@ -415,6 +415,8 @@ object PlanSpec {
     // window; the top-2 rank window and the 1-row boundary agg reuse the
     // already-single partition (unit-cell frame, domain-bounded)
     "es_change_point" -> 2,   // day-grain prefix window + 1-row total
+    "orders_abc_analysis" -> 2, // catalog-grain Pareto window + 1-row
+    // revenue total (part frame is catalog-bounded, never fact-grain)
     "orders_backlog" -> 1,    // day-grain cumsum window (the 1-row
     // bounds agg runs behind the oc checkpoint barrier)
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
