@@ -131,6 +131,48 @@ object RelationalQueries {
           max(col("ts_ms")).as("end_ms"))
     }),
 
+    // Bounce rate per day (the web-analytics KPI on top of the
+    // sessionize kernel): sessions whose event count is 1, grouped by
+    // the session's START day — same 30-minute gaps-and-islands
+    // construction as events_sessionize (one definition discipline:
+    // identical window arithmetic, replayed identically), plus a
+    // duration mean over the non-bounce sessions. One user exchange,
+    // then session- and day-grain frames.
+    "events_bounce_rate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val sess = ev
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull ||
+            col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("start_ms"),
+          max(col("ts_ms")).as("end_ms"))
+      sess
+        .groupBy(date_format(
+          timestamp_millis(col("start_ms")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .as("n_bounce"),
+          sum(when(col("n_events") > 1L, col("end_ms") - col("start_ms"))
+            .otherwise(0L)).as("dur_sum_ms"),
+          sum(when(col("n_events") > 1L, 1L).otherwise(0L))
+            .as("n_engaged"))
+        .select(col("day"), col("n_sessions"), col("n_bounce"),
+          (col("n_bounce").cast("double") /
+            col("n_sessions").cast("double")).as("bounce_rate"),
+          when(col("n_engaged") > 0L,
+            col("dur_sum_ms").cast("double") /
+              col("n_engaged").cast("double")).as("mean_engaged_ms"))
+    }),
+
     // Rollup (grouping sets) over the event stream.
     "rollup_daily" -> ((s, dir) =>
       t(s, dir, "events")
@@ -369,6 +411,44 @@ object RelationalQueries {
                          THEN 1 ELSE 0 END AS new_sess
              FROM events))
          GROUP BY user_id, sess_id""",
+    "events_bounce_rate" ->
+      """WITH sess AS (
+           SELECT user_id, sess_id, count(*) AS n_events,
+                  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+           FROM (
+             SELECT user_id, ts_ms,
+                    CAST(sum(new_sess) OVER (PARTITION BY user_id
+                      ORDER BY ts_ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sess_id
+             FROM (
+               SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                      CASE WHEN lag(epoch_ms(ts)) OVER (
+                             PARTITION BY user_id
+                             ORDER BY epoch_ms(ts), event_id) IS NULL
+                           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                             PARTITION BY user_id
+                             ORDER BY epoch_ms(ts), event_id) > 1800000
+                           THEN 1 ELSE 0 END AS new_sess
+               FROM events))
+           GROUP BY user_id, sess_id),
+         g AS (
+           SELECT strftime(epoch_ms(start_ms), '%Y-%m-%d') AS day,
+                  count(*) AS n_sessions,
+                  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_bounce,
+                  sum(CASE WHEN n_events > 1 THEN end_ms - start_ms
+                    ELSE 0 END)::BIGINT AS dur_sum_ms,
+                  sum(CASE WHEN n_events > 1 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_engaged
+           FROM sess GROUP BY 1)
+         SELECT day, n_sessions, n_bounce,
+                CAST(n_bounce AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+                  AS bounce_rate,
+                CASE WHEN n_engaged > 0
+                  THEN CAST(dur_sum_ms AS DOUBLE) /
+                       CAST(n_engaged AS DOUBLE) END AS mean_engaged_ms
+         FROM g""",
     "rollup_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                 count(*) AS n,
