@@ -537,6 +537,30 @@ object EventQueries {
           (col("f_fp").cast("double") / lit(1.0e10)).as("fitted"))
     }),
 
+    // New-vs-returning daily split (the acquisition dashboard next to
+    // events_lifecycle's weekly accounting): a user is NEW on their
+    // first-activity day, RETURNING after. First day via one user-
+    // partitioned window min (reusing the user exchange — never a
+    // user-grain join side), then day-grain distinct counts; the
+    // conditional countDistincts drop nulls, so each user lands in
+    // exactly one class per day.
+    "events_new_vs_returning" -> ((s, dir) => {
+      val wu = Window.partitionBy(col("user_id"))
+      ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .withColumn("fd", min(col("d")).over(wu))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("d") === col("fd"), col("user_id")))
+            .as("n_new"),
+          countDistinct(when(col("d") > col("fd"), col("user_id")))
+            .as("n_returning"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_users"), col("n_new"), col("n_returning"),
+          (col("n_returning").cast("double") /
+            col("n_users").cast("double")).as("returning_share"))
+    }),
+
     // Weekday × hour activity heatmap (the Kibana punch-card): event
     // counts per (dow, hour) cell with each cell's share of its
     // weekday — locale-free epoch-day weekday arithmetic, the share
@@ -1011,6 +1035,22 @@ object EventQueries {
           JOIN item ia ON p.antecedent = ia.event_type
           JOIN item ic ON p.consequent = ic.event_type
           CROSS JOIN n""",
+    "events_new_vs_returning" ->
+      """WITH ud AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+                  min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                    AS fd
+           FROM events)
+         SELECT strftime(d, '%Y-%m-%d') AS day,
+                count(DISTINCT user_id) AS n_users,
+                count(DISTINCT CASE WHEN d = fd THEN user_id END)
+                  AS n_new,
+                count(DISTINCT CASE WHEN d > fd THEN user_id END)
+                  AS n_returning,
+                CAST(count(DISTINCT CASE WHEN d > fd THEN user_id END)
+                  AS DOUBLE) / CAST(count(DISTINCT user_id) AS DOUBLE)
+                  AS returning_share
+         FROM ud GROUP BY 1""",
     "events_heatmap" ->
       """WITH g AS (
            SELECT CAST(((date_diff('day', DATE '1970-01-05',
