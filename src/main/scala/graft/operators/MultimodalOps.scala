@@ -170,6 +170,36 @@ object MultimodalOps {
       "active_ratio")
   }
 
+  /** Corpus-level intensity histogram over the image docs' decoded
+    * payload: headers stripped by the REAL PNG/JPEG byte parse, then
+    * every payload byte buckets into 16 intensity bands (value >> 4 —
+    * the byte values stand in for pixel intensities under the
+    * documented stub decode). Per bucket: total bytes and the number
+    * of images that touch it — the exposure/contrast distribution a
+    * vision-data pipeline reads before normalization. Per-row narrow
+    * kernel + one 16-key exchange.
+    */
+  def imageByteHistogram(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      MediaHeaders.png(r.content)
+        .orElse(MediaHeaders.jpeg(r.content)).toSeq
+        .flatMap { case (_, _, hdrLen) =>
+          val counts = new Array[Long](16)
+          var i = hdrLen
+          while (i < r.content.length) {
+            counts((r.content(i) & 0xff) >> 4) += 1
+            i += 1
+          }
+          counts.zipWithIndex.collect {
+            case (c, b) if c > 0 => (b.toLong, c)
+          }
+        }
+    }.toDF("bucket", "n")
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_bytes"), count(lit(1)).as("n_images"))
+  }
+
   /** Resize/resample plumbing: deterministic byte-stride downsample to at
     * most `targetBytes` (stride k = ceil(n / target), keep every k-th
     * byte). With a codec this seam is image resize / audio resample: the

@@ -38,6 +38,15 @@ object MultimodalQueries {
         MultimodalOps.documentsAsEncodedMedia(
           s, Tables.documents(s, dir)))),
 
+    // Pixel-intensity histogram over the image docs (16 bands from the
+    // header-stripped payload bytes — see MultimodalOps
+    // .imageByteHistogram). The oracle re-derives every byte from the
+    // text payload, mirroring the mm_wav_stats discipline.
+    "mm_image_histogram" -> ((s, dir) =>
+      MultimodalOps.imageByteHistogram(
+        MultimodalOps.documentsAsEncodedMedia(
+          s, Tables.documents(s, dir)))),
+
     // Energy-based VAD over the decoded PCM (50-sample frames, frame
     // energy gate tuned inside the measured distribution 2.8e10-3.7e10
     // so BOTH classes exist; see MultimodalOps.wavVad). Sub-frame
@@ -141,6 +150,17 @@ object MultimodalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "mm_image_histogram" ->
+      """WITH img AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         b AS (
+           SELECT doc_id, CAST(ord(c.c) >> 4 AS BIGINT) AS bucket,
+                  count(*) AS n
+           FROM img, unnest(string_split(text, '')) AS c(c)
+           GROUP BY 1, 2)
+         SELECT bucket, sum(n)::BIGINT AS n_bytes,
+                count(*)::BIGINT AS n_images
+         FROM b GROUP BY 1""",
     // same sample re-derivation as mm_wav_stats, framed; the segment
     // count is the gaps-and-islands lag window; sub-frame docs restore
     // via LEFT JOIN with 0s
