@@ -537,6 +537,34 @@ object EventQueries {
           (col("f_fp").cast("double") / lit(1.0e10)).as("fitted"))
     }),
 
+    // Seasonally-adjusted revenue anomalies: each day's purchase
+    // revenue against ITS WEEKDAY's mean (the events_seasonality
+    // denominator — a Monday is judged against Mondays, so weekly
+    // rhythm never false-alarms), flagged outside ±20%. The dow-mean
+    // frame is 7 rows (broadcast); thresholds sit inside the measured
+    // 0.78–1.26 ratio range so both classes exist. Day-grain output.
+    "events_seasonal_anomaly" -> ((s, dir) => {
+      val perDay = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast("decimal(28,10)")).as("s_dec"))
+        .withColumn("dow", expr(
+          "CAST(((datediff(d, DATE '1970-01-05') % 7) + 7) % 7 AS BIGINT)"))
+        .localCheckpoint(false) // dow means + the flagged join
+      val dw = perDay.groupBy(col("dow"))
+        .agg(sum(col("s_dec")).as("dw_dec"), count(lit(1)).as("n_days"))
+      perDay.join(broadcast(dw), Seq("dow"))
+        .withColumn("dow_mean", col("dw_dec").cast("double") /
+          col("n_days").cast("double"))
+        .withColumn("ratio",
+          col("s_dec").cast("double") / col("dow_mean"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("dow"), col("s_dec").cast("double").as("revenue"),
+          col("dow_mean"), col("ratio"),
+          (col("ratio") > lit(1.2) || col("ratio") < lit(0.8))
+            .as("is_anomaly"))
+    }),
+
     // New-vs-returning daily split (the acquisition dashboard next to
     // events_lifecycle's weekly accounting): a user is NEW on their
     // first-activity day, RETURNING after. First day via one user-
@@ -1035,6 +1063,26 @@ object EventQueries {
           JOIN item ia ON p.antecedent = ia.event_type
           JOIN item ic ON p.consequent = ic.event_type
           CROSS JOIN n""",
+    "events_seasonal_anomaly" ->
+      s"""WITH pd AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(28,10))) AS s_dec,
+                   CAST(((date_diff('day', DATE '1970-01-05',
+                       CAST(ts AS DATE)) % 7) + 7) % 7 AS BIGINT) AS dow
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 3),
+          dw AS (SELECT dow, sum(s_dec) AS dw_dec, count(*) AS n_days
+                 FROM pd GROUP BY 1)
+          SELECT strftime(d, '%Y-%m-%d') AS day, pd.dow,
+                 ${dd("s_dec")} AS revenue,
+                 ${dd("dw_dec")} / CAST(n_days AS DOUBLE) AS dow_mean,
+                 ${dd("s_dec")} /
+                   (${dd("dw_dec")} / CAST(n_days AS DOUBLE)) AS ratio,
+                 (${dd("s_dec")} /
+                   (${dd("dw_dec")} / CAST(n_days AS DOUBLE)) > 1.2
+                  OR ${dd("s_dec")} /
+                   (${dd("dw_dec")} / CAST(n_days AS DOUBLE)) < 0.8)
+                   AS is_anomaly
+          FROM pd JOIN dw ON pd.dow = dw.dow""",
     "events_new_vs_returning" ->
       """WITH ud AS (
            SELECT user_id, CAST(ts AS DATE) AS d,

@@ -203,6 +203,35 @@ object RelationalQueries {
           col("rolling_sum"))
     }),
 
+    // Unit-price drift per brand (the Laspeyres-style price index a
+    // procurement dashboard tracks): monthly Σprice/Σqty from exact
+    // DECIMAL sums, indexed against the brand's FIRST month via a
+    // per-brand window first_value — months sort lexically as
+    // yyyy-MM-01 strings, so frame order is engine-free. The part dim
+    // broadcasts; the fact-fact orderkey join is the one big shuffle
+    // pair; the index window runs on the (brand × month) frame.
+    "part_price_drift" -> ((s, dir) => {
+      val m = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_format(date_trunc("month", col("o_orderdate")),
+            "yyyy-MM-01").as("month"))
+        .agg(sum(dec(col("l_extendedprice"))).as("ep_dec"),
+          sum(dec(col("l_quantity"))).as("q_dec"))
+        .withColumn("unit_price",
+          col("ep_dec").cast("double") / col("q_dec").cast("double"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.withColumn("base", first(col("unit_price")).over(w))
+        .select(col("p_brand"), col("month"), col("unit_price"),
+          (col("unit_price") / col("base")).as("price_index"))
+    }),
+
     // ABC inventory classification (the Pareto curve as a report):
     // parts ranked by exact revenue, classified by their cumulative
     // revenue share INCLUDING self — A up to 80%, B to 95%, C the tail
@@ -468,6 +497,28 @@ object RelationalQueries {
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                   AS rolling_sum
          FROM events""",
+    "part_price_drift" ->
+      """WITH m AS (
+           SELECT p_brand,
+                  strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                    '%Y-%m-01') AS month,
+                  sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS ep_dec,
+                  sum(CAST(l_quantity AS DECIMAL(28,10))) AS q_dec
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         u AS (
+           SELECT p_brand, month,
+                  CAST(CAST(ep_dec AS VARCHAR) AS DOUBLE) /
+                    CAST(CAST(q_dec AS VARCHAR) AS DOUBLE) AS unit_price
+           FROM m)
+         SELECT p_brand, month, unit_price,
+                unit_price / first_value(unit_price) OVER (
+                  PARTITION BY p_brand ORDER BY month
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS price_index
+         FROM u""",
     "orders_abc_analysis" ->
       """WITH pr AS (
            SELECT l_partkey,
