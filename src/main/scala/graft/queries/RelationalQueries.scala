@@ -203,6 +203,38 @@ object RelationalQueries {
           col("rolling_sum"))
     }),
 
+    // Supplier scorecard (the procurement KPI table): per supplier,
+    // item volume, exact revenue, return share (returnflag R), mean
+    // ship latency in days (exact integer day sums — the synthetic
+    // dates make some latencies negative, handled by plain BIGINT
+    // arithmetic), and the share shipped more than 60 days after
+    // ordering (threshold between the measured median 36 and p90).
+    // One fact-fact orderkey shuffle, then a 100-key supplier rollup.
+    "supplier_scorecard" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lat", expr(
+          "CAST(datediff(to_date(l_shipdate), to_date(o_orderdate))" +
+            " AS BIGINT)"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("rev_dec"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"),
+          sum(col("lat")).as("lat_sum"),
+          sum(when(col("lat") > 60L, 1L).otherwise(0L)).as("n_late"))
+        .select(col("l_suppkey"), col("n_items"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("n_returned").cast("double") / col("n_items").cast("double"))
+            .as("return_share"),
+          (col("lat_sum").cast("double") / col("n_items").cast("double"))
+            .as("mean_latency_days"),
+          (col("n_late").cast("double") / col("n_items").cast("double"))
+            .as("late_share"))),
+
     // Unit-price drift per brand (the Laspeyres-style price index a
     // procurement dashboard tracks): monthly Σprice/Σqty from exact
     // DECIMAL sums, indexed against the brand's FIRST month via a
@@ -497,6 +529,31 @@ object RelationalQueries {
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                   AS rolling_sum
          FROM events""",
+    "supplier_scorecard" ->
+      """WITH j AS (
+           SELECT l_suppkey, l_extendedprice, l_discount, l_returnflag,
+                  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         g AS (
+           SELECT l_suppkey, count(*) AS n_items,
+                  sum(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS DECIMAL(28,10))) AS rev_dec,
+                  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    ::BIGINT AS n_returned,
+                  sum(lat)::BIGINT AS lat_sum,
+                  sum(CASE WHEN lat > 60 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_late
+           FROM j GROUP BY 1)
+         SELECT l_suppkey, n_items,
+                CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+                CAST(n_returned AS DOUBLE) / CAST(n_items AS DOUBLE)
+                  AS return_share,
+                CAST(lat_sum AS DOUBLE) / CAST(n_items AS DOUBLE)
+                  AS mean_latency_days,
+                CAST(n_late AS DOUBLE) / CAST(n_items AS DOUBLE)
+                  AS late_share
+         FROM g""",
     "part_price_drift" ->
       """WITH m AS (
            SELECT p_brand,
