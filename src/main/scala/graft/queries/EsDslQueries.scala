@@ -75,13 +75,29 @@ object EsDslQueries {
   private val duckH15: String => String =
     e => s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
-  /** Events + derived (lat, lon) — a pure map over the scan. */
-  private def geoEv(s: SparkSession, dir: String): DataFrame =
-    ev(s, dir)
-      .withColumn("lat",
+  /** The derived-coordinate map on ANY events-shaped frame — a pure
+    * map, so it runs unchanged on a stream (StreamingSpec's geofence
+    * dual relies on exactly that).
+    */
+  private[graft] def geoDerive(df: DataFrame): DataFrame =
+    df.withColumn("lat",
         expr(latSql(sparkH15, "CAST(user_id AS STRING)")))
       .withColumn("lon",
         expr(lonSql(sparkH15, "CAST(user_id AS STRING)")))
+
+  /** Geofence alerting: derive + bounding-box filter (the real-time
+    * watch-zone pattern — rows inside the box are the alerts). Pure
+    * map + filter: batch ≡ streaming by construction.
+    */
+  private[graft] def geoFence(latN: Double, latS: Double, lonW: Double,
+      lonE: Double)(df: DataFrame): DataFrame =
+    geoDerive(df).filter(col("lat") <= lit(latN) &&
+      col("lat") >= lit(latS) && col("lon") >= lit(lonW) &&
+      col("lon") <= lit(lonE))
+
+  /** Events + derived (lat, lon) — a pure map over the scan. */
+  private def geoEv(s: SparkSession, dir: String): DataFrame =
+    geoDerive(ev(s, dir))
 
   /** DuckDB CTE producing the identical frame. */
   private val geoCte: String =

@@ -736,6 +736,30 @@ object EventQueries {
     // moment arithmetic with hash-derived populations. ONE 1-row
     // conditional aggregate (allowlisted); every double formula is the
     // shared expression tree.
+    // Sample-ratio-mismatch guard for the experiment (the hygiene check
+    // every A/B readout runs FIRST — a biased split invalidates
+    // events_ab_test before any lift math): USER-level arm counts under
+    // the SAME exp1 hash assignment, binomial z against the designed
+    // 50/50, flagged at |z| > 3. One distinct-user frame + a 1-row
+    // aggregate (allowlisted, Q22 shape).
+    "events_ab_srm" -> ((s, dir) => {
+      val arm = pmod(graft.functions.PortableHash.h15(
+        concat(lit("exp1:"), col("user_id").cast("string"))), lit(2L))
+      ev(s, dir).select(col("user_id")).distinct()
+        .withColumn("arm", arm)
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_users"), col("n_a"), col("n_b"),
+          ((col("n_a").cast("double") -
+            col("n_users").cast("double") / lit(2.0)) /
+            sqrt(col("n_users").cast("double") * lit(0.25))).as("z"),
+          (abs((col("n_a").cast("double") -
+            col("n_users").cast("double") / lit(2.0)) /
+            sqrt(col("n_users").cast("double") * lit(0.25))) > lit(3.0))
+            .as("srm_flag"))
+    }),
+
     "events_ab_test" -> ((s, dir) => {
       val dec38 = (c: Column) => c.cast("decimal(38,10)")
       val arm = pmod(graft.functions.PortableHash.h15(
@@ -1232,6 +1256,26 @@ object EventQueries {
                    CAST(n AS DOUBLE) AS intercept
           FROM g"""
     },
+    "events_ab_srm" ->
+      s"""WITH u AS (
+            SELECT DISTINCT user_id FROM events),
+          a AS (
+            SELECT count(*) AS n_users,
+                   sum(CASE WHEN ${graft.functions.PortableHash.duckH15(
+                     "'exp1:' || CAST(user_id AS VARCHAR)")} % 2 = 0
+                     THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   sum(CASE WHEN ${graft.functions.PortableHash.duckH15(
+                     "'exp1:' || CAST(user_id AS VARCHAR)")} % 2 = 1
+                     THEN 1 ELSE 0 END)::BIGINT AS n_b
+            FROM u)
+          SELECT n_users, n_a, n_b,
+                 (CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2.0) /
+                   sqrt(CAST(n_users AS DOUBLE) * 0.25) AS z,
+                 (abs((CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE)
+                     / 2.0) /
+                   sqrt(CAST(n_users AS DOUBLE) * 0.25)) > 3.0)
+                   AS srm_flag
+          FROM a""",
     "events_ab_test" -> {
       val armE = Duck.h15("concat('exp1:', user_id::VARCHAR)") + " % 2"
       s"""WITH p AS (

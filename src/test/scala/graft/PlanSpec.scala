@@ -403,6 +403,7 @@ object PlanSpec {
     "events_funnel" -> 1,     // final 3-counter rollup (1 row)
     "events_rfm" -> 1,        // 1-row global-max recency comparand
     "events_ab_test" -> 1,    // the experiment readout IS a 1-row agg
+    "events_ab_srm" -> 1,     // the SRM guard IS a 1-row agg
     "events_trend_fit" -> 2,  // 1-row first-day comparand + OLS agg
     "events_pareto" -> 1,     // 1-row revenue-total comparand
     "events_wau_rolling" -> 1, // 1-row span-max clip comparand

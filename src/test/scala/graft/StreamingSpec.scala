@@ -444,6 +444,31 @@ class StreamingSpec extends SparkSpec {
       s"no merge applied on the stream: $compressed")
   }
 
+  test("geofence alerting runs unchanged on a stream (derived coordinates, watch-zone filter)") {
+    import graft.queries.EsDslQueries
+    // the derived grid is a pure map of the user key, so the same box
+    // filter is the batch query's es_geo_bounding_box region
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val rows = (1L to 40L).map(i => (i, i * 7L)) // 40 users, both classes
+    stream.addData(rows)
+    val out = Files.createTempDirectory("graft-fence").toString
+    val q = EsDslQueries.geoFence(60.0, 10.0, -30.0, 90.0)(
+        stream.toDF().toDF("event_id", "user_id"))
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName("fence_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("fence_out")
+      .as[(Long, Long)].collect().toSet
+    val batched = EsDslQueries.geoFence(60.0, 10.0, -30.0, 90.0)(
+        rows.toDF("event_id", "user_id"))
+      .select("event_id", "user_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batched, s"drift: $streamed vs $batched")
+    assert(streamed.nonEmpty && streamed.size < rows.size,
+      s"fence vacuous: ${streamed.size} of ${rows.size} inside")
+  }
+
   test("stream-stream interval join: purchases meet their in-window views (batch ≡ streaming)") {
     import graft.streaming.StreamingPipeline
     import java.sql.Timestamp
