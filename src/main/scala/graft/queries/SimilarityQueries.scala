@@ -431,6 +431,26 @@ object SimilarityQueries {
           (shareLive - shareRef).as("share_delta"))
     }),
 
+    // Edge reciprocity of the k-NN graph: the share of directed edges
+    // whose reverse also exists — high reciprocity means neighborhoods
+    // agree in both directions (a denser, more clusterable graph; the
+    // symmetrize step of kcore/assortativity inflates less). One
+    // self-semi-join on the reversed key + a 1-row aggregate
+    // (allowlisted); edges rebuilt from the shared trained cells.
+    "graph_reciprocity" -> ((s, dir) => {
+      val e = SimilarityOps.knnGraph(trained(s, dir), KnnK)(embs(s, dir))
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .localCheckpoint(false) // both sides of the reverse probe
+      val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+        .select(col("n_edges"), col("n_mutual"),
+          (col("n_mutual").cast("double") / col("n_edges").cast("double"))
+            .as("reciprocity"))
+    }),
+
     // Degree assortativity of the k-NN graph (Newman's r): the Pearson
     // correlation of endpoint degrees over the SYMMETRIZED edge list —
     // positive r = hubs link hubs (a clustered, redundant neighborhood
@@ -905,6 +925,17 @@ object SimilarityQueries {
           LEFT JOIN lp_top t ON t.vec_id = v.vec_id""",
     "sim_recall_at_k" -> recallSql,
     "sim_recall_curve" -> recallCurveSql,
+    "graph_reciprocity" ->
+      s"""WITH $knnEdgeCtes,
+          ed AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+          mu AS (SELECT count(*) AS n_mutual FROM ed a
+                 WHERE EXISTS (SELECT 1 FROM ed b
+                   WHERE b.src = a.dst AND b.dst = a.src)),
+          tot AS (SELECT count(*) AS n_edges FROM ed)
+          SELECT n_edges, n_mutual,
+                 CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                   AS reciprocity
+          FROM tot CROSS JOIN mu""",
     "graph_assortativity" ->
       s"""WITH $knnEdgeCtes,
           und AS (SELECT DISTINCT src, dst FROM (

@@ -422,6 +422,7 @@ object PlanSpec {
     // bounds agg runs behind the oc checkpoint barrier)
     "graph_modularity" -> 1,  // 1-row total-edge count m (Q22 shape)
     "graph_assortativity" -> 1, // 1-row degree-moment aggregate
+    "graph_reciprocity" -> 2,   // 1-row edge + mutual-edge counts
     "events_attribution" -> 1, // share window over the 3-row channel frame
     "events_markov" -> 1,     // obs-share window over the |types|-row frame
     "sim_pca_power" -> 1)     // final-round 1-row renormalizer max
