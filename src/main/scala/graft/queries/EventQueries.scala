@@ -736,6 +736,60 @@ object EventQueries {
     // moment arithmetic with hash-derived populations. ONE 1-row
     // conditional aggregate (allowlisted); every double formula is the
     // shared expression tree.
+    // CUPED variance reduction (Deng et al. 2013 — the standard
+    // experiment-sensitivity trick): per purchasing user, pre-period
+    // revenue X (first 15 days, relative to the corpus min date —
+    // regeneration-proof) predicts post-period revenue Y; θ =
+    // cov(X,Y)/var(X) from ONE 1-row exact-DECIMAL moment pass (pooled
+    // across arms, as prescribed — θ from the same experiment's arms
+    // is unbiased because assignment ⊥ X), and the readout reports
+    // each arm's raw and CUPED-adjusted means. Per-user doubles go
+    // through the VARCHAR-dd discipline on the oracle side so the
+    // adjusted sums match bit-for-bit.
+    "events_cuped" -> ((s, dir) => {
+      val dec38 = (c: Column) => c.cast("decimal(38,10)")
+      val b = ev(s, dir).agg(min(to_date(col("ts"))).as("d0"))
+      val arm = pmod(graft.functions.PortableHash.h15(
+        concat(lit("exp1:"), col("user_id").cast("string"))), lit(2L))
+      val perUser = ev(s, dir)
+        .filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(b))
+        .groupBy(col("user_id"))
+        .agg(sum(when(to_date(col("ts")) < date_add(col("d0"), 15),
+            dec38(col("value"))).otherwise(dec38(lit(0.0)))).as("x_dec"),
+          sum(when(to_date(col("ts")) >= date_add(col("d0"), 15),
+            dec38(col("value"))).otherwise(dec38(lit(0.0)))).as("y_dec"))
+        .select(col("user_id"), col("x_dec").cast("double").as("x"),
+          col("y_dec").cast("double").as("y"))
+        .withColumn("arm", arm)
+        .localCheckpoint(false) // moments + the adjusted readout
+      val mom = perUser.agg(count(lit(1)).cast("double").as("mn"),
+        sum(dec38(col("x"))).as("sxd"), sum(dec38(col("y"))).as("syd"),
+        sum(dec38(col("x") * col("x"))).as("sxxd"),
+        sum(dec38(col("x") * col("y"))).as("sxyd"))
+      val model = mom.select(
+        ((col("mn") * col("sxyd").cast("double") -
+          col("sxd").cast("double") * col("syd").cast("double")) /
+          (col("mn") * col("sxxd").cast("double") -
+            col("sxd").cast("double") * col("sxd").cast("double")))
+          .as("theta"),
+        (col("sxd").cast("double") / col("mn")).as("xbar"))
+      perUser.crossJoin(broadcast(model))
+        .withColumn("y_adj",
+          col("y") - col("theta") * (col("x") - col("xbar")))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(dec38(col("y"))).as("sy_dec"),
+          sum(dec38(col("y_adj"))).as("sa_dec"),
+          max(col("theta")).as("theta"))
+        .select(col("arm"), col("n_users"),
+          (col("sy_dec").cast("double") / col("n_users").cast("double"))
+            .as("mean_y"),
+          (col("sa_dec").cast("double") / col("n_users").cast("double"))
+            .as("mean_y_cuped"),
+          col("theta"))
+    }),
+
     // Sample-ratio-mismatch guard for the experiment (the hygiene check
     // every A/B readout runs FIRST — a biased split invalidates
     // events_ab_test before any lift math): USER-level arm counts under
@@ -1255,6 +1309,46 @@ object EventQueries {
                  (${dd("sy_dec")} - ($slopeE) * CAST(sx AS DOUBLE)) /
                    CAST(n AS DOUBLE) AS intercept
           FROM g"""
+    },
+    "events_cuped" -> {
+      val h = graft.functions.PortableHash.duckH15(
+        "'exp1:' || CAST(user_id AS VARCHAR)")
+      s"""WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+          pu AS (
+            SELECT user_id,
+                   ${dd("sum(CASE WHEN CAST(ts AS DATE) < d0 + 15 " +
+                     "THEN CAST(value AS DECIMAL(38,10)) " +
+                     "ELSE CAST(0.0 AS DECIMAL(38,10)) END)")} AS x,
+                   ${dd("sum(CASE WHEN CAST(ts AS DATE) >= d0 + 15 " +
+                     "THEN CAST(value AS DECIMAL(38,10)) " +
+                     "ELSE CAST(0.0 AS DECIMAL(38,10)) END)")} AS y,
+                   $h % 2 AS arm
+            FROM events CROSS JOIN b
+            WHERE event_type = 'purchase'
+            GROUP BY user_id),
+          mom AS (
+            -- every double->DECIMAL cast goes through VARCHAR: Spark
+            -- rounds the SHORTEST string representation (the lloydCtes
+            -- note), DuckDB's direct cast rounds the binary value
+            SELECT CAST(count(*) AS DOUBLE) AS mn,
+                   ${dd("sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,10)))")} AS sx,
+                   ${dd("sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,10)))")} AS sy,
+                   ${dd("sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,10)))")} AS sxx,
+                   ${dd("sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(38,10)))")} AS sxy
+            FROM pu),
+          model AS (
+            SELECT (mn * sxy - sx * sy) / (mn * sxx - sx * sx) AS theta,
+                   sx / mn AS xbar
+            FROM mom)
+          SELECT arm, count(*) AS n_users,
+                 ${dd("sum(CAST(CAST(y AS VARCHAR) " +
+                   "AS DECIMAL(38,10)))")} /
+                   CAST(count(*) AS DOUBLE) AS mean_y,
+                 ${dd("sum(CAST(CAST(y - theta * (x - xbar) AS VARCHAR) " +
+                   "AS DECIMAL(38,10)))")} /
+                   CAST(count(*) AS DOUBLE) AS mean_y_cuped,
+                 max(theta) AS theta
+          FROM pu CROSS JOIN model GROUP BY arm"""
     },
     "events_ab_srm" ->
       s"""WITH u AS (

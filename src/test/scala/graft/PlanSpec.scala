@@ -404,6 +404,8 @@ object PlanSpec {
     "events_rfm" -> 1,        // 1-row global-max recency comparand
     "events_ab_test" -> 1,    // the experiment readout IS a 1-row agg
     "events_ab_srm" -> 1,     // the SRM guard IS a 1-row agg
+    "events_cuped" -> 1,      // 1-row theta moment agg (the min-date
+    // comparand runs behind the per-user checkpoint barrier)
     "events_trend_fit" -> 2,  // 1-row first-day comparand + OLS agg
     "events_pareto" -> 1,     // 1-row revenue-total comparand
     "events_wau_rolling" -> 1, // 1-row span-max clip comparand
