@@ -548,6 +548,15 @@ object CorpusOps {
   def bm25FunctionScore(queryTerms: Seq[(Long, String)], field: String,
       pivot: Long, satBoost: Long, k: Int, k1: Double = 1.2,
       b: Double = 0.75)(docs: DataFrame): DataFrame = {
+    // pivot=0 with fv=0 would divide by zero (NULL in non-ANSI Spark, an
+    // ERROR in the DuckDB oracle — engine/oracle divergence), so it is
+    // rejected outright. Documented preconditions the caller owns:
+    // `field` must be non-negative and ≤ ~9.2e12 (1000000·fv must fit
+    // BIGINT — ES rank_feature fields are bounded counters, not free
+    // longs), and rows whose `field` is NULL drop via the inner join
+    // (ES's missing-feature behavior: the hit contributes no
+    // function-score term; here the whole row leaves the ranking).
+    require(pivot > 0, s"pivot must be positive, got $pivot")
     val tf = DedupOps.materialize(bm25Postings(docs))
     val w0 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))

@@ -143,6 +143,10 @@ object MediaHeaders {
         if (size < 8 || i + 16 > b.length) return None
         val channels = le16(b, i + 10)
         val rate = le32(b, i + 12)
+        // channels=0 / rate<=0 is corrupt (le32 can even read a negative
+        // rate): downstream duration math divides by rate*channels, so a
+        // poison-but-RIFF/WAVE blob must drop here, not throw in a task
+        if (channels <= 0 || rate <= 0) return None
         val fmtEnd = i + 8 + size
         // canonical PCM layout: data chunk header right after fmt
         val hdrLen =

@@ -375,9 +375,18 @@ object EventQueries {
         .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
         .agg(sum(col("value").cast("decimal(28,10)")).as("sum_dec"))
         .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
-          (col("sum_dec") * lit(10000000000L)).cast("long").as("x_fp"))
+          // ×10¹⁰ through DECIMAL(38,0), narrowed with longValueExact at
+          // collect: weekly revenue past ~9.2e8 now FAILS loudly instead
+          // of silently wrapping the fixed-point recursion (r9 advice)
+          (col("sum_dec") * lit(10000000000L)).cast("decimal(38,0)")
+            .as("x_fp"))
       val rows = weekly.orderBy(col("week")).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
+        .map(r => (r.getString(0),
+          r.getDecimal(1).toBigInteger.longValueExact()))
+      // recursion products/sums are overflow-checked too — the honest
+      // failure mode for a series outside the fixed-point envelope
+      def mulE(a: Long, x: Long): Long = Math.multiplyExact(a, x)
+      def addE(a: Long, x: Long): Long = Math.addExact(a, x)
       def idiv(a: Long, d: Long): Long =
         if (a < 0) -((-a) / d) else a / d
       val out = scala.collection.mutable.ArrayBuffer
@@ -386,10 +395,11 @@ object EventQueries {
       for (((wkS, x), i) <- rows.zipWithIndex) {
         if (i == 0) {
           l = x
-          b = if (rows.length > 1) rows(1)._2 - x else 0L
+          b = if (rows.length > 1) Math.subtractExact(rows(1)._2, x) else 0L
         } else {
-          val lNew = idiv(3L * x + 7L * (l + b), 10L)
-          b = idiv(2L * (lNew - l) + 8L * b, 10L)
+          val lNew = idiv(addE(mulE(3L, x), mulE(7L, addE(l, b))), 10L)
+          b = idiv(addE(mulE(2L, Math.subtractExact(lNew, l)),
+            mulE(8L, b)), 10L)
           l = lNew
         }
         out += ((wkS, x, l, b))
@@ -504,25 +514,33 @@ object EventQueries {
         .groupBy(to_date(col("ts")).as("d"))
         .agg(sum(col("value").cast("decimal(28,10)")).as("sum_dec"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
-          (col("sum_dec") * lit(10000000000L)).cast("long").as("x_fp"))
+          // DECIMAL(38,0) + longValueExact: overflow is an ERROR, not a
+          // silent wrap (r9 advice — see events_forecast)
+          (col("sum_dec") * lit(10000000000L)).cast("decimal(38,0)")
+            .as("x_fp"))
       val rows = daily.orderBy("day").collect()
-        .map(r => (r.getString(0), r.getLong(1)))
+        .map(r => (r.getString(0),
+          r.getDecimal(1).toBigInteger.longValueExact()))
+      def mulE(a: Long, x: Long): Long = Math.multiplyExact(a, x)
+      def addE(a: Long, x: Long): Long = Math.addExact(a, x)
+      def subE(a: Long, x: Long): Long = Math.subtractExact(a, x)
       def idiv(a: Long, d: Long): Long =
         if (a < 0) -((-a) / d) else a / d
-      val m1 = idiv(rows.slice(0, 7).map(_._2).sum, 7L)
-      val m2 = idiv(rows.slice(7, 14).map(_._2).sum, 7L)
+      val m1 = idiv(rows.slice(0, 7).map(_._2).foldLeft(0L)(addE), 7L)
+      val m2 = idiv(rows.slice(7, 14).map(_._2).foldLeft(0L)(addE), 7L)
       var l = m1
-      var b = idiv(m2 - m1, 7L)
+      var b = idiv(subE(m2, m1), 7L)
       val slots = scala.collection.mutable.Queue(
-        rows.slice(0, 7).map(_._2 - m1): _*)
+        rows.slice(0, 7).map(v => subE(v._2, m1)): _*)
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(String, Long, Long, Long, Long, Long)]
       for ((dayS, x) <- rows.drop(7)) {
         val sPrev = slots.dequeue()
-        val fitted = l + b + sPrev
-        val lNew = idiv(3L * (x - sPrev) + 7L * (l + b), 10L)
-        val bNew = idiv(2L * (lNew - l) + 8L * b, 10L)
-        val sNew = idiv((x - lNew) + 9L * sPrev, 10L)
+        val fitted = addE(addE(l, b), sPrev)
+        val lNew = idiv(addE(mulE(3L, subE(x, sPrev)),
+          mulE(7L, addE(l, b))), 10L)
+        val bNew = idiv(addE(mulE(2L, subE(lNew, l)), mulE(8L, b)), 10L)
+        val sNew = idiv(addE(subE(x, lNew), mulE(9L, sPrev)), 10L)
         slots.enqueue(sNew)
         out += ((dayS, x, lNew, bNew, sNew, fitted))
         l = lNew; b = bNew
@@ -643,7 +661,11 @@ object EventQueries {
       val out = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long, Long)]
       for ((age, d, c) <- rows) {
-        sFp = if (atRisk > 0) sFp * (atRisk - d) / atRisk else sFp
+        // multiplyExact: sFp·atRisk overflows Long past ~9.2e6 users at
+        // risk — fail loudly rather than corrupt the KM product (r9
+        // advice; a larger deployment widens sFp to BigInt)
+        sFp = if (atRisk > 0)
+          Math.multiplyExact(sFp, atRisk - d) / atRisk else sFp
         out += ((age, atRisk, d, c, sFp))
         atRisk -= (d + c)
       }

@@ -155,7 +155,7 @@ object StreamingPipeline {
         col("user_id") === col("v_user") &&
           col("v_ts") <= col("p_ts") &&
           col("v_ts") >= col("p_ts") -
-            expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+            expr(s"INTERVAL $windowMs MILLISECONDS"))
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("v_ts"), col("p_ts"), col("value"))
   }
@@ -275,34 +275,52 @@ object StreamingPipeline {
     * assumed in order ACROSS batches (the per-partition Kafka ordering
     * the reference relies on) — a late view cannot retroactively
     * re-chain clicks that already streamed past. State is 3 longs per
-    * user (bounded by the user universe, no watermark needed); runs
-    * identically on a batch Dataset (empty state, one group call) —
+    * user and is BOUNDED, not just assumed bounded: a completed funnel
+    * removes its state (a 4th row can never advance anyway), and every
+    * open funnel carries a processing-time TTL (`stateTtlMs`) — a user
+    * who goes quiet past the TTL is evicted and would restart the
+    * funnel on return (the documented trade for bounded state on an
+    * unbounded user universe). Each group's batch rows materialize in
+    * memory for the in-batch sort — per (user, trigger) grain, fine
+    * unless one user floods a single trigger. Runs identically on a
+    * batch Dataset (empty state, one group call, TTL inert) —
     * StreamingSpec pins batch ≡ streamed emissions.
     */
   def funnelStages(events: Dataset[(Long, String, Long)],
-      stepWindowMs: Long): Dataset[FunnelAdvance] = {
+      stepWindowMs: Long,
+      stateTtlMs: Long = 86400000L * 7L): Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelAdvance](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (uid: Long, rows: Iterator[(Long, String, Long)],
          state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[FunnelAdvance]
-          rows.toSeq.sortBy(_._3).foreach { case (_, ty, t) =>
-            if (ty == "view" && st.t1 < 0L) {
-              st = st.copy(t1 = t); out += FunnelAdvance(uid, 1, t)
-            } else if (ty == "click" && st.t1 >= 0L && st.t2 < 0L &&
-                t > st.t1 && t <= st.t1 + stepWindowMs) {
-              st = st.copy(t2 = t); out += FunnelAdvance(uid, 2, t)
-            } else if (ty == "purchase" && st.t2 >= 0L && st.t3 < 0L &&
-                t > st.t2 && t <= st.t2 + stepWindowMs) {
-              st = st.copy(t3 = t); out += FunnelAdvance(uid, 3, t)
+          if (state.hasTimedOut) {
+            // lapsed funnel: evict silently (no emission on timeout)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[FunnelAdvance]
+            rows.toSeq.sortBy(_._3).foreach { case (_, ty, t) =>
+              if (ty == "view" && st.t1 < 0L) {
+                st = st.copy(t1 = t); out += FunnelAdvance(uid, 1, t)
+              } else if (ty == "click" && st.t1 >= 0L && st.t2 < 0L &&
+                  t > st.t1 && t <= st.t1 + stepWindowMs) {
+                st = st.copy(t2 = t); out += FunnelAdvance(uid, 2, t)
+              } else if (ty == "purchase" && st.t2 >= 0L && st.t3 < 0L &&
+                  t > st.t2 && t <= st.t2 + stepWindowMs) {
+                st = st.copy(t3 = t); out += FunnelAdvance(uid, 3, t)
+              }
             }
+            if (st.t3 >= 0L) state.remove() // funnel complete: free state
+            else {
+              state.update(st)
+              state.setTimeoutDuration(stateTtlMs)
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 
