@@ -73,7 +73,14 @@ object ImageCodec {
   }
 
   /** Decode ALL frames (PNG/JPEG: 1; animated GIF: each frame) to
-    * grayscale. None on anything unreadable.
+    * grayscale. None on anything unreadable — INCLUDING an animated GIF
+    * whose later frames differ in size from frame 0: optimized GIFs
+    * routinely store smaller sub-rasters with nonzero offsets that must
+    * be composited onto the logical screen per disposal metadata, and
+    * indexing such a frame as a full-screen raster would mis-map every
+    * pixel. This codec supports full-frame animations only (what
+    * [[encodeGif]] emits); anything else is rejected whole, never
+    * silently mis-decoded (MultimodalSpec pins the rejection).
     */
   def decodeGray(bytes: Array[Byte]): Option[GrayImage] =
     if (bytes == null || bytes.length == 0) None
@@ -90,11 +97,12 @@ object ImageCodec {
             if (n <= 0) None
             else {
               val first = reader.read(0)
-              val frames = grayPixels(first) +:
-                (1 until n).map(f => grayPixels(reader.read(f)))
-              Some(GrayImage(first.getWidth, first.getHeight,
+              val rest = (1 until n).map(reader.read)
+              if (rest.exists(f => f.getWidth != first.getWidth ||
+                  f.getHeight != first.getHeight)) None
+              else Some(GrayImage(first.getWidth, first.getHeight,
                 reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
-                frames))
+                grayPixels(first) +: rest.map(grayPixels)))
             }
           } finally reader.dispose()
         }
@@ -118,16 +126,21 @@ object ImageCodec {
   /** Real PNG encode of a grayscale pixel function — LOSSLESS, so
     * decodeGray returns exactly `px`.
     */
-  def encodePng(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(grayImage(w, h)(px), "png", bos)
-    bos.toByteArray
-  }
+  def encodePng(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] =
+    encodeVia("png", w, h, px)
 
   /** Real JPEG encode (lossy: decoded dims are exact, pixels are not). */
-  def encodeJpeg(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+  def encodeJpeg(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] =
+    encodeVia("jpg", w, h, px)
+
+  private def encodeVia(fmt: String, w: Int, h: Int,
+      px: (Int, Int) => Int): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(grayImage(w, h)(px), "jpg", bos)
+    // write returns false when the JRE has no writer for the format —
+    // an empty byte array here would poison downstream decodes as a
+    // quiet None instead of a clear producer-side failure
+    if (!ImageIO.write(grayImage(w, h)(px), fmt, bos))
+      throw new IllegalStateException(s"no ImageIO writer for '$fmt'")
     bos.toByteArray
   }
 

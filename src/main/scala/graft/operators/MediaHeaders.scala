@@ -1,10 +1,11 @@
 package graft.operators
 
-/** Byte-level media-container header codecs: the real (no-library) part of
-  * the multimodal decode seam. Width/height/sample-rate live at fixed or
-  * walkable byte offsets in every common container, so header parsing
-  * needs no codec dependency — only PIXEL/SAMPLE decode does (that part
-  * stays stubbed offline, see [[MultimodalOps.StubDecoder]]).
+/** Byte-level media-container header codecs: width/height/sample-rate
+  * live at fixed or walkable byte offsets in every common container, so
+  * header parsing needs no codec dependency. Pixel decode lives in
+  * [[ImageCodec]] (JDK ImageIO); these parsers are the fallback for
+  * blobs whose payload is unreadable ([[MultimodalOps.Decoder]]) and the
+  * WAV entry point for the PCM sample decoders.
   *
   * Each format has a parser (bytes => typed fields + header length) and a
   * generator (the test-producer dual that writes a well-formed header the

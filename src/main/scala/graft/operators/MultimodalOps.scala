@@ -8,14 +8,12 @@ import org.apache.spark.sql.functions._
   * per-partition in batches (the Scala analogue of `mapInPandas` — a typed
   * `Dataset.mapPartitions` whose iterator is the batch stream).
   *
-  * Container HEADERS are parsed for real at byte offsets ([[MediaHeaders]]:
-  * PNG IHDR, JPEG SOF0, WAV fmt) — no codec library needed for
-  * width/height/sample-rate. Only the pixel/sample decode is STUBBED (no
-  * image/audio codecs in this environment): [[StubDecoder.decode]]'s
-  * `n_frames` for raw video payloads is a deterministic stand-in.
-  * Everything else — schema, encoders, partition-batched iteration,
-  * size-aware repartitioning — is the real production shape, so swapping
-  * in a real codec is a one-function change.
+  * Images and animations decode to REAL pixels ([[ImageCodec]]: PNG, JPEG
+  * and animated GIF over the JDK's `javax.imageio`, zero extra
+  * dependencies); WAV audio decodes to real 16-bit PCM samples
+  * ([[wavStats]]/[[wavVad]]); container headers parse at byte offsets
+  * ([[MediaHeaders]]) as the fallback for blobs whose payload is
+  * unreadable. Nothing in the decode path is stubbed.
   *
   * Scale notes: media blobs are large and skewed; [[repartitionBySize]]
   * rebalances partitions by cumulative byte size (range partition on a
@@ -28,46 +26,72 @@ object MultimodalOps {
   final case class MediaRow(doc_id: Long, media_type: String,
       content: Array[Byte])
 
-  /** Extracted features. Container-level fields (width/height for
-    * PNG/JPEG, channels/sample-rate for WAV) come from REAL byte-offset
-    * header parsing ([[MediaHeaders]]); `payload_sha256` hashes the bytes
-    * after the recognized header (0 for unrecognized blobs, so the whole
-    * content). Zero means "not this modality / no header recognized".
+  /** Extracted features. `format` names what the decode found: a REAL
+    * pixel decode ("png"/"jpeg"/"gif" — width/height/n_frames are from
+    * the decoded raster, and for the lossless formats `px_sum`/`px_sq`
+    * are exact pixel-intensity moments), a recognized audio container
+    * ("wav" — channels/sample-rate from the fmt chunk, samples decoded
+    * downstream by [[wavStats]]), a bare image header on an unreadable
+    * payload ("png-header"/"jpeg-header" — dims only), or "unknown".
+    * `px_sum`/`px_sq` are None unless pixels decoded losslessly (JPEG
+    * pixel values are encoder/decoder-pair dependent — never pinned);
+    * `payload_sha256` hashes the un-decoded payload where that is the
+    * content's identity (audio data chunk / raw blob) and is None for
+    * pixel-decoded rows (their identity is the pixels, not the
+    * encoder-specific container bytes).
     */
   final case class MediaFeatures(doc_id: Long, media_type: String,
-      n_bytes: Long, payload_sha256: String, width: Int, height: Int,
-      sample_rate: Int, channels: Int, n_frames: Int)
+      format: String, n_bytes: Long, width: Int, height: Int,
+      sample_rate: Int, channels: Int, n_frames: Int,
+      px_sum: Option[Long], px_sq: Option[Long],
+      payload_sha256: Option[String])
 
-  /** Header fields are parsed for real; ONLY the pixel/sample decode
-    * (`n_frames` for headerless video payloads) remains the deterministic
-    * stand-in — actual frame decoding needs a codec library this
-    * environment doesn't ship. Swapping it in is this one function.
+  /** The per-row decode kernel: real pixel decode first, container
+    * fallbacks second, total on poison input (a malformed blob yields
+    * an all-zero "unknown" row, never a throw — one bad blob in a
+    * 100 TB scan costs one row, not the job).
     */
-  object StubDecoder {
+  object Decoder {
+    private def sha256hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(b).map("%02x".format(_)).mkString
+
     def decode(r: MediaRow): MediaFeatures = {
       val b = r.content
-      val img = MediaHeaders.png(b).orElse(MediaHeaders.jpeg(b))
-      val aud = if (img.isEmpty) MediaHeaders.wav(b) else None
-      val headerLen = img.map(_._3).orElse(aud.map(_._3)).getOrElse(0)
-      val payload =
-        if (headerLen == 0) b
-        else java.util.Arrays.copyOfRange(b, headerLen, b.length)
-      MediaFeatures(
-        doc_id = r.doc_id,
-        media_type = r.media_type,
-        n_bytes = b.length.toLong,
-        payload_sha256 = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(payload).map("%02x".format(_)).mkString,
-        width = img.map(_._1).getOrElse(0),
-        height = img.map(_._2).getOrElse(0),
-        channels = aud.map(_._1).getOrElse(0),
-        sample_rate = aud.map(_._2).getOrElse(0),
-        // ======== STUB ======== a real codec would count decoded frames;
-        // images are single-frame, audio has none, video is the fake
-        n_frames =
-          if (img.isDefined) 1
-          else if (aud.isDefined) 0
-          else (payload.length / 100) + 1)
+      ImageCodec.decodeGray(b) match {
+        case Some(img) =>
+          // real pixels: exact intensity moments for the lossless
+          // formats (PNG/GIF round-trip bit-exactly; JPEG does not)
+          val lossless = img.format != "jpeg"
+          var sum = 0L
+          var sq = 0L
+          if (lossless) img.frames.foreach { fr =>
+            var i = 0
+            while (i < fr.length) {
+              val v = fr(i).toLong; sum += v; sq += v * v; i += 1
+            }
+          }
+          MediaFeatures(r.doc_id, r.media_type, img.format, b.length.toLong,
+            img.width, img.height, 0, 0, img.frames.length,
+            if (lossless) Some(sum) else None,
+            if (lossless) Some(sq) else None, None)
+        case None =>
+          val img = MediaHeaders.png(b).map(("png-header", _))
+            .orElse(MediaHeaders.jpeg(b).map(("jpeg-header", _)))
+          val aud = if (img.isEmpty) MediaHeaders.wav(b) else None
+          val headerLen =
+            img.map(_._2._3).orElse(aud.map(_._3)).getOrElse(0)
+          val payload =
+            if (headerLen == 0) b
+            else java.util.Arrays.copyOfRange(b, headerLen, b.length)
+          MediaFeatures(r.doc_id, r.media_type,
+            img.map(_._1)
+              .orElse(aud.map(_ => "wav")).getOrElse("unknown"),
+            b.length.toLong,
+            img.map(_._2._1).getOrElse(0), img.map(_._2._2).getOrElse(0),
+            aud.map(_._2).getOrElse(0), aud.map(_._1).getOrElse(0), 0,
+            None, None, Some(sha256hex(payload)))
+      }
     }
   }
 
@@ -76,7 +100,7 @@ object MultimodalOps {
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(StubDecoder.decode))
+    media.mapPartitions(_.map(Decoder.decode))
   }
 
   /** Frame sampling: every `stride`-th fixed-size chunk of the byte stream
@@ -170,26 +194,24 @@ object MultimodalOps {
       "active_ratio")
   }
 
-  /** Corpus-level intensity histogram over the image docs' decoded
-    * payload: headers stripped by the REAL PNG/JPEG byte parse, then
-    * every payload byte buckets into 16 intensity bands (value >> 4 —
-    * the byte values stand in for pixel intensities under the
-    * documented stub decode). Per bucket: total bytes and the number
-    * of images that touch it — the exposure/contrast distribution a
-    * vision-data pipeline reads before normalization. Per-row narrow
-    * kernel + one 16-key exchange.
+  /** Corpus-level pixel-intensity histogram over the REAL decodes: every
+    * losslessly-decoded pixel (PNG stills + every animated-GIF frame;
+    * JPEG is excluded because its pixel values are decoder-pair
+    * dependent) buckets into 16 intensity bands (value >> 4). Per
+    * bucket: total pixels and the number of images that touch it — the
+    * exposure/contrast distribution a vision-data pipeline reads before
+    * normalization. Per-row narrow decode kernel + one 16-key exchange.
     */
-  def imageByteHistogram(media: Dataset[MediaRow]): DataFrame = {
+  def imagePixelHistogram(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      MediaHeaders.png(r.content)
-        .orElse(MediaHeaders.jpeg(r.content)).toSeq
-        .flatMap { case (_, _, hdrLen) =>
+      ImageCodec.decodeGray(r.content).toSeq
+        .filter(_.format != "jpeg")
+        .flatMap { img =>
           val counts = new Array[Long](16)
-          var i = hdrLen
-          while (i < r.content.length) {
-            counts((r.content(i) & 0xff) >> 4) += 1
-            i += 1
+          img.frames.foreach { fr =>
+            var i = 0
+            while (i < fr.length) { counts(fr(i) >> 4) += 1; i += 1 }
           }
           counts.zipWithIndex.collect {
             case (c, b) if c > 0 => (b.toLong, c)
@@ -197,24 +219,43 @@ object MultimodalOps {
         }
     }.toDF("bucket", "n")
       .groupBy(col("bucket"))
-      .agg(sum(col("n")).as("n_bytes"), count(lit(1)).as("n_images"))
+      .agg(sum(col("n")).as("n_pixels"), count(lit(1)).as("n_images"))
   }
 
-  /** Resize/resample plumbing: deterministic byte-stride downsample to at
-    * most `targetBytes` (stride k = ceil(n / target), keep every k-th
-    * byte). With a codec this seam is image resize / audio resample: the
-    * production shape — per-row narrow map, binary in/binary out, size
-    * metadata carried — is real; only the kernel is the byte fake.
+  /** REAL image resize: box-filter resample of the decoded frame-0
+    * raster to a `tw`×`th` grid — output cell (ox, oy) averages the
+    * exact source block [ox·w/tw, (ox+1)·w/tw) × [oy·h/th, (oy+1)·h/th)
+    * (floor division, the classic area-average downscale), all in
+    * integer arithmetic so an external oracle reproduces it bit-exactly.
+    * Lossless decodes only (PNG + GIF; JPEG pixels can't be pinned) and
+    * downscale only (w ≥ tw, h ≥ th — every output cell has sources).
+    * Emits one row per output pixel: the thumbnail a vision pipeline
+    * feeds its embedding model. Per-row narrow kernel, zero shuffles.
     */
-  def resize(media: Dataset[MediaRow], targetBytes: Int): DataFrame = {
+  def resizeBox(media: Dataset[MediaRow], tw: Int, th: Int): DataFrame = {
     import media.sparkSession.implicits._
-    require(targetBytes > 0, "targetBytes must be positive")
-    media.map { r =>
-      val n = r.content.length
-      val k = math.max(1, (n + targetBytes - 1) / targetBytes)
-      val out = Iterator.range(0, n, k).map(r.content(_)).toArray
-      (r.doc_id, r.media_type, n.toLong, out.length.toLong, out)
-    }.toDF("doc_id", "media_type", "orig_bytes", "new_bytes", "content")
+    require(tw > 0 && th > 0, "target dims must be positive")
+    media.flatMap { r =>
+      ImageCodec.decodeGray(r.content).toSeq
+        .filter(i => i.format != "jpeg" && i.width >= tw && i.height >= th)
+        .flatMap { img =>
+          val p = img.frames.head
+          val w = img.width
+          val h = img.height
+          for (oy <- 0 until th; ox <- 0 until tw) yield {
+            val x0 = ox * w / tw; val x1 = (ox + 1) * w / tw
+            val y0 = oy * h / th; val y1 = (oy + 1) * h / th
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += p(y * w + x); x += 1 }
+              y += 1
+            }
+            (r.doc_id, ox, oy, s / ((x1 - x0).toLong * (y1 - y0).toLong))
+          }
+        }
+    }.toDF("doc_id", "ox", "oy", "v")
   }
 
   /** Rebalance partitions by cumulative blob BYTES, not row counts: each
@@ -282,35 +323,48 @@ object MultimodalOps {
       encode(col("text"), "UTF-8").as("content")).as[MediaRow]
   }
 
-  /** Documents as media with REAL container headers prepended (the
-    * producer dual of [[MediaHeaders]]): images alternate PNG/JPEG with
-    * doc_id-derived dimensions, audio gets a canonical WAV preamble with
-    * doc_id-derived channels/rate, video stays a raw payload (real video
-    * containers need a codec to even index). The decode stage must read
-    * every field back from the BYTES — the oracle recomputes the same
-    * values from doc_id closed-form, so a parser reading the wrong offset
-    * hash-mismatches immediately.
+  /** The doc_id-derived pixel function both engines share: the fixture
+    * encoder paints it, the decode queries' oracle recomputes it
+    * closed-form — so a decoder reading any wrong pixel hash-mismatches.
+    * Stills use frame = 0.
+    */
+  def fixturePixel(id: Long, frame: Int, x: Int, y: Int): Int =
+    ((id * 31 + frame * 101 + x * 7 + y * 13) % 256).toInt
+
+  /** Documents as REAL media files (the producer dual of [[ImageCodec]]
+    * / [[MediaHeaders]]): images are genuine PNG/JPEG encodes and video
+    * rows genuine multi-frame animated GIFs — pixels painted by
+    * [[fixturePixel]] with doc_id-derived dimensions/frame counts —
+    * while audio rows carry a canonical WAV preamble over the text
+    * bytes as 16-bit PCM. The decode stage must recover every field
+    * from the BYTES through the real codecs; the oracle recomputes the
+    * same values from doc_id + text closed-form, so a decoder that
+    * mis-reads a single pixel or offset hash-mismatches immediately.
     */
   def documentsAsEncodedMedia(spark: SparkSession, docs: DataFrame)
       : Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
       case (id, text) =>
-        val payload = text.getBytes("UTF-8")
         (id % 3) match {
           case 0 =>
-            val w = 16 + (id % 624).toInt
-            val h = 16 + (id % 464).toInt
-            val hdr = if (id % 6 == 0) MediaHeaders.pngBytes(w, h)
-                      else MediaHeaders.jpegBytes(w, h)
-            MediaRow(id, "image", hdr ++ payload)
+            val w = 16 + (id % 17).toInt
+            val h = 12 + (id % 13).toInt
+            val px = (x: Int, y: Int) => fixturePixel(id, 0, x, y)
+            MediaRow(id, "image",
+              if (id % 6 == 0) ImageCodec.encodePng(w, h)(px)
+              else ImageCodec.encodeJpeg(w, h)(px))
           case 1 =>
+            val payload = text.getBytes("UTF-8")
             val hdr = MediaHeaders.wavBytes(
               channels = 1 + (id % 2).toInt,
               sampleRate = 8000 + (id % 8).toInt * 4000,
               dataLen = payload.length)
             MediaRow(id, "audio", hdr ++ payload)
-          case _ => MediaRow(id, "video", payload)
+          case _ =>
+            MediaRow(id, "video", ImageCodec.encodeGif(
+              w = 8 + (id % 9).toInt, h = 8 + (id % 7).toInt,
+              nFrames = 1 + (id % 4).toInt)(fixturePixel(id, _, _, _)))
         }
     }
   }

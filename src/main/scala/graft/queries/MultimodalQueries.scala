@@ -5,12 +5,16 @@ import graft.operators.MultimodalOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing as oracle-checked queries. The decode fixture
-  * carries REAL container headers (PNG/JPEG/WAV, built by the
-  * [[graft.operators.MediaHeaders]] producer dual with doc_id-derived
-  * fields), and the decode stage parses them back from the bytes; the
-  * oracle recomputes every field closed-form from doc_id + text, so a
-  * parser reading the wrong byte offset fails the hash compare.
+/** Multimodal decode as oracle-checked queries. The fixture rows are
+  * REAL media files — genuine PNG/JPEG/GIF encodes with doc_id-derived
+  * pixels ([[graft.operators.MultimodalOps.fixturePixel]]) plus WAV
+  * containers over PCM text bytes — and the decode stage recovers
+  * dimensions, frame counts and PIXEL VALUES through the real JDK
+  * codecs ([[graft.operators.ImageCodec]]); the oracle recomputes every
+  * field, pixel moment and resampled block closed-form from doc_id +
+  * text, so a decoder that mis-reads one pixel fails the hash compare.
+  * (JPEG pixel values are decoder-pair dependent and never pinned —
+  * dims are; px moments are NULL on both sides.)
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -19,7 +23,13 @@ object MultimodalQueries {
     "mm_decode_features" -> ((s, dir) =>
       MultimodalOps.extractFeatures(
         MultimodalOps.documentsAsEncodedMedia(
-          s, Tables.documents(s, dir))).toDF()),
+          s, Tables.documents(s, dir))).toDF()
+        // n_bytes is encoder-specific (deflate/arith coding details) —
+        // real but not closed-form recomputable; MultimodalSpec covers it
+        .select(col("doc_id"), col("media_type"), col("format"),
+          col("width"), col("height"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("px_sum"), col("px_sq"),
+          col("payload_sha256"))),
 
     "mm_frame_sample" -> ((s, dir) =>
       MultimodalOps.sampleFrames(
@@ -38,12 +48,12 @@ object MultimodalQueries {
         MultimodalOps.documentsAsEncodedMedia(
           s, Tables.documents(s, dir)))),
 
-    // Pixel-intensity histogram over the image docs (16 bands from the
-    // header-stripped payload bytes — see MultimodalOps
-    // .imageByteHistogram). The oracle re-derives every byte from the
-    // text payload, mirroring the mm_wav_stats discipline.
+    // TRUE pixel-intensity histogram over the real decodes (16 bands
+    // over every losslessly-decoded pixel: PNG stills + all GIF frames;
+    // see MultimodalOps.imagePixelHistogram). The oracle re-derives
+    // every pixel closed-form from fixturePixel.
     "mm_image_histogram" -> ((s, dir) =>
-      MultimodalOps.imageByteHistogram(
+      MultimodalOps.imagePixelHistogram(
         MultimodalOps.documentsAsEncodedMedia(
           s, Tables.documents(s, dir)))),
 
@@ -76,17 +86,15 @@ object MultimodalQueries {
         MultimodalOps.phashSketch(Tables.documents(s, dir))
           .select(col("doc_id"), col("ph").as("sh")))),
 
-    // resize seam: byte-stride downsample to ≤64 bytes, content verified
-    // by hash (the oracle rebuilds the identical stride sample).
-    // NOTE: the oracle strides CHARACTERS while the operator strides
-    // UTF-8 BYTES — equivalent only because the documents fixture is
-    // ASCII (verified); a non-ASCII fixture would need a BLOB-based dual.
+    // REAL image resize: integer box-filter resample of every lossless
+    // decode (PNG + GIF frame 0) to an 8×8 thumbnail, one row per
+    // output pixel (see MultimodalOps.resizeBox). The oracle replays
+    // the exact block sums from fixturePixel — a resampler off by one
+    // source pixel anywhere fails the hash.
     "mm_resize" -> ((s, dir) =>
-      MultimodalOps.resize(
-        MultimodalOps.documentsAsMedia(s, Tables.documents(s, dir)),
-        targetBytes = 64)
-        .select(col("doc_id"), col("media_type"), col("orig_bytes"),
-          col("new_bytes"), md5(col("content")).as("content_hash")))
+      MultimodalOps.resizeBox(
+        MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir)),
+        tw = 8, th = 8))
   )
 
   private val PhMaxHam = 9
@@ -149,16 +157,38 @@ object MultimodalQueries {
                  FROM ph_2 f JOIN ph_st st USING (doc_id) GROUP BY 1)"""
   }
 
+  /** Closed-form replay of the fixture geometry + [[MultimodalOps
+    * .fixturePixel]]: one row per losslessly-encoded doc (PNG stills,
+    * id%6=0, 1 frame; animated GIFs, id%3=2, 1+id%4 frames) with its
+    * doc_id-derived dims — the shared prefix of every pixel oracle.
+    */
+  private def pixelDocsCte: String =
+    """pxdoc AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 17
+                     ELSE 8 + doc_id % 9 END AS w,
+                CASE WHEN doc_id % 3 = 0 THEN 12 + doc_id % 13
+                     ELSE 8 + doc_id % 7 END AS h,
+                CASE WHEN doc_id % 3 = 0 THEN 1
+                     ELSE 1 + doc_id % 4 END AS nf
+         FROM documents
+         WHERE doc_id % 6 = 0 OR doc_id % 3 = 2)"""
+
   val oracles: Map[String, String] = Map(
     "mm_image_histogram" ->
-      """WITH img AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      s"""WITH $pixelDocsCte,
+         px AS (
+           SELECT doc_id,
+                  (doc_id * 31 + f.f * 101 + x.x * 7 + y.y * 13) % 256
+                    AS p
+           FROM pxdoc,
+             LATERAL (SELECT unnest(range(0, nf)) AS f) f,
+             LATERAL (SELECT unnest(range(0, w)) AS x) x,
+             LATERAL (SELECT unnest(range(0, h)) AS y) y),
          b AS (
-           SELECT doc_id, CAST(ord(c.c) >> 4 AS BIGINT) AS bucket,
-                  count(*) AS n
-           FROM img, unnest(string_split(text, '')) AS c(c)
-           GROUP BY 1, 2)
-         SELECT bucket, sum(n)::BIGINT AS n_bytes,
+           SELECT doc_id, (p // 16)::BIGINT AS bucket, count(*) AS n
+           FROM px GROUP BY 1, 2)
+         SELECT bucket, sum(n)::BIGINT AS n_pixels,
                 count(*)::BIGINT AS n_images
          FROM b GROUP BY 1""",
     // same sample re-derivation as mm_wav_stats, framed; the segment
@@ -240,29 +270,44 @@ object MultimodalQueries {
           FROM ph_w a JOIN ph_w b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.ph, b.ph)) <= $PhMaxHam""",
     "mm_decode_features" ->
-      """SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
+      s"""WITH $pixelDocsCte,
+         px AS (
+           SELECT doc_id,
+                  (doc_id * 31 + f.f * 101 + x.x * 7 + y.y * 13) % 256
+                    AS p
+           FROM pxdoc,
+             LATERAL (SELECT unnest(range(0, nf)) AS f) f,
+             LATERAL (SELECT unnest(range(0, w)) AS x) x,
+             LATERAL (SELECT unnest(range(0, h)) AS y) y),
+         ps AS (
+           SELECT doc_id, sum(p)::BIGINT AS px_sum,
+                  sum(p * p)::BIGINT AS px_sq
+           FROM px GROUP BY 1)
+         SELECT d.doc_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+                WHEN d.doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
-           (octet_length(encode(text)) +
-            CASE WHEN doc_id % 3 = 0
-                 THEN (CASE WHEN doc_id % 6 = 0 THEN 33 ELSE 15 END)
-                 WHEN doc_id % 3 = 1 THEN 44
-                 ELSE 0 END)::BIGINT AS n_bytes,
-           sha256(text) AS payload_sha256,
-           (CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 624
+           CASE WHEN d.doc_id % 6 = 0 THEN 'png'
+                WHEN d.doc_id % 3 = 0 THEN 'jpeg'
+                WHEN d.doc_id % 3 = 1 THEN 'wav'
+                ELSE 'gif' END AS format,
+           (CASE WHEN d.doc_id % 3 = 0 THEN 16 + d.doc_id % 17
+                 WHEN d.doc_id % 3 = 2 THEN 8 + d.doc_id % 9
                  ELSE 0 END)::INTEGER AS width,
-           (CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 464
+           (CASE WHEN d.doc_id % 3 = 0 THEN 12 + d.doc_id % 13
+                 WHEN d.doc_id % 3 = 2 THEN 8 + d.doc_id % 7
                  ELSE 0 END)::INTEGER AS height,
-           (CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 4000
+           (CASE WHEN d.doc_id % 3 = 1 THEN 8000 + (d.doc_id % 8) * 4000
                  ELSE 0 END)::INTEGER AS sample_rate,
-           (CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2
+           (CASE WHEN d.doc_id % 3 = 1 THEN 1 + d.doc_id % 2
                  ELSE 0 END)::INTEGER AS channels,
-           (CASE WHEN doc_id % 3 = 2
-                 THEN octet_length(encode(text)) // 100 + 1
-                 WHEN doc_id % 3 = 0 THEN 1
-                 ELSE 0 END)::INTEGER AS n_frames
-         FROM documents""",
+           (CASE WHEN d.doc_id % 3 = 0 THEN 1
+                 WHEN d.doc_id % 3 = 2 THEN 1 + d.doc_id % 4
+                 ELSE 0 END)::INTEGER AS n_frames,
+           ps.px_sum, ps.px_sq,
+           CASE WHEN d.doc_id % 3 = 1 THEN sha256(d.text) END
+             AS payload_sha256
+         FROM documents d LEFT JOIN ps ON ps.doc_id = d.doc_id""",
     "mm_frame_sample" ->
       """SELECT doc_id, (f.i * 4)::INTEGER AS frame_no,
            least(32, octet_length(encode(text)) - f.i * 4 * 32)::INTEGER
@@ -272,23 +317,27 @@ object MultimodalQueries {
            SELECT unnest(range(0,
              ((octet_length(encode(text)) + 32 * 4 - 1) // (32 * 4))::BIGINT))
              AS i) f""",
+    // frame 0 only (f term = 0) — the Spark side resamples frames.head
     "mm_resize" ->
-      """WITH t AS (SELECT doc_id, text,
-               octet_length(encode(text)) AS n,
-               greatest(1, (octet_length(encode(text)) + 63) // 64) AS k
-             FROM documents),
-          r AS (SELECT doc_id, n, k,
-                  array_to_string(list_transform(
-                    range(0, (n + k - 1) // k),
-                    i -> substring(text, (1 + i * k)::INTEGER, 1)), '') AS rs
-                FROM t)
-          SELECT doc_id,
-            CASE WHEN doc_id % 3 = 0 THEN 'image'
-                 WHEN doc_id % 3 = 1 THEN 'audio'
-                 ELSE 'video' END AS media_type,
-            n::BIGINT AS orig_bytes,
-            length(rs)::BIGINT AS new_bytes,
-            md5(rs) AS content_hash
-          FROM r"""
+      s"""WITH $pixelDocsCte,
+         cells AS (
+           SELECT doc_id, w, h, i.i AS ox, j.j AS oy
+           FROM pxdoc,
+             LATERAL (SELECT unnest(range(0, 8)) AS i) i,
+             LATERAL (SELECT unnest(range(0, 8)) AS j) j
+           WHERE w >= 8 AND h >= 8),
+         blocks AS (
+           SELECT doc_id, ox, oy,
+                  sum((doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS s,
+                  count(*) AS c
+           FROM cells,
+             LATERAL (SELECT unnest(range(ox * w // 8,
+               (ox + 1) * w // 8)) AS x) x,
+             LATERAL (SELECT unnest(range(oy * h // 8,
+               (oy + 1) * h // 8)) AS y) y
+           GROUP BY 1, 2, 3)
+         SELECT doc_id, ox::INTEGER AS ox, oy::INTEGER AS oy,
+                (s // c)::BIGINT AS v
+         FROM blocks"""
   )
 }

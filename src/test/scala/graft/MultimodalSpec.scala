@@ -45,7 +45,7 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.wav(MediaHeaders.wavBytes(1, 8000, 9).take(30))
       .isEmpty)
     assert(Seq(junk, Array.emptyByteArray).forall { bytes =>
-      val f = MultimodalOps.StubDecoder.decode(MediaRow(1L, "image", bytes))
+      val f = MultimodalOps.Decoder.decode(MediaRow(1L, "image", bytes))
       f.width == 0 && f.sample_rate == 0 // no header → no crash, zeros
     })
   }
@@ -70,7 +70,7 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.jpeg(lyingJpeg).isEmpty)
     // all three poison shapes survive the full decode as droppable zeros
     for (bytes <- Seq(loopWav, lyingJpeg)) {
-      val f = MultimodalOps.StubDecoder.decode(MediaRow(9L, "image", bytes))
+      val f = MultimodalOps.Decoder.decode(MediaRow(9L, "image", bytes))
       assert(f.width == 0 && f.sample_rate == 0 && f.n_bytes == bytes.length)
     }
   }
@@ -106,7 +106,7 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.jpeg(eoiFirst).isEmpty)
     // every poison shape survives the full decode as droppable zeros
     for (bytes <- Seq(withChunkSize(0x7ffffff0), overFmt, eoiFirst)) {
-      val f = MultimodalOps.StubDecoder.decode(MediaRow(9L, "audio", bytes))
+      val f = MultimodalOps.Decoder.decode(MediaRow(9L, "audio", bytes))
       assert(f.sample_rate == 0 && f.width == 0)
     }
   }
@@ -125,19 +125,162 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.wav(b).map(f => (f._1, f._2)).contains((2, 22050)))
   }
 
-  test("decode reads header fields back from the BYTES, payload hashed after header") {
+  test("decode falls back to header fields when the payload is unreadable") {
     val payload = "media payload".getBytes("UTF-8")
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(payload).map("%02x".format(_)).mkString
-    val png = MultimodalOps.StubDecoder.decode(
+    // a PNG header on a non-PNG payload: no pixels decode (n_frames 0),
+    // but the header dims still come back and the payload is hashed
+    val png = MultimodalOps.Decoder.decode(
       MediaRow(1L, "image", MediaHeaders.pngBytes(320, 200) ++ payload))
-    assert(png.width == 320 && png.height == 200 && png.n_frames == 1)
-    assert(png.payload_sha256 == sha && png.n_bytes == 33L + payload.length)
-    val wav = MultimodalOps.StubDecoder.decode(
+    assert(png.width == 320 && png.height == 200 && png.n_frames == 0)
+    assert(png.format == "png-header" && png.px_sum.isEmpty)
+    assert(png.payload_sha256.contains(sha) &&
+      png.n_bytes == 33L + payload.length)
+    val wav = MultimodalOps.Decoder.decode(
       MediaRow(2L, "audio", MediaHeaders.wavBytes(1, 16000, payload.length)
         ++ payload))
     assert(wav.channels == 1 && wav.sample_rate == 16000 && wav.width == 0)
-    assert(wav.payload_sha256 == sha)
+    assert(wav.format == "wav" && wav.payload_sha256.contains(sha))
+  }
+
+  test("PNG round-trips losslessly through ImageCodec and the feature decode") {
+    import graft.operators.ImageCodec
+    val px = (x: Int, y: Int) => MultimodalOps.fixturePixel(42L, 0, x, y)
+    val bytes = ImageCodec.encodePng(20, 14)(px)
+    val img = ImageCodec.decodeGray(bytes).get
+    assert(img.width == 20 && img.height == 14 && img.format == "png")
+    assert(img.frames.length == 1)
+    assert(img.frames.head.zipWithIndex.forall {
+      case (v, i) => v == px(i % 20, i / 20)
+    }, "PNG decode is not bit-exact against the painted pixels")
+    // the Decoder's moments are the exact sums over those pixels
+    val expSum = (for (y <- 0 until 14; x <- 0 until 20)
+      yield px(x, y).toLong).sum
+    val expSq = (for (y <- 0 until 14; x <- 0 until 20)
+      yield { val v = px(x, y).toLong; v * v }).sum
+    val f = MultimodalOps.Decoder.decode(MediaRow(42L, "image", bytes))
+    assert(f.format == "png" && f.n_frames == 1)
+    assert(f.px_sum.contains(expSum) && f.px_sq.contains(expSq))
+    assert(f.payload_sha256.isEmpty)
+  }
+
+  test("animated GIF round-trips losslessly frame by frame, n_frames is real") {
+    import graft.operators.ImageCodec
+    val px = (f: Int, x: Int, y: Int) => MultimodalOps.fixturePixel(7L, f, x, y)
+    val bytes = ImageCodec.encodeGif(11, 9, 3)(px)
+    val img = ImageCodec.decodeGray(bytes).get
+    assert(img.width == 11 && img.height == 9 && img.format == "gif")
+    assert(img.frames.length == 3)
+    for (f <- 0 until 3)
+      assert(img.frames(f).zipWithIndex.forall {
+        case (v, i) => v == px(f, i % 11, i / 11)
+      }, s"GIF frame $f is not bit-exact against the painted pixels")
+    val feat = MultimodalOps.Decoder.decode(MediaRow(7L, "video", bytes))
+    assert(feat.format == "gif" && feat.n_frames == 3)
+  }
+
+  test("JPEG decodes real pixels with exact dims (values are not pinned)") {
+    import graft.operators.ImageCodec
+    val bytes = ImageCodec.encodeJpeg(24, 16)((x, y) => (x * 9 + y) % 256)
+    val img = ImageCodec.decodeGray(bytes).get
+    assert(img.width == 24 && img.height == 16 && img.format == "jpeg")
+    assert(img.frames.head.length == 24 * 16)
+    assert(img.frames.head.forall(v => v >= 0 && v <= 255))
+    // lossy: the Decoder must NOT claim exact moments for JPEG
+    val f = MultimodalOps.Decoder.decode(MediaRow(3L, "image", bytes))
+    assert(f.format == "jpeg" && f.px_sum.isEmpty && f.px_sq.isEmpty)
+  }
+
+  test("optimized GIFs with shrunken later frames are rejected, not mis-decoded") {
+    import graft.operators.ImageCodec
+    // hand-write a sequence whose second frame is a smaller sub-raster —
+    // the shape real GIF optimizers emit; full-screen indexing of that
+    // frame would mis-map every pixel, so the codec must return None
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    def gray(w: Int, h: Int) = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        im.getRaster.setSample(x, y, 0, (x + y) % 256)
+      im
+    }
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(gray(10, 8), null, null), null)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(gray(4, 3), null, null), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    assert(ImageCodec.decodeGray(bos.toByteArray).isEmpty)
+  }
+
+  test("box-filter resize averages the exact source blocks") {
+    import graft.operators.ImageCodec
+    // 10×9 source → 8×8 target: uneven blocks (the floor-division grid),
+    // every output pixel hand-checkable as floor(mean of its block)
+    val w = 10; val h = 9
+    val px = (x: Int, y: Int) => MultimodalOps.fixturePixel(5L, 0, x, y)
+    val media = Seq(MediaRow(5L, "image", ImageCodec.encodePng(w, h)(px)))
+      .toDS()
+    val out = MultimodalOps.resizeBox(media, 8, 8)
+      .as[(Long, Int, Int, Long)].collect()
+      .map { case (_, ox, oy, v) => (ox, oy) -> v }.toMap
+    assert(out.size == 64)
+    for (oy <- 0 until 8; ox <- 0 until 8) {
+      val (x0, x1) = (ox * w / 8, (ox + 1) * w / 8)
+      val (y0, y1) = (oy * h / 8, (oy + 1) * h / 8)
+      val block = for (y <- y0 until y1; x <- x0 until x1)
+        yield px(x, y).toLong
+      assert(out((ox, oy)) == block.sum / block.length,
+        s"cell ($ox,$oy) drifted from its exact block mean")
+    }
+    // JPEG rows must be excluded (their pixels can't be pinned)
+    val jm = Seq(MediaRow(6L, "image",
+      ImageCodec.encodeJpeg(16, 16)((x, y) => x + y))).toDS()
+    assert(MultimodalOps.resizeBox(jm, 8, 8).count() == 0L)
+  }
+
+  test("MediaHeaders.wav agrees with javax.sound.sampled, accepts AND rejects") {
+    import javax.sound.sampled.AudioSystem
+    def jdk(b: Array[Byte]) =
+      try {
+        val f = AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(b)).getFormat
+        Some((f.getChannels, f.getSampleRate.toInt))
+      } catch { case _: Exception => None }
+    // the generator grid: both parsers read identical channels/rate
+    for (ch <- 1 to 2; rate <- Seq(8000, 16000, 22050, 44100);
+         n <- Seq(0, 7, 1000)) {
+      val b = MediaHeaders.wavBytes(ch, rate, n) ++
+        Array.fill(n)(1.toByte)
+      assert(MediaHeaders.wav(b).contains((ch, rate, 44)))
+      assert(jdk(b).contains((ch, rate)),
+        s"javax.sound disagreed on ch=$ch rate=$rate n=$n")
+    }
+    // corrupt-reject parity on the r10 guard paths: zero channels,
+    // zero/negative rate, undersized fmt chunk — OUR parser must reject
+    // (downstream duration math divides by rate·channels); the JDK's
+    // laxer parser may accept some, so the pin is one-directional on
+    // acceptance but both-ways on the values whenever both accept
+    def patched(at: Int, bytes: Array[Byte]): Array[Byte] = {
+      val b = MediaHeaders.wavBytes(1, 8000, 4) ++ Array.fill(4)(0.toByte)
+      b.patch(at, bytes, bytes.length)
+    }
+    val zeroCh = patched(22, Array[Byte](0, 0))
+    val zeroRate = patched(24, Array[Byte](0, 0, 0, 0))
+    val negRate = patched(24, Array[Byte](0, 0, 0, 0x80.toByte))
+    val tinyFmt = patched(16, Array[Byte](4, 0, 0, 0))
+    for (bad <- Seq(zeroCh, zeroRate, negRate, tinyFmt))
+      assert(MediaHeaders.wav(bad).isEmpty, "corrupt WAV accepted")
+    // truly-structureless bytes: both engines reject
+    assert(jdk("RIFFxxxxWAVEjunk".getBytes("US-ASCII")).isEmpty)
+    assert(MediaHeaders.wav("RIFFxxxxWAVEjunk".getBytes("US-ASCII")).isEmpty)
   }
 
   test("repartitionBySize bounds per-partition byte skew on pathological sizes") {
