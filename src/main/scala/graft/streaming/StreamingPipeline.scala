@@ -275,12 +275,16 @@ object StreamingPipeline {
     * assumed in order ACROSS batches (the per-partition Kafka ordering
     * the reference relies on) — a late view cannot retroactively
     * re-chain clicks that already streamed past. State is 3 longs per
-    * user and is BOUNDED, not just assumed bounded: a completed funnel
-    * removes its state (a 4th row can never advance anyway), and every
-    * open funnel carries a processing-time TTL (`stateTtlMs`) — a user
-    * who goes quiet past the TTL is evicted and would restart the
-    * funnel on return (the documented trade for bounded state on an
-    * unbounded user universe). Each group's batch rows materialize in
+    * user and is BOUNDED, not just assumed bounded: every funnel — open
+    * OR completed — carries a processing-time TTL (`stateTtlMs`), and a
+    * user quiet past the TTL is evicted (an evicted user restarts the
+    * funnel on return — the documented trade for bounded state on an
+    * unbounded user universe). Completed funnels deliberately KEEP
+    * their state until the TTL reclaims it: dropping it eagerly would
+    * break batch ≡ streaming, because a post-purchase 'view' arriving
+    * in a later micro-batch would find empty state and re-emit stage 1
+    * while batch mode (one group call, local state) emits nothing —
+    * StreamingSpec pins the post-completion case. Each group's batch rows materialize in
     * memory for the in-batch sort — per (user, trigger) grain, fine
     * unless one user floods a single trigger. Runs identically on a
     * batch Dataset (empty state, one group call, TTL inert) —
@@ -314,11 +318,11 @@ object StreamingPipeline {
                 st = st.copy(t3 = t); out += FunnelAdvance(uid, 3, t)
               }
             }
-            if (st.t3 >= 0L) state.remove() // funnel complete: free state
-            else {
-              state.update(st)
-              state.setTimeoutDuration(stateTtlMs)
-            }
+            // completed funnels keep their state (TTL reclaims it):
+            // removing it here would let a post-purchase view in a
+            // later batch restart the funnel, diverging from batch mode
+            state.update(st)
+            state.setTimeoutDuration(stateTtlMs)
             out.iterator
           }
       }

@@ -36,6 +36,28 @@ class StreamingSpec extends SparkSpec {
     msg(0, 2L, """{"id":"b","n":2}"""),
     msg(1, 1L, """{"id":"c","n":3}"""))
 
+  /** Wait until the memory sink holds at least `n` rows. The funnel
+    * queries CANNOT use `processAllAvailable`: with
+    * `ProcessingTimeTimeout`, `FlatMapGroupsWithStateExec
+    * .shouldRunAnotherBatch` is unconditionally true (timeouts can fire
+    * any time), so the engine schedules no-data micro-batches forever
+    * and the `noNewData` latch processAllAvailable blocks on is never
+    * set — a guaranteed hang, not a flake. Sink-count polling (with
+    * sentinel rows to bound negative cases) is the deterministic dual:
+    * a micro-batch commits to the sink atomically, so once the sentinel
+    * row of a batch is visible, every emission of that batch is.
+    */
+  private def awaitSinkRows(table: String, n: Long,
+      timeoutMs: Long = 120000L): Unit = {
+    val t0 = System.nanoTime()
+    while (spark.table(table).count() < n) {
+      if ((System.nanoTime() - t0) / 1e6 > timeoutMs)
+        fail(s"timed out waiting for $n rows in $table " +
+          s"(have ${spark.table(table).count()})")
+      Thread.sleep(100L)
+    }
+  }
+
   test("streaming pipeline result equals batch pipeline result") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Msg]
@@ -591,11 +613,13 @@ class StreamingSpec extends SparkSpec {
       .funnelStages(stream.toDS(), W)
       .writeStream.format("memory").queryName("funnel_out")
       .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
       .option("checkpointLocation", s"$out/cp").start()
     try {
-      q.processAllAvailable()
+      awaitSinkRows("funnel_out", 4) // u1 view+click, u2 view, u3 view
       stream.addData(batchB)
-      q.processAllAvailable()
+      awaitSinkRows("funnel_out", 5) // + u1 purchase (stage 3)
     } finally q.stop()
     val streamed = spark.table("funnel_out")
       .as[(Long, Int, Long)].collect().toSet
@@ -607,6 +631,128 @@ class StreamingSpec extends SparkSpec {
       .funnelStages((batchA ++ batchB).toDS(), W)
       .collect().map(a => (a.user_id, a.stage, a.at)).toSet
     assert(batched == streamed)
+  }
+
+  test("completed funnel state survives the batch boundary: a post-purchase view never restarts (batch ≡ streaming)") {
+    val W = 86400000L
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    // u1 completes the funnel in batch A; batch B's view arrives against
+    // RETAINED completed state, so nothing re-emits — exactly what batch
+    // mode (one group call, local state) does. Eager state removal on
+    // completion would make streaming re-emit (1, 1, 4000) here. The
+    // sentinel u9 view bounds the negative wait: its emission proves
+    // batch B committed, after which u1 must have emitted nothing new.
+    val batchA = Seq((1L, "view", 1000L), (1L, "click", 2000L),
+      (1L, "purchase", 3000L))
+    val batchB = Seq((1L, "view", 4000L), (1L, "click", 4500L),
+      (9L, "view", 4000L))
+    val out = Files.createTempDirectory("graft-funnel-done").toString
+    stream.addData(batchA)
+    val q = graft.streaming.StreamingPipeline
+      .funnelStages(stream.toDS(), W)
+      .writeStream.format("memory").queryName("funnel_done_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", s"$out/cp").start()
+    try {
+      awaitSinkRows("funnel_done_out", 3)
+      stream.addData(batchB)
+      awaitSinkRows("funnel_done_out", 4) // sentinel only
+    } finally q.stop()
+    val streamed = spark.table("funnel_done_out")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(streamed == Set((1L, 1, 1000L), (1L, 2, 2000L), (1L, 3, 3000L),
+      (9L, 1, 4000L)),
+      s"post-completion events re-advanced the funnel: $streamed")
+    val batched = graft.streaming.StreamingPipeline
+      .funnelStages((batchA ++ batchB).toDS(), W)
+      .collect().map(a => (a.user_id, a.stage, a.at)).toSet
+    assert(batched == streamed, s"batch/stream drift: $batched vs $streamed")
+  }
+
+  test("funnel TTL evicts quiet users across triggers; an evicted user restarts at stage 1") {
+    val W = 86400000L
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Long)]
+    val out = Files.createTempDirectory("graft-funnel-ttl").toString
+    stream.addData(Seq((1L, "view", 1000L), (1L, "click", 2000L)))
+    // 100 ms TTL: u1's timer expires during the sleep; the timeout
+    // callback only fires INSIDE a later trigger (ProcessingTimeTimeout
+    // semantics), which batch B's unrelated u2 row provides
+    val q = graft.streaming.StreamingPipeline
+      .funnelStages(stream.toDS(), W, stateTtlMs = 100L)
+      .writeStream.format("memory").queryName("funnel_ttl_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", s"$out/cp").start()
+    try {
+      awaitSinkRows("funnel_ttl_out", 2) // u1 view + click
+      Thread.sleep(800L) // u1's 100 ms timer lapses; a trigger evicts it
+      stream.addData(Seq((2L, "view", 5000L)))
+      awaitSinkRows("funnel_ttl_out", 3)
+      stream.addData(Seq((1L, "view", 9000L), (1L, "purchase", 9500L)))
+      awaitSinkRows("funnel_ttl_out", 4) // the view restarts at stage 1
+    } finally q.stop()
+    val streamed = spark.table("funnel_ttl_out")
+      .as[(Long, Int, Long)].collect().toSet
+    // u1's return is a fresh funnel: stage 1 re-emits at t=9000 (state
+    // was evicted, t1/t2 forgotten) and the purchase cannot advance
+    // (no click in the new funnel). Timeout itself emits nothing.
+    assert(streamed == Set((1L, 1, 1000L), (1L, 2, 2000L),
+      (2L, 1, 5000L), (1L, 1, 9000L)),
+      s"TTL eviction/restart drifted: $streamed")
+  }
+
+  test("funnel TTL is inert in batch mode (one group call, no clock)") {
+    val events = Seq((1L, "view", 1000L), (1L, "click", 2000L),
+      (1L, "purchase", 3000L), (2L, "view", 1500L))
+    val tiny = graft.streaming.StreamingPipeline
+      .funnelStages(events.toDS(), 86400000L, stateTtlMs = 1L)
+      .collect().map(a => (a.user_id, a.stage, a.at)).toSet
+    // a 1 ms TTL changes nothing in batch: there is no later trigger
+    // for the timeout to fire in, so the full advance set emits
+    assert(tiny == Set((1L, 1, 1000L), (1L, 2, 2000L), (1L, 3, 3000L),
+      (2L, 1, 1500L)))
+  }
+
+  test("sub-second interval-join window joins at millisecond grain (regression: windowMs/1000 truncation)") {
+    import graft.streaming.StreamingPipeline
+    import java.sql.Timestamp
+    // windowMs = 500: a view 400 ms before the purchase is IN window, a
+    // view 600 ms before is OUT. The r10-fixed bug built the interval as
+    // `windowMs / 1000 SECONDS`, truncating 500 ms to 0 — under which
+    // this case joins nothing. The prior test's 86400000 ms window
+    // divided evenly and could not catch it.
+    def t(ms: Long) = new Timestamp(1704067200000L + ms)
+    val viewRows = Seq((1L, 1L, t(600L), 0.0),   // 600 ms before: out
+      (2L, 1L, t(800L), 0.0),                    // 400 ms before: in
+      (3L, 1L, t(1300L), 0.0))                   // 100 ms after: out
+    val purchRows = Seq((100L, 1L, t(1200L), 5.0))
+    implicit val sqlCtx = spark.sqlContext
+    val vs = MemoryStream[(Long, Long, Timestamp, Double)]
+    val ps = MemoryStream[(Long, Long, Timestamp, Double)]
+    vs.addData(viewRows); ps.addData(purchRows)
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "ts", "value")
+    val out = Files.createTempDirectory("graft-ssj-ms").toString
+    val q = StreamingPipeline.viewPurchaseIntervalJoin(
+        named(vs.toDF()), named(ps.toDF()), 500L)
+      .writeStream.format("memory").queryName("ssj_ms_out")
+      .option("checkpointLocation", s"$out/cp").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_ms_out")
+      .select("user_id", "view_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val batched = StreamingPipeline.viewPurchaseIntervalJoin(
+        named(viewRows.toDF("a", "b", "c", "d")),
+        named(purchRows.toDF("a", "b", "c", "d")), 500L)
+      .select("user_id", "view_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batched, s"stream/batch drift: $streamed vs $batched")
+    assert(streamed == Set((1L, 2L, 100L)), s"wrong ms-grain join: $streamed")
   }
 
   test("range search runs unchanged on a stream (radius alerting)") {
