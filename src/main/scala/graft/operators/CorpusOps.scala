@@ -1541,6 +1541,68 @@ object CorpusOps {
       .withColumn("keep", col("avg_prob") >= lit(keepAbove))
   }
 
+  /** Join-based dual of [[bigramLmScore]] for bigram models too large
+    * to collect into a driver Map (worst case V² entries): the SAME
+    * fixed-point per-position term — floor(1e6·(c12+1)/(c1+V+1)) with
+    * identical double-op association, so the two paths are bit-equal —
+    * but the model applied as a BROADCAST frame join instead of a
+    * closure. Both joins broadcast the model side, so the corpus is
+    * never hash-exchanged on a word key (the "the the" skew key); the
+    * only corpus shuffle is the per-doc sum on doc_id — PlanSpec pins
+    * exactly that shape. Unseen bigrams and contexts coalesce to 0
+    * counts, mirroring the Map's getOrElse.
+    */
+  def bigramLmScoreJoin(vocab: Set[String], model: DataFrame,
+      vocabSize: Int, keepAbove: Double)(docs: DataFrame): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
+    val classes = udf { (text: String) =>
+      tokenizeLikeSpark(text).map(t => if (bc.value(t)) t else UnkClass)
+    }
+    val denomAdd = vocabSize + 1L
+    val contexts = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val n = size(col("__c"))
+    val fp = floor(lit(1000000.0) *
+      ((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + lit(denomAdd)).cast("double")))
+      .cast("long")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), classes(col("text")).as("__c"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("__c"), lit(1), greatest(n - 1, lit(0))),
+        slice(col("__c"), lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("doc_id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .join(broadcast(contexts), Seq("w1"), "left_outer")
+      .join(broadcast(model), Seq("w1", "w2"), "left_outer")
+      .select(col("doc_id"), fp.as("__fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__fp")).as("lm_fp"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_fp"),
+        (col("lm_fp").cast("double") /
+          (lit(1000000.0) * col("n_bigrams").cast("double"))).as("avg_prob"))
+      .withColumn("keep", col("avg_prob") >= lit(keepAbove))
+  }
+
+  /** Size-aware LM apply (the [[stripBoilerplateAuto]] discipline for
+    * the bigram model): collect-and-broadcast-closure while the model
+    * fits comfortably on the driver, the broadcast-frame join beyond
+    * `maxDriverModel` entries. The probe is bounded — limit(cap+1)
+    * proves over/under without counting (or collecting) the world, and
+    * the probe rows ARE the model when they fit, so the under-cap path
+    * pays no second evaluation.
+    */
+  def bigramLmScoreAuto(vocab: Set[String], model: DataFrame,
+      vocabSize: Int, keepAbove: Double,
+      maxDriverModel: Long = 1000000L)(docs: DataFrame): DataFrame = {
+    val probe = model.limit(
+      math.min(maxDriverModel + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= maxDriverModel)
+      bigramLmScore(vocab,
+        probe.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap, vocabSize, keepAbove)(docs)
+    else bigramLmScoreJoin(vocab, model, vocabSize, keepAbove)(docs)
+  }
+
   // --------------------------------------------------- DSIR resampling
 
   /** Hashed-feature space size for the DSIR model. 2^12 buckets bound

@@ -283,20 +283,31 @@ object DedupOps {
     }
 
   /** Append a batch's fingerprints to an existing store (the ingest
-    * epilogue after [[incrementalNearDupPairs]] has flagged it).
-    * In-place into the CURRENT manifest version; sets land before
-    * bands, so a crash between the two writes leaves orphaned set rows
-    * that can never be candidates (missed-alert window for that batch,
-    * resolved by re-appending after dedup) — never a false pair.
+    * epilogue after [[incrementalNearDupPairs]] has flagged it) —
+    * ATOMICALLY: both tables land in one delta version behind the
+    * manifest's single pointer swap ([[graft.sources.IndexManifest
+    * .publishDelta]]). A crash anywhere mid-append leaves the store
+    * exactly as it was (no stranded set rows without candidate keys —
+    * the pre-r11 in-place two-table append's window), and re-appending
+    * the batch converges to exactly-once rows. O(batch) per append.
     */
   def appendToMinhashStore(newDocs: DataFrame, dir: String, k: Int = 2,
-      bands: Int = 8, rows: Int = 2): Unit = {
-    val vdir = graft.sources.IndexManifest.resolve(newDocs.sparkSession, dir)
-    val sets = mhSets(newDocs, k)
-    sets.write.mode("append").parquet(s"$vdir/sets")
-    mhBands(sets, bands, rows).write.mode("append")
-      .parquet(s"$vdir/bands")
-  }
+      bands: Int = 8, rows: Int = 2): Unit =
+    graft.sources.IndexManifest.publishDelta(
+      newDocs.sparkSession, dir) { vdir =>
+      val sets = mhSets(newDocs, k)
+      sets.write.mode("overwrite").parquet(s"$vdir/sets")
+      mhBands(sets, bands, rows).write.mode("overwrite")
+        .parquet(s"$vdir/bands")
+    }
+
+  /** One store table as a single multi-path scan over the live delta
+    * chain (base + every published append).
+    */
+  private def minhashTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): DataFrame =
+    spark.read.parquet(graft.sources.IndexManifest
+      .resolveChain(spark, dir).map(v => s"$v/$table"): _*)
 
   /** Small-files maintenance after repeated appends (the [[graft
     * .operators.SimilarityOps.compactIndex]] analogue for the
@@ -310,14 +321,14 @@ object DedupOps {
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val im = graft.sources.IndexManifest
-    val cur = im.resolve(spark, dir)
-    // BOTH tables rewrite into one new version behind ONE atomic pointer
-    // swap — the old per-table delete-then-rename could crash between
-    // the two and leave sets/bands from different compactions live
+    // the whole live chain (base + deltas) folds into ONE full version
+    // behind ONE atomic pointer swap; prune then retires the dead chain
+    val chain = im.resolveChain(spark, dir)
     im.publish(spark, dir) { vdir =>
-      rewriteClustered(spark, s"$cur/sets", s"$vdir/sets", Seq("doc_id"))
-      rewriteClustered(spark, s"$cur/bands", s"$vdir/bands",
-        Seq("band", "band_key"))
+      rewriteClustered(spark, chain.map(v => s"$v/sets"),
+        s"$vdir/sets", Seq("doc_id"))
+      rewriteClustered(spark, chain.map(v => s"$v/bands"),
+        s"$vdir/bands", Seq("band", "band_key"))
     }
     im.prune(spark, dir, keep = 2)
   }
@@ -327,9 +338,9 @@ object DedupOps {
     * versioned stores where the swap is the manifest's job).
     */
   private def rewriteClustered(spark: org.apache.spark.sql.SparkSession,
-      from: String, to: String, keys: Seq[String]): Unit = {
+      from: Seq[String], to: String, keys: Seq[String]): Unit = {
     val kc = keys.map(col)
-    spark.read.parquet(from)
+    spark.read.parquet(from: _*)
       .repartitionByRange(kc: _*)
       .sortWithinPartitions(kc: _*)
       .write.mode("overwrite").parquet(to)
@@ -381,9 +392,8 @@ object DedupOps {
   def incrementalNearDupPairs(newDocs: DataFrame, dir: String, k: Int = 2,
       bands: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val vdir = graft.sources.IndexManifest.resolve(spark, dir)
-    val storeSets = spark.read.parquet(s"$vdir/sets")
-    val storeBands = spark.read.parquet(s"$vdir/bands")
+    val storeSets = minhashTable(spark, dir, "sets")
+    val storeBands = minhashTable(spark, dir, "bands")
     val nsets = mhSets(newDocs, k)
     val nbands = mhBands(nsets, bands, rows)
     val cand = storeBands

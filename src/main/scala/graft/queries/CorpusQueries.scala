@@ -472,13 +472,13 @@ object CorpusQueries {
       import s.implicits._
       val vocab = CorpusOps.vocabulary(d, VocabV)
         .as[String].collect().toSet
-      val model = CorpusOps.bigramModel(vocab)(d).collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       val gopher = CorpusOps.gopherGate(GMinTok, GMaxTok, GMinWordLen,
           GMaxWordLen, GMaxSymbol, GMinAlpha, GMinStop, GMinDistinct)(d)
         .select(col("doc_id"), col("keep").as("gopher_ok"))
-      val lm = CorpusOps.bigramLmScore(vocab, model, VocabV,
-          LmKeepAbove)(d)
+      // size-guarded model apply: bounded limit(cap+1) probe, never an
+      // unguarded V²-worst-case collect (bigramLmScoreAuto)
+      val lm = CorpusOps.bigramLmScoreAuto(vocab,
+          CorpusOps.bigramModel(vocab)(d), VocabV, LmKeepAbove)(d)
         .select(col("doc_id"), col("keep").as("lm_ok"))
       val spans = graft.operators.DedupOps.duplicateSpans(
           DedupQueries.SpanK, DedupQueries.SpanMaxDup)(d)
@@ -1266,11 +1266,11 @@ object CorpusQueries {
     import s.implicits._
     val vocab = CorpusOps.vocabulary(d, VocabV)
       .as[String].collect().toSet
-    val model = CorpusOps.bigramModel(vocab)(d)
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
-    CorpusOps.bigramLmScore(vocab, model, VocabV, LmKeepAbove)(d)
+    // size-guarded: the model collects to the driver only after a
+    // bounded limit(cap+1) probe proves it fits (worst case V² rows);
+    // past the cap the broadcast-frame join path scores instead
+    CorpusOps.bigramLmScoreAuto(vocab,
+      CorpusOps.bigramModel(vocab)(d), VocabV, LmKeepAbove)(d)
   }
 
   /** The bigram-LM oracle, shared verbatim with the funnel. */

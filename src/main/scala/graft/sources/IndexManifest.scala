@@ -85,6 +85,70 @@ object IndexManifest {
     next
   }
 
+  /** Publish a DELTA version extending the current chain — the
+    * append-a-batch analogue of [[publish]], for stores whose append
+    * spans MULTIPLE tables that must land together (the minhash store's
+    * sets + bands: an in-place two-table append could crash between the
+    * writes and strand set rows without candidate keys). The new
+    * version directory holds ONLY the batch's rows plus a PARENT file
+    * naming the version it extends; [[resolveChain]] readers union the
+    * chain into one logical store. The pointer swap remains the single
+    * commit: a crash anywhere before it leaves the old chain live and
+    * the half-written delta invisible, and retrying re-runs `write`
+    * into a cleared directory — exactly-once rows, convergent retries
+    * (the snapshot-chain device of the table formats, reduced to a
+    * parent pointer). Per-append cost is O(batch), never O(store).
+    */
+  def publishDelta(spark: SparkSession, root: String)(
+      write: String => Unit): Int = {
+    val parent = currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"IndexManifest: no MANIFEST under $root — publish a base first"))
+    publish(spark, root) { vdir =>
+      val pp = new Path(s"$vdir/PARENT")
+      val f = fs(spark, pp)
+      val out = f.create(pp, true)
+      try out.write(parent.toString.getBytes("UTF-8")) finally out.close()
+      write(vdir)
+    }
+  }
+
+  private def parentOf(spark: SparkSession, root: String,
+      v: Int): Option[Int] = {
+    val pp = new Path(s"${versionDir(root, v)}/PARENT")
+    val f = fs(spark, pp)
+    if (!f.exists(pp)) None
+    else {
+      val in = f.open(pp)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Version numbers of the live chain, newest first: the current
+    * version and every ancestor reachable through PARENT files (a full
+    * [[publish]] — rebuild or compaction — has no PARENT and roots the
+    * chain).
+    */
+  def chainVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    var v = Some(currentVersion(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"IndexManifest: no MANIFEST under $root — index never published")))
+      : Option[Int]
+    while (v.isDefined) { b += v.get; v = parentOf(spark, root, v.get) }
+    b.result()
+  }
+
+  /** Directories of the live chain, newest first — readers of
+    * delta-append stores scan the UNION of these (pass all of them to
+    * one `spark.read.parquet(dirs: _*)` so the scan stays a single
+    * multi-path FileScan, not a union of plans).
+    */
+  def resolveChain(spark: SparkSession, root: String): Seq[String] =
+    chainVersions(spark, root).map(versionDir(root, _))
+
   /** The atomic pointer swap: write MANIFEST.tmp, rename OVERWRITE onto
     * MANIFEST. `FileContext.rename(OVERWRITE)` is the Hadoop API whose
     * contract IS atomic replace on HDFS (plain `FileSystem.rename`
@@ -103,22 +167,28 @@ object IndexManifest {
     fc.rename(tmp, mp, Options.Rename.OVERWRITE)
   }
 
-  /** Retire all but the newest `keep` version directories (never the
-    * current one). Run after [[publish]], outside any reader's grace
-    * window. Returns the versions deleted.
+  /** Retire dead version directories: anything not on the live PARENT
+    * chain, except the newest `keep - 1` of them (the grace window for
+    * in-flight readers still scanning a superseded chain). Chain
+    * members — the current version and every ancestor it references —
+    * are NEVER deleted, however old: a delta store's base must outlive
+    * all its deltas. Run after [[publish]]. Returns the versions
+    * deleted.
     */
   def prune(spark: SparkSession, root: String, keep: Int = 2): Seq[Int] = {
     require(keep >= 1, s"prune must keep the current version (keep=$keep)")
     val cur = currentVersion(spark, root).getOrElse(return Seq.empty)
+    val live = chainVersions(spark, root).toSet
     val vdir = new Path(s"$root/versions")
     val f = fs(spark, vdir)
     if (!f.exists(vdir)) return Seq.empty
-    val versions = f.listStatus(vdir).toSeq
+    val dead = f.listStatus(vdir).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") => n.drop(1).toInt }
       .filter(_ <= cur) // a concurrent writer's in-flight v(cur+1) is not ours to touch
+      .filterNot(live)
       .sorted
-    val retire = versions.dropRight(keep)
+    val retire = dead.dropRight(keep - 1)
     retire.foreach { v =>
       if (!f.delete(new Path(versionDir(root, v)), true))
         throw new java.io.IOException(

@@ -74,6 +74,58 @@ class IndexManifestSpec extends SparkSpec {
       s"${IndexManifest.resolve(spark, root)}/t").count() == 2)
   }
 
+  test("publishDelta: crash mid-delta leaves the chain live; retry converges exactly-once") {
+    val root = tmpRoot()
+    IndexManifest.publish(spark, root) { vdir =>
+      Seq((1L, "base")).toDF("id", "s").write.parquet(s"$vdir/t")
+    }
+    // crash between the delta's two table writes: pointer untouched,
+    // half-written delta invisible
+    intercept[RuntimeException] {
+      IndexManifest.publishDelta(spark, root) { vdir =>
+        Seq((2L, "delta")).toDF("id", "s").write.parquet(s"$vdir/t")
+        throw new RuntimeException("crash before second table")
+      }
+    }
+    assert(IndexManifest.currentVersion(spark, root).contains(1))
+    assert(IndexManifest.chainVersions(spark, root) == Seq(1))
+    // retry: the orphaned v2 is cleared and rewritten — never doubled
+    val v = IndexManifest.publishDelta(spark, root) { vdir =>
+      Seq((2L, "delta")).toDF("id", "s").write.mode("overwrite")
+        .parquet(s"$vdir/t")
+    }
+    assert(v == 2 && IndexManifest.chainVersions(spark, root) == Seq(2, 1))
+    val rows = spark.read.parquet(
+      IndexManifest.resolveChain(spark, root).map(d => s"$d/t"): _*)
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "base"), (2L, "delta")))
+  }
+
+  test("prune never retires a live chain ancestor; a full publish frees the old chain") {
+    val root = tmpRoot()
+    IndexManifest.publish(spark, root) { vdir =>
+      Seq((1L, "base")).toDF("id", "s").write.parquet(s"$vdir/t")
+    }
+    (2 to 3).foreach { i =>
+      IndexManifest.publishDelta(spark, root) { vdir =>
+        Seq((i.toLong, "d")).toDF("id", "s").write.parquet(s"$vdir/t")
+      }
+    }
+    // whole chain live: nothing to retire even at keep=1
+    assert(IndexManifest.prune(spark, root, keep = 1).isEmpty)
+    assert(IndexManifest.chainVersions(spark, root) == Seq(3, 2, 1))
+    // a compaction-style full publish roots a new chain; the old one is
+    // now dead and keep=1 retires all of it
+    IndexManifest.publish(spark, root) { vdir =>
+      Seq((1L, "c"), (2L, "c"), (3L, "c")).toDF("id", "s")
+        .write.parquet(s"$vdir/t")
+    }
+    assert(IndexManifest.prune(spark, root, keep = 1) == Seq(1, 2, 3))
+    assert(IndexManifest.chainVersions(spark, root) == Seq(4))
+    assert(spark.read.parquet(
+      s"${IndexManifest.resolve(spark, root)}/t").count() == 3)
+  }
+
   test("prune retires oldest versions, never the current") {
     val root = tmpRoot()
     (1 to 4).foreach { i =>

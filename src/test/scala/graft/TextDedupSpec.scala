@@ -416,16 +416,59 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(before.nonEmpty) // the %4 clones collide across the split
     import graft.sources.IndexManifest
-    def setsFiles() =
-      files(s"${IndexManifest.resolve(spark, store)}/sets")
+    // build + 2 delta appends = a 3-version live chain
+    assert(IndexManifest.chainVersions(spark, store) == Seq(3, 2, 1))
+    def setsFiles() = IndexManifest.resolveChain(spark, store)
+      .map(v => files(s"$v/sets")).sum
     val filesBefore = setsFiles()
     DedupOps.compactMinhashStore(spark, store)
-    // both tables swapped together in one new manifest version
-    assert(IndexManifest.currentVersion(spark, store).contains(2))
+    // the whole chain folded into one full version behind one swap
+    assert(IndexManifest.currentVersion(spark, store).contains(4))
+    assert(IndexManifest.chainVersions(spark, store) == Seq(4))
     val after = DedupOps.incrementalNearDupPairs(probe, store)
       .as[(Long, Long, Double)].collect().toSet
     assert(after == before)
     assert(setsFiles() < filesBefore)
+  }
+
+  test("minhash append is ATOMIC: crash mid-append changes nothing, retry converges") {
+    val d = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "one two three four five six seven eight",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota", // ~dup of 0
+      3L -> "one two three four five six seven nine")       // ~dup of 1
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("mh-atomic").toString + "/s"
+    DedupOps.buildMinhashStore(d.filter($"doc_id" < 2), store)
+    val batch = d.filter($"doc_id" >= 2)
+    val expected = DedupOps.incrementalNearDupPairs(batch, store)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.map(p => (p._1, p._2)) == Set((0L, 2L), (1L, 3L)))
+    // simulated crash between the delta's sets and bands writes — the
+    // window the pre-r11 in-place append left open
+    import graft.sources.IndexManifest
+    intercept[RuntimeException] {
+      IndexManifest.publishDelta(spark, store) { vdir =>
+        batch.write.parquet(s"$vdir/sets")
+        throw new RuntimeException("crash before bands")
+      }
+    }
+    // reopen: the store is EXACTLY its pre-append self — same probe
+    // results, no stranded rows visible anywhere
+    assert(IndexManifest.chainVersions(spark, store) == Seq(1))
+    assert(DedupOps.incrementalNearDupPairs(batch, store)
+      .as[(Long, Long, Double)].collect().toSet == expected)
+    // retry converges: the append lands exactly once…
+    DedupOps.appendToMinhashStore(batch, store)
+    assert(IndexManifest.chainVersions(spark, store) == Seq(2, 1))
+    // …and a fresh probe near doc 0 sees each store doc EXACTLY once
+    // (doubled set rows would double the verified pair rows)
+    val p4 = Seq(4L -> "alpha beta gamma delta epsilon zeta eta kappa")
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.incrementalNearDupPairs(p4, store)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)).sorted == Seq((0L, 4L), (2L, 4L)))
   }
 
   test("fuzzySearch: SymSpell deletion-join == brute-force levenshtein") {
@@ -855,5 +898,38 @@ class TextDedupSpec extends SparkSpec {
       Seq((5L, "q r")).toDF("doc_id", "text"))
       .select($"lm_fp", $"keep").as[(Long, Boolean)].head()
     assert(unseen == ((333333L, false)))   // (0+1)/(0+3) → 333333
+  }
+
+  test("bigram LM: join path ≡ collect path bit-exactly; auto switches at the cap") {
+    import graft.operators.CorpusOps
+    // covers every arithmetic branch: seen bigram, seen-context/unseen-
+    // bigram, unseen context, <unk> classes, single-token + null drops
+    val in = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "z"),
+      (4L, null.asInstanceOf[String]), (5L, "q r"), (6L, "b b a q"))
+      .toDF("doc_id", "text")
+    val vocab = CorpusOps.vocabulary(in, 2).as[String].collect().toSet
+    val modelDf = CorpusOps.bigramModel(vocab)(in).localCheckpoint(false)
+    val model = modelDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_bigrams", $"lm_fp", $"avg_prob", $"keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map { case (id, n, fp, p, k) =>
+        // compare the double by IEEE bits — "close" is not the contract
+        (id, n, fp, java.lang.Double.doubleToLongBits(p), k)
+      }.toSet
+    val viaMap = rows(CorpusOps.bigramLmScore(vocab, model, 2, 0.5)(in))
+    val viaJoin = rows(
+      CorpusOps.bigramLmScoreJoin(vocab, modelDf, 2, 0.5)(in))
+    assert(viaMap == viaJoin, s"join path drifted: $viaJoin vs $viaMap")
+    assert(viaMap.map(_._1) == Set(1L, 2L, 5L, 6L)) // non-vacuous
+    // a cap below the model size forces the join path through auto…
+    assert(model.size > 2)
+    val viaAutoJoin = rows(CorpusOps.bigramLmScoreAuto(
+      vocab, modelDf, 2, 0.5, maxDriverModel = 2L)(in))
+    // …and a roomy cap takes the collect path; both equal the reference
+    val viaAutoMap = rows(CorpusOps.bigramLmScoreAuto(
+      vocab, modelDf, 2, 0.5)(in))
+    assert(viaAutoJoin == viaMap && viaAutoMap == viaMap)
   }
 }
