@@ -422,6 +422,19 @@ object MultimodalOps {
       .select(col("doc_id"),
         expr("cell div 8").as("x"), (col("cell") % 8).as("y"),
         (coalesce(col("hs"), lit(0L)) % 256).as("p"))
+    phashFromPixels(grid)
+  }
+
+  /** The DCT sign-sketch tail shared by the text-texture pHash and the
+    * REAL image pHash: input is one 8×8 integer grid per doc
+    * (`doc_id, x, y, p` with p in 0..255, all 64 cells present), output
+    * the 60-bit low-frequency sign word. Separable two-pass DCT against
+    * the broadcast literal basis, divisionless sign bits — see
+    * [[phashSketch]] for the full scale/exactness argument.
+    */
+  def phashFromPixels(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
     val cq = broadcast(dctBasis.toDF("u", "x", "c"))
     val g = grid
       .join(cq.select(col("u").as("v"), col("x").as("yy"),
@@ -443,4 +456,17 @@ object MultimodalOps {
         expr("shiftleft(CAST(1 AS BIGINT), u * 8 + v - 1)"))
         .otherwise(lit(0L))).as("ph"))
   }
+
+  /** REAL image pHash: the production vision-dedup shape end to end —
+    * decode actual pixels ([[ImageCodec]]), area-average down to 8×8
+    * ([[resizeBox]]), then the integer DCT sign sketch
+    * ([[phashFromPixels]]). Lossless decodes only (PNG + GIF frame 0),
+    * so the whole pipeline — pixels, block sums, DCT, sign bits — is
+    * exact and externally verifiable. Same Manku-banding machinery as
+    * every other sketch for pair generation.
+    */
+  def phashImage(media: Dataset[MediaRow]): DataFrame =
+    phashFromPixels(resizeBox(media, 8, 8)
+      .select(col("doc_id"), col("ox").as("x"), col("oy").as("y"),
+        col("v").as("p")))
 }

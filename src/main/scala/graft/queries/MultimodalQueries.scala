@@ -94,7 +94,15 @@ object MultimodalQueries {
     "mm_resize" -> ((s, dir) =>
       MultimodalOps.resizeBox(
         MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir)),
-        tw = 8, th = 8))
+        tw = 8, th = 8)),
+
+    // REAL image pHash: decoded pixels → 8×8 box resample → integer DCT
+    // sign sketch (the production vision-dedup pipeline end to end; see
+    // MultimodalOps.phashImage). The oracle replays pixels, block sums,
+    // both DCT passes and the sign bits closed-form.
+    "mm_phash_image" -> ((s, dir) =>
+      MultimodalOps.phashImage(
+        MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir))))
   )
 
   private val PhMaxHam = 9
@@ -105,14 +113,41 @@ object MultimodalQueries {
   private val VadFrame = 50
   private val VadThr = 32000000000L
 
-  /** pHash replay: the shingle feature-hash texture, the shared literal
-    * DCT basis (MultimodalOps.dctBasis — the ONE cosine table), the
-    * separable two-pass DCT, and the divisionless sign bits. Ends at
-    * `ph_w(doc_id, ph)`.
+  /** The DCT sign-sketch tail, expecting a preceding `ph_px(doc_id, x,
+    * y, p)` CTE (all 64 cells per doc): the shared literal DCT basis
+    * (MultimodalOps.dctBasis — the ONE cosine table), the separable
+    * two-pass DCT, and the divisionless sign bits. Ends at
+    * `ph_w(doc_id, ph)` — the SQL dual of
+    * MultimodalOps.phashFromPixels.
     */
-  private def phashCtes: String = {
+  private def phashTail: String = {
     val cqvals = MultimodalOps.dctBasis
       .map { case (u, x, c) => s"($u, $x, $c)" }.mkString(", ")
+    s"""ph_cq(u, x, c) AS (SELECT * FROM (VALUES $cqvals)),
+        ph_1 AS (SELECT p.doc_id, p.x, cv.u AS v,
+                   sum(p.p * cv.c)::BIGINT AS gv
+                 FROM ph_px p JOIN ph_cq cv ON cv.x = p.y
+                 GROUP BY 1, 2, 3),
+        ph_2 AS (SELECT g.doc_id, cu.u, g.v,
+                   sum(g.gv * cu.c)::BIGINT AS fv
+                 FROM ph_1 g JOIN ph_cq cu ON cu.x = g.x
+                 GROUP BY 1, 2, 3),
+        ph_st AS (SELECT doc_id,
+                    (sum(fv) - max(CASE WHEN u = 0 AND v = 0
+                       THEN fv END))::BIGINT AS sac
+                  FROM ph_2 GROUP BY 1),
+        ph_w AS (SELECT f.doc_id,
+                   sum(CASE WHEN u * 8 + v BETWEEN 1 AND 60
+                         AND 63 * fv > st.sac
+                       THEN 1::BIGINT << (u * 8 + v - 1)
+                       ELSE 0 END)::BIGINT AS ph
+                 FROM ph_2 f JOIN ph_st st USING (doc_id) GROUP BY 1)"""
+  }
+
+  /** Text-texture pHash replay: the shingle feature-hash texture grid,
+    * then [[phashTail]].
+    */
+  private def phashCtes: String = {
     val toks = """string_split_regex(trim(text), '\s+')"""
     s"""WITH ph_d AS (
             SELECT doc_id, $toks AS tk FROM documents
@@ -136,26 +171,34 @@ object MultimodalQueries {
                    ON p.doc_id = d.doc_id AND p.cell = c.i),
         ph_px AS (SELECT doc_id, cell // 8 AS x, cell % 8 AS y, p
                 FROM ph_g),
-        ph_cq(u, x, c) AS (SELECT * FROM (VALUES $cqvals)),
-        ph_1 AS (SELECT p.doc_id, p.x, cv.u AS v,
-                   sum(p.p * cv.c)::BIGINT AS gv
-                 FROM ph_px p JOIN ph_cq cv ON cv.x = p.y
-                 GROUP BY 1, 2, 3),
-        ph_2 AS (SELECT g.doc_id, cu.u, g.v,
-                   sum(g.gv * cu.c)::BIGINT AS fv
-                 FROM ph_1 g JOIN ph_cq cu ON cu.x = g.x
-                 GROUP BY 1, 2, 3),
-        ph_st AS (SELECT doc_id,
-                    (sum(fv) - max(CASE WHEN u = 0 AND v = 0
-                       THEN fv END))::BIGINT AS sac
-                  FROM ph_2 GROUP BY 1),
-        ph_w AS (SELECT f.doc_id,
-                   sum(CASE WHEN u * 8 + v BETWEEN 1 AND 60
-                         AND 63 * fv > st.sac
-                       THEN 1::BIGINT << (u * 8 + v - 1)
-                       ELSE 0 END)::BIGINT AS ph
-                 FROM ph_2 f JOIN ph_st st USING (doc_id) GROUP BY 1)"""
+        $phashTail"""
   }
+
+  /** Real-image pHash replay: the fixture pixels box-resampled to the
+    * 8×8 grid (the mm_resize CTEs verbatim, renamed into `ph_px`),
+    * then [[phashTail]].
+    */
+  private def imgPhashCtes: String =
+    s"""WITH $pixelDocsCte,
+        ph_cells AS (
+           SELECT doc_id, w, h, i.i AS ox, j.j AS oy
+           FROM pxdoc,
+             LATERAL (SELECT unnest(range(0, 8)) AS i) i,
+             LATERAL (SELECT unnest(range(0, 8)) AS j) j
+           WHERE w >= 8 AND h >= 8),
+        ph_blocks AS (
+           SELECT doc_id, ox, oy,
+                  sum((doc_id * 31 + x.x * 7 + y.y * 13) % 256) AS s,
+                  count(*) AS c
+           FROM ph_cells,
+             LATERAL (SELECT unnest(range(ox * w // 8,
+               (ox + 1) * w // 8)) AS x) x,
+             LATERAL (SELECT unnest(range(oy * h // 8,
+               (oy + 1) * h // 8)) AS y) y
+           GROUP BY 1, 2, 3),
+        ph_px AS (SELECT doc_id, ox AS x, oy AS y, (s // c) AS p
+                  FROM ph_blocks),
+        $phashTail"""
 
   /** Closed-form replay of the fixture geometry + [[MultimodalOps
     * .fixturePixel]]: one row per losslessly-encoded doc (PNG stills,
@@ -260,6 +303,9 @@ object MultimodalQueries {
          FROM sm""",
     "mm_phash" ->
       s"""$phashCtes
+          SELECT doc_id, ph FROM ph_w""",
+    "mm_phash_image" ->
+      s"""$imgPhashCtes
           SELECT doc_id, ph FROM ph_w""",
     // banding is candidate generation only — the pigeonhole proves the
     // Spark result ≡ this exhaustive pair scan at the threshold

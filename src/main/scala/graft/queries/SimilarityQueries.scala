@@ -362,7 +362,11 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"))
       val a = cents.select(col("source").as("src_a"), col("cent").as("ca"))
       val b = cents.select(col("source").as("src_b"), col("cent").as("cb"))
-      a.join(b, col("src_a") < col("src_b"))
+      // broadcast the (model-grain) right side: the inequality pair
+      // join plans as BNLJ-over-broadcast, not a shuffled
+      // CartesianProduct — PlanSpec's global sweep keeps its
+      // CartesianProduct allowlist EMPTY on the back of this
+      a.join(broadcast(b), col("src_a") < col("src_b"))
         .join(broadcast(ns.select(col("source").as("src_a"),
           col("n").as("n_a"))), Seq("src_a"))
         .join(broadcast(ns.select(col("source").as("src_b"),

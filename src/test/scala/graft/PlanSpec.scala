@@ -40,6 +40,14 @@ class PlanSpec extends SparkSpec {
   private def singlePartitionCount(p: String): Int =
     count(p, "Arguments: SinglePartition")
 
+  /** Node-instance count in a FORMATTED plan string via the `(n) Node`
+    * detail headers — exactly one per instance (the tree line
+    * interposes join build/type args between name and paren, and the
+    * bare name also appears twice per node: tree + detail).
+    */
+  private def nodeCount(p: String, node: String): Int =
+    ("""\(\d+\) """ + node).r.findAllIn(p).length
+
   test("q5 star join: every dimension broadcast, no sort-merge join") {
     val p = planString("q5_local_supplier")
     assert(count(p, "BroadcastHashJoin") >= 4, p.take(2000))
@@ -287,7 +295,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "percolate join degraded to SMJ")
   }
 
-  test("global sweep: no registered query plans Exchange SinglePartition") {
+  test("bigramLmScoreJoin: model broadcasts, corpus never shuffles on a word key") {
+    import graft.operators.CorpusOps
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val d = Tables.documents(spark, dir)
+    import spark.implicits._
+    val vocab = CorpusOps.vocabulary(d, 64).as[String].collect().toSet
+    val df = CorpusOps.bigramLmScoreJoin(vocab,
+      CorpusOps.bigramModel(vocab)(d), 64, 0.5)(d)
+    val root: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // shuffles reachable WITHOUT crossing a broadcast boundary = the
+    // corpus scoring path. The model-build aggregates (bounded V²
+    // partials) live under BroadcastExchange and are allowed; the
+    // corpus side must exchange exactly once — the per-doc sum on
+    // doc_id — and NEVER on w1/w2 (the "the the" skew key a
+    // sort-merge model join would hash the whole exploded corpus on).
+    def corpusShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case _: BroadcastExchangeExec => Seq.empty
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(corpusShuffles)
+      case o => o.children.flatMap(corpusShuffles)
+    }
+    val shuffles = corpusShuffles(root)
+    assert(shuffles.length == 1,
+      s"expected exactly 1 corpus-side shuffle (doc_id sum), saw " +
+        shuffles.map(_.outputPartitioning).mkString("; "))
+    assert(shuffles.head.outputPartitioning.toString.contains("doc_id"),
+      s"corpus shuffled on ${shuffles.head.outputPartitioning}, not doc_id")
+    // count physical nodes, not explain-string hits (FormattedMode
+    // prints each operator twice: tree line + detail block)
+    val bhj = root.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.length == 2, s"model joins not broadcast (saw ${bhj.length} BHJ)")
+    val smj = root.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "model join degraded to SMJ")
+  }
+
+  test("global sweep: no SinglePartition exchange, CartesianProduct, or unallowlisted BNLJ in any registered plan") {
     // Exchange SinglePartition funnels the full upstream through ONE
     // task — the #1 accidental scale-killer (a Window.orderBy with no
     // partitioning, a coalesce(1), a global sort). Sweep EVERY
@@ -295,16 +345,28 @@ class PlanSpec extends SparkSpec {
     // exceptions with their exact count, all of which are 1-row global
     // aggregates (partial→final where the single partition receives one
     // pre-aggregated row per upstream partition, not the data).
+    // ONE plan-string pass per query audits all three scale-killers:
+    // SinglePartition exchanges, CartesianProduct (quadratic, never
+    // acceptable — empty allowlist), and BroadcastNestedLoopJoin
+    // (acceptable ONLY against a broadcast 1-row/model-grain aggregate
+    // — the crossJoin(broadcast(stats)) parameterization idiom — so
+    // every instance is named with its exact count).
     val allowed: Map[String, Int] = PlanSpec.singlePartitionAllowlist
+    val bnljAllowed: Map[String, Int] = PlanSpec.bnljAllowlist
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = planString(name)
       val n = singlePartitionCount(p)
       val ok = allowed.getOrElse(name, 0)
-      if (n != ok) offenders += s"$name: $n (allowed $ok)"
+      if (n != ok) offenders += s"$name: $n SinglePartition (allowed $ok)"
+      val cart = nodeCount(p, "CartesianProduct")
+      if (cart != 0) offenders += s"$name: $cart CartesianProduct"
+      val bnlj = nodeCount(p, "BroadcastNestedLoopJoin")
+      val bok = bnljAllowed.getOrElse(name, 0)
+      if (bnlj != bok) offenders += s"$name: $bnlj BNLJ (allowed $bok)"
     }
     assert(offenders.isEmpty,
-      "Exchange SinglePartition count drift:\n" + offenders.mkString("\n"))
+      "plan-shape sweep drift:\n" + offenders.mkString("\n"))
   }
 
   test("sim_ivf: cell assignment is a pure map — one shuffle total") {
@@ -432,4 +494,40 @@ object PlanSpec {
     // checkpoint barrier, events_anomaly-style)
     // (events_anomaly's 1-row bounds aggregate runs behind its
     // checkpoint barrier, so the swept plan shows none)
+
+  /** BroadcastNestedLoopJoin instances per plan, measured by PlanDump
+    * at sf0.001 and hand-audited: every entry is a
+    * `crossJoin(broadcast(...))` against a 1-row (or model-grain,
+    * construction-bounded) aggregate — the standard way to thread a
+    * global statistic into a per-row expression without a shuffle. A
+    * BNLJ against anything data-grain would be quadratic; none exist,
+    * and this sweep keeps it that way.
+    */
+  val bnljAllowlist: Map[String, Int] = Map(
+    "corpus_quality_regression" -> 2, "corpus_tfidf_terms" -> 1,
+    "dq_checks" -> 1, "es_auto_date_histogram" -> 1,
+    "es_change_point" -> 1, "es_date_range" -> 1,
+    "es_frequent_item_sets" -> 1, "es_normalize" -> 1,
+    "es_variable_width_histogram" -> 1, "events_basket_rules" -> 1,
+    "events_cuped" -> 1, "events_pareto" -> 1, "events_rfm" -> 1,
+    "events_seasonality" -> 1, "events_trend_fit" -> 1,
+    "events_wau_rolling" -> 1, "graph_modularity" -> 1,
+    "graph_reciprocity" -> 1, "orders_abc_analysis" -> 1,
+    "q11_important_stock" -> 3, "q16_part_supplier_counts" -> 1,
+    "q20_promo_suppliers" -> 1, "q22_idle_balance" -> 1,
+    "q2_min_cost_supplier" -> 2, "sim_bruteforce_topk" -> 1,
+    "sim_drift" -> 1, "sim_pca_power" -> 1, "sim_pq_kmeans" -> 1,
+    "sim_pq_refine" -> 1, "sim_pq_topk" -> 1, "sim_range_search" -> 1,
+    "sim_recall_at_k" -> 2,
+    // the centroid-pair inequality self-join: both sides are the
+    // 20-row source-centroid frame; the broadcast makes it BNLJ
+    // instead of a shuffled CartesianProduct
+    "sim_source_centroids" -> 1,
+    "sim_sq8_persisted" -> 1, "sim_sq8_topk" -> 1,
+    "text_search_bm25" -> 1, "text_search_bm25_persisted" -> 1,
+    "text_search_boosting" -> 1, "text_search_collapse" -> 1,
+    "text_search_function_score" -> 1, "text_search_prefix" -> 1,
+    "text_search_rescore" -> 1, "text_search_rm3" -> 1,
+    "text_search_rrf" -> 1, "text_search_wildcard" -> 1,
+    "text_significant_terms" -> 1)
 }
