@@ -9,14 +9,21 @@ import org.apache.spark.sql.types._
   * timestamp, timestampType`), so every injector op runs unchanged in batch
   * (oracle-verified) and against a real Kafka source.
   *
-  * Mapping (FIXTURES.md §2): `user_id` plays the Kafka partition, `event_id`
-  * the offset, `ts` the message timestamp; the remaining columns are
-  * serialized to a JSON message value (the reference's
-  * `KAFKA_CONSUMER_RECORD_TYPE=json` path). Because serialize→decode is the
-  * identity on these fields, every downstream query has a plain-SQL oracle
-  * over the original table.
+  * Mapping (FIXTURES.md §2): `user_id mod 32` plays the Kafka partition
+  * (a topic has a BOUNDED partition count — the pre-r11 raw
+  * `user_id.cast(int)` overflowed ANSI-cast at ids ≥ 2³¹, found by the
+  * 10× scale probe, and was also unfaithful: real partitions are
+  * 0..N−1), `event_id` the offset, `ts` the message timestamp; the
+  * remaining columns are serialized to a JSON message value (the
+  * reference's `KAFKA_CONSUMER_RECORD_TYPE=json` path). Because
+  * serialize→decode is the identity on these fields, every downstream
+  * query has a plain-SQL oracle over the original table.
   */
 object KafkaShape {
+
+  /** Simulated topic partition count (`user_id mod this` = partition,
+    * mirrored verbatim in every oracle that reads the partition). */
+  val NumPartitions = 32
 
   /** Payload schema of the simulated JSON messages. */
   val eventPayloadSchema: StructType = StructType(Seq(
@@ -31,7 +38,8 @@ object KafkaShape {
         to_json(struct(col("event_type"), col("value"), col("props"))),
         "UTF-8").as("value"),
       lit("events").as("topic"),
-      col("user_id").cast("int").as("partition"),
+      pmod(col("user_id"), lit(NumPartitions.toLong)).cast("int")
+        .as("partition"),
       col("event_id").as("offset"),
       col("ts").as("timestamp"),
       lit(0).as("timestampType"))

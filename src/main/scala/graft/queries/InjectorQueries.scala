@@ -223,31 +223,35 @@ object InjectorQueries {
          'graft-events-' || strftime(ts, '%Y-%m-%d') AS es_index FROM events""",
     "r3_index_column_route" ->
       "SELECT event_id, 'graft-events-' || event_type AS es_index FROM events",
+    // partition = user_id % 32 (KafkaShape.NumPartitions): a topic's
+    // partition count is bounded, so every partition-derived value
+    // takes the mod — identically on both engines
     "r4_doc_id" ->
-      "SELECT event_id, concat_ws(':', user_id, event_id) AS doc_id FROM events",
+      "SELECT event_id, concat_ws(':', user_id % 32, event_id) AS doc_id FROM events",
     "r4_doc_id_column" ->
       "SELECT event_id, event_type AS doc_id FROM events",
     "entry_pipeline" ->
       """SELECT 'graft-events-' || strftime(ts, '%Y-%m-%d') AS es_index,
                 '_doc' AS es_type,
-                concat_ws(':', user_id, event_id) AS doc_id,
+                concat_ws(':', user_id % 32, event_id) AS doc_id,
                 event_type, value, epoch_ms(ts) AS ts_ms
          FROM events""",
     "k2_dedup_create" ->
-      """SELECT event_id, concat_ws(':', user_id, event_id) AS doc_id
+      """SELECT event_id, concat_ws(':', user_id % 32, event_id) AS doc_id
          FROM events""",
     "k2_dedup_window" ->
       """SELECT user_id, day, event_id FROM (
-           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id,
+           SELECT user_id % 32 AS user_id,
+                  strftime(ts, '%Y-%m-%d') AS day, event_id,
                   row_number() OVER (
-                    PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
-                    ORDER BY user_id, event_id) AS rn
+                    PARTITION BY user_id % 32, strftime(ts, '%Y-%m-%d')
+                    ORDER BY user_id % 32, event_id) AS rn
            FROM events) WHERE rn = 1""",
     "m1_consumer_lag" ->
-      """SELECT user_id, max(event_id) AS high_water,
+      """SELECT user_id % 32 AS user_id, max(event_id) AS high_water,
                 max(event_id) FILTER (WHERE event_type <> 'error') AS committed,
                 max(event_id) - max(event_id) FILTER (WHERE event_type <> 'error') AS lag
-         FROM events GROUP BY user_id""",
+         FROM events GROUP BY user_id % 32""",
     "m2_throughput" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
          FROM events GROUP BY 1, 2"""
