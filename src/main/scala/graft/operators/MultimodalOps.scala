@@ -457,6 +457,85 @@ object MultimodalOps {
         .otherwise(lit(0L))).as("ph"))
   }
 
+  /** Temporal frame-delta analysis over animated media (the
+    * scene-change / motion-energy profile a video-curation pipeline
+    * reads before frame sampling): per consecutive frame pair of each
+    * multi-frame lossless decode, the sum and max of absolute pixel
+    * deltas plus the changed-pixel count — all exact integer over REAL
+    * decoded pixels ([[ImageCodec.decodeGray]]). A static-duplicate
+    * frame shows sum_abs_delta = 0; a hard cut shows n_changed ≈ w·h.
+    * Scale shape: per-row narrow decode kernel, ZERO exchanges — the
+    * per-(doc, frame) grain is computed inside the kernel, so 100 TB of
+    * video never shuffles pixel data.
+    */
+  def frameDelta(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      ImageCodec.decodeGray(r.content).toSeq
+        .filter(i => i.format != "jpeg" && i.frames.length >= 2)
+        .flatMap { img =>
+          (1 until img.frames.length).map { f =>
+            val a = img.frames(f - 1)
+            val b = img.frames(f)
+            var sad = 0L
+            var mx = 0L
+            var changed = 0L
+            var i = 0
+            while (i < a.length) {
+              val d = math.abs(b(i) - a(i)).toLong
+              sad += d
+              if (d > mx) mx = d
+              if (d != 0L) changed += 1L
+              i += 1
+            }
+            (r.doc_id, f.toLong, sad, mx, changed)
+          }
+        }
+    }.toDF("doc_id", "frame", "sum_abs_delta", "max_delta", "n_changed")
+  }
+
+  /** Per-image exact pixel statistics + low-information gate (the
+    * vision dual of the text quality gates): min/max/contrast and the
+    * fixed-point variance floor((n·Σp² − (Σp)²)·10⁶ / n²) over ALL
+    * frames of each lossless decode, with `keep` flagging images whose
+    * contrast clears `minContrast` — a flat (single-color, broken, or
+    * padding) image carries no training signal and gates out here.
+    * All-integer arithmetic (n ≤ 33·25·4 pixels/image bounds every
+    * intermediate far under Long), so the oracle replays it bit-exact.
+    * Per-row narrow kernel, zero exchanges.
+    */
+  def imagePixelStats(media: Dataset[MediaRow],
+      minContrast: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      ImageCodec.decodeGray(r.content).toSeq
+        .filter(_.format != "jpeg")
+        .map { img =>
+          var mn = 255
+          var mx = 0
+          var sum = 0L
+          var sq = 0L
+          var n = 0L
+          img.frames.foreach { fr =>
+            var i = 0
+            while (i < fr.length) {
+              val v = fr(i)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              sum += v
+              sq += v.toLong * v
+              n += 1L
+              i += 1
+            }
+          }
+          val varFp = (n * sq - sum * sum) * 1000000L / (n * n)
+          (r.doc_id, n, mn.toLong, mx.toLong, (mx - mn).toLong,
+            sum, sq, varFp, (mx - mn) >= minContrast)
+        }
+    }.toDF("doc_id", "n_pixels", "min_p", "max_p", "contrast",
+      "px_sum", "px_sq", "var_fp", "keep")
+  }
+
   /** REAL image pHash: the production vision-dedup shape end to end —
     * decode actual pixels ([[ImageCodec]]), area-average down to 8×8
     * ([[resizeBox]]), then the integer DCT sign sketch

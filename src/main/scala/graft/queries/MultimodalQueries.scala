@@ -102,10 +102,25 @@ object MultimodalQueries {
     // both DCT passes and the sign bits closed-form.
     "mm_phash_image" -> ((s, dir) =>
       MultimodalOps.phashImage(
-        MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir))))
+        MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir)))),
+
+    // Temporal scene-change profile of the animated GIFs: per
+    // consecutive-frame pair, exact sum/max of absolute pixel deltas +
+    // changed-pixel count over real decoded frames. Zero exchanges.
+    "mm_frame_delta" -> ((s, dir) =>
+      MultimodalOps.frameDelta(
+        MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir)))),
+
+    // Per-image exact pixel stats + low-information (flat-image) gate
+    // over every lossless decode. Zero exchanges.
+    "mm_pixel_stats" -> ((s, dir) =>
+      MultimodalOps.imagePixelStats(
+        MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir)),
+        minContrast = PxMinContrast))
   )
 
   private val PhMaxHam = 9
+  private val PxMinContrast = 32
   private val PhChunks = 12
   /** VAD: 50-sample frames; energy gate inside the measured per-frame
     * Σs² distribution (2.8e10–3.7e10 on the ASCII-payload fixture).
@@ -307,6 +322,48 @@ object MultimodalQueries {
     "mm_phash_image" ->
       s"""$imgPhashCtes
           SELECT doc_id, ph FROM ph_w""",
+    // consecutive-frame absolute pixel deltas replayed closed-form:
+    // only multi-frame docs (the animated GIFs with nf >= 2) survive
+    "mm_frame_delta" ->
+      s"""WITH $pixelDocsCte,
+         d AS (
+           SELECT doc_id, f.f AS frame,
+                  abs(((doc_id * 31 + f.f * 101 + x.x * 7 + y.y * 13)
+                         % 256) -
+                      ((doc_id * 31 + (f.f - 1) * 101 + x.x * 7 +
+                          y.y * 13) % 256)) AS d
+           FROM pxdoc,
+             LATERAL (SELECT unnest(range(1, nf)) AS f) f,
+             LATERAL (SELECT unnest(range(0, w)) AS x) x,
+             LATERAL (SELECT unnest(range(0, h)) AS y) y
+           WHERE nf >= 2)
+         SELECT doc_id, frame::BIGINT AS frame,
+                sum(d)::BIGINT AS sum_abs_delta,
+                max(d)::BIGINT AS max_delta,
+                sum(CASE WHEN d != 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_changed
+         FROM d GROUP BY 1, 2""",
+    // exact pixel moments + the fixed-point variance over all frames;
+    // HUGEINT intermediates land in BIGINT, floor division on
+    // non-negative terms matches Scala Long division exactly
+    "mm_pixel_stats" ->
+      s"""WITH $pixelDocsCte,
+         px AS (
+           SELECT doc_id,
+                  (doc_id * 31 + f.f * 101 + x.x * 7 + y.y * 13) % 256
+                    AS p
+           FROM pxdoc,
+             LATERAL (SELECT unnest(range(0, nf)) AS f) f,
+             LATERAL (SELECT unnest(range(0, w)) AS x) x,
+             LATERAL (SELECT unnest(range(0, h)) AS y) y)
+         SELECT doc_id, count(*)::BIGINT AS n_pixels,
+                min(p)::BIGINT AS min_p, max(p)::BIGINT AS max_p,
+                (max(p) - min(p))::BIGINT AS contrast,
+                sum(p)::BIGINT AS px_sum, sum(p * p)::BIGINT AS px_sq,
+                ((count(*) * sum(p * p) - sum(p) * sum(p)) * 1000000
+                   // (count(*) * count(*)))::BIGINT AS var_fp,
+                (max(p) - min(p)) >= $PxMinContrast AS keep
+         FROM px GROUP BY 1""",
     // banding is candidate generation only — the pigeonhole proves the
     // Spark result ≡ this exhaustive pair scan at the threshold
     "mm_phash_dedup" ->

@@ -246,6 +246,52 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.resizeBox(jm, 8, 8).count() == 0L)
   }
 
+  test("frame delta computes exact consecutive-frame SAD on real GIF decodes") {
+    import graft.operators.ImageCodec
+    val w = 6; val h = 5; val nf = 3
+    val px = (f: Int, x: Int, y: Int) => MultimodalOps.fixturePixel(9L, f, x, y)
+    val media = Seq(
+      MediaRow(9L, "video", ImageCodec.encodeGif(w, h, nf)(px)),
+      // single-frame GIF: no pair, no rows
+      MediaRow(10L, "video", ImageCodec.encodeGif(4, 4, 1)(px)),
+      // constant frames: delta must be exactly zero
+      MediaRow(11L, "video", ImageCodec.encodeGif(4, 4, 2)((_, _, _) => 77)))
+      .toDS()
+    val out = MultimodalOps.frameDelta(media)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, f, sad, mx, ch) => (id, f) -> ((sad, mx, ch)) }.toMap
+    assert(out.size == (nf - 1) + 1) // doc 9's two pairs + doc 11's one
+    for (f <- 1 until nf) {
+      val ds = for (y <- 0 until h; x <- 0 until w)
+        yield math.abs(px(f, x, y) - px(f - 1, x, y)).toLong
+      assert(out((9L, f.toLong)) ==
+        ((ds.sum, ds.max, ds.count(_ != 0L).toLong)),
+        s"frame $f delta drifted from the exact pixel replay")
+    }
+    assert(out((11L, 1L)) == ((0L, 0L, 0L)), "static frames must delta to 0")
+  }
+
+  test("pixel stats are exact moments; the contrast gate drops flat images") {
+    import graft.operators.ImageCodec
+    val w = 7; val h = 6
+    val px = (x: Int, y: Int) => MultimodalOps.fixturePixel(3L, 0, x, y)
+    val media = Seq(
+      MediaRow(3L, "image", ImageCodec.encodePng(w, h)(px)),
+      // flat image: zero variance, zero contrast, gated out
+      MediaRow(4L, "image", ImageCodec.encodePng(5, 5)((_, _) => 200)))
+      .toDS()
+    val rows = MultimodalOps.imagePixelStats(media, minContrast = 32)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val vs = (for (y <- 0 until h; x <- 0 until w) yield px(x, y).toLong)
+    val (n, sum, sq) = (vs.length.toLong, vs.sum, vs.map(v => v * v).sum)
+    assert(rows(3L) == ((3L, n, vs.min, vs.max, vs.max - vs.min, sum, sq,
+      (n * sq - sum * sum) * 1000000L / (n * n), true)))
+    val flat = rows(4L)
+    assert(flat._5 == 0L && flat._8 == 0L && !flat._9,
+      s"flat image must gate out with zero variance: $flat")
+  }
+
   test("MediaHeaders.wav agrees with javax.sound.sampled, accepts AND rejects") {
     import javax.sound.sampled.AudioSystem
     def jdk(b: Array[Byte]) =
