@@ -238,6 +238,38 @@ object StreamingPipeline {
       .select(col(keyCol), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"))
 
+  /** Live sample-ratio-mismatch guard — the streaming dual of the
+    * batch `events_ab_srm` readout, firing DURING the experiment
+    * instead of at analysis time. First-seen user dedup
+    * (`dropDuplicatesWithinWatermark`, state bounded by the watermark
+    * horizon), the SAME deterministic arm hash as the batch readout
+    * (PortableHash over "exp1:" + user), then per-window arm counts
+    * with the identical z = (n_a − n/2)/√(n/4) gate. Append mode: a
+    * window's verdict emits once, when the watermark closes it. A user
+    * whose events span windows counts once — in the window of their
+    * FIRST event inside the horizon — matching the enrollment-grain
+    * denominator an SRM check wants. Scale: dedup state is one row per
+    * active user within the horizon; the aggregate is |windows|-grain.
+    */
+  def streamingSrm(timeCol: String, windowLen: String,
+      watermarkDelay: String)(events: DataFrame): DataFrame = {
+    val arm = pmod(graft.functions.PortableHash.h15(
+      concat(lit("exp1:"), col("user_id").cast("string"))), lit(2L))
+    val nd = col("n_users").cast("double")
+    val z = (col("n_a").cast("double") - nd / lit(2.0)) /
+      sqrt(nd * lit(0.25))
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id")
+      .withColumn("arm", arm)
+      .groupBy(window(col(timeCol), windowLen))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
+      .select(col("window.start").as("window_start"), col("n_users"),
+        col("n_a"), col("n_b"), z.as("z"), (abs(z) > lit(3.0)).as("srm_flag"))
+  }
+
   /** M1 streaming dual with CUSTOM state — per-partition high-water mark
     * and cumulative record count via
     * `KeyValueGroupedDataset.mapGroupsWithState`: the state store carries

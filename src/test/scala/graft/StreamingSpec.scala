@@ -755,6 +755,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((1L, 2L, 100L)), s"wrong ms-grain join: $streamed")
   }
 
+  test("streaming SRM guard: users count once, arm split and z-gate match the batch hash") {
+    import graft.streaming.StreamingPipeline
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // aligned hour boundary
+    def t(ms: Long) = new Timestamp(base + ms)
+    // 40 users, TWO events each — dedup must count each user once
+    val rows = (1L to 40L).flatMap(u =>
+      Seq((u, t(1000L + u)), (u, t(200000L + u))))
+    val stream = MemoryStream[(Long, Timestamp)]
+    stream.addData(rows)
+    val out = Files.createTempDirectory("graft-srm").toString
+    val q = StreamingPipeline.streamingSrm("ts", "1 hour", "10 minutes")(
+        stream.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("srm_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/cp").start()
+    try {
+      q.processAllAvailable()
+      // sentinel 2 h later: watermark passes the window end, it emits
+      stream.addData(Seq((999L, t(7200000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("srm_out")
+      .as[(Timestamp, Long, Long, Long, Double, Boolean)].collect()
+    assert(got.length == 1, s"exactly one closed window expected: ${got.toSeq}")
+    val (ws, n, na, nb, z, flag) = got.head
+    // expected arm split from the SAME hash evaluated in batch
+    val expA = (1L to 40L).toDF("user_id")
+      .select(pmod(graft.functions.PortableHash.h15(
+        concat(lit("exp1:"), col("user_id").cast("string"))), lit(2L))
+        .as("arm"))
+      .filter(col("arm") === 0L).count()
+    assert(ws.getTime == base && n == 40L && na == expA && nb == 40L - expA)
+    val expZ = (expA.toDouble - 20.0) / math.sqrt(10.0)
+    assert(math.abs(z - expZ) < 1e-12 && flag == (math.abs(expZ) > 3.0))
+  }
+
   test("range search runs unchanged on a stream (radius alerting)") {
     import graft.operators.SimilarityOps
     def v(x: Double, y: Double) = Seq(x, y)
