@@ -20,6 +20,19 @@ case class FunnelState(t1: Long, t2: Long, t3: Long)
 /** Emitted each time a user's furthest funnel stage advances. */
 case class FunnelAdvance(user_id: Long, stage: Int, at: Long)
 
+/** Per-event-type anomaly-detector state: open (not-yet-closed) hourly
+  * buckets, the last closed hour (ms, -1 before the first closure), and
+  * the running count/sum/sum-of-squares over all CLOSED buckets.
+  */
+case class AnomalyState(open: Map[Long, Long], lastClosed: Long,
+    n: Long, s: Long, q: Long)
+
+/** One closed hourly bucket's verdict: its count, the history size the
+  * gate saw (bucket included), and the z² > 4 flag.
+  */
+case class HourVerdict(event_type: String, hour_start: Long,
+    doc_count: Long, n_hist: Long, flagged: Boolean)
+
 /** The canonical deployment shape of the reference (SURVEY.md §3.2):
   * Kafka consumer-group source → decode/enrich/route → Elasticsearch bulk
   * sink, re-expressed as one Structured Streaming plan. Every transform is
@@ -268,6 +281,84 @@ object StreamingPipeline {
         sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"))
       .select(col("window.start").as("window_start"), col("n_users"),
         col("n_a"), col("n_b"), z.as("z"), (abs(z) > lit(3.0)).as("srm_flag"))
+  }
+
+  /** Live count-anomaly alerting — the streaming dual of the batch
+    * `events_anomaly` readout, flagging DURING ingestion instead of at
+    * analysis time. Per event_type, arbitrary state carries the open
+    * hourly buckets plus running (n, Σx, Σx²) over closed ones; an hour
+    * CLOSES when the watermark passes its end, is folded into the
+    * stats, and is judged by the SAME all-integer gate as batch —
+    * (n·x − S)² > 4·(n·Q − S²), z² > 4 with the divisions multiplied
+    * through. Silent hours close as x = 0 (gap-fill — a silent hour is
+    * the outage signal), driven by an event-time timer so a type that
+    * goes quiet still alerts while OTHER types advance the watermark.
+    * Divergence from batch, by construction: batch judges every bucket
+    * against full-history stats retrospectively; the live dual judges
+    * each bucket against history UP TO ITSELF (all an online detector
+    * can know) and converges to the batch verdicts as history grows —
+    * StreamingSpec pins the exact prefix-fold semantics. Scale: state
+    * per type is the open hours inside the watermark horizon + 3
+    * counters; emission is hour-grain. Production would add a
+    * retirement TTL for dead types (the funnel pattern); the stats
+    * themselves never grow.
+    */
+  def streamingAnomaly(timeCol: String, watermarkDelay: String)(
+      events: DataFrame): Dataset[HourVerdict] = {
+    import events.sparkSession.implicits._
+    val HourMs = 3600000L
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      // the watermarked TIMESTAMP column itself must survive into the
+      // stateful operator (projecting it to a long severs the watermark)
+      .select(col("event_type"), col(timeCol).as("__et"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, HourVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (ty: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[AnomalyState]) =>
+          var st = state.getOption
+            .getOrElse(AnomalyState(Map.empty, -1L, 0L, 0L, 0L))
+          // fold this batch's events into their open hourly buckets
+          rows.foreach { case (_, ts) =>
+            val h = math.floorDiv(ts.getTime, HourMs) * HourMs
+            st = st.copy(open = st.open + (h -> (st.open.getOrElse(h, 0L) + 1L)))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // close every hour fully below the watermark, ascending, with
+          // the gaps zero-filled from the last closed hour forward
+          val out = scala.collection.mutable.ArrayBuffer.empty[HourVerdict]
+          if (wm > 0L) {
+            val closable = math.floorDiv(wm, HourMs) * HourMs - HourMs
+            var cursor =
+              if (st.lastClosed >= 0L) st.lastClosed + HourMs
+              else if (st.open.nonEmpty) st.open.keys.min
+              else Long.MaxValue
+            while (cursor <= closable) {
+              val x = st.open.getOrElse(cursor, 0L)
+              val n = st.n + 1L
+              val s = st.s + x
+              val q = st.q + x * x
+              val dev = n * x - s
+              out += HourVerdict(ty, cursor, x, n,
+                dev * dev > 4L * (n * q - s * s))
+              st = AnomalyState(st.open - cursor, cursor, n, s, q)
+              cursor += HourMs
+            }
+          }
+          state.update(st)
+          // wake when the watermark can close the next hour, so silent
+          // types keep gap-filling while others advance the stream
+          if (st.lastClosed >= 0L || st.open.nonEmpty) {
+            // the next hour to close is c; it becomes closable once the
+            // watermark reaches c + 1 h, so park the timer exactly there
+            val c = if (st.lastClosed >= 0L) st.lastClosed + HourMs
+              else st.open.keys.min
+            state.setTimeoutTimestamp(math.max(c + HourMs, wm + 1L))
+          }
+          out.iterator
+      }
   }
 
   /** M1 streaming dual with CUSTOM state — per-partition high-water mark

@@ -793,6 +793,60 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(z - expZ) < 1e-12 && flag == (math.abs(expZ) > 3.0))
   }
 
+  test("streaming anomaly: watermark closes hours, the spike flags, silent hours gap-fill to zero") {
+    import graft.streaming.{HourVerdict, StreamingPipeline}
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000L
+    val base = 1704067200000L // aligned hour boundary
+    def t(ms: Long) = new Timestamp(base + ms)
+    // type a: steady 5 events/hour for hours 0-5, then a 60-event spike
+    // in hour 6; type b: 3 events in hour 0, then SILENT — its later
+    // hours must still close as zero via the event-time timer while
+    // other types advance the watermark
+    val a = (0 until 6).flatMap(h =>
+      (1 to 5).map(i => ("a", t(h * H + i * 60000L)))) ++
+      (1 to 60).map(i => ("a", t(6 * H + i * 30000L)))
+    val b = (1 to 3).map(i => ("b", t(i * 60000L)))
+    val stream = MemoryStream[(String, Timestamp)]
+    val out = Files.createTempDirectory("graft-anom").toString
+    val q = StreamingPipeline.streamingAnomaly("ts", "10 minutes")(
+        stream.toDF().toDF("event_type", "ts"))
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$out/cp").start()
+    try {
+      stream.addData(a ++ b)
+      q.processAllAvailable()
+      // sentinels push the watermark to ~hour 10, closing a's spike
+      // hour and b's silent hours across the intervening timer batches
+      stream.addData(Seq(("z", t(10 * H))))
+      q.processAllAvailable()
+      stream.addData(Seq(("z", t(10 * H + 1000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anom_out").as[HourVerdict].collect()
+      .groupBy(_.event_type)
+      .map { case (ty, vs) => ty -> vs.sortBy(_.hour_start).toSeq }
+    // the exact online fold the operator pins: stats fold the bucket
+    // FIRST, then z² > 4 via (n·x − S)² > 4·(n·Q − S²), all integer
+    def replay(ty: String, xs: Seq[Long]): Seq[HourVerdict] = {
+      var (n, s, qq) = (0L, 0L, 0L)
+      xs.zipWithIndex.map { case (x, i) =>
+        n += 1; s += x; qq += x * x
+        val dev = n * x - s
+        HourVerdict(ty, base + i * H, x, n, dev * dev > 4L * (n * qq - s * s))
+      }
+    }
+    // watermark tops out at 10:00:00.001 − 10 min → hours 0-8 close
+    val expA = replay("a", Seq(5L, 5L, 5L, 5L, 5L, 5L, 60L, 0L, 0L))
+    val expB = replay("b", Seq(3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(got.getOrElse("a", Nil) == expA, s"type a drifted: ${got.get("a")}")
+    assert(got.getOrElse("b", Nil) == expB, s"type b drifted: ${got.get("b")}")
+    assert(expA.count(_.flagged) == 1 && expA(6).flagged,
+      "the hour-6 spike (and only it) must flag")
+    assert(!got.contains("z"), "the sentinel type has no closable hour")
+  }
+
   test("range search runs unchanged on a stream (radius alerting)") {
     import graft.operators.SimilarityOps
     def v(x: Double, y: Double) = Seq(x, y)
