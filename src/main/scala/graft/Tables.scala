@@ -50,6 +50,14 @@ object Tables {
       mk: => DataFrame): DataFrame =
     spreadCache.getOrElseUpdate((spark, dir, name), spread(spark, mk))
 
+  /** Release one dir's memoized spread tables (the ScaleProbe hook:
+    * after the base-scale passes, the base checkpoints are dead weight —
+    * dropping the references lets the ContextCleaner reclaim the blocks
+    * before the scaled passes measure).
+    */
+  def dropSpread(dir: String): Unit =
+    spreadCache.keys.filter(_._2 == dir).foreach(spreadCache.remove)
+
   /** `events.ts` has shipped in two physical encodings across testdata
     * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects
     * outright — read as long nanos via spark.sql.legacy.parquet.nanosAsLong
