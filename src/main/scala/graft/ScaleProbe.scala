@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale validation: replicate the sf0.1 testdata ~10× with
@@ -57,17 +57,18 @@ object ScaleProbe {
     *
     * Corpus-growth fidelity: a real corpus 10× the size does NOT turn
     * every document into a 10-member near-duplicate cluster — duplicate
-    * DENSITY stays roughly constant while volume grows. So only 1 in 5
-    * base docs becomes a cross-copy near-dup family (suffix tag —
-    * shingles stay overlapping, the dedup candidate paths get real
-    * work); the other 4 get a copy-specific token salted in every few
-    * words, destroying shingle/minhash/simhash collisions the way
-    * genuinely new text does. The first probe iteration near-dup'd
-    * EVERYTHING and pair-grain dedup ops measured 36-77× at 10× data —
-    * quadratic growth in cluster size, i.e. an artifact of the replica,
-    * not the plans. Embeddings get the same split: 1 in 5 vectors stays
-    * an exact cross-copy twin, the rest take a deterministic per-copy
-    * component jitter.
+    * DENSITY stays roughly constant while volume grows, and family
+    * SIZE stays bounded while family COUNT grows. So only 1 in 5 base
+    * docs joins a near-dup family, families are capped at 10 members
+    * (one per copy within a 10-copy group), and the rest get a
+    * key-dependent ~50% token rewrite that reads as genuinely new text
+    * to shingle- and token-level sketches alike. The first probe
+    * iteration near-dup'd EVERYTHING (36-77× at 10×); the first
+    * 100-copy attempt let families span all 100 copies (C(100,2) pairs
+    * per family, 204 s minhash) — both quadratic growth in cluster
+    * size, i.e. artifacts of the replica, not the plans. Embeddings
+    * get the same split: exact twins within a family group, jittered
+    * across groups and for the non-family rest.
     */
   private def replicate(spark: SparkSession, baseDir: String,
       outDir: String, table: String, copies: Int): Unit = {
@@ -77,36 +78,55 @@ object ScaleProbe {
     val shiftedCols = base.columns.map { c =>
       if (shifted(table).contains(c))
         (col(c) + col("__copy") * lit(Off)).as(c)
-      else if (table == "documents" && c == "text")
+      else if (table == "documents" && c == "text") {
+        // Family GROUP: copies 0-9 are group 0, 10-19 group 1, … Family
+        // SIZE must stay constant as copy count grows (a 100× corpus
+        // has 10× MORE near-dup families of the same size, not 10×
+        // BIGGER ones — the 100-copy probe's first attempt kept one
+        // family per tagged doc spanning all copies, and minhash pair
+        // volume went quadratic again: C(100,2) per family, 204 s for a
+        // 0.9 s query). Same-group members share a group-keyed salt and
+        // differ only in the copy suffix → near-dups of each other;
+        // different groups read as distinct docs.
+        val group = (col("__copy") / 10).cast("long")
+        // REWRITE a key-dependent ~50% of tokens (hash-selected, so the
+        // rewritten positions differ per key too). Token count is
+        // preserved and cross-key token overlap drops to ~25% —
+        // distinct-document territory for token-level sketches
+        // (simhash) as well as shingle-level ones. (Insertion-salting
+        // left copies ~80% token-identical to each other and simhash
+        // correctly called them all near-dups.)
+        def salt(key: Column): Column =
+          array_join(transform(split(col("text"), "\\s+"), t =>
+            when(pmod(hash(t, key), lit(2)) === 0,
+              concat(t, lit("x"), key)).otherwise(t)), " ")
         when(col("__copy") === 0, col("text"))
           .otherwise(when(col("doc_id") % 5 === 0,
-            // near-dup family: tail suffix keeps shingles overlapping
-            concat(col("text"), lit(" copytag"), col("__copy")))
-          .otherwise(
-            // new text: REWRITE a copy-dependent ~50% of tokens (hash-
-            // selected, so the rewritten POSITIONS differ per copy too).
-            // Token count is preserved and cross-copy token overlap
-            // drops to ~25% — distinct-document territory for token-
-            // level sketches (simhash) as well as shingle-level ones.
-            // The first salting inserted copy tokens instead, which
-            // left copies ~80% token-identical to EACH OTHER: simhash
-            // correctly called all 10 copies near-dups and pair volume
-            // grew quadratically — a replica artifact, not a plan flaw.
-            array_join(transform(split(col("text"), "\\s+"), t =>
-              when(pmod(hash(t, col("__copy")), lit(2)) === 0,
-                concat(t, lit("x"), col("__copy"))).otherwise(t)),
-              " ")))
+            // near-dup family member: group-keyed salt (identity for
+            // group 0, so copies 1-9 stay near-dups of the intact
+            // copy-0 original) + a distinct per-copy tail suffix
+            concat(when(group === 0, col("text")).otherwise(salt(group)),
+              lit(" copytag"), col("__copy")))
+          .otherwise(salt(col("__copy"))))
           .as(c)
+      }
       else if (table == "documents" && c == "n_chars")
         // keep the metadata honest for the salted copies
         lit(null).as("__nchars_recompute")
-      else if (table == "embeddings" && c == "embedding")
-        when(col("__copy") === 0 || col("vec_id") % 5 === 0,
-          col("embedding"))
+      else if (table == "embeddings" && c == "embedding") {
+        // same family-group discipline as documents: exact twins only
+        // WITHIN a 10-copy group (group 0 = the originals), a
+        // group-keyed jitter across groups, a copy-keyed jitter for
+        // the non-family 4-in-5
+        val jitterKey =
+          when(col("vec_id") % 5 === 0, (col("__copy") / 10).cast("long"))
+            .otherwise(col("__copy"))
+        when(jitterKey === 0, col("embedding"))
           .otherwise(transform(col("embedding"), (x, i) =>
-            (x + ((pmod(col("__copy") * 31 + i * 7, lit(11)) - lit(5))
+            (x + ((pmod(jitterKey * 31 + i * 7, lit(11)) - lit(5))
               .cast("float") * lit(0.013f))).cast("float")))
           .as(c)
+      }
       else col(c)
     }
     val rep = base.crossJoin(cdf).select(shiftedCols.toIndexedSeq: _*)
@@ -233,10 +253,12 @@ object ScaleProbe {
         ",\"ratio\":" + num(r) + "}"
     }.mkString(",")
     json ++= "}}"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "SCALE_PROBE.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALE_PROBE.json"),
+      java.nio.file.Paths.get(outFile),
       (json.toString + "\n").getBytes("UTF-8"))
-    System.err.println("[scale] wrote SCALE_PROBE.json")
+    System.err.println(s"[scale] wrote $outFile")
     spark.stop()
     println(json.toString)
   }

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Pins the scale-replica's fidelity contract — the probe's 10×/100×
+  * ratios are only evidence if the replica actually behaves like a
+  * bigger corpus: referential structure preserved, duplicate DENSITY
+  * constant (1-in-5 cross-copy near-dup families), the rest genuinely
+  * new text (token-count-preserving rewrite that breaks shingle- and
+  * token-level sketches alike), embeddings split the same way. Also
+  * pins the Kafka-shape partition bound the probe's first iteration
+  * caught overflowing.
+  */
+class ScaleProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "/root/testdata/sf0.001"
+  private lazy val out = {
+    val dir = Files.createTempDirectory("graft-scale-spec").toString
+    ScaleProbe.buildScaledDir(spark, base, dir, copies = 3)
+    dir
+  }
+
+  test("kafka shape: partition is bounded to [0, 32) and survives ids past 2^31") {
+    val events = Seq(
+      (1L, 5L, "view", 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ((1L << 33) + 7L, 6L, "click", 11L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:01")))
+      .toDF("user_id", "event_id", "event_type", "value", "ts")
+      .withColumn("props", map(lit("k"), lit("v")))
+    val shaped = graft.operators.KafkaShape.fromEvents(events)
+      .select(col("partition")).as[Int].collect().toSet
+    // the raw int cast crashed here pre-r11 (ANSI CAST_OVERFLOW);
+    // ((1<<33)+7) mod 32 = 7
+    assert(shaped == Set(1, 7))
+    assert(shaped.forall(p => p >= 0 && p < graft.operators.KafkaShape.NumPartitions))
+  }
+
+  test("replica: growing tables scale by copies, fixed dims copy as-is") {
+    for (t <- Seq("customer", "orders", "lineitem", "events", "documents",
+        "embeddings")) {
+      val b = spark.read.parquet(s"$base/$t.parquet").count()
+      val s = spark.read.parquet(s"$out/$t.parquet").count()
+      assert(s == 3 * b, s"$t: $b rows -> $s, want ${3 * b}")
+    }
+    for (t <- Seq("region", "nation")) {
+      val b = spark.read.parquet(s"$base/$t.parquet").count()
+      val s = spark.read.parquet(s"$out/$t.parquet").count()
+      assert(s == b, s"fixed dim $t must copy unreplicated")
+    }
+  }
+
+  test("replica: referential shift keeps joins intact (orders->customer)") {
+    val c = spark.read.parquet(s"$out/customer.parquet")
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    val orphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .count()
+    assert(orphans == 0L, s"$orphans orders lost their customer in the shift")
+  }
+
+  test("replica documents: copy 0 intact, 1-in-5 near-dup family, rest rewritten with token count preserved") {
+    val Off = 1L << 40
+    val b = spark.read.parquet(s"$base/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val s = spark.read.parquet(s"$out/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    val byCopy = s.groupBy(r => r._1 / Off)
+    assert(byCopy.keySet == Set(0L, 1L, 2L))
+    s.foreach { case (id, text, nchars) =>
+      val copy = id / Off
+      val baseId = id - copy * Off
+      val bt = b(baseId)
+      assert(nchars == text.length.toLong, s"doc $id n_chars drifted")
+      if (copy == 0L) assert(text == bt, s"copy 0 of $baseId must be intact")
+      else if (baseId % 5 == 0)
+        assert(text == bt + s" copytag$copy",
+          s"near-dup family doc $id lost its suffix")
+      else
+        assert(toks(text).length == toks(bt).length,
+          s"salted doc $id changed token count")
+    }
+    // statistical contracts hold at CORPUS grain (a tiny doc can dodge
+    // the hash-selected rewrite by chance): vs base, the salted copies
+    // share roughly half their tokens positionally...
+    val salted = s.filter { case (id, _, _) =>
+      id / Off > 0 && (id % Off) % 5 != 0 }
+    def sharedFrac(pairs: Seq[(Seq[String], Seq[String])]): Double = {
+      val (sh, tot) = pairs.foldLeft((0L, 0L)) { case ((a, b2), (t1, t2)) =>
+        (a + t1.zip(t2).count { case (x, y) => x == y }, b2 + t1.length)
+      }
+      sh.toDouble / tot
+    }
+    val vsBase = sharedFrac(salted.toSeq.map { case (id, text, _) =>
+      (toks(text), toks(b(id % Off))) })
+    assert(vsBase > 0.25 && vsBase < 0.75,
+      f"salted-vs-base shared token fraction $vsBase%.2f outside (0.25, 0.75)")
+    // ...and two salted copies of the same doc differ from EACH OTHER
+    // too, sharing only ~25% (the simhash lesson: insertion-salting
+    // left copies ~80% token-identical and pair volume grew
+    // quadratically)
+    val byBase = salted.groupBy(r => r._1 % Off).filter(_._2.length == 2)
+    assert(byBase.nonEmpty)
+    val crossCopy = sharedFrac(byBase.values.toSeq.map { copies =>
+      val Seq(t1, t2) = copies.toSeq.sortBy(_._1).map(r => toks(r._2))
+      (t1, t2) })
+    assert(crossCopy < 0.5,
+      f"cross-copy shared token fraction $crossCopy%.2f - copies still near-dups")
+  }
+
+  test("replica families cap at 10 members: groups are near-dups inside, distinct across") {
+    val Off = 1L << 40
+    val dir = Files.createTempDirectory("graft-scale-grp").toString
+    ScaleProbe.buildScaledDir(spark, base, dir, copies = 12)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % Off % 5 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => (id / Off, id % Off) -> t }.toMap
+    val baseIds = docs.keys.map(_._2).toSet
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    def stripTag(t: String) = t.replaceAll(" copytag\\d+$", "")
+    for (bid <- baseIds) {
+      // same group (copies 10, 11 are group 1): identical salted body,
+      // distinct suffix — near-dups of each other
+      assert(stripTag(docs((10L, bid))) == stripTag(docs((11L, bid))),
+        s"doc $bid copies 10/11 must share a group body")
+      // across groups (copy 1 is group 0, copy 10 group 1): the bodies
+      // must read as distinct docs (group-keyed ~50% token rewrite)
+      val (t0, t1) = (toks(stripTag(docs((1L, bid)))),
+        toks(stripTag(docs((10L, bid)))))
+      assert(t0.length == t1.length, s"doc $bid group salt changed token count")
+      val shared = t0.zip(t1).count { case (a, b2) => a == b2 }
+      assert(shared < t0.length, s"doc $bid groups 0/1 identical")
+    }
+    // corpus-level: cross-group token overlap lands near 50% (group 0
+    // is unsalted, group 1 rewrites ~half) — far from near-dup
+    val pairs = baseIds.toSeq.map(bid =>
+      (toks(stripTag(docs((1L, bid)))), toks(stripTag(docs((10L, bid))))))
+    val (sh, tot) = pairs.foldLeft((0L, 0L)) { case ((a, b2), (x, y)) =>
+      (a + x.zip(y).count { case (p, q) => p == q }, b2 + x.length) }
+    val frac = sh.toDouble / tot
+    assert(frac > 0.25 && frac < 0.75,
+      f"cross-group shared token fraction $frac%.2f outside (0.25, 0.75)")
+  }
+
+  test("replica embeddings: 1-in-5 exact cross-copy twins, rest jittered, dims preserved") {
+    val Off = 1L << 40
+    val b = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val s = spark.read.parquet(s"$out/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    s.foreach { case (id, emb) =>
+      val copy = id / Off
+      val bv = b(id - copy * Off)
+      assert(emb.length == bv.length, s"vec $id changed dimensionality")
+      if (copy == 0L || (id % Off) % 5 == 0)
+        assert(emb == bv, s"vec $id must be an exact twin")
+      else
+        assert(emb != bv, s"vec $id must be jittered")
+    }
+  }
+}
