@@ -197,15 +197,40 @@ object ScaleProbe {
     val baseRows = spark.read.parquet(s"$baseDir/lineitem.parquet").count()
     val scaledRows = spark.read.parquet(s"$outDir/lineitem.parquet").count()
 
+    // hang insurance: a query past this budget is cancelled via its
+    // job group and recorded as an explicit TIMEOUT error — the probe
+    // NAMES a pathological query instead of silently stalling on it
+    // (the pre-guardrail 100× knn join sat 20+ min on one query)
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_TIMEOUT", "600").toLong
     val names = Bench.standingSetR8.toSeq.sorted
     val errors = scala.collection.mutable.Map.empty[String, String]
+    def timedCount(name: String, dir: String): Unit = {
+      val group = s"probe-$name"
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // job groups are THREAD-local: set it on the thread that submits
+      // the jobs, cancel by group name from this one
+      val f = Future {
+        spark.sparkContext.setJobGroup(group, name, true)
+        try SparkEntry.queries(name)(spark, dir).count()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(f, timeoutSec.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          errors(s"$name@$dir") = s"TIMEOUT > $timeoutSec s (cancelled)"
+      }
+    }
     def run(dir: String, passes: Int): Map[String, Double] = {
       warm(spark, dir)
       val samples =
         scala.collection.mutable.Map.empty[String, List[Double]]
       for (p <- 1 to passes; name <- names) {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, dir).count()
+        try timedCount(name, dir)
         catch {
           case e: Throwable =>
             errors(s"$name@$dir") =

@@ -567,14 +567,21 @@ object DedupOps {
     * [[embeddingNearDupPairs]], which catches them with planes-bit
     * buckets instead of semantic cells).
     */
-  def semanticNearDupPairs(centroids: DataFrame, threshold: Double)(
+  def semanticNearDupPairs(centroids: DataFrame, threshold: Double,
+      cellCap: Long = SimilarityOps.CellPairCap)(
       df: DataFrame): DataFrame = {
-    val assigned = SimilarityOps.assignCells(centroids)(df)
-    val a = assigned.select(col("cell"), col("vec_id").as("a"),
+    // sub-bucket oversized cells (inert below the cap — see
+    // SimilarityOps.bucketizeCells for the misconfigured-model
+    // guardrail contract)
+    val assigned = SimilarityOps.bucketizeCells(cellCap)(
+      SimilarityOps.assignCells(centroids)(df))
+    val a = assigned.select(col("cell"), col("__bkt"),
+      col("vec_id").as("a"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b"),
+    val b = assigned.select(col("cell"), col("__bkt"),
+      col("vec_id").as("b"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("cell"))
+    a.join(b, Seq("cell", "__bkt"))
       .filter(col("a") < col("b"))
       .withColumn("cos", dot(col("e_a"), col("e_b")) /
         (col("n_a") * col("n_b")))

@@ -922,17 +922,19 @@ object SimilarityOps {
     * nprobe-style multi-cell assignment would recover them at
     * proportionally higher candidate volume.
     */
-  def knnGraph(centroids: DataFrame, k: Int)(corpus: DataFrame)
-      : DataFrame = {
+  def knnGraph(centroids: DataFrame, k: Int,
+      cellCap: Long = CellPairCap)(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = assignCells(centroids)(corpus)
-    val a = assigned.select(col("cell"), col("vec_id").as("src"),
+    val assigned = bucketizeCells(cellCap)(assignCells(centroids)(corpus))
+    val a = assigned.select(col("cell"), col("__bkt"),
+      col("vec_id").as("src"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+    val b = assigned.select(col("cell"), col("__bkt"),
+      col("vec_id").as("neighbor_id"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    a.join(b, Seq("cell"))
+    a.join(b, Seq("cell", "__bkt"))
       .filter(col("src") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("e_a"), col("e_b")) /
         (col("n_a") * col("n_b")))
@@ -940,6 +942,35 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("src").as("vec_id"), col("neighbor_id"),
         col("rank"), col("cos"))
+  }
+
+  /** Worst-case guardrail for the within-cell self-join family
+    * (knnGraph / SemDeDup pairs / DBSCAN): the DOCUMENTED deployment
+    * contract is that the coarse model scales with the corpus
+    * (k ≈ N / target cell size), but a misconfigured model must
+    * degrade, not detonate — the 100× scale probe ran the fixed
+    * 8-cell verify model against a 100× corpus and the pair join went
+    * to ~31 B rows (hours). Cells above `cap` members hash-split into
+    * `ceil(|cell|/cap)` sub-buckets and candidates stay within a
+    * (cell, bucket): pair volume is bounded by N·cap with a recall
+    * trade that kicks in exactly when the model is under-provisioned
+    * (the standard salting discipline). INERT below the cap — every
+    * verify-scale corpus keeps bucket count 1 (sf0.1 max cell = 277
+    * vs cap 2048; ScaleProbeSpec pins the precondition), so query
+    * results and oracles are untouched.
+    */
+  val CellPairCap = 2048L
+
+  private[graft] def bucketizeCells(cap: Long)(
+      assigned: DataFrame): DataFrame = {
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__csz"))
+      .select(col("cell"),
+        greatest(lit(1L), ceil(col("__csz").cast("double") /
+          cap.toDouble).cast("long")).as("__nb"))
+    assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("__bkt", pmod(hash(col("vec_id")), col("__nb")))
+      .drop("__nb")
   }
 
   // ------------------------------------------------ scalar quantization SQ8

@@ -146,6 +146,29 @@ class ScaleProbeSpec extends SparkSpec {
       f"cross-group shared token fraction $frac%.2f outside (0.25, 0.75)")
   }
 
+  test("cell sub-bucket cap is inert at bench scale (max trained cell far under cap)") {
+    // the misconfigured-model guardrail (SimilarityOps.bucketizeCells)
+    // must not fire at any verify/bench SF, or query results would
+    // drift from the oracles — pin the precondition against testdata
+    // regeneration at the LARGEST harness scale
+    import graft.operators.{KMeansOps, SimilarityOps}
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val cents = KMeansOps.lloyd(e, "vec_id", "embedding",
+      seedIds = (100L until 108L).toSeq, iters = 2)
+    val maxCell = SimilarityOps.assignCells(cents)(e)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).as[Long].head()
+    assert(maxCell * 2 <= SimilarityOps.CellPairCap,
+      s"max cell $maxCell within 2x of cap ${SimilarityOps.CellPairCap} — " +
+        "testdata drifted; raise the cap or retrain with more seeds")
+    // and the bucketizer is a true no-op below the cap
+    val assigned = SimilarityOps.assignCells(cents)(e)
+    val bucketed = SimilarityOps.bucketizeCells(
+      SimilarityOps.CellPairCap)(assigned)
+    assert(bucketed.filter(col("__bkt") =!= 0L).count() == 0L,
+      "bucketizer must assign everything to bucket 0 below the cap")
+  }
+
   test("replica embeddings: 1-in-5 exact cross-copy twins, rest jittered, dims preserved") {
     val Off = 1L << 40
     val b = spark.read.parquet(s"$base/embeddings.parquet")
