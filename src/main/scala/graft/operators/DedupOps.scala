@@ -644,15 +644,26 @@ object DedupOps {
   }
 
   def embeddingNearDupPairs(threshold: Double, planes: Int = 8,
-      dim: Int = 64)(df: DataFrame): DataFrame = {
-    val withBucket = df.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
-      SimilarityOps.srpBucket(col("embedding"), planes, dim).as("bucket"))
-    val a = withBucket.select(col("bucket"), col("vec_id").as("a"),
+      dim: Int = 64, bucketCap: Long = SimilarityOps.CellPairCap)(
+      df: DataFrame): DataFrame = {
+    // the SRP bucket count (2^planes) is this operator's scale knob,
+    // exactly like the SemDeDup cell count: planes must grow with the
+    // corpus or in-bucket pair volume goes quadratic (the 100x probe
+    // measured 1.56x-per-decade growth at fixed planes). The same
+    // sub-bucket guardrail bounds the worst case at N*cap; inert below
+    // the cap, so verify-scale results and oracles are untouched.
+    val withBucket = SimilarityOps.bucketizeCells(bucketCap, "bucket")(
+      df.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        SimilarityOps.srpBucket(col("embedding"), planes, dim)
+          .as("bucket")))
+    val a = withBucket.select(col("bucket"), col("__bkt"),
+      col("vec_id").as("a"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("b"),
+    val b = withBucket.select(col("bucket"), col("__bkt"),
+      col("vec_id").as("b"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("bucket", "__bkt"))
       .filter(col("a") < col("b"))
       .withColumn("cos", dot(col("e_a"), col("e_b")) /
         (col("n_a") * col("n_b")))

@@ -961,14 +961,14 @@ object SimilarityOps {
     */
   val CellPairCap = 2048L
 
-  private[graft] def bucketizeCells(cap: Long)(
+  private[graft] def bucketizeCells(cap: Long, keyCol: String = "cell")(
       assigned: DataFrame): DataFrame = {
-    val sizes = assigned.groupBy(col("cell"))
+    val sizes = assigned.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__csz"))
-      .select(col("cell"),
+      .select(col(keyCol),
         greatest(lit(1L), ceil(col("__csz").cast("double") /
           cap.toDouble).cast("long")).as("__nb"))
-    assigned.join(broadcast(sizes), Seq("cell"))
+    assigned.join(broadcast(sizes), Seq(keyCol))
       .withColumn("__bkt", pmod(hash(col("vec_id")), col("__nb")))
       .drop("__nb")
   }
