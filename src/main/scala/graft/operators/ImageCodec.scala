@@ -72,15 +72,30 @@ object ImageCodec {
     out
   }
 
-  /** Decode ALL frames (PNG/JPEG: 1; animated GIF: each frame) to
-    * grayscale. None on anything unreadable — INCLUDING an animated GIF
-    * whose later frames differ in size from frame 0: optimized GIFs
-    * routinely store smaller sub-rasters with nonzero offsets that must
-    * be composited onto the logical screen per disposal metadata, and
-    * indexing such a frame as a full-screen raster would mis-map every
-    * pixel. This codec supports full-frame animations only (what
-    * [[encodeGif]] emits); anything else is rejected whole, never
-    * silently mis-decoded (MultimodalSpec pins the rejection).
+  /** Total decoded pixels (w·h·frames) a single blob may expand to. A
+    * container's header self-declares its dimensions and frame count; a
+    * decompression-bomb blob (a tiny GIF/PNG declaring 65535×65535, or
+    * thousands of frames) would otherwise drive the pixel-array
+    * allocations into OutOfMemoryError — an Error, which the totality
+    * catch below deliberately does NOT swallow, so one poison blob
+    * would kill the executor instead of costing one row. 2^24 pixels
+    * (a 4096×4096 still, or 64 frames of 512×512) is 64 MiB of Int
+    * per blob — bounded even at 32 decode threads.
+    */
+  val MaxDecodePixels: Long = 1L << 24
+
+  /** Decode ALL frames to grayscale: PNG/JPEG as single stills; GIF
+    * through full disposal-metadata COMPOSITING ([[decodeGifFrames]]) —
+    * every emitted frame is the rendered logical screen, so optimized
+    * GIFs (sub-rasters at nonzero offsets, transparency holes showing
+    * the previous frame, restore-to-background/previous disposal) decode
+    * to what a viewer displays, frame by frame. For the full-frame
+    * opaque animations [[encodeGif]] emits, compositing degenerates to
+    * the plain per-frame decode, so the lossless round-trip pins are
+    * unchanged. None on anything unreadable. Both the dims checks and
+    * the [[MaxDecodePixels]] bomb cap run on HEADER dimensions
+    * (`ImageReader.getWidth/getHeight` read descriptors, not pixels),
+    * before any frame allocates.
     */
   def decodeGray(bytes: Array[Byte]): Option[GrayImage] =
     if (bytes == null || bytes.length == 0) None
@@ -93,21 +108,141 @@ object ImageCodec {
           val reader = readers.next()
           try {
             reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
             val n = reader.getNumImages(true)
             if (n <= 0) None
+            else if (fmt == "gif") decodeGifFrames(reader, n)
             else {
-              val first = reader.read(0)
-              val rest = (1 until n).map(reader.read)
-              if (rest.exists(f => f.getWidth != first.getWidth ||
-                  f.getHeight != first.getHeight)) None
-              else Some(GrayImage(first.getWidth, first.getHeight,
-                reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
-                grayPixels(first) +: rest.map(grayPixels)))
+              val w = reader.getWidth(0)
+              val h = reader.getHeight(0)
+              val dimsOk = w > 0 && h > 0 &&
+                w.toLong * h * n <= MaxDecodePixels &&
+                (1 until n).forall(i => reader.getWidth(i) == w &&
+                  reader.getHeight(i) == h)
+              if (!dimsOk) None
+              else {
+                val imgs = (0 until n).map(reader.read)
+                // belt-and-suspenders: a corrupt container whose decoded
+                // raster disagrees with its header dims is rejected too
+                if (imgs.exists(f => f.getWidth != w || f.getHeight != h))
+                  None
+                else Some(GrayImage(w, h, fmt, imgs.map(grayPixels)))
+              }
             }
           } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case _: Exception => None }
+
+  /** The GIF logical-screen dims from the stream metadata (what frames
+    * composite onto); a stream without the descriptor falls back to
+    * frame 0's raster dims.
+    */
+  private def gifScreen(reader: javax.imageio.ImageReader): (Int, Int) = {
+    val sm = reader.getStreamMetadata
+    val fallback = (reader.getWidth(0), reader.getHeight(0))
+    if (sm == null) fallback
+    else {
+      val root = sm.getAsTree("javax_imageio_gif_stream_1.0")
+      val kids = root.getChildNodes
+      (0 until kids.getLength).map(kids.item)
+        .collectFirst {
+          case e: org.w3c.dom.Element
+              if e.getNodeName == "LogicalScreenDescriptor" =>
+            (e.getAttribute("logicalScreenWidth").toInt,
+              e.getAttribute("logicalScreenHeight").toInt)
+        }
+        .getOrElse(fallback)
+    }
+  }
+
+  /** Frame placement + disposal from the per-image metadata tree. */
+  private def gifFrameMeta(reader: javax.imageio.ImageReader,
+      i: Int): (Int, Int, String) = {
+    val root = reader.getImageMetadata(i)
+      .getAsTree("javax_imageio_gif_image_1.0")
+    val kids = root.getChildNodes
+    var left = 0; var top = 0; var disposal = "none"
+    (0 until kids.getLength).map(kids.item).foreach {
+      case e: org.w3c.dom.Element if e.getNodeName == "ImageDescriptor" =>
+        left = e.getAttribute("imageLeftPosition").toInt
+        top = e.getAttribute("imageTopPosition").toInt
+      case e: org.w3c.dom.Element
+          if e.getNodeName == "GraphicControlExtension" =>
+        val d = e.getAttribute("disposalMethod")
+        if (d != null && d.nonEmpty) disposal = d
+      case _ => ()
+    }
+    (left, top, disposal)
+  }
+
+  /** GIF89a frame compositing onto the logical screen: each frame is a
+    * sub-raster drawn at its (left, top) offset — transparent pixels
+    * (alpha 0 through the palette) leave the canvas showing through —
+    * and after emission the disposal method runs: `none`/`doNotDispose`
+    * keep the canvas, `restoreToBackgroundColor` clears the frame's
+    * rect to 0 (the background shows as black in this grayscale world —
+    * browsers render it transparent-over-page, a presentation detail
+    * with no pixel-true answer), `restoreToPrevious` reverts to the
+    * pre-draw canvas. A frame whose declared rect escapes the screen is
+    * a corrupt container: the whole decode is rejected, never clipped
+    * silently. The bomb cap applies to screen·frames BEFORE the canvas
+    * allocates.
+    */
+  private def decodeGifFrames(reader: javax.imageio.ImageReader,
+      n: Int): Option[GrayImage] = {
+    val (sw, sh) = gifScreen(reader)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh * n > MaxDecodePixels) None
+    else {
+      var canvas = new Array[Int](sw * sh)
+      val frames = Seq.newBuilder[Array[Int]]
+      var i = 0
+      var bad = false
+      while (i < n && !bad) {
+        val (left, top, disposal) = gifFrameMeta(reader, i)
+        val img = reader.read(i)
+        val fw = img.getWidth
+        val fh = img.getHeight
+        if (left < 0 || top < 0 || left + fw > sw || top + fh > sh) {
+          bad = true
+        } else {
+          val snapshot =
+            if (disposal == "restoreToPrevious") canvas.clone() else null
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val argb = img.getRGB(x, y)
+              if ((argb >>> 24) != 0) { // opaque: draw; transparent: show through
+                val r = (argb >> 16) & 0xff
+                val g = (argb >> 8) & 0xff
+                val b = argb & 0xff
+                canvas((top + y) * sw + (left + x)) =
+                  if (r == g && g == b) r
+                  else (299 * r + 587 * g + 114 * b) / 1000
+              }
+              x += 1
+            }
+            y += 1
+          }
+          frames += canvas.clone()
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              var yy = 0
+              while (yy < fh) {
+                java.util.Arrays.fill(canvas, (top + yy) * sw + left,
+                  (top + yy) * sw + left + fw, 0)
+                yy += 1
+              }
+            case "restoreToPrevious" => canvas = snapshot
+            case _ => ()
+          }
+        }
+        i += 1
+      }
+      if (bad) None else Some(GrayImage(sw, sh, "gif", frames.result()))
+    }
+  }
 
   private def grayImage(w: Int, h: Int)(px: (Int, Int) => Int)
       : BufferedImage = {

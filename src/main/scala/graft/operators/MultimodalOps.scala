@@ -500,8 +500,12 @@ object MultimodalOps {
     * frames of each lossless decode, with `keep` flagging images whose
     * contrast clears `minContrast` — a flat (single-color, broken, or
     * padding) image carries no training signal and gates out here.
-    * All-integer arithmetic (n ≤ 33·25·4 pixels/image bounds every
-    * intermediate far under Long), so the oracle replays it bit-exact.
+    * All-integer arithmetic: the variance numerator (n·Σp² − (Σp)²)·10⁶
+    * is n²·variance·10⁶, which overflows Long past ~200×200 pixels at
+    * typical variance, so it goes through BigInt (one BigInt op per
+    * IMAGE, not per pixel) — the quotient itself is ≤ 255²·10⁶ and
+    * always fits Long, and the floor is exact at every image size, so
+    * the oracle (128-bit integer arithmetic) replays it bit-exact.
     * Per-row narrow kernel, zero exchanges.
     */
   def imagePixelStats(media: Dataset[MediaRow],
@@ -528,7 +532,10 @@ object MultimodalOps {
               i += 1
             }
           }
-          val varFp = (n * sq - sum * sum) * 1000000L / (n * n)
+          // n²·var·10⁶ exceeds Long for production-size images — exact
+          // 128-bit path, reduced back to the (always-fitting) quotient
+          val varFp = ((BigInt(n) * sq - BigInt(sum) * sum) * 1000000 /
+            (BigInt(n) * n)).toLong
           (r.doc_id, n, mn.toLong, mx.toLong, (mx - mn).toLong,
             sum, sq, varFp, (mx - mn) >= minContrast)
         }

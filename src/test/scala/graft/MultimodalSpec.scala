@@ -192,11 +192,105 @@ class MultimodalSpec extends SparkSpec {
     assert(f.format == "jpeg" && f.px_sum.isEmpty && f.px_sq.isEmpty)
   }
 
-  test("optimized GIFs with shrunken later frames are rejected, not mis-decoded") {
+  test("optimized GIF with a shrunken later frame composites onto the previous screen") {
     import graft.operators.ImageCodec
-    // hand-write a sequence whose second frame is a smaller sub-raster —
-    // the shape real GIF optimizers emit; full-screen indexing of that
-    // frame would mis-map every pixel, so the codec must return None
+    // a sequence whose second frame is a smaller sub-raster — the shape
+    // real GIF optimizers emit: the codec must RENDER it (patch over
+    // the retained previous frame), not index it as a full screen
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    def f1(x: Int, y: Int) = (x + y) % 256
+    def f2(x: Int, y: Int) = (200 + 13 * x + 7 * y) % 256
+    def gray(w: Int, h: Int, px: (Int, Int) => Int) = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        im.getRaster.setSample(x, y, 0, px(x, y))
+      im
+    }
+    // the JDK gif writer mis-writes interlaced rows for frames shorter
+    // than the 8-row interlace stride — force interlace off (real
+    // optimizers emit non-interlaced patches anyway)
+    def plainMeta(img: java.awt.image.BufferedImage) = {
+      val m = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), null)
+      val fmtName = "javax_imageio_gif_image_1.0"
+      val root = m.getAsTree(fmtName)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val kids = root.getChildNodes
+      (0 until kids.getLength).map(kids.item).foreach {
+        case n: javax.imageio.metadata.IIOMetadataNode
+            if n.getNodeName == "ImageDescriptor" =>
+          n.setAttribute("interlaceFlag", "FALSE")
+        case _ => ()
+      }
+      m.setFromTree(fmtName, root)
+      m
+    }
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val im1 = gray(10, 8, f1)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(im1, null, plainMeta(im1)), null)
+      val im2 = gray(4, 3, f2)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(im2, null, plainMeta(im2)), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val img = ImageCodec.decodeGray(bos.toByteArray).get
+    assert(img.width == 10 && img.height == 8 && img.frames.length == 2)
+    for (y <- 0 until 8; x <- 0 until 10) {
+      assert(img.frames(0)(y * 10 + x) == f1(x, y))
+      val want = if (x < 4 && y < 3) f2(x, y) else f1(x, y)
+      assert(img.frames(1)(y * 10 + x) == want,
+        s"composited frame 2 wrong at ($x,$y)")
+    }
+  }
+
+  test("decompression bomb: a 44-byte GIF declaring 65535x65535 is rejected before allocating") {
+    import graft.operators.ImageCodec
+    // hand-built GIF whose descriptors self-declare 65535×65535 (17 GB
+    // of Int pixels) over ~2 bytes of actual data — the classic bomb
+    // shape. The cap must reject it from the HEADER dims, returning
+    // None without touching a pixel array; the pre-cap code allocated
+    // first and died on OutOfMemoryError, which the totality catch
+    // (deliberately) does not swallow.
+    def u16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val bomb = ("GIF89a".getBytes("US-ASCII").toSeq ++
+      u16(0xffff) ++ u16(0xffff) ++ // logical screen 65535×65535
+      Seq(0x80.toByte, 0.toByte, 0.toByte) ++ // GCT flag, 2-entry table
+      Seq(0, 0, 0, 255, 255, 255).map(_.toByte) ++ // the GCT
+      Seq(0x2c.toByte) ++ u16(0) ++ u16(0) ++ // image descriptor at (0,0)
+      u16(0xffff) ++ u16(0xffff) ++ Seq(0x00.toByte) ++ // image 65535×65535
+      Seq(0x02.toByte, 0x02.toByte, 0x4c.toByte, 0x01.toByte) ++ // LZW stub
+      Seq(0x00.toByte, 0x3b.toByte)).toArray // block terminator + trailer
+    // the reader must genuinely see the declared dims (else the test is
+    // vacuous — a reader that rejects the container outright would pass
+    // without exercising the cap)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bomb))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getWidth(0) == 65535 && reader.getHeight(0) == 65535)
+    reader.dispose(); iis.close()
+    assert(ImageCodec.decodeGray(bomb).isEmpty)
+    // sanity: the cap is about total pixels, not container validity — a
+    // modest image decodes as before
+    assert(ImageCodec.decodeGray(
+      ImageCodec.encodePng(64, 64)((x, y) => x ^ y)).isDefined)
+  }
+
+  test("optimized GIF with an OFFSET sub-raster frame composites at its declared position") {
+    import graft.operators.ImageCodec
+    import javax.imageio.metadata.IIOMetadataNode
+    // a real GIF optimizer stores frame 2 as a smaller raster at a
+    // nonzero (left, top) offset to be composited per disposal
+    // metadata — write exactly that through the writer's image
+    // metadata, then require the codec to render the patch at its
+    // offset over the retained previous frame
     val bos = new java.io.ByteArrayOutputStream()
     val writer = javax.imageio.ImageIO
       .getImageWritersByFormatName("gif").next()
@@ -205,7 +299,7 @@ class MultimodalSpec extends SparkSpec {
       val im = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       for (y <- 0 until h; x <- 0 until w)
-        im.getRaster.setSample(x, y, 0, (x + y) % 256)
+        im.getRaster.setSample(x, y, 0, (7 * x + 3 * y) % 256)
       im
     }
     try {
@@ -213,11 +307,131 @@ class MultimodalSpec extends SparkSpec {
       writer.prepareWriteSequence(null)
       writer.writeToSequence(
         new javax.imageio.IIOImage(gray(10, 8), null, null), null)
-      writer.writeToSequence(
-        new javax.imageio.IIOImage(gray(4, 3), null, null), null)
+      val sub = gray(4, 3)
+      val spec = new javax.imageio.ImageTypeSpecifier(sub)
+      val meta = writer.getDefaultImageMetadata(spec, null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val kids = root.getChildNodes
+      val desc = (0 until kids.getLength).map(kids.item)
+        .collectFirst { case n: IIOMetadataNode
+          if n.getNodeName == "ImageDescriptor" => n }
+        .getOrElse {
+          val d = new IIOMetadataNode("ImageDescriptor")
+          root.appendChild(d); d
+        }
+      desc.setAttribute("imageLeftPosition", "3")
+      desc.setAttribute("imageTopPosition", "2")
+      desc.setAttribute("imageWidth", "4")
+      desc.setAttribute("imageHeight", "3")
+      desc.setAttribute("interlaceFlag", "FALSE")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(sub, null, meta),
+        null)
       writer.endWriteSequence()
     } finally { writer.dispose(); ios.close() }
-    assert(ImageCodec.decodeGray(bos.toByteArray).isEmpty)
+    val bytes = bos.toByteArray
+    // verify the fixture really carries the offset sub-raster
+    val iis2 = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis2).next()
+    reader.setInput(iis2)
+    assert(reader.getNumImages(true) == 2)
+    assert(reader.getWidth(1) == 4 && reader.getHeight(1) == 3)
+    reader.dispose(); iis2.close()
+    val img = ImageCodec.decodeGray(bytes).get
+    def f(x: Int, y: Int) = (7 * x + 3 * y) % 256
+    assert(img.width == 10 && img.height == 8 && img.frames.length == 2)
+    for (y <- 0 until 8; x <- 0 until 10) {
+      val want =
+        if (x >= 3 && x < 7 && y >= 2 && y < 5) f(x - 3, y - 2) // the patch
+        else f(x, y) // previous frame shows through around it
+      assert(img.frames(1)(y * 10 + x) == want,
+        s"offset composite wrong at ($x,$y)")
+    }
+  }
+
+  test("GIF restore-to-background disposal clears the frame rect before the next draw") {
+    import graft.operators.ImageCodec
+    import javax.imageio.metadata.IIOMetadataNode
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    def gray(w: Int, h: Int, v: Int) = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        im.getRaster.setSample(x, y, 0, v)
+      im
+    }
+    def metaFor(img: java.awt.image.BufferedImage, left: Int, top: Int,
+        disposal: String) = {
+      val spec = new javax.imageio.ImageTypeSpecifier(img)
+      val m = writer.getDefaultImageMetadata(spec, null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = m.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val kids = root.getChildNodes
+      (0 until kids.getLength).map(kids.item).foreach {
+        case n: IIOMetadataNode if n.getNodeName == "ImageDescriptor" =>
+          n.setAttribute("imageLeftPosition", left.toString)
+          n.setAttribute("imageTopPosition", top.toString)
+          // the JDK writer mis-writes interlaced rows on sub-8-row frames
+          n.setAttribute("interlaceFlag", "FALSE")
+        case _ => ()
+      }
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      m.setFromTree(fmt, root)
+      m
+    }
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val base = gray(6, 4, 100)
+      writer.writeToSequence(new javax.imageio.IIOImage(base, null,
+        metaFor(base, 0, 0, "none")), null)
+      val patch = gray(2, 2, 200)
+      writer.writeToSequence(new javax.imageio.IIOImage(patch, null,
+        metaFor(patch, 1, 1, "restoreToBackgroundColor")), null)
+      val dot = gray(1, 1, 50)
+      writer.writeToSequence(new javax.imageio.IIOImage(dot, null,
+        metaFor(dot, 0, 0, "none")), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val img = ImageCodec.decodeGray(bos.toByteArray).get
+    assert(img.width == 6 && img.height == 4 && img.frames.length == 3)
+    def px(f: Int, x: Int, y: Int) = img.frames(f)(y * 6 + x)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      assert(px(0, x, y) == 100)
+      val inPatch = x >= 1 && x < 3 && y >= 1 && y < 3
+      assert(px(1, x, y) == (if (inPatch) 200 else 100))
+      // frame 3 renders AFTER frame 2's rect restored to background (0)
+      val want3 =
+        if (x == 0 && y == 0) 50
+        else if (inPatch) 0
+        else 100
+      assert(px(2, x, y) == want3, s"disposal composite wrong at ($x,$y)")
+    }
+  }
+
+  test("pixel-stats variance is exact past the Long-overflow point of the naive formula") {
+    import graft.operators.ImageCodec
+    // 256×256 checkerboard: n = 65536 pixels, variance 16256.25 —
+    // the old Long path ((n·Σp² − (Σp)²)·10⁶) needs ~6.98e19 and
+    // silently wrapped negative; the BigInt path must return the exact
+    // floor(n²·var·10⁶ / n²) = 16_256_250_000
+    val media = Seq(MediaRow(77L, "image",
+      ImageCodec.encodePng(256, 256)((x, y) => ((x + y) % 2) * 255))).toDS()
+    val row = MultimodalOps.imagePixelStats(media, minContrast = 16)
+      .select(col("n_pixels"), col("var_fp"), col("keep"))
+      .as[(Long, Long, Boolean)].head()
+    assert(row == ((65536L, 16256250000L, true)), s"got $row")
   }
 
   test("box-filter resize averages the exact source blocks") {
