@@ -168,12 +168,15 @@ object IndexManifest {
   }
 
   /** Retire dead version directories: anything not on the live PARENT
-    * chain, except the newest `keep - 1` of them (the grace window for
-    * in-flight readers still scanning a superseded chain). Chain
-    * members — the current version and every ancestor it references —
-    * are NEVER deleted, however old: a delta store's base must outlive
-    * all its deltas. Run after [[publish]]. Returns the versions
-    * deleted.
+    * chain, except the newest `keep - 1` of them AND every PARENT-chain
+    * ancestor of a retained dead version (the grace window for
+    * in-flight readers still scanning a superseded chain — a reader
+    * that resolved the old chain needs the whole chain, base included,
+    * not just its tip, so dead versions are retained as COMPLETE
+    * chains). Chain members — the current version and every ancestor
+    * it references — are NEVER deleted, however old: a delta store's
+    * base must outlive all its deltas. Run after [[publish]]. Returns
+    * the versions deleted.
     */
   def prune(spark: SparkSession, root: String, keep: Int = 2): Seq[Int] = {
     require(keep >= 1, s"prune must keep the current version (keep=$keep)")
@@ -188,7 +191,15 @@ object IndexManifest {
       .filter(_ <= cur) // a concurrent writer's in-flight v(cur+1) is not ours to touch
       .filterNot(live)
       .sorted
-    val retire = dead.dropRight(keep - 1)
+    // the newest keep-1 dead versions survive as whole chains: walk
+    // PARENT pointers from each retained tip so a superseded delta
+    // chain keeps its base and middle deltas, not just its tip (an
+    // in-flight resolveChain reader scans all of them)
+    val retained = scala.collection.mutable.Set.empty[Int]
+    def walk(v: Int): Unit =
+      if (retained.add(v)) parentOf(spark, root, v).foreach(walk)
+    dead.takeRight(keep - 1).foreach(walk)
+    val retire = dead.filterNot(retained)
     retire.foreach { v =>
       if (!f.delete(new Path(versionDir(root, v)), true))
         throw new java.io.IOException(

@@ -126,6 +126,39 @@ class IndexManifestSpec extends SparkSpec {
       s"${IndexManifest.resolve(spark, root)}/t").count() == 3)
   }
 
+  test("prune retains a superseded delta chain WHOLE, not just its tip") {
+    val root = tmpRoot()
+    // old chain: base v1 ← delta v2 ← delta v3
+    IndexManifest.publish(spark, root) { vdir =>
+      Seq((1L, "base")).toDF("id", "s").write.parquet(s"$vdir/t")
+    }
+    (2 to 3).foreach { i =>
+      IndexManifest.publishDelta(spark, root) { vdir =>
+        Seq((i.toLong, "d")).toDF("id", "s").write.parquet(s"$vdir/t")
+      }
+    }
+    // an in-flight reader resolves the old chain BEFORE compaction
+    val oldChainDirs = IndexManifest.resolveChain(spark, root)
+    assert(oldChainDirs.length == 3)
+    // compaction supersedes the chain with a fresh root v4
+    IndexManifest.publish(spark, root) { vdir =>
+      Seq((1L, "c"), (2L, "c"), (3L, "c")).toDF("id", "s")
+        .write.parquet(s"$vdir/t")
+    }
+    // keep=2 grants one dead version of grace — which must mean the dead
+    // chain's TIP plus every ancestor it references (v3 → v2 → v1), or
+    // the in-flight reader loses its base mid-scan
+    assert(IndexManifest.prune(spark, root, keep = 2).isEmpty)
+    val reread = spark.read.parquet(oldChainDirs.map(d => s"$d/t"): _*)
+      .as[(Long, String)].collect().toSet
+    assert(reread == Set((1L, "base"), (2L, "d"), (3L, "d")),
+      "the superseded chain's reader must survive a keep=2 prune whole")
+    // once the grace window passes (keep=1), the whole dead chain retires
+    assert(IndexManifest.prune(spark, root, keep = 1) == Seq(1, 2, 3))
+    assert(new java.io.File(s"$root/versions").listFiles()
+      .map(_.getName).sorted.toSeq == Seq("v4"))
+  }
+
   test("prune retires oldest versions, never the current") {
     val root = tmpRoot()
     (1 to 4).foreach { i =>
