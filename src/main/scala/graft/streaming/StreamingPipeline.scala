@@ -21,11 +21,14 @@ case class FunnelState(t1: Long, t2: Long, t3: Long)
 case class FunnelAdvance(user_id: Long, stage: Int, at: Long)
 
 /** Per-event-type anomaly-detector state: open (not-yet-closed) hourly
-  * buckets, the last closed hour (ms, -1 before the first closure), and
-  * the running count/sum/sum-of-squares over all CLOSED buckets.
+  * buckets, the last closed hour (ms, -1 before the first closure), the
+  * running count/sum/sum-of-squares over all CLOSED buckets, and the
+  * newest REAL event time seen (ms, -1 before the first event) — the
+  * retirement clock: a type silent past its TTL is evicted instead of
+  * gap-filling zeros forever.
   */
 case class AnomalyState(open: Map[Long, Long], lastClosed: Long,
-    n: Long, s: Long, q: Long)
+    n: Long, s: Long, q: Long, lastEvent: Long = -1L)
 
 /** One closed hourly bucket's verdict: its count, the history size the
   * gate saw (bucket included), and the z² > 4 flag.
@@ -260,8 +263,15 @@ object StreamingPipeline {
     * with the identical z = (n_a − n/2)/√(n/4) gate. Append mode: a
     * window's verdict emits once, when the watermark closes it. A user
     * whose events span windows counts once — in the window of their
-    * FIRST event inside the horizon — matching the enrollment-grain
-    * denominator an SRM check wants. Scale: dedup state is one row per
+    * first-ARRIVING event inside the horizon (enrollment = first
+    * observed event: `dropDuplicatesWithinWatermark` keeps the first
+    * row in PROCESSING order, so with out-of-order input the same data
+    * can attribute a user to a different window across runs — the
+    * documented trade for one-row-per-user state; exact event-time-first
+    * attribution would need a min-timestamp aggregate per user, at the
+    * same state cost but an extra shuffle, and the per-window n_a/n_b
+    * totals differ only for users whose first two events straddle a
+    * window boundary out of order). Scale: dedup state is one row per
     * active user within the horizon; the aggregate is |windows|-grain.
     */
   def streamingSrm(timeCol: String, windowLen: String,
@@ -298,12 +308,18 @@ object StreamingPipeline {
     * each bucket against history UP TO ITSELF (all an online detector
     * can know) and converges to the batch verdicts as history grows —
     * StreamingSpec pins the exact prefix-fold semantics. Scale: state
-    * per type is the open hours inside the watermark horizon + 3
-    * counters; emission is hour-grain. Production would add a
-    * retirement TTL for dead types (the funnel pattern); the stats
-    * themselves never grow.
+    * per type is the open hours inside the watermark horizon + 4
+    * counters; emission is hour-grain. A type silent past
+    * `retireAfterMs` of EVENT time is RETIRED (the funnel-TTL pattern):
+    * gap-fill stops at the retirement horizon, its state row is
+    * removed, and a type that returns later restarts with fresh history
+    * (the documented trade for bounded state on an unbounded type
+    * universe — without it, every type ever seen gap-fills zero-count
+    * verdicts and carries a timer forever). Inert in batch mode (no
+    * watermark, nothing closes or retires).
     */
-  def streamingAnomaly(timeCol: String, watermarkDelay: String)(
+  def streamingAnomaly(timeCol: String, watermarkDelay: String,
+      retireAfterMs: Long = 86400000L * 7L)(
       events: DataFrame): Dataset[HourVerdict] = {
     import events.sparkSession.implicits._
     val HourMs = 3600000L
@@ -323,14 +339,25 @@ object StreamingPipeline {
           // fold this batch's events into their open hourly buckets
           rows.foreach { case (_, ts) =>
             val h = math.floorDiv(ts.getTime, HourMs) * HourMs
-            st = st.copy(open = st.open + (h -> (st.open.getOrElse(h, 0L) + 1L)))
+            st = st.copy(
+              open = st.open + (h -> (st.open.getOrElse(h, 0L) + 1L)),
+              lastEvent = math.max(st.lastEvent, ts.getTime))
           }
           val wm = state.getCurrentWatermarkMs()
           // close every hour fully below the watermark, ascending, with
-          // the gaps zero-filled from the last closed hour forward
+          // the gaps zero-filled from the last closed hour forward —
+          // but never past the retirement horizon: a dead type must not
+          // zero-fill months of silence before its eviction fires
           val out = scala.collection.mutable.ArrayBuffer.empty[HourVerdict]
+          val retireAt =
+            if (st.lastEvent >= 0L && retireAfterMs < Long.MaxValue - st.lastEvent)
+              st.lastEvent + retireAfterMs
+            else Long.MaxValue
           if (wm > 0L) {
-            val closable = math.floorDiv(wm, HourMs) * HourMs - HourMs
+            val closable = math.min(
+              math.floorDiv(wm, HourMs) * HourMs - HourMs,
+              if (retireAt == Long.MaxValue) Long.MaxValue
+              else math.floorDiv(retireAt, HourMs) * HourMs)
             var cursor =
               if (st.lastClosed >= 0L) st.lastClosed + HourMs
               else if (st.open.nonEmpty) st.open.keys.min
@@ -347,15 +374,22 @@ object StreamingPipeline {
               cursor += HourMs
             }
           }
-          state.update(st)
-          // wake when the watermark can close the next hour, so silent
-          // types keep gap-filling while others advance the stream
-          if (st.lastClosed >= 0L || st.open.nonEmpty) {
-            // the next hour to close is c; it becomes closable once the
-            // watermark reaches c + 1 h, so park the timer exactly there
-            val c = if (st.lastClosed >= 0L) st.lastClosed + HourMs
-              else st.open.keys.min
-            state.setTimeoutTimestamp(math.max(c + HourMs, wm + 1L))
+          // retirement: silent past the TTL with nothing left open →
+          // evict the state row and stop gap-filling (a returning type
+          // restarts with fresh history)
+          if (wm > 0L && st.open.isEmpty && retireAt <= wm) {
+            state.remove()
+          } else {
+            state.update(st)
+            // wake when the watermark can close the next hour, so silent
+            // types keep gap-filling while others advance the stream
+            if (st.lastClosed >= 0L || st.open.nonEmpty) {
+              // the next hour to close is c; it becomes closable once the
+              // watermark reaches c + 1 h, so park the timer exactly there
+              val c = if (st.lastClosed >= 0L) st.lastClosed + HourMs
+                else st.open.keys.min
+              state.setTimeoutTimestamp(math.max(c + HourMs, wm + 1L))
+            }
           }
           out.iterator
       }
