@@ -184,6 +184,19 @@ object Bench {
     // are auditable.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
+    // SPARK_GRAFT_BENCH_STAT=median (e.g. with PASSES=5) reports the
+    // per-query MEDIAN instead of the minimum — the self-adjudicating
+    // mode for drift investigations on this CPU-throttling host: a
+    // median-of-5 needs 3 of 5 passes throttled (minutes apart) to
+    // report a throttled number, and the full samples array still lands
+    // in BENCH_DETAIL either way. Default stays `min` for
+    // round-over-round comparability.
+    val stat = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "min")
+    require(stat == "min" || stat == "median",
+      s"SPARK_GRAFT_BENCH_STAT must be min|median, got $stat")
+    def summarize(xs: List[Double]): Double =
+      if (stat == "min") xs.min
+      else xs.sorted.apply((xs.length - 1) / 2)
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (pass <- 1 to passes) {
@@ -194,7 +207,7 @@ object Bench {
         samples(name) = samples.getOrElse(name, Nil) :+ t
       }
     }
-    val results = qs0.map { case (name, _) => name -> samples(name).min }
+    val results = qs0.map { case (name, _) => name -> summarize(samples(name)) }
     val standingTotal = results
       .collect { case (n, t) if standingSet(n) => t }.sum
     val standingR7Total = results
@@ -220,6 +233,7 @@ object Bench {
       "value" -> total.toString,
       "unit" -> "\"sec\"",
       "passes" -> passes.toString,
+      "stat" -> ("\"" + stat + "\""),
       "standing_total" -> standingTotal.toString,
       "standing_r7_total" -> standingR7Total.toString,
       "standing_r8_total" -> standingR8Total.toString,
@@ -244,7 +258,9 @@ object Bench {
         "metric" -> "\"total\"",
         "value" -> num(total, 3),
         "unit" -> "\"sec\"",
-        "min_of" -> passes.toString,
+        "min_of" -> passes.toString) ++
+        (if (stat == "median") Seq("stat" -> "\"median\"") else Nil) ++
+        Seq(
         "standing_total" -> num(standingTotal, 3),
         "standing_r7_total" -> num(standingR7Total, 3),
         "standing_r8_total" -> num(standingR8Total, 3),

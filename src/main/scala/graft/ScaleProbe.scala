@@ -251,6 +251,36 @@ object ScaleProbe {
     System.gc()
     val scaled = run(outDir, scaledPasses)
 
+    // plan-shape audit at BOTH scales: the ratios prove runtime, this
+    // proves the scaled runs executed the SAME plans — exchange/join
+    // node counts per query, with any drift (a broadcast degrading to
+    // SMJ past the threshold, a new exchange, a cartesian appearing)
+    // named in the artifact instead of hiding inside a ratio
+    def planCounts(name: String, dir: String): (Int, Int, Int) = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.executedPlan // force planning
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      def n(node: String) =
+        ("""\(\d+\) """ + node).r.findAllIn(p).length
+      (n("Exchange"),
+        Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin").map(n).sum,
+        n("CartesianProduct"))
+    }
+    val planDrift = names.flatMap { n =>
+      try {
+        val b = planCounts(n, baseDir)
+        val s = planCounts(n, outDir)
+        if (b != s)
+          Some(n -> s"base(exch,join,cart)=$b scaled=$s")
+        else None
+      } catch { case e: Throwable =>
+        Some(n -> ("PLANAUDIT " + e.toString
+          .replaceAll("[\"\\\\\n\r\t]", " ").take(80)))
+      }
+    }
+
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val perQuery = names.map { n =>
@@ -271,6 +301,8 @@ object ScaleProbe {
       ",\"total_ratio\":" + num(scaled.values.sum / base.values.sum) +
       ",\"median_ratio\":" + num(median) +
       ",\"errors\":{" + errors.toSeq.sorted.map { case (k, v) =>
+        "\"" + k + "\":\"" + v + "\"" }.mkString(",") + "}" +
+      ",\"plan_drift\":{" + planDrift.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":\"" + v + "\"" }.mkString(",") + "}" +
       ",\"queries\":{"
     json ++= perQuery.map { case (n, (b, s, r)) =>

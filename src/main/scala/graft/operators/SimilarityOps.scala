@@ -954,7 +954,13 @@ object SimilarityOps {
     * `ceil(|cell|/cap)` sub-buckets and candidates stay within a
     * (cell, bucket): pair volume is bounded by N·cap with a recall
     * trade that kicks in exactly when the model is under-provisioned
-    * (the standard salting discipline). INERT below the cap — every
+    * (the standard salting discipline). The trade is MEASURED, not
+    * promised: a pair survives iff both ends hash to the same
+    * sub-bucket (probability 1/nb under a uniform hash); the
+    * forced-engage test (ScaleProbeSpec) measures recall 0.174 for
+    * cells split ~4 ways (0.132 on the SRP-bucket path), pins a 0.10
+    * floor, and pins that capping only LOSES pairs, never invents
+    * them. INERT below the cap — every
     * verify-scale corpus keeps bucket count 1 (sf0.1 max cell = 277
     * vs cap 2048; ScaleProbeSpec pins the precondition), so query
     * results and oracles are untouched.
@@ -963,12 +969,16 @@ object SimilarityOps {
 
   private[graft] def bucketizeCells(cap: Long, keyCol: String = "cell")(
       assigned: DataFrame): DataFrame = {
-    val sizes = assigned.groupBy(col(keyCol))
+    // the assignment kernel feeds BOTH the size aggregate and the join;
+    // without materializing it once, every caller pays a second full
+    // assignCells/srpBucket pass even in the (usual) inert below-cap case
+    val a = DedupOps.materialize(assigned)
+    val sizes = a.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__csz"))
       .select(col(keyCol),
         greatest(lit(1L), ceil(col("__csz").cast("double") /
           cap.toDouble).cast("long")).as("__nb"))
-    assigned.join(broadcast(sizes), Seq(keyCol))
+    a.join(broadcast(sizes), Seq(keyCol))
       .withColumn("__bkt", pmod(hash(col("vec_id")), col("__nb")))
       .drop("__nb")
   }

@@ -169,6 +169,76 @@ class ScaleProbeSpec extends SparkSpec {
       "bucketizer must assign everything to bucket 0 below the cap")
   }
 
+  test("forced-engage recall: the sub-bucket cap loses a bounded, measured share of pairs and invents none") {
+    import graft.operators.{DedupOps, KMeansOps}
+    // engage the guardrail deliberately (cap far below the fixture's
+    // cell sizes) and measure what the salting recall trade costs —
+    // the cap is inert at every verified scale, so without this test
+    // its recall loss would be a promise with no number attached
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents = KMeansOps.lloyd(e, "vec_id", "embedding",
+      seedIds = (100L until 108L).toSeq, iters = 2)
+    def pairs(cap: Long) = graft.operators.DedupOps
+      .semanticNearDupPairs(cents, threshold = 0.35, cellCap = cap)(e)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val exact = pairs(Long.MaxValue)
+    val capped = pairs(16L) // ~62-member cells split into ~4 sub-buckets
+    assert(exact.nonEmpty, "fixture produced no near-dup pairs")
+    assert(capped.subsetOf(exact),
+      "sub-bucketing must only LOSE pairs, never invent them")
+    val recall = capped.size.toDouble / exact.size
+    info(f"cell forced-engage recall: $recall%.3f " +
+      f"(${capped.size}/${exact.size})")
+    // uniform-hash expectation: a within-cell pair survives with
+    // probability 1/nb(cell) ≈ 1/4 here; measured 0.174 (15/86) on the
+    // sf0.01 fixture — pin a floor under it (and a sanity ceiling: at
+    // ~full recall the cap wouldn't be engaging)
+    assert(recall >= 0.10 && recall < 0.9,
+      f"forced-engage recall $recall%.3f (|exact|=${exact.size}, " +
+        f"|capped|=${capped.size}) outside the documented band")
+    // same contract on the SRP-bucket path
+    def srpPairs(cap: Long) = DedupOps.embeddingNearDupPairs(
+      threshold = 0.35, planes = 4, bucketCap = cap)(e)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    val srpExact = srpPairs(Long.MaxValue)
+    val srpCapped = srpPairs(8L)
+    assert(srpExact.nonEmpty && srpCapped.subsetOf(srpExact))
+    val srpRecall = srpCapped.size.toDouble / srpExact.size
+    info(f"SRP forced-engage recall: $srpRecall%.3f " +
+      f"(${srpCapped.size}/${srpExact.size})")
+    // measured 0.132 (5/38) on the sf0.01 fixture at cap 8 (~4
+    // sub-buckets per SRP bucket)
+    assert(srpRecall >= 0.10 && srpRecall < 0.9,
+      f"SRP forced-engage recall $srpRecall%.3f outside the documented band")
+  }
+
+  test("plan shape is scale-stable: exchange/join counts equal at 1x and 3x for the dedup/sim/graph families") {
+    // the probe proves RUNTIME scales; this pins that the PLANS are the
+    // same plans — a strategy flip (broadcast degrading to SMJ, a new
+    // exchange, a cartesian appearing) at the bigger input fails here
+    // instead of surfacing as an unexplained probe ratio
+    def counts(name: String, dir: String): (Int, Int) = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.executedPlan // force planning
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      def n(node: String) =
+        ("""\(\d+\) """ + node).r.findAllIn(p).length
+      assert(n("CartesianProduct") == 0, s"$name@$dir: CartesianProduct")
+      (n("Exchange"),
+        Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+          "BroadcastNestedLoopJoin").map(n).sum)
+    }
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash_pairs", "dedup_embedding_cosine", "sim_knn_graph",
+        "graph_pagerank", "graph_bfs_hops")) {
+      val b = counts(q, base)
+      val s = counts(q, out)
+      assert(b == s, s"$q plan shape drifted at 3x: base(exch,joins)=$b " +
+        s"scaled=$s")
+    }
+  }
+
   test("replica embeddings: 1-in-5 exact cross-copy twins, rest jittered, dims preserved") {
     val Off = 1L << 40
     val b = spark.read.parquet(s"$base/embeddings.parquet")
