@@ -306,4 +306,74 @@ object ImageCodec {
     }
     bos.toByteArray
   }
+
+  /** One frame of an OPTIMIZED animated GIF: a `pw`×`ph` sub-raster
+    * drawn at (`left`, `top`) of the logical screen. Frame-local pixel
+    * function, screen placement via the image-descriptor metadata.
+    */
+  final case class GifPatch(left: Int, top: Int, pw: Int, ph: Int)
+
+  /** Real OPTIMIZED-GIF encode: frame f is stored as `patches(f)` — a
+    * sub-raster at its declared offset, exactly the layout real GIF
+    * optimizers emit (and what [[decodeGray]]'s compositing path
+    * renders back onto the logical screen). `px(f, u, v)` supplies the
+    * frame-LOCAL pixels. Frames are written non-interlaced explicitly:
+    * the JDK writer mis-writes interlaced rows for rasters shorter
+    * than the 8-row interlace stride.
+    */
+  def encodeGifPatches(sw: Int, sh: Int, patches: Seq[GifPatch])(
+      px: (Int, Int, Int) => Int): Array[Byte] = {
+    require(patches.nonEmpty, "need at least one frame")
+    patches.foreach { p =>
+      require(p.left >= 0 && p.top >= 0 && p.pw > 0 && p.ph > 0 &&
+        p.left + p.pw <= sw && p.top + p.ph <= sh,
+        s"patch $p escapes the ${sw}x$sh screen")
+    }
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      // pin the logical screen to (sw, sh) in the stream metadata —
+      // otherwise the writer would size it to frame 0's raster
+      val streamMeta = writer.getDefaultStreamMetadata(null)
+      val sFmt = "javax_imageio_gif_stream_1.0"
+      val sRoot = streamMeta.getAsTree(sFmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val sKids = sRoot.getChildNodes
+      (0 until sKids.getLength).map(sKids.item).foreach {
+        case e: javax.imageio.metadata.IIOMetadataNode
+            if e.getNodeName == "LogicalScreenDescriptor" =>
+          e.setAttribute("logicalScreenWidth", sw.toString)
+          e.setAttribute("logicalScreenHeight", sh.toString)
+        case _ => ()
+      }
+      streamMeta.setFromTree(sFmt, sRoot)
+      writer.prepareWriteSequence(streamMeta)
+      patches.zipWithIndex.foreach { case (p, f) =>
+        val img = grayImage(p.pw, p.ph)((u, v) => px(f, u, v))
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val kids = root.getChildNodes
+        (0 until kids.getLength).map(kids.item).foreach {
+          case e: javax.imageio.metadata.IIOMetadataNode
+              if e.getNodeName == "ImageDescriptor" =>
+            e.setAttribute("imageLeftPosition", p.left.toString)
+            e.setAttribute("imageTopPosition", p.top.toString)
+            e.setAttribute("interlaceFlag", "FALSE")
+          case _ => ()
+        }
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
 }

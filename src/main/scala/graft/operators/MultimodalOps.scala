@@ -341,6 +341,38 @@ object MultimodalOps {
     * same values from doc_id + text closed-form, so a decoder that
     * mis-reads a single pixel or offset hash-mismatches immediately.
     */
+  /** The video documents as OPTIMIZER-SHAPED animated GIFs: frame 0 is
+    * the full logical screen, every later frame is stored as a
+    * sub-raster patch at a frame-derived offset — the layout real GIF
+    * optimizers emit and the compositing path of
+    * [[ImageCodec.decodeGray]] must render back. All geometry is
+    * closed-form in doc_id and the frame index (screen = the same
+    * 8+id%9 × 8+id%7 as the plain GIF fixture; patch = (1+⌊sw/2⌋) ×
+    * (1+⌊sh/2⌋) at left = (id+3f) mod (sw−pw+1), top = (id+5f) mod
+    * (sh−ph+1)), and patch pixels reuse [[fixturePixel]] in frame-LOCAL
+    * coordinates — so the oracle can replay the composited screen with
+    * a last-writer-wins model and any compositing error (wrong offset,
+    * wrong carry-over, wrong disposal default) hash-mismatches.
+    */
+  def documentsAsOptimizedMedia(spark: SparkSession, docs: DataFrame)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 2)
+      .as[Long].map { id =>
+        val sw = 8 + (id % 9).toInt
+        val sh = 8 + (id % 7).toInt
+        val nf = 1 + (id % 4).toInt
+        val pw = 1 + sw / 2
+        val ph = 1 + sh / 2
+        val patches = ImageCodec.GifPatch(0, 0, sw, sh) +:
+          (1 until nf).map(f => ImageCodec.GifPatch(
+            ((id + 3 * f) % (sw - pw + 1)).toInt,
+            ((id + 5 * f) % (sh - ph + 1)).toInt, pw, ph))
+        MediaRow(id, "video",
+          ImageCodec.encodeGifPatches(sw, sh, patches)(fixturePixel(id, _, _, _)))
+      }
+  }
+
   def documentsAsEncodedMedia(spark: SparkSession, docs: DataFrame)
       : Dataset[MediaRow] = {
     import spark.implicits._

@@ -116,7 +116,20 @@ object MultimodalQueries {
     "mm_pixel_stats" -> ((s, dir) =>
       MultimodalOps.imagePixelStats(
         MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir)),
-        minContrast = PxMinContrast))
+        minContrast = PxMinContrast)),
+
+    // Scene-change profile over OPTIMIZER-SHAPED GIFs: frames are
+    // stored as offset sub-raster patches (documentsAsOptimizedMedia)
+    // and the decode must COMPOSITE them onto the logical screen before
+    // differencing — pixels outside a frame's patch carry over, so the
+    // delta is exactly the patch-local change (the honest motion signal
+    // of an optimized animation). The oracle replays the composited
+    // screen with a last-writer-wins model over the closed-form patch
+    // rects; a wrong offset, a dropped carry-over, or a mis-applied
+    // disposal default all hash-mismatch.
+    "mm_gif_composite_delta" -> ((s, dir) =>
+      MultimodalOps.frameDelta(
+        MultimodalOps.documentsAsOptimizedMedia(s, Tables.documents(s, dir))))
   )
 
   private val PhMaxHam = 9
@@ -420,6 +433,55 @@ object MultimodalQueries {
            SELECT unnest(range(0,
              ((octet_length(encode(text)) + 32 * 4 - 1) // (32 * 4))::BIGINT))
              AS i) f""",
+    // Composited-delta replay: only pixels inside frame f's patch can
+    // change (everything else carries over), and the previous value at
+    // such a pixel comes from the LATEST earlier frame whose rect
+    // covers it (frame 0 covers the whole screen, so a writer always
+    // exists). sum/max/changed over the whole screen therefore equal
+    // the patch-local aggregates (outside-the-patch deltas are 0, and
+    // max over a nonempty patch is >= 0).
+    "mm_gif_composite_delta" ->
+      """WITH gdoc AS (
+           SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + doc_id % 7 AS sh,
+                  1 + doc_id % 4 AS nf
+           FROM documents WHERE doc_id % 3 = 2 AND doc_id % 4 >= 1),
+         rects AS (
+           SELECT doc_id, f.f AS f,
+                  CASE WHEN f.f = 0 THEN 0
+                       ELSE (doc_id + 3 * f.f) % (sw - (1 + sw // 2) + 1)
+                  END AS l,
+                  CASE WHEN f.f = 0 THEN 0
+                       ELSE (doc_id + 5 * f.f) % (sh - (1 + sh // 2) + 1)
+                  END AS t,
+                  CASE WHEN f.f = 0 THEN sw ELSE 1 + sw // 2 END AS pw,
+                  CASE WHEN f.f = 0 THEN sh ELSE 1 + sh // 2 END AS ph
+           FROM gdoc, LATERAL (SELECT unnest(range(0, nf)) AS f) f),
+         pp AS (
+           SELECT r.doc_id, r.f, r.l + u.u AS x, r.t + v.v AS y,
+                  (r.doc_id * 31 + r.f * 101 + u.u * 7 + v.v * 13) % 256
+                    AS cur
+           FROM rects r,
+             LATERAL (SELECT unnest(range(0, r.pw)) AS u) u,
+             LATERAL (SELECT unnest(range(0, r.ph)) AS v) v
+           WHERE r.f >= 1),
+         prevw AS (
+           SELECT p.doc_id, p.f, p.x, p.y, p.cur, max(r2.f) AS g
+           FROM pp p JOIN rects r2 ON r2.doc_id = p.doc_id AND r2.f < p.f
+             AND p.x >= r2.l AND p.x < r2.l + r2.pw
+             AND p.y >= r2.t AND p.y < r2.t + r2.ph
+           GROUP BY 1, 2, 3, 4, 5),
+         pv AS (
+           SELECT w.doc_id, w.f, w.cur,
+                  (w.doc_id * 31 + w.g * 101 + (w.x - r3.l) * 7 +
+                     (w.y - r3.t) * 13) % 256 AS prev
+           FROM prevw w JOIN rects r3
+             ON r3.doc_id = w.doc_id AND r3.f = w.g)
+         SELECT doc_id, f::BIGINT AS frame,
+                sum(abs(cur - prev))::BIGINT AS sum_abs_delta,
+                max(abs(cur - prev))::BIGINT AS max_delta,
+                sum(CASE WHEN cur != prev THEN 1 ELSE 0 END)::BIGINT
+                  AS n_changed
+         FROM pv GROUP BY 1, 2""",
     // frame 0 only (f term = 0) — the Spark side resamples frames.head
     "mm_resize" ->
       s"""WITH $pixelDocsCte,

@@ -420,6 +420,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodeGifPatches round-trips through the compositing decode (last-writer model)") {
+    import graft.operators.ImageCodec
+    import graft.operators.ImageCodec.GifPatch
+    val (sw, sh) = (11, 9)
+    val patches = Seq(GifPatch(0, 0, sw, sh), GifPatch(2, 3, 6, 4),
+      GifPatch(5, 0, 5, 7), GifPatch(0, 5, 11, 3))
+    def px(f: Int, u: Int, v: Int) = (f * 53 + u * 7 + v * 13 + 11) % 256
+    val img = ImageCodec.decodeGray(
+      ImageCodec.encodeGifPatches(sw, sh, patches)(px)).get
+    assert(img.width == sw && img.height == sh &&
+      img.frames.length == patches.length)
+    // last-writer-wins reference model, computed independently
+    for (f <- patches.indices; y <- 0 until sh; x <- 0 until sw) {
+      val g = (0 to f).filter { f2 =>
+        val p = patches(f2)
+        x >= p.left && x < p.left + p.pw && y >= p.top && y < p.top + p.ph
+      }.max // frame 0 covers everything, so a writer always exists
+      val p = patches(g)
+      assert(img.frames(f)(y * sw + x) == px(g, x - p.left, y - p.top),
+        s"frame $f pixel ($x,$y): want writer $g")
+    }
+  }
+
   test("pixel-stats variance is exact past the Long-overflow point of the naive formula") {
     import graft.operators.ImageCodec
     // 256×256 checkerboard: n = 65536 pixels, variance 16256.25 —
