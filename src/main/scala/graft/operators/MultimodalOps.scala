@@ -489,6 +489,52 @@ object MultimodalOps {
         .otherwise(lit(0L))).as("ph"))
   }
 
+  /** Energy-delta audio fingerprint — the integer skeleton of the
+    * landmark/fingerprint family (Shazam/Chromaprint reduced to what
+    * exact arithmetic can pin): per `frame`-sample window the exact
+    * Σs² energy, then a 60-bit sketch whose bit f is set iff energy
+    * ROSE from frame f to f+1 (first 59 transitions). Because the bits
+    * are energy COMPARISONS, the sketch is gain-invariant (s → c·s
+    * scales every energy by c², preserving order) — re-encoded or
+    * re-normalized copies of the same audio collide, which is the
+    * property an audio-dedup key needs and a raw content hash lacks.
+    * Pairs then go through the same Hamming banding as every other
+    * sketch. Per-row kernel, zero exchanges; oracle replays every
+    * sample, energy, and comparison closed-form.
+    */
+  def audioFingerprint(frame: Int)(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      MediaHeaders.wav(r.content).map { case (_, _, hdrLen) =>
+        val payload =
+          java.util.Arrays.copyOfRange(r.content, hdrLen, r.content.length)
+        val n = payload.length / 2
+        val nf = n / frame
+        val e = new Array[Long](nf)
+        var f = 0
+        while (f < nf) {
+          var acc = 0L
+          var i = f * frame
+          while (i < (f + 1) * frame) {
+            val lo = payload(2 * i) & 0xff
+            val s = ((payload(2 * i + 1).toInt << 8) | lo).toLong
+            acc += s * s
+            i += 1
+          }
+          e(f) = acc
+          f += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < math.min(59, nf - 1)) {
+          if (e(b + 1) > e(b)) fp |= 1L << b
+          b += 1
+        }
+        (r.doc_id, nf.toLong, fp)
+      }
+    }.toDF("doc_id", "n_frames", "fp")
+  }
+
   /** Temporal frame-delta analysis over animated media (the
     * scene-change / motion-energy profile a video-curation pipeline
     * reads before frame sampling): per consecutive frame pair of each

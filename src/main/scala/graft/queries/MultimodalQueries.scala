@@ -129,7 +129,31 @@ object MultimodalQueries {
     // disposal default all hash-mismatch.
     "mm_gif_composite_delta" -> ((s, dir) =>
       MultimodalOps.frameDelta(
-        MultimodalOps.documentsAsOptimizedMedia(s, Tables.documents(s, dir))))
+        MultimodalOps.documentsAsOptimizedMedia(s, Tables.documents(s, dir)))),
+
+    // Gain-invariant audio fingerprint (energy-delta sign sketch over
+    // 50-sample frames) — the audio-dedup key: see
+    // MultimodalOps.audioFingerprint. Per-row kernel, zero exchanges.
+    "mm_audio_fingerprint" -> ((s, dir) =>
+      MultimodalOps.audioFingerprint(VadFrame)(
+        MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir)))),
+
+    // Keyframe (scene-change) selection over the animated GIFs: a
+    // frame is a keyframe when its composited delta is ABOVE the
+    // document's mean frame delta (sad·n_deltas > Σsad — divisionless,
+    // exact). The standard video-curation cut before frame sampling:
+    // sample at scene changes, not uniformly. Window over the tiny
+    // per-(doc, frame) delta frame; the pixel work stays in the
+    // per-row decode kernel.
+    "mm_keyframes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = MultimodalOps.frameDelta(
+        MultimodalOps.documentsAsEncodedMedia(s, Tables.documents(s, dir)))
+      val w = Window.partitionBy(col("doc_id"))
+      d.select(col("doc_id"), col("frame"), col("sum_abs_delta"),
+          (col("sum_abs_delta") * count(lit(1)).over(w) >
+            sum(col("sum_abs_delta")).over(w)).as("is_keyframe"))
+    })
   )
 
   private val PhMaxHam = 9
@@ -303,6 +327,63 @@ object MultimodalQueries {
                   THEN CAST(g.n_active AS DOUBLE) / CAST(g.nfr AS DOUBLE)
                   ELSE 0.0 END AS active_ratio
          FROM sm s LEFT JOIN agg g USING (doc_id)""",
+    // the energy-delta sign bits via a lead window over the same frame
+    // energies as mm_audio_vad; sub-2-frame docs restore with fp = 0
+    "mm_audio_fingerprint" ->
+      s"""WITH a AS (
+           SELECT doc_id, text, octet_length(encode(text)) // 2 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT doc_id, n // $VadFrame AS nf,
+                  list_transform(range(0, n), i ->
+                    CAST(ord(substring(text, (1 + 2 * i)::INTEGER, 1)) +
+                         256 * ord(substring(text, (2 + 2 * i)::INTEGER,
+                           1)) AS BIGINT)) AS ss
+           FROM a),
+         fr AS (
+           SELECT doc_id, f.f AS f,
+                  list_sum(list_transform(
+                    range($VadFrame * f.f, $VadFrame * f.f + $VadFrame),
+                    i -> ss[(i + 1)::INTEGER] * ss[(i + 1)::INTEGER]))
+                    AS e
+           FROM sm CROSS JOIN LATERAL (
+             SELECT unnest(range(0, nf)) AS f) f),
+         bits AS (
+           SELECT doc_id, f, e,
+                  lead(e) OVER (PARTITION BY doc_id ORDER BY f) AS en
+           FROM fr),
+         fp AS (
+           SELECT doc_id,
+                  sum(CASE WHEN f < 59 AND en IS NOT NULL AND en > e
+                      THEN 1::BIGINT << f::INTEGER ELSE 0 END)::BIGINT
+                    AS fp
+           FROM bits GROUP BY 1)
+         SELECT s.doc_id, s.nf::BIGINT AS n_frames,
+                COALESCE(p.fp, 0)::BIGINT AS fp
+         FROM sm s LEFT JOIN fp p USING (doc_id)""",
+    // mm_frame_delta's replay wrapped in the above-mean window gate
+    "mm_keyframes" ->
+      s"""WITH $pixelDocsCte,
+         d AS (
+           SELECT doc_id, f.f AS frame,
+                  abs(((doc_id * 31 + f.f * 101 + x.x * 7 + y.y * 13)
+                         % 256) -
+                      ((doc_id * 31 + (f.f - 1) * 101 + x.x * 7 +
+                          y.y * 13) % 256)) AS d
+           FROM pxdoc,
+             LATERAL (SELECT unnest(range(1, nf)) AS f) f,
+             LATERAL (SELECT unnest(range(0, w)) AS x) x,
+             LATERAL (SELECT unnest(range(0, h)) AS y) y
+           WHERE nf >= 2),
+         sad AS (
+           SELECT doc_id, frame::BIGINT AS frame,
+                  sum(d)::BIGINT AS sum_abs_delta
+           FROM d GROUP BY 1, 2)
+         SELECT doc_id, frame, sum_abs_delta,
+                sum_abs_delta * (count(*) OVER (PARTITION BY doc_id)) >
+                  (sum(sum_abs_delta) OVER (PARTITION BY doc_id))
+                  AS is_keyframe
+         FROM sad""",
     // samples re-derived from the text payload: the fixture's WAV data
     // chunk IS the UTF-8 text (all-ASCII in this corpus, so high bytes
     // stay < 128 and unsigned reassembly ≡ two's complement)

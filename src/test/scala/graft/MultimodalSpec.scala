@@ -420,6 +420,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint is gain-invariant and matches the hand-folded energy comparisons") {
+    // int16 LE PCM under a canonical WAV header; samples chosen so a
+    // 2x gain never clips. The sketch must be IDENTICAL across gains
+    // (energy comparisons are monotone under s -> c*s) and equal the
+    // independently folded bit pattern.
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val payload = samples.flatMap(s =>
+        Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+      MediaHeaders.wavBytes(1, 8000, payload.length) ++ payload
+    }
+    // 4 frames of 5 samples with energies roughly up, down, up
+    val base = Seq(10, 20, 30, 10, 5, 40, 50, 60, 40, 30,
+      5, 10, 5, 5, 5, 100, 90, 80, 110, 120)
+    val rows = Seq(
+      MediaRow(1L, "audio", wav(base)),
+      MediaRow(2L, "audio", wav(base.map(_ * 2))))
+    val got = MultimodalOps.audioFingerprint(frame = 5)(rows.toDS())
+      .select(col("doc_id"), col("n_frames"), col("fp"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    def energy(f: Int) =
+      base.slice(f * 5, f * 5 + 5).map(s => s.toLong * s).sum
+    val expFp = (0 until 3).map(f =>
+      if (energy(f + 1) > energy(f)) 1L << f else 0L).sum
+    assert(got.map(_._2).toSeq == Seq(4L, 4L))
+    assert(got.map(_._3).toSeq == Seq(expFp, expFp),
+      s"fingerprint must be gain-invariant and equal $expFp: ${got.toSeq}")
+    assert(expFp != 0L, "fixture must exercise at least one rising edge")
+  }
+
   test("encodeGifPatches round-trips through the compositing decode (last-writer model)") {
     import graft.operators.ImageCodec
     import graft.operators.ImageCodec.GifPatch
