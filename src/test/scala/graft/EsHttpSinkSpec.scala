@@ -123,6 +123,46 @@ class EsHttpSinkSpec extends SparkSpec {
     } finally es.stop()
   }
 
+  test("InjectorApp composes with the HTTP sink: env config → pipeline → real _bulk → probes") {
+    import graft.streaming.InjectorApp
+    val es = new EsStubServer
+    val port = es.start()
+    val dir = Files.createTempDirectory("graft-app-http").toString
+    try {
+      val cfg = InjectorApp.fromEnv(Map(
+        "KAFKA_TOPICS" -> "my-topic",
+        "KAFKA_CONSUMER_RECORD_TYPE" -> "json",
+        "K8S_LIVENESS_ROUTE" -> "/live",
+        "K8S_READINESS_ROUTE" -> "/ready",
+        "PROBES_PORT" -> "0",
+        "CHECKPOINT_LOCATION" -> s"$dir/cp"))
+      val sink = new EsHttpSink(s"http://localhost:$port")
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[Msg]
+      stream.addData(Seq(
+        Msg(null, """{"id":"a","n":1}""".getBytes("UTF-8"), "my-topic",
+          0, 1L, Timestamp.valueOf("2024-03-05 10:11:12.345"), 0)))
+      val (q, probes) = InjectorApp.start(spark, cfg, jsonSchema = schema,
+        source = Some(stream.toDF()),
+        startSink = Some(a => a.writeStream
+          .option("checkpointLocation", s"$dir/cp")
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+            sink.write(b, id))
+          .start()))
+      try {
+        q.processAllAvailable()
+        assert(sink.inserted.sum() == 1)
+        assert(es.doc("my-topic-2024-03-05", "0:1").exists(
+          _.contains(""""id":"a"""")))
+        val c = new java.net.URL(
+          s"http://127.0.0.1:${probes.boundPort}/ready").openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val ready = try c.getResponseCode finally c.disconnect()
+        assert(ready == 200)
+      } finally { q.stop(); probes.stop() }
+    } finally es.stop()
+  }
+
   test("ensureTemplate installs once over REAL HTTP (check-then-install, K-template)") {
     val es = new EsStubServer
     val port = es.start()
