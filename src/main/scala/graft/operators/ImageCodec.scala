@@ -194,6 +194,18 @@ object ImageCodec {
     val (sw, sh) = gifScreen(reader)
     if (sw <= 0 || sh <= 0 || sw.toLong * sh * n > MaxDecodePixels) None
     else {
+      // every frame rect must fit the screen — checked on HEADER dims
+      // (descriptor reads, no pixel decode), so a bomb declaring a tiny
+      // screen but a huge frame raster is rejected before reader.read
+      // can allocate it
+      val rectsOk = (0 until n).forall { i =>
+        val (left, top, _) = gifFrameMeta(reader, i)
+        val fw = reader.getWidth(i)
+        val fh = reader.getHeight(i)
+        left >= 0 && top >= 0 && fw > 0 && fh > 0 &&
+          left + fw <= sw && top + fh <= sh
+      }
+      if (!rectsOk) return None
       var canvas = new Array[Int](sw * sh)
       val frames = Seq.newBuilder[Array[Int]]
       var i = 0
@@ -204,7 +216,7 @@ object ImageCodec {
         val fw = img.getWidth
         val fh = img.getHeight
         if (left < 0 || top < 0 || left + fw > sw || top + fh > sh) {
-          bad = true
+          bad = true // decoded raster disagreeing with its header
         } else {
           val snapshot =
             if (disposal == "restoreToPrevious") canvas.clone() else null

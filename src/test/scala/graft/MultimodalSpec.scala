@@ -277,6 +277,18 @@ class MultimodalSpec extends SparkSpec {
     assert(reader.getWidth(0) == 65535 && reader.getHeight(0) == 65535)
     reader.dispose(); iis.close()
     assert(ImageCodec.decodeGray(bomb).isEmpty)
+    // variant: tiny DECLARED screen (passes the pixel cap) but a huge
+    // frame raster — must reject on the frame-rect header check before
+    // the reader can allocate the raster
+    val rectBomb = ("GIF89a".getBytes("US-ASCII").toSeq ++
+      u16(4) ++ u16(3) ++ // logical screen 4×3
+      Seq(0x80.toByte, 0.toByte, 0.toByte) ++
+      Seq(0, 0, 0, 255, 255, 255).map(_.toByte) ++
+      Seq(0x2c.toByte) ++ u16(0) ++ u16(0) ++
+      u16(0xffff) ++ u16(0xffff) ++ Seq(0x00.toByte) ++ // frame 65535²
+      Seq(0x02.toByte, 0x02.toByte, 0x4c.toByte, 0x01.toByte) ++
+      Seq(0x00.toByte, 0x3b.toByte)).toArray
+    assert(ImageCodec.decodeGray(rectBomb).isEmpty)
     // sanity: the cap is about total pixels, not container validity — a
     // modest image decodes as before
     assert(ImageCodec.decodeGray(
