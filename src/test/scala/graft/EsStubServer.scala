@@ -70,7 +70,9 @@ final class EsStubServer {
           val items = new StringBuilder
           var errors = false
           var i = 0
-          while (i + 1 < lines.length + 1 && i < lines.length) {
+          // pairs of (action, doc) lines; a trailing action without its
+          // doc is a malformed request and simply isn't consumed
+          while (i + 1 < lines.length) {
             val action = mapper.readTree(lines(i))
             val create = action.get("create")
             require(create != null, s"only create is implemented: ${lines(i)}")
