@@ -95,6 +95,19 @@ object EsConnectorSink {
       checkpoint: String) =
     writer(assembled, es, checkpoint).start(resource)
 
+  /** Readiness ping — the reference's `ReadinessCheck` is an ES client
+    * ping (`src/elasticsearch/elasticsearch.go:142-150`); here `GET /`
+    * on the configured host answering 2xx, over the same transport
+    * (scheme/auth/timeout) as the template bootstrap.
+    */
+  def ping(es: EsConnectorConfig,
+      transport: Option[(String, String, Option[String]) => Int] = None)
+      : Boolean =
+    try {
+      val send = transport.getOrElse(jdkTransport(es))
+      send("GET", s"${es.scheme}://${es.host}:${es.port}/", None) / 100 == 2
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   // -------------------------------------------------------- index template
 
   /** The reference delegates mapping control to an index template

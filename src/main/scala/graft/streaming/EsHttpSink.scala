@@ -64,19 +64,29 @@ class EsHttpSink(
         col("doc_id").cast("string"), to_json(col("payload")))
       .as[(String, String, String)]
       .rdd.mapPartitions { it =>
+        // the action line is SERIALIZED, never interpolated: R4/R3 let a
+        // user payload column supply the doc id / index (reference
+        // codec.go:77-90 accepts any string), so a value containing
+        // `"`, `\` or a newline must be JSON-escaped or the NDJSON body
+        // frame-shifts (the reference's elastic client escapes for it)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         var ins = 0L; var conf = 0L; var bad = 0L; var ret = 0L
         it.grouped(chunk).foreach { rows =>
           var pending = rows.toSeq
           var attempt = 0
           while (pending.nonEmpty) {
             val body = pending.map { case (idx, id, doc) =>
-              s"""{"create":{"_index":"$idx","_id":"$id"}}""" + "\n" +
-                doc + "\n"
+              val action = mapper.createObjectNode()
+              action.putObject("create").put("_index", idx).put("_id", id)
+              mapper.writeValueAsString(action) + "\n" + doc + "\n"
             }.mkString
             EsHttpSink.post(url, body, to) match {
-              case Right(items) =>
-                // pair item statuses back to rows positionally (the
-                // _bulk contract: items are in request order)
+              // pair item statuses back to rows positionally (the
+              // _bulk contract: items are in request order) — but ONLY
+              // when the server answered one item per doc sent; a
+              // truncated/padded item list would silently mis-route
+              // rows, so it retries as a whole-request failure instead
+              case Right(items) if items.size == pending.size =>
                 val again = Seq.newBuilder[(String, String, String)]
                 items.zip(pending).foreach { case (st, row) =>
                   if (st == 200 || st == 201) ins += 1
@@ -85,6 +95,7 @@ class EsHttpSink(
                   else again += row // 429/5xx item: retryable
                 }
                 pending = again.result()
+              case Right(_) => () // item-count mismatch: retry all
               case Left(_) => () // whole-request failure: retry all
             }
             if (pending.nonEmpty) {
@@ -103,11 +114,32 @@ class EsHttpSink(
       inserted.add(i); conflicts.add(c); badRequests.add(b); retries.add(r)
     }
   }
+
+  /** The reference's readiness check pings the ES root endpoint
+    * (`elasticsearch.go:142-150`: `client.Ping` → ok); here a `GET /`
+    * against `baseUrl` answering 2xx. Wire this into
+    * [[Probes.bind]]'s sink check so a cluster outage flips the pod
+    * unready (the orchestrator then stops routing to it) even while
+    * the streaming query itself is still alive between batches.
+    */
+  def ping(): Boolean =
+    try {
+      val conn = new java.net.URL(baseUrl).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(bulkTimeoutMs)
+      conn.setReadTimeout(bulkTimeoutMs)
+      try conn.getResponseCode / 100 == 2 finally conn.disconnect()
+    } catch { case scala.util.control.NonFatal(_) => false }
 }
 
 object EsHttpSink {
   /** POST the NDJSON body; Right(per-item statuses) on a parseable
-    * 2xx `_bulk` response, Left(status) on transport/server failure.
+    * 2xx `_bulk` response, Left(status) on transport/server failure —
+    * including a 2xx body that is not a well-formed `_bulk` response
+    * (missing/non-array `items`, malformed JSON): any NonFatal failure
+    * routes into the sink's bounded-retry path as a counted retry
+    * rather than escaping as an uncounted task failure.
     */
   private[streaming] def post(url: String, body: String,
       timeoutMs: Int): Either[Int, Seq[Int]] =
@@ -131,10 +163,11 @@ object EsHttpSink {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = mapper.readTree(resp)
         val items = root.get("items")
-        Right((0 until items.size).map { i =>
+        if (items == null || !items.isArray) Left(-2)
+        else Right((0 until items.size).map { i =>
           val it = items.get(i)
           it.get(it.fieldNames().next()).get("status").asInt()
         })
       }
-    } catch { case _: java.io.IOException => Left(-1) }
+    } catch { case scala.util.control.NonFatal(_) => Left(-1) }
 }

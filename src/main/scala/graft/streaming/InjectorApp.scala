@@ -151,7 +151,8 @@ object InjectorApp {
       source: Option[org.apache.spark.sql.DataFrame] = None,
       startSink: Option[org.apache.spark.sql.DataFrame => StreamingQuery] =
         None,
-      schemaProvider: Option[SchemaProvider] = None)
+      schemaProvider: Option[SchemaProvider] = None,
+      sinkPing: Option[() => Boolean] = None)
       : (StreamingQuery, Probes) = {
     def provider: SchemaProvider = schemaProvider.getOrElse(
       new HttpSchemaProvider(
@@ -196,7 +197,15 @@ object InjectorApp {
     }.apply(assembled)
     val probes = new Probes(cfg.probesPort.getOrElse(8080),
       cfg.livenessRoute, cfg.readinessRoute)
-    probes.bind(query) // liveness up, readiness tracks the stream
+    // liveness up; readiness tracks the stream AND the sink: the default
+    // cluster path pings the configured ES host like the reference's
+    // ReadinessCheck; an injected sink (tests, the HTTP sink) passes its
+    // own ping. An injected sink WITHOUT a ping skips the check rather
+    // than probing an unrelated default host.
+    val ping = sinkPing.orElse(
+      if (startSink.isEmpty) Some(() => EsConnectorSink.ping(cfg.sink))
+      else None)
+    probes.bind(query, ping)
     probes.serve()
     (query, probes)
   }

@@ -66,12 +66,16 @@ final class Probes(port: Int,
     throw new IllegalStateException("probes server not started"))
 
   /** Canonical wiring: alive once the stream is started, ready while the
-    * query is active and healthy (`exception` empty). A wedged or failed
-    * stream turns the pod unready so the orchestrator recycles it —
-    * the same effect as the reference's failed ES ping.
+    * query is active and healthy (`exception` empty) AND the sink ping
+    * (when one is configured) answers — the reference's readiness IS an
+    * ES ping (`recordDatabase.ReadinessCheck`,
+    * elasticsearch.go:142-150), so a sink outage flips the pod unready
+    * even while the query idles healthily between batches.
     */
-  def bind(query: StreamingQuery): Unit = {
+  def bind(query: StreamingQuery,
+      sinkPing: Option[() => Boolean] = None): Unit = {
     alive()
-    setReadinessCheck(() => query.isActive && query.exception.isEmpty)
+    setReadinessCheck(() => query.isActive && query.exception.isEmpty &&
+      sinkPing.forall(p => p()))
   }
 }

@@ -21,6 +21,18 @@ final class EsStubServer {
   private val docs = new ConcurrentHashMap[String, String]()
   private val templates = new ConcurrentHashMap[String, String]()
   val failBulks = new AtomicInteger(0)
+  /** Next N `_bulk` responses drop their LAST item (docs still stored) —
+    * the truncated-2xx case the sink must treat as a whole-request
+    * failure rather than silently un-counting the unmatched rows.
+    */
+  val truncateItems = new AtomicInteger(0)
+  /** Next N `_bulk` responses answer 200 with a body that is NOT a bulk
+    * response (no `items`) — must route into bounded retry, not escape
+    * as an uncaught task failure.
+    */
+  val garbageBulks = new AtomicInteger(0)
+  /** When true, `GET /` (the readiness ping endpoint) answers 503. */
+  val healthDown = new java.util.concurrent.atomic.AtomicBoolean(false)
   @volatile private var server: HttpServer = _
 
   def start(): Int = {
@@ -39,6 +51,8 @@ final class EsStubServer {
   def docCount: Int = docs.size
 
   def hasTemplate(name: String): Boolean = templates.containsKey(name)
+
+  def template(name: String): Option[String] = Option(templates.get(name))
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val b = body.getBytes("UTF-8")
@@ -59,15 +73,24 @@ final class EsStubServer {
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
     (method, path) match {
+      case ("GET", "/") => // cluster-info root: the readiness ping target
+        if (healthDown.get)
+          respond(ex, 503, """{"error":"injected outage"}""")
+        else respond(ex, 200, """{"name":"es-stub","version":{}}""")
       case ("POST", "/_bulk") =>
         if (failBulks.getAndUpdate(n => math.max(0, n - 1)) > 0)
           respond(ex, 503, """{"error":"injected unavailability"}""")
-        else {
+        else if (garbageBulks.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+          // consume the request (docs intentionally NOT stored) and
+          // answer a 2xx that is not a bulk response at all
+          org.apache.commons.io.IOUtils.toByteArray(ex.getRequestBody)
+          respond(ex, 200, """{"ok":true}""")
+        } else {
           val body = new String(org.apache.commons.io.IOUtils
             .toByteArray(ex.getRequestBody), "UTF-8")
           val lines = body.split("\n").filter(_.nonEmpty)
           val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-          val items = new StringBuilder
+          val items = Seq.newBuilder[String]
           var errors = false
           var i = 0
           // pairs of (action, doc) lines; a trailing action without its
@@ -89,12 +112,21 @@ final class EsStubServer {
                 else 201
               } catch { case _: Exception => 400 }
             if (status != 201) errors = true
-            if (items.nonEmpty) items ++= ","
-            items ++= s"""{"create":{"_index":"$index","_id":"$id","status":$status}}"""
+            items += s"""{"create":{"_index":${mapper.writeValueAsString(
+              mapper.getNodeFactory.textNode(index))},"_id":${mapper
+              .writeValueAsString(mapper.getNodeFactory.textNode(id))},"status":$status}}"""
             i += 2
           }
+          // truncation injection: the docs ABOVE are already stored, but
+          // the response accounts for one fewer — the silent-loss shape
+          // a malformed upstream proxy can produce
+          val all = items.result()
+          val sent =
+            if (truncateItems.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              all.dropRight(1)
+            else all
           respond(ex, 200,
-            s"""{"errors":$errors,"items":[${items.result()}]}""")
+            s"""{"errors":$errors,"items":[${sent.mkString(",")}]}""")
         }
       case ("GET", p) if p.contains("/_doc/") =>
         val parts = p.stripPrefix("/").split("/_doc/")
