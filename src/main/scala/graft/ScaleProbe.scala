@@ -289,6 +289,59 @@ object ScaleProbe {
     }
     val ratios = perQuery.map(_._2._3).sorted
     val median = ratios(ratios.length / 2)
+
+    // Self-adjudicating throttle recheck (r12 verdict ask #4): any query
+    // whose growth ratio lands >3× the median — two rounds running, every
+    // such outlier turned out to be the host's CPU-throttle window, which
+    // both in-probe passes can share — is re-measured in a FRESH forked
+    // JVM (same classpath/add-opens/heap as this one, minutes later by
+    // construction), and BOTH numbers land in the artifact so no prose
+    // adjudication is needed. Sub-second scaled times are exempt: at that
+    // magnitude a big ratio is fixed-overhead noise, not a throttle
+    // artifact worth a JVM fork. SPARK_GRAFT_SCALE_RECHECK=off disables.
+    val recheckOn =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_RECHECK", "on") != "off"
+    def cleanJvmWall(name: String, dir: String): Option[Double] = {
+      val raw = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments).asScala.toSeq
+      // --add-opens arrives as two list entries ("--add-opens", "p=ALL…")
+      // on some JVMs and one on others; rebuild pairwise from the raw list
+      val opens = raw.zipWithIndex.collect {
+        case (a, i) if a == "--add-opens" => Seq(a, raw(i + 1))
+        case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      }.flatten
+      val mem = raw.filter(_.startsWith("-Xmx"))
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+      val cmd = Seq(javaBin) ++ opens ++ mem ++ Seq(
+        "-cp", sys.props("java.class.path"), "graft.Explain", name, dir)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(true)
+      try {
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+          p.destroyForcibly(); return None
+        }
+        """wall=([0-9.]+) s""".r.findFirstMatchIn(out)
+          .map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    }
+    val rechecks: Map[String, (Double, Double)] =
+      if (!recheckOn) Map.empty
+      else perQuery.collect {
+        case (n, (b, s, r)) if r > 3 * median && s >= 1.0 =>
+          System.err.println(f"[scale] recheck $n (ratio $r%.2f > 3x " +
+            f"median $median%.2f) in a clean JVM")
+          cleanJvmWall(n, outDir).map { w =>
+            System.err.println(
+              f"[scale] recheck $n clean-JVM wall $w%.3f s " +
+                f"(in-probe ${s}%.3f s)")
+            n -> (w, w / math.max(b, 1e-9))
+          }
+      }.flatten.toMap
     val json = new StringBuilder
     json ++= "{\"base_dir\":\"" + baseDir + "\",\"scale_dir\":\"" +
       outDir + "\",\"copies\":" + copies +
@@ -307,7 +360,11 @@ object ScaleProbe {
       ",\"queries\":{"
     json ++= perQuery.map { case (n, (b, s, r)) =>
       "\"" + n + "\":{\"base\":" + num(b) + ",\"scaled\":" + num(s) +
-        ",\"ratio\":" + num(r) + "}"
+        ",\"ratio\":" + num(r) +
+        rechecks.get(n).map { case (w, rc) =>
+          ",\"recheck\":{\"scaled_clean\":" + num(w) +
+            ",\"ratio_clean\":" + num(rc) + "}"
+        }.getOrElse("") + "}"
     }.mkString(",")
     json ++= "}}"
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",

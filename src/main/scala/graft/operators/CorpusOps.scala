@@ -1257,23 +1257,32 @@ object CorpusOps {
   }
 
   /** Match highlighting (the ES `highlight` analogue): for each query's
-    * term set, emit every (position, term) occurrence per document —
-    * what a UI needs to render emphasis, and what span-level audits
-    * consume. Like [[phraseSearch]] this is a PURE narrow map: literal
-    * queries explode |queries|× per doc, positions come from one
-    * sequence/filter array expression, no joins and no shuffles at all —
-    * a single codegen'd pass at any corpus size.
+    * term set, emit (position, term) occurrences per document — what a
+    * UI needs to render emphasis, and what span-level audits consume.
+    *
+    * Output is BOUNDED like ES's: at most `nFragments` hits per
+    * (query, doc) in document order — ES caps highlight payloads at
+    * `number_of_fragments` (default 5) per field, and an uncapped
+    * every-occurrence replay is corpus-linear in OUTPUT (the worst
+    * grower in the r12 10× probe). The cap is a `slice` on the per-doc
+    * hits array BEFORE the explode — no window, no shuffle: like
+    * [[phraseSearch]] this stays a PURE narrow map (literal queries
+    * explode |queries|× per doc, positions come from one
+    * sequence/filter array expression), a single codegen'd pass at any
+    * corpus size, now with ≤ `nFragments·|queries|` output rows per doc.
     */
-  def highlight(queries: Seq[(Long, Seq[String])])(docs: DataFrame)
-      : DataFrame = {
+  def highlight(queries: Seq[(Long, Seq[String])], nFragments: Int = 5)(
+      docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val rows = queries.map { case (qid, terms) =>
       struct(lit(qid).as("query_id"),
-        filter(
-          transform(sequence(lit(1), size(toks)),
-            i => struct(i.cast("long").as("pos"),
-              element_at(toks, i).as("t"))),
-          s => s.getField("t").isInCollection(terms)).as("hits"))
+        slice(
+          filter(
+            transform(sequence(lit(1), size(toks)),
+              i => struct(i.cast("long").as("pos"),
+                element_at(toks, i).as("t"))),
+            s => s.getField("t").isInCollection(terms)),
+          1, nFragments).as("hits"))
     }
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(array(rows: _*)).as("qh"))

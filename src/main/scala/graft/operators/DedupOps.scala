@@ -479,6 +479,19 @@ object DedupOps {
   /** Candidate pairs from pigeonhole banding (pre-verification) — exposed
     * so tests can assert the candidate-volume bound that makes the
     * operator scale.
+    *
+    * Canonical-band filter (the positional-filter analogue for banded
+    * Hamming join, r12 verdict ask #2): a near-identical pair agrees on
+    * MANY chunks, so the band join emits it from up to C(chunks,2)
+    * combos, and the old `.distinct()` shuffled that duplicated volume —
+    * at 100× a corpus of exact copies multiplied every true pair ×45
+    * through the exchange before collapsing it. Instead, each joined row
+    * recomputes the pair's agreeing-chunk bitmask from `sh_a ^ sh_b`
+    * (pure integer ops on two longs, inside the join's codegen stage)
+    * and survives only when its own combo is the pair's lexicographically
+    * FIRST agreeing combo. Every pair that meets in ≥1 band then flows
+    * downstream exactly once — same candidate SET, no distinct exchange,
+    * and duplicate-heavy corpora cost O(pairs), not O(45·pairs).
     */
   private[graft] def simhashCandidates(maxHamming: Int, chunks: Int)(
       sh: DataFrame): DataFrame = {
@@ -489,10 +502,14 @@ object DedupOps {
       shiftright(col("sh"), c * bitsPer).bitwiseAND((1L << bitsPer) - 1)
     // band keys: chunk pairs when ≥2 agreements are guaranteed and single
     // chunks are too narrow to partition the corpus (< 12 bits)
+    val comboKeys = agree >= 2 && bitsPer < 12
+    val combos: Seq[(Int, Int)] =
+      for (i <- 0 until chunks; j <- i + 1 until chunks) yield (i, j)
     val keys: Seq[Column] =
-      if (agree >= 2 && bitsPer < 12)
-        for (i <- 0 until chunks; j <- i + 1 until chunks)
-          yield chunkVal(i) * (1L << bitsPer) + chunkVal(j)
+      if (comboKeys)
+        combos.map { case (i, j) =>
+          chunkVal(i) * (1L << bitsPer) + chunkVal(j)
+        }
       else (0 until chunks).map(chunkVal(_))
     val banded = sh.select(col("doc_id"), col("sh"),
       posexplode(array(keys: _*)).as(Seq("chunk", "chunk_val")))
@@ -500,9 +517,32 @@ object DedupOps {
       col("doc_id").as("a"), col("sh").as("sh_a"))
     val b = banded.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("b"), col("sh").as("sh_b"))
+    // bit k of agreeMask set ⟺ the pair agrees on chunk k
+    val xorSh = col("sh_a").bitwiseXOR(col("sh_b"))
+    val agreeMask = (0 until chunks).map { k =>
+      when(shiftright(xorSh, k * bitsPer)
+        .bitwiseAND((1L << bitsPer) - 1) === 0L, lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    // keep a joined row only when its band is the pair's first agreeing
+    // band. Combo branch: combo c = (i_c, j_c) is first ⟺ the two LOWEST
+    // agreeing chunks are exactly i_c and j_c, i.e. the mask below j_c is
+    // the single bit i_c. Single-chunk branch: no agreeing chunk below c.
+    val canonical =
+      if (comboKeys)
+        agreeMask.bitwiseAND(element_at(
+          array(combos.map { case (_, j) => lit((1L << j) - 1) }: _*),
+          col("chunk") + 1)) === element_at(
+          array(combos.map { case (i, _) => lit(1L << i) }: _*),
+          col("chunk") + 1)
+      else
+        agreeMask.bitwiseAND(element_at(
+          array((0 until chunks).map(c => lit((1L << c) - 1)): _*),
+          col("chunk") + 1)) === 0L
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
+      .filter(canonical)
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
   }
 
   // ---------------------------------------------- embedding-cosine near-dup

@@ -156,6 +156,38 @@ object ImageCodec {
     }
   }
 
+  /** The logical-screen background as a gray level: the LSD's
+    * backgroundColorIndex resolved through the GLOBAL color table and
+    * luma-folded like every other decode path. A stream with no global
+    * palette has no defined background (GIF89a spec) → 0, matching the
+    * old clear-to-black behavior.
+    */
+  private def gifBackground(reader: javax.imageio.ImageReader): Int =
+    try {
+      val sm = reader.getStreamMetadata
+      if (sm == null) 0
+      else {
+        val root = sm.getAsTree("javax_imageio_gif_stream_1.0")
+        val kids = root.getChildNodes
+        (0 until kids.getLength).map(kids.item).collectFirst {
+          case e: org.w3c.dom.Element
+              if e.getNodeName == "GlobalColorTable" =>
+            val bg = e.getAttribute("backgroundColorIndex").toInt
+            val entries = e.getChildNodes
+            (0 until entries.getLength).map(entries.item).collectFirst {
+              case c: org.w3c.dom.Element
+                  if c.getNodeName == "ColorTableEntry" &&
+                    c.getAttribute("index").toInt == bg =>
+                val r = c.getAttribute("red").toInt
+                val g = c.getAttribute("green").toInt
+                val b = c.getAttribute("blue").toInt
+                if (r == g && g == b) r
+                else (299 * r + 587 * g + 114 * b) / 1000
+            }.getOrElse(0) // index outside the table: undefined → black
+        }.getOrElse(0)
+      }
+    } catch { case _: Exception => 0 } // malformed attrs: undefined → black
+
   /** Frame placement + disposal from the per-image metadata tree. */
   private def gifFrameMeta(reader: javax.imageio.ImageReader,
       i: Int): (Int, Int, String) = {
@@ -180,11 +212,13 @@ object ImageCodec {
     * sub-raster drawn at its (left, top) offset — transparent pixels
     * (alpha 0 through the palette) leave the canvas showing through —
     * and after emission the disposal method runs: `none`/`doNotDispose`
-    * keep the canvas, `restoreToBackgroundColor` clears the frame's
-    * rect to 0 (the background shows as black in this grayscale world —
-    * browsers render it transparent-over-page, a presentation detail
-    * with no pixel-true answer), `restoreToPrevious` reverts to the
-    * pre-draw canvas. A frame whose declared rect escapes the screen is
+    * keep the canvas, `restoreToBackgroundColor` fills the frame's rect
+    * with the LSD background color resolved through the global palette
+    * ([[gifBackground]]; streams without a global palette fall back to
+    * 0 — browsers render the restore transparent-over-page, a
+    * presentation detail with no pixel-true answer, but a declared
+    * background index IS pixel-defined and honored here),
+    * `restoreToPrevious` reverts to the pre-draw canvas. A frame whose declared rect escapes the screen is
     * a corrupt container: the whole decode is rejected, never clipped
     * silently. The bomb cap applies to screen·frames BEFORE the canvas
     * allocates.
@@ -206,6 +240,7 @@ object ImageCodec {
           left + fw <= sw && top + fh <= sh
       }
       if (!rectsOk) return None
+      val bg = gifBackground(reader)
       var canvas = new Array[Int](sw * sh)
       val frames = Seq.newBuilder[Array[Int]]
       var i = 0
@@ -243,7 +278,7 @@ object ImageCodec {
               var yy = 0
               while (yy < fh) {
                 java.util.Arrays.fill(canvas, (top + yy) * sw + left,
-                  (top + yy) * sw + left + fw, 0)
+                  (top + yy) * sw + left + fw, bg)
                 yy += 1
               }
             case "restoreToPrevious" => canvas = snapshot

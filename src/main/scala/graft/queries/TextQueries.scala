@@ -367,8 +367,10 @@ object TextQueries {
       graft.operators.CorpusOps.termSuggest(SuggestQueries, SuggestK)(
         docs(s, dir))),
 
-    // Highlighting (ES highlight): every (position, term) occurrence of
-    // the query terms per doc — zero shuffles, like phrase search.
+    // Highlighting (ES highlight): the first number_of_fragments=5
+    // (position, term) occurrences of the query terms per (query, doc)
+    // in document order — ES's own output bound — zero shuffles, like
+    // phrase search.
     "text_search_highlight" -> ((s, dir) =>
       graft.operators.CorpusOps.highlight(HighlightQueries)(docs(s, dir))),
 
@@ -872,7 +874,8 @@ object TextQueries {
             FROM j WHERE score_fp > 0) WHERE rank <= $SigM""",
 
     // highlight replay: positional struct list filtered by term
-    // membership — both engines walk the same 1-based token positions
+    // membership, sliced to the first number_of_fragments=5 hits per
+    // (query, doc) — both engines walk the same 1-based token positions
     "text_search_highlight" -> {
       val values = HighlightQueries.map { case (q, ts) =>
         s"($q::BIGINT, ${ts.map(sqlStr).mkString("[", ", ", "]")})"
@@ -881,10 +884,10 @@ object TextQueries {
                      WHERE text IS NOT NULL),
           q AS (SELECT * FROM (VALUES $values) v(query_id, terms))
           SELECT query_id, doc_id, u.h.pos::BIGINT AS pos, u.h.t AS term
-          FROM q, d, unnest(list_filter(
+          FROM q, d, unnest((list_filter(
                  list_transform(range(1, length(tk)+1),
                    i -> struct_pack(pos := i, t := tk[i])),
-                 s -> list_contains(terms, s.t))) AS u(h)"""
+                 s -> list_contains(terms, s.t)))[1:5]) AS u(h)"""
     },
 
     // phrase replay: positional shingle hashes (sequence is INCLUSIVE

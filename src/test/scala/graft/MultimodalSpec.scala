@@ -432,6 +432,99 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("restoreToBackgroundColor honors a non-black LSD background index") {
+    // Same 3-frame disposal layout as the test above, but the stream
+    // declares a global palette whose backgroundColorIndex points at
+    // gray 200 — the restored rect must read 200, not 0 (r12 verdict
+    // ask #6: the LSD background is pixel-defined when a global palette
+    // exists, and clear-to-0 was a grayscale-world shortcut).
+    import javax.imageio.metadata.IIOMetadataNode
+    import graft.operators.ImageCodec
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    def gray(w: Int, h: Int, v: Int) = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        im.getRaster.setSample(x, y, 0, v)
+      im
+    }
+    def metaFor(img: java.awt.image.BufferedImage, left: Int, top: Int,
+        disposal: String) = {
+      val spec = new javax.imageio.ImageTypeSpecifier(img)
+      val m = writer.getDefaultImageMetadata(spec, null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = m.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val kids = root.getChildNodes
+      (0 until kids.getLength).map(kids.item).foreach {
+        case n: IIOMetadataNode if n.getNodeName == "ImageDescriptor" =>
+          n.setAttribute("imageLeftPosition", left.toString)
+          n.setAttribute("imageTopPosition", top.toString)
+          n.setAttribute("interlaceFlag", "FALSE")
+        case _ => ()
+      }
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      m.setFromTree(fmt, root)
+      m
+    }
+    try {
+      writer.setOutput(ios)
+      // stream metadata with an explicit 256-gray global palette and
+      // backgroundColorIndex=200 (the JDK default writes bg index 0)
+      val sm = writer.getDefaultStreamMetadata(null)
+      val sFmt = "javax_imageio_gif_stream_1.0"
+      val sRoot = sm.getAsTree(sFmt).asInstanceOf[IIOMetadataNode]
+      val gct = new IIOMetadataNode("GlobalColorTable")
+      gct.setAttribute("sizeOfGlobalColorTable", "256")
+      gct.setAttribute("backgroundColorIndex", "200")
+      gct.setAttribute("sortFlag", "FALSE")
+      for (i <- 0 until 256) {
+        val e = new IIOMetadataNode("ColorTableEntry")
+        e.setAttribute("index", i.toString)
+        e.setAttribute("red", i.toString)
+        e.setAttribute("green", i.toString)
+        e.setAttribute("blue", i.toString)
+        gct.appendChild(e)
+      }
+      sRoot.appendChild(gct)
+      sm.setFromTree(sFmt, sRoot)
+      writer.prepareWriteSequence(sm)
+      val base = gray(6, 4, 100)
+      writer.writeToSequence(new javax.imageio.IIOImage(base, null,
+        metaFor(base, 0, 0, "none")), null)
+      val patch = gray(2, 2, 230)
+      writer.writeToSequence(new javax.imageio.IIOImage(patch, null,
+        metaFor(patch, 1, 1, "restoreToBackgroundColor")), null)
+      val dot = gray(1, 1, 50)
+      writer.writeToSequence(new javax.imageio.IIOImage(dot, null,
+        metaFor(dot, 0, 0, "none")), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val img = ImageCodec.decodeGray(bos.toByteArray).get
+    assert(img.width == 6 && img.height == 4 && img.frames.length == 3)
+    def px(f: Int, x: Int, y: Int) = img.frames(f)(y * 6 + x)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      assert(px(0, x, y) == 100)
+      val inPatch = x >= 1 && x < 3 && y >= 1 && y < 3
+      assert(px(1, x, y) == (if (inPatch) 230 else 100))
+      // frame 3 renders AFTER frame 2's rect restored to BACKGROUND=200
+      val want3 =
+        if (x == 0 && y == 0) 50
+        else if (inPatch) 200
+        else 100
+      assert(px(2, x, y) == want3,
+        s"background-color restore wrong at ($x,$y): ${px(2, x, y)}")
+    }
+  }
+
   test("audio fingerprint is gain-invariant and matches the hand-folded energy comparisons") {
     // int16 LE PCM under a canonical WAV header; samples chosen so a
     // 2x gain never clips. The sketch must be IDENTICAL across gains

@@ -143,6 +143,15 @@ class TextDedupSpec extends SparkSpec {
     val nCands = cands.count()
     assert(nCands < 1500000L,
       s"candidate volume $nCands exceeds the scale bound")
+    // canonical-band filter: each pair emitted from exactly ONE combo —
+    // the 50-clique (agrees on all 10 chunks → 45 matching combos) must
+    // appear once per pair, not 45×, and with no distinct in the plan
+    val maxDup = cands.groupBy($"a", $"b").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxDup == 1L, s"candidate pair emitted $maxDup times")
+    assert(cands.queryExecution.optimizedPlan.toString()
+      .toLowerCase.indexOf("deduplicate") < 0,
+      "candidate plan must not contain a distinct exchange")
 
     val pairs = DedupOps.simhashPairsFromSketch(8, 10)(sk)
       .select($"a", $"b", $"hamming").as[(Long, Long, Long)].collect()
@@ -515,6 +524,23 @@ class TextDedupSpec extends SparkSpec {
       .sortBy(r => (r._1, r._2, r._3)).toSeq
     assert(got == Seq((0L, 1L, 1L, "spark"), (0L, 1L, 3L, "spark"),
       (0L, 1L, 4L, "jobs"), (1L, 2L, 1L, "no")))
+  }
+
+  test("highlight caps output at number_of_fragments per (query, doc)") {
+    import graft.operators.CorpusOps
+    // 8 occurrences of the term, cap 5 (the ES default) → the FIRST 5
+    // in document order; an under-cap doc is untouched
+    val d = docs((1L, "a a a a a a a a"), (2L, "b a b"))
+    val got = CorpusOps.highlight(Seq(0L -> Seq("a")))(d)
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._2, r._3)).toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, "a"), (0L, 1L, 2L, "a"), (0L, 1L, 3L, "a"),
+      (0L, 1L, 4L, "a"), (0L, 1L, 5L, "a"), (0L, 2L, 2L, "a")))
+    // explicit cap overrides the default
+    val one = CorpusOps.highlight(Seq(0L -> Seq("a")), nFragments = 1)(d)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(one.count(_._2 == 1L) == 1 && one.count(_._2 == 2L) == 1)
   }
 
   test("hashFeatures: repeated tokens accumulate at one signed dim") {
