@@ -19,9 +19,23 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[explain] $name rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // SPARK_GRAFT_EXPLAIN_PASSES=2 lets pass 1 absorb cold codegen/scan
+    // and reports the min — the shape ScaleProbe's clean-JVM recheck
+    // needs (a single cold pass can read 2-3x the steady-state time and
+    // mis-adjudicate a borderline outlier). The final line is the only
+    // one carrying "wall=", which is what the recheck parses.
+    val passes =
+      sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_PASSES", "1").toInt
+    var n = 0L
+    val walls = (1 to passes).map { p =>
+      val t0 = System.nanoTime()
+      n = df.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      if (passes > 1) println(f"[explain] $name pass $p: $t%.2f s")
+      t
+    }
+    println(f"[explain] $name rows=$n wall=${walls.min}%.2f s" +
+      (if (passes > 1) s" (min of $passes)" else ""))
     spark.stop()
   }
 }

@@ -318,6 +318,9 @@ object ScaleProbe {
         "-cp", sys.props("java.class.path"), "graft.Explain", name, dir)
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // min-of-2 inside the fork: pass 1 absorbs the fork's cold
+      // codegen/scan so the recheck measures steady state, not start-up
+      pb.environment().put("SPARK_GRAFT_EXPLAIN_PASSES", "2")
       pb.redirectErrorStream(true)
       try {
         val p = pb.start()

@@ -1292,6 +1292,42 @@ object CorpusOps {
         col("h.pos").as("pos"), col("h.t").as("term"))
   }
 
+  /** Fragment-string highlighting — the rest of the ES `highlight`
+    * response: where [[highlight]] returns hit POSITIONS, this renders
+    * the actual fragment payloads — for each of the first `nFragments`
+    * hits per (query, doc), a snippet of ±`context` tokens around the
+    * hit with the matched term wrapped in `<em>…</em>` (ES's default
+    * `pre_tags`/`post_tags`), in document order. Same scale shape as
+    * [[highlight]]: the hit-position array is sliced per doc BEFORE the
+    * explode, every fragment is a bounded token window, and the whole
+    * thing is one codegen'd narrow pass — zero joins, zero shuffles,
+    * output ≤ `nFragments·|queries|` bounded-length rows per doc.
+    */
+  def snippets(queries: Seq[(Long, Seq[String])], nFragments: Int = 5,
+      context: Int = 3)(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val rows = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        slice(
+          filter(sequence(lit(1), size(toks)),
+            i => element_at(toks, i).isInCollection(terms)),
+          1, nFragments).as("hits"))
+    }
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("tk"),
+        explode(array(rows: _*)).as("qh"))
+      .select(col("qh.query_id").as("query_id"), col("doc_id"),
+        col("tk"), posexplode(col("qh.hits")).as(Seq("fp", "hit")))
+      .select(col("query_id"), col("doc_id"),
+        (col("fp") + 1).cast("long").as("frag_no"),
+        array_join(transform(
+          sequence(greatest(col("hit") - context, lit(1)),
+            least(col("hit") + context, size(col("tk")))),
+          j => when(j === col("hit"),
+            concat(lit("<em>"), element_at(col("tk"), j), lit("</em>")))
+            .otherwise(element_at(col("tk"), j))), " ").as("fragment"))
+  }
+
   // ------------------------------------------------------ Gopher-rules gate
 
   /** Composite document-quality gate in the Gopher/C4 rule-of-thumb

@@ -218,9 +218,9 @@ object ImageCodec {
     * 0 — browsers render the restore transparent-over-page, a
     * presentation detail with no pixel-true answer, but a declared
     * background index IS pixel-defined and honored here),
-    * `restoreToPrevious` reverts to the pre-draw canvas. A frame whose declared rect escapes the screen is
-    * a corrupt container: the whole decode is rejected, never clipped
-    * silently. The bomb cap applies to screen·frames BEFORE the canvas
+    * `restoreToPrevious` reverts to the pre-draw canvas. A frame whose
+    * declared rect escapes the screen is a corrupt container: the whole
+    * decode is rejected, never clipped silently. The bomb cap applies to screen·frames BEFORE the canvas
     * allocates.
     */
   private def decodeGifFrames(reader: javax.imageio.ImageReader,

@@ -374,6 +374,13 @@ object TextQueries {
     "text_search_highlight" -> ((s, dir) =>
       graft.operators.CorpusOps.highlight(HighlightQueries)(docs(s, dir))),
 
+    // Fragment rendering (the rest of the ES highlight response): the
+    // first 5 hits per (query, doc) as ±3-token snippet strings with
+    // the matched term wrapped in <em>…</em> — zero shuffles; see
+    // CorpusOps.snippets.
+    "text_search_snippets" -> ((s, dir) =>
+      graft.operators.CorpusOps.snippets(HighlightQueries)(docs(s, dir))),
+
     // Compound bool query (ES bool): must AND NOT mustNot AND ≥minShould
     // of should, ranked by summed should-term tf. Fixture 0 requires
     // 'hash' plus a rare term; fixture 1 is pure-should with a mustNot
@@ -888,6 +895,32 @@ object TextQueries {
                  list_transform(range(1, length(tk)+1),
                    i -> struct_pack(pos := i, t := tk[i])),
                  s -> list_contains(terms, s.t)))[1:5]) AS u(h)"""
+    },
+
+    // snippet replay: hit positions sliced to the first 5, each rendered
+    // as a ±3-token window with the hit term <em>-wrapped — both engines
+    // build the same window bounds and the same joined string
+    "text_search_snippets" -> {
+      val values = HighlightQueries.map { case (q, ts) =>
+        s"($q::BIGINT, ${ts.map(sqlStr).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                     WHERE text IS NOT NULL),
+          q AS (SELECT * FROM (VALUES $values) v(query_id, terms)),
+          h0 AS (SELECT query_id, doc_id, tk,
+                   (list_filter(range(1, length(tk)+1),
+                      i -> list_contains(terms, tk[i])))[1:5] AS hl
+                 FROM q, d),
+          h AS (SELECT query_id, doc_id, tk,
+                  u.s.frag_no AS frag_no, u.s.hit AS hit
+                FROM h0, unnest(list_transform(range(1, length(hl)+1),
+                  k -> struct_pack(frag_no := k, hit := hl[k]))) AS u(s))
+          SELECT query_id, doc_id, frag_no::BIGINT AS frag_no,
+            array_to_string(list_transform(
+              range(greatest(hit-3, 1), least(hit+3, length(tk))+1),
+              j -> CASE WHEN j = hit THEN '<em>' || tk[j] || '</em>'
+                        ELSE tk[j] END), ' ') AS fragment
+          FROM h"""
     },
 
     // phrase replay: positional shingle hashes (sequence is INCLUSIVE

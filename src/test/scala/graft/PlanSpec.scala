@@ -170,7 +170,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("scan-side search: phrase and highlight plan zero exchanges") {
-    for (q <- Seq("text_search_phrase", "text_search_highlight")) {
+    for (q <- Seq("text_search_phrase", "text_search_highlight",
+        "text_search_snippets")) {
       val p = planString(q)
       assert(!p.contains("Exchange"),
         s"$q picked up a shuffle — it must pipeline off the scan\n" +

@@ -543,6 +543,23 @@ class TextDedupSpec extends SparkSpec {
     assert(one.count(_._2 == 1L) == 1 && one.count(_._2 == 2L) == 1)
   }
 
+  test("snippets renders <em>-wrapped fragments, clamped at doc edges") {
+    import graft.operators.CorpusOps
+    val d = docs(
+      (1L, "one two spark three four five six"), // interior hit: full ±3
+      (2L, "spark tail"))                        // hit at pos 1: clamped
+    val got = CorpusOps.snippets(Seq(0L -> Seq("spark")))(d)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, "one two <em>spark</em> three four five"),
+      (0L, 2L, 1L, "<em>spark</em> tail")))
+    // the fragment cap carries over: 8 hits, 5 fragments, doc order
+    val many = docs((3L, "a a a a a a a a"))
+    val frags = CorpusOps.snippets(Seq(0L -> Seq("a")))(many)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(frags.length == 5 && frags.map(_._3) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("hashFeatures: repeated tokens accumulate at one signed dim") {
     val d = docs((1L, "zebra zebra zebra"), (2L, "zebra"))
     val got = TextOps.hashFeatures(16)(d)
