@@ -365,8 +365,17 @@ object ScaleProbe {
       "\"" + n + "\":{\"base\":" + num(b) + ",\"scaled\":" + num(s) +
         ",\"ratio\":" + num(r) +
         rechecks.get(n).map { case (w, rc) =>
+          // ratio_best is the no-prose adjudicator: every run (in-probe
+          // min-of-2, fork min-of-2) executes the same code on the same
+          // data and noise only ADDS time, so min across all of them is
+          // the defensible point estimate. clean << in-probe ⇒ throttle
+          // confirmed; clean ≥ in-probe ⇒ the in-probe number stands
+          // (fork paid a throttle window or an unshared memoized
+          // component).
           ",\"recheck\":{\"scaled_clean\":" + num(w) +
-            ",\"ratio_clean\":" + num(rc) + "}"
+            ",\"ratio_clean\":" + num(rc) +
+            ",\"ratio_best\":" + num(math.min(s, w) /
+              math.max(b, 1e-9)) + "}"
         }.getOrElse("") + "}"
     }.mkString(",")
     json ++= "}}"
