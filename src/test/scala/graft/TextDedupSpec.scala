@@ -161,6 +161,31 @@ class TextDedupSpec extends SparkSpec {
       a >= 20000L && b < 30000L && h == 0L } == 50 * 49 / 2)
   }
 
+  test("simhash single-chunk banding: canonical filter exact and unique") {
+    // default (3,4) geometry takes the SINGLE-chunk key branch
+    // (bitsPer=15 ≥ 12): a pair agreeing on ≥1 chunk must be emitted
+    // exactly once, from its first agreeing chunk. Identical sketches
+    // (agree on all 4), a 3-bit-spread near pair (agrees on chunk 3
+    // only), and a far pair (hamming 30) pin found-set and uniqueness.
+    val base = 0x0123456789ABCDEL & ((1L << 60) - 1)
+    val near = base ^ ((1L << 2) | (1L << 17) | (1L << 32)) // h=3, agrees ch3
+    val far = base ^ 0x3FF003FF003FFL // 30 bits flipped across chunks
+    val sk = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "sh")
+    val cands = DedupOps.simhashCandidates(3, 4)(sk)
+    val byPair = cands.groupBy($"a", $"b").count()
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(byPair.values.forall(_ == 1L),
+      s"single-chunk canonical filter emitted duplicates: $byPair")
+    val pairs = DedupOps.simhashPairsFromSketch(3, 4)(sk)
+      .select($"a", $"b", $"hamming").as[(Long, Long, Long)].collect()
+      .toSet
+    assert(pairs.contains((1L, 2L, 0L)) && pairs.contains((1L, 3L, 3L)) &&
+      pairs.contains((2L, 3L, 3L)))
+    assert(!pairs.exists { case (a, b, _) => b == 4L || a == 4L })
+  }
+
   test("cosine: identical vectors similarity 1, orthogonal 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
