@@ -1446,8 +1446,16 @@ object CorpusOps {
     * never retrieves itself. Zero-norm vectors (all buckets cancelled)
     * are dropped on both sides — cosine is undefined there.
     */
+  /** Above this many query docs the literal scoring path would bloat
+    * the plan (each query embeds a dims-length constant array); the
+    * dim-join path takes over. Sized well above the pinned workloads
+    * (≈50 queries at every probe scale) and well below plan-size pain.
+    */
+  private val QueryLitCap = 128
+
   def ragRetrieve(isQuery: Column, window: Int, stride: Int,
-      dims: Int, k: Int)(docs: DataFrame): DataFrame = {
+      dims: Int, k: Int, litCap: Int = QueryLitCap)(
+      docs: DataFrame): DataFrame = {
     import graft.functions.PortableHash.h15
     val base = docs.filter(col("text").isNotNull)
     val sz = size(col("__tk"))
@@ -1475,24 +1483,98 @@ object CorpusOps {
         .select(col("doc_id").as("query_id"),
           explode(tokens(col("text"))).as("term")),
       Seq("query_id")))
+    // Scoring path choice. The dim-equi-join shape explodes every
+    // chunk-dim row by every query carrying that dim — with dims=64 and
+    // ~50 queries the 100× probe pushed ~1.5 B rows through the
+    // (query, doc, chunk) hash aggregate, the measured bottleneck. When
+    // the query workload is literal-sized (the pinned-workload case —
+    // queries are a workload, not data), embed the query matrix as a
+    // broadcast LITERAL instead: aggregate each chunk's sparse vector
+    // once (one shuffle, corpus-linear), then each (chunk, query) dot
+    // is a ≤window-length integer fold INSIDE codegen — no join
+    // expansion exists at all. Exactness: integer addition is
+    // order-independent, a dense weight lookup of a present-but-
+    // cancelled-to-zero dim multiplies by the same 0 the join row
+    // carries, and the presence array reproduces the join path's
+    // candidate semantics (a chunk enters a query's ranking iff it
+    // SHARES a dim, even when the weight product is zero). The probe
+    // idiom and the bounded cap mirror bigramLmScoreAuto: oversized
+    // query sets keep the join path, which is linear in the corpus for
+    // a fixed workload.
     val cn = cv.groupBy(col("doc_id"), col("chunk_no"))
       .agg(sum(col("v") * col("v")).as("cn"))
-    val qn = qv.groupBy(col("query_id"))
-      .agg(sum(col("v") * col("v")).as("qn"))
-    val dot = cv
-      .join(broadcast(qv.select(col("query_id"), col("dim"),
-        col("v").as("qw"))), Seq("dim"))
-      .groupBy(col("query_id"), col("doc_id"), col("chunk_no"))
-      .agg(sum(col("v") * col("qw")).as("dot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("doc_id"), col("chunk_no"))
-    dot
-      .join(cn, Seq("doc_id", "chunk_no"))
-      .join(broadcast(qn), Seq("query_id"))
+    val useLiteral = dims <= 64 && litCap > 0 &&
+      base.filter(isQuery).limit(litCap + 1).count() <= litCap
+    val scoredRaw =
+      if (useLiteral) {
+        val qRows = qv.select(col("query_id"), col("dim"), col("v"))
+          .collect()
+        val qStructs = qRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+          .map { case (qid, rs) =>
+            val w = new Array[Long](dims)
+            val present = new Array[Boolean](dims)
+            var nrm = 0L
+            rs.foreach { r =>
+              val d = r.getLong(1).toInt
+              w(d) = r.getLong(2)
+              present(d) = true
+              nrm += r.getLong(2) * r.getLong(2)
+            }
+            struct(lit(qid).as("query_id"),
+              typedLit(w.toSeq).as("qw"),
+              typedLit(present.toSeq).as("qp"),
+              lit(nrm).as("qn"))
+          }
+        val chunkVecs = cv.groupBy(col("doc_id"), col("chunk_no"))
+          .agg(collect_list(struct(col("dim"), col("v"))).as("vec"),
+            sum(col("v") * col("v")).as("cn"))
+        chunkVecs
+          .select(col("doc_id"), col("chunk_no"), col("cn"), col("vec"),
+            explode(array(qStructs: _*)).as("q"))
+          .filter(exists(col("vec"), s =>
+            element_at(col("q.qp"), s.getField("dim").cast("int") + 1)))
+          .select(col("q.query_id").as("query_id"), col("doc_id"),
+            col("chunk_no"),
+            aggregate(col("vec"), lit(0L), (acc, s) =>
+              acc + s.getField("v") * element_at(col("q.qw"),
+                s.getField("dim").cast("int") + 1)).as("dot"),
+            col("cn"), col("q.qn").as("qn"))
+      } else {
+        val qn = qv.groupBy(col("query_id"))
+          .agg(sum(col("v") * col("v")).as("qn"))
+        cv.join(broadcast(qv.select(col("query_id"), col("dim"),
+            col("v").as("qw"))), Seq("dim"))
+          .groupBy(col("query_id"), col("doc_id"), col("chunk_no"))
+          .agg(sum(col("v") * col("qw")).as("dot"))
+          .join(cn, Seq("doc_id", "chunk_no"))
+          .join(broadcast(qn), Seq("query_id"))
+          .select(col("query_id"), col("doc_id"), col("chunk_no"),
+            col("dot"), col("cn"), col("qn"))
+      }
+    // Two-phase exact top-k: a single window per query_id would funnel
+    // EVERY scored (query, chunk) pair — |queries|·|chunks| rows, 36 M
+    // at the 100× probe — into |queries| single-threaded sorts. Phase 1
+    // takes the per-(query, salt) top-k over 64 hash salts (parallel,
+    // each partition 1/64th the size); the global top-k by the same
+    // total order (cos desc, doc_id, chunk_no) is a subset of the union
+    // of per-salt top-ks, so phase 2's window sees ≤ 64·k rows per
+    // query — constant, not corpus-sized. Exact for any data.
+    val scored = scoredRaw
       .filter(col("cn") > 0 && col("qn") > 0)
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("cn").cast("double")) * sqrt(col("qn").cast("double"))))
+    val order = Seq(col("cos").desc, col("doc_id").asc,
+      col("chunk_no").asc)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"),
+        pmod(hash(col("doc_id"), col("chunk_no")), lit(64)))
+      .orderBy(order: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(order: _*)
+    scored
+      .withColumn("__pr", row_number().over(w1))
+      .filter(col("__pr") <= k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("chunk_no"),

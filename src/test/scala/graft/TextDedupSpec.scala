@@ -968,6 +968,30 @@ class TextDedupSpec extends SparkSpec {
     assert(unseen == ((333333L, false)))   // (0+1)/(0+3) → 333333
   }
 
+  test("rag retrieval: literal path ≡ join path bit-exactly") {
+    import graft.operators.CorpusOps
+    // query doc 0 shares terms with docs 1/2 (different overlap), doc 3
+    // is unrelated, doc 4 repeats a term (weight 2), doc 5 null-drops.
+    // litCap=0 forces the dim-join path; the default engages the
+    // broadcast-literal path — ranks, dots, and cosines must match
+    // bitwise (integer sums are order-free; same division expression).
+    val d = docs(
+      (0L, "spark shuffle join broadcast"),
+      (1L, "spark shuffle join state windows watermark trigger output"),
+      (2L, "join broadcast exchange reuse plan codegen stage task"),
+      (3L, "entirely unrelated tokens about cooking pasta tonight here"),
+      (4L, "spark spark spark shuffle shuffle join join join broadcast"),
+      (5L, null.asInstanceOf[String]))
+    def run(cap: Int) = CorpusOps.ragRetrieve(
+        col("doc_id") === 0L, 4, 2, 16, 3, litCap = cap)(d)
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._1, r._6)).toSeq
+    val lit = run(128)
+    val join = run(0)
+    assert(lit.nonEmpty, "fixture must produce rankings")
+    assert(lit == join, s"paths diverge:\n lit=$lit\n join=$join")
+  }
+
   test("bigram LM: join path ≡ collect path bit-exactly; auto switches at the cap") {
     import graft.operators.CorpusOps
     // covers every arithmetic branch: seen bigram, seen-context/unseen-
