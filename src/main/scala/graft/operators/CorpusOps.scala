@@ -1478,11 +1478,15 @@ object CorpusOps {
     // aggregate — materialized once, like every posting table
     val cv = DedupOps.materialize(
       vecs(chunkTerms, Seq("doc_id", "chunk_no")))
-    val qv = DedupOps.materialize(vecs(
+    // lazy: the literal path collects the raw frame once (its only
+    // consumer — checkpointing first would pay a write+read for
+    // nothing); the join path materializes it because the dot join and
+    // the norm aggregate both consume it
+    lazy val qvRaw = vecs(
       base.filter(isQuery)
         .select(col("doc_id").as("query_id"),
           explode(tokens(col("text"))).as("term")),
-      Seq("query_id")))
+      Seq("query_id"))
     // Scoring path choice. The dim-equi-join shape explodes every
     // chunk-dim row by every query carrying that dim — with dims=64 and
     // ~50 queries the 100× probe pushed ~1.5 B rows through the
@@ -1503,13 +1507,23 @@ object CorpusOps {
     // a fixed workload.
     val cn = cv.groupBy(col("doc_id"), col("chunk_no"))
       .agg(sum(col("v") * col("v")).as("cn"))
-    val useLiteral = dims <= 64 && litCap > 0 &&
-      base.filter(isQuery).limit(litCap + 1).count() <= litCap
+    // ONE bounded collect decides the path AND fetches the matrix: a
+    // query workload of ≤ litCap docs has ≤ litCap·dims vector rows, so
+    // a limit(litCap·dims + 1) probe either returns the complete matrix
+    // (deterministic — nothing was cut) or proves the workload is
+    // oversized and the join path takes over. A separate count-then-
+    // collect pair cost two extra scans per DataFrame CONSTRUCTION
+    // (bench passes rebuild the frame, so it showed up as +2 s at
+    // sf0.1).
+    val qMatrix: Option[Array[org.apache.spark.sql.Row]] =
+      if (dims <= 64 && litCap > 0) {
+        val rows = qvRaw.select(col("query_id"), col("dim"), col("v"))
+          .limit(litCap * dims + 1).collect()
+        if (rows.length <= litCap * dims) Some(rows) else None
+      } else None
     val scoredRaw =
-      if (useLiteral) {
-        val qRows = qv.select(col("query_id"), col("dim"), col("v"))
-          .collect()
-        val qStructs = qRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      if (qMatrix.isDefined) {
+        val qStructs = qMatrix.get.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
           .map { case (qid, rs) =>
             val w = new Array[Long](dims)
             val present = new Array[Boolean](dims)
@@ -1540,6 +1554,7 @@ object CorpusOps {
                 s.getField("dim").cast("int") + 1)).as("dot"),
             col("cn"), col("q.qn").as("qn"))
       } else {
+        val qv = DedupOps.materialize(qvRaw)
         val qn = qv.groupBy(col("query_id"))
           .agg(sum(col("v") * col("v")).as("qn"))
         cv.join(broadcast(qv.select(col("query_id"), col("dim"),
