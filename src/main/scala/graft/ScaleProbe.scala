@@ -203,7 +203,16 @@ object ScaleProbe {
     // (the pre-guardrail 100× knn join sat 20+ min on one query)
     val timeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_TIMEOUT", "600").toLong
-    val names = Bench.standingSetR8.toSeq.sorted
+    // Probe basket: ALL registered queries by default — the r8 pin left
+    // the post-r8 families (mm_*, newer corpus_*, sim_pca_power,
+    // sim_dbscan, …) with plan-audit arguments but no measured ratio at
+    // any scale ("no silent caps"). `r8`/`r5` keep the frozen sets
+    // available for continuity comparisons against older artifacts.
+    val names = (sys.env.getOrElse("SPARK_GRAFT_SCALE_SET", "all") match {
+      case "r8" => Bench.standingSetR8
+      case "r5" => Bench.standingSet
+      case _ => SparkEntry.queries.keySet
+    }).toSeq.sorted
     val errors = scala.collection.mutable.Map.empty[String, String]
     def timedCount(name: String, dir: String): Unit = {
       val group = s"probe-$name"
@@ -307,8 +316,11 @@ object ScaleProbe {
           .getInputArguments).asScala.toSeq
       // --add-opens arrives as two list entries ("--add-opens", "p=ALL…")
       // on some JVMs and one on others; rebuild pairwise from the raw list
+      // (bounds-guarded: a malformed trailing "--add-opens" with no value
+      // must degrade to skipping the flag, not abort the whole probe)
       val opens = raw.zipWithIndex.collect {
-        case (a, i) if a == "--add-opens" => Seq(a, raw(i + 1))
+        case (a, i) if a == "--add-opens" && i + 1 < raw.length =>
+          Seq(a, raw(i + 1))
         case (a, _) if a.startsWith("--add-opens=") => Seq(a)
       }.flatten
       val mem = raw.filter(_.startsWith("-Xmx"))
@@ -322,15 +334,26 @@ object ScaleProbe {
       // codegen/scan so the recheck measures steady state, not start-up
       pb.environment().put("SPARK_GRAFT_EXPLAIN_PASSES", "2")
       pb.redirectErrorStream(true)
+      // the fork's output goes to a FILE, not a pipe: readAllBytes on a
+      // live pipe blocks until the child closes its end, which made the
+      // waitFor timeout + destroyForcibly path unreachable for a hung
+      // fork (the probe would stall forever instead of skipping the
+      // recheck)
+      val tmp = java.io.File.createTempFile("graft-recheck-", ".log")
       try {
+        pb.redirectOutput(tmp)
         val p = pb.start()
-        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
         if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
-          p.destroyForcibly(); return None
+          p.destroyForcibly()
+          p.waitFor()
+          return None
         }
+        val out = new String(
+          java.nio.file.Files.readAllBytes(tmp.toPath), "UTF-8")
         """wall=([0-9.]+) s""".r.findFirstMatchIn(out)
           .map(_.group(1).toDouble)
       } catch { case _: Throwable => None }
+      finally tmp.delete()
     }
     val rechecks: Map[String, (Double, Double)] =
       if (!recheckOn) Map.empty

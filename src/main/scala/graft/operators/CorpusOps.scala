@@ -842,6 +842,152 @@ object CorpusOps {
       .filter(col("n_spans") > 0)
   }
 
+  // --------------------------------------- persisted positional postings
+
+  /** Positional posting rows — one per (doc, term) with the term's
+    * 1-based token positions, sorted. This is the half of the ES
+    * inverted index that `match_phrase`/`span_near` serve from (the
+    * frequency half is [[bm25Postings]]): ES never re-reads source text
+    * to answer a phrase query, it intersects stored position lists. The
+    * scan variants ([[phraseSearch]], [[spanNearSearch]]) stay — they
+    * are the right shape for one-off queries over un-indexed data — but
+    * at 100 TB a standing search workload wants this table: a phrase
+    * query then reads ONLY the postings of its own terms (an `isin`
+    * filter pushed into the parquet scan, term-clustered row groups
+    * after [[compactPositionalIndex]]'s sort), never the corpus.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
+
+  /** Persist the positional index under an [[graft.sources.IndexManifest]]
+    * manifest (same crash-safe publish/swap discipline as
+    * [[buildBm25Index]]), clustered on (term, doc_id) so query-term
+    * probes touch only their own row groups. Append ≡ rebuild holds for
+    * the same reason as BM25: the rows are pure per-(doc, term) facts
+    * with no cross-doc stats to reconcile.
+    */
+  def buildPositionalIndex(docs: DataFrame, dir: String): Unit =
+    graft.sources.IndexManifest.publish(docs.sparkSession, dir)(vdir =>
+      positionalPostings(docs)
+        .repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$vdir/pos"))
+
+  /** PRECONDITION: ids not already present (same as
+    * [[appendToBm25Index]] — re-appending double-stores positions).
+    */
+  def appendToPositionalIndex(newDocs: DataFrame, dir: String): Unit =
+    positionalPostings(newDocs).write.mode("append").parquet(
+      s"${graft.sources.IndexManifest.resolve(newDocs.sparkSession, dir)}/pos")
+
+  /** Compact after appends: rewrite term-clustered as a new manifest
+    * version (row-identical; tombstones purge physically, as in
+    * [[compactBm25Index]]).
+    */
+  def compactPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val im = graft.sources.IndexManifest
+    im.publish(spark, dir) { vdir =>
+      readPos(spark, dir)
+        .repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(s"$vdir/pos")
+    }
+    im.prune(spark, dir, keep = 2)
+  }
+
+  /** Delete-by-id: tombstone table, anti-joined by every read — the
+    * same lifecycle contract as [[deleteFromBm25Index]].
+    */
+  def deleteFromPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    docIds.toDF("doc_id").write.mode("append").parquet(
+      s"${graft.sources.IndexManifest.resolve(spark, dir)}/deletes")
+  }
+
+  private def readPos(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val vdir = graft.sources.IndexManifest.resolve(spark, dir)
+    val pos = spark.read.parquet(s"$vdir/pos")
+    tombstones(spark, vdir) match {
+      case Some(dead) => pos.join(dead, Seq("doc_id"), "left_anti")
+      case None => pos
+    }
+  }
+
+  /** The shared retrieval stage of both positional searches: postings
+    * of the query vocabulary only (the `isin` filter reaches the parquet
+    * scan — the plan's PushedFilters line is spec-pinned), folded to one
+    * row per doc carrying a term→positions map. Row count is bounded by
+    * |docs containing a query term|, not the corpus; the single shuffle
+    * is the per-doc map fold over that bounded set.
+    */
+  private def posMaps(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vocab: Seq[String]): DataFrame =
+    readPos(spark, dir)
+      .filter(col("term").isin(vocab: _*))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("term"), col("positions")))).as("pm"))
+
+  private def posOfTerm(t: String): Column =
+    coalesce(element_at(col("pm"), lit(t)),
+      typedLit(Seq.empty[Int]))
+
+  /** Exact-phrase search served from the PERSISTED positional index —
+    * the ES `match_phrase` execution model, vs [[phraseSearch]]'s
+    * corpus scan. A hit at position p means token i of the phrase sits
+    * at p+i for all i (exact string positions, no shingle hashing — the
+    * index stores real positions, so there is no collision behavior to
+    * reproduce). Per doc it is one bounded fold over the first term's
+    * position list; docs sharing no query term never leave the scan.
+    * Output contract matches [[phraseSearch]]: (query_id, doc_id,
+    * n_hits > 0).
+    */
+  def phraseSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, phrases: Seq[(Long, String)]): DataFrame = {
+    val vocab = phrases.flatMap(_._2.trim.split("\\s+")).distinct
+    val rows = phrases.map { case (qid, phrase) =>
+      val ts = phrase.trim.split("\\s+").toSeq
+      val hits = size(filter(posOfTerm(ts.head), p =>
+        ts.zipWithIndex.tail.foldLeft(lit(true)) { case (acc, (t, i)) =>
+          acc && array_contains(posOfTerm(t), p + i)
+        }))
+      struct(lit(qid).as("query_id"), hits.cast("long").as("n_hits"))
+    }
+    posMaps(spark, dir, vocab)
+      .select(col("doc_id"), explode(array(rows: _*)).as("ph"))
+      .select(col("ph.query_id").as("query_id"), col("doc_id"),
+        col("ph.n_hits").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /** span_near from the persisted positional index: identical span
+    * arithmetic to [[spanNearSearch]] (the stored position lists ARE the
+    * lists that operator derives per scan), so the two registrations
+    * share one oracle definition — only the read path differs.
+    */
+  def spanNearSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Long, String, String, Int)]): DataFrame = {
+    val vocab = queries.flatMap(q => Seq(q._2, q._3)).distinct
+    val rows = queries.map { case (qid, t1, t2, slop) =>
+      struct(lit(qid).as("query_id"),
+        aggregate(posOfTerm(t1), lit(0L), (acc, p1) =>
+          acc + size(filter(posOfTerm(t2), p2 =>
+            p2 > p1 && p2 <= p1 + lit(slop + 1)))).as("n_spans"))
+    }
+    posMaps(spark, dir, vocab)
+      .select(col("doc_id"), explode(array(rows: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("q.n_spans").as("n_spans"))
+      .filter(col("n_spans") > 0)
+  }
+
   // --------------------------------------- fuzzy / prefix / more-like-this
 
   /** All single-character-deletion variants of a term plus the term
@@ -1514,12 +1660,22 @@ object CorpusOps {
     // oversized and the join path takes over. A separate count-then-
     // collect pair cost two extra scans per DataFrame CONSTRUCTION
     // (bench passes rebuild the frame, so it showed up as +2 s at
-    // sf0.1).
+    // sf0.1). The literal path additionally requires (a) a NON-EMPTY
+    // matrix — explode(array()) of zero query structs yields a NullType
+    // element and the q.* field extraction fails, whereas the join path
+    // returns the correct empty frame for a zero-query workload — and
+    // (b) ≤ litCap DISTINCT query ids: the row-count probe alone would
+    // let >litCap sparse queries (fewer than dims non-zero buckets
+    // each) embed an oversized constant matrix, the exact plan-size
+    // bloat the cap exists to bound.
     val qMatrix: Option[Array[org.apache.spark.sql.Row]] =
       if (dims <= 64 && litCap > 0) {
         val rows = qvRaw.select(col("query_id"), col("dim"), col("v"))
           .limit(litCap * dims + 1).collect()
-        if (rows.length <= litCap * dims) Some(rows) else None
+        if (rows.nonEmpty && rows.length <= litCap * dims &&
+            rows.iterator.map(_.getLong(0)).toSet.size <= litCap)
+          Some(rows)
+        else None
       } else None
     val scoredRaw =
       if (qMatrix.isDefined) {

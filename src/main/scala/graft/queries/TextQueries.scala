@@ -275,6 +275,23 @@ object TextQueries {
       graft.operators.CorpusOps.searchBm25Index(s,
         builtBm25Index(s, dir), Bm25Queries, Bm25K, Bm25K1, Bm25B)),
 
+    // match_phrase from the PERSISTED positional index — the execution
+    // model ES actually uses (stored position lists, never a source
+    // scan): the posting read is term-pruned at the parquet scan, so
+    // the query's cost follows its terms' document frequency, not the
+    // corpus size (the scan variant above is corpus-linear by design).
+    // Positions are exact, so hits are exact-match counts (no shingle
+    // hashing — nothing to collide).
+    "text_search_phrase_persisted" -> ((s, dir) =>
+      graft.operators.CorpusOps.phraseSearchIndex(s,
+        builtPosIndex(s, dir), PhraseQueries)),
+
+    // span_near from the same positional index: identical span
+    // arithmetic to text_search_span (shared oracle), term-pruned read.
+    "text_search_span_persisted" -> ((s, dir) =>
+      graft.operators.CorpusOps.spanNearSearchIndex(s,
+        builtPosIndex(s, dir), SpanQueries)),
+
     // ES field collapsing over the same BM25 retrieval: one best hit
     // per (query, source) group, groups re-ranked by their top hit,
     // inner_hits cardinality reported. Shares the scored-doc stage with
@@ -461,6 +478,20 @@ object TextQueries {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-bm25-index").toString + "/idx"
       graft.operators.CorpusOps.buildBm25Index(docs(s, dir), tmp)
+      tmp
+    })
+
+  /** Persisted positional index (phrase/span search), same build-once
+    * discipline.
+    */
+  private val posIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def builtPosIndex(s: SparkSession, dir: String): String =
+    posIndexCache.getOrElseUpdate((s, dir), {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-pos-index").toString + "/idx"
+      graft.operators.CorpusOps.buildPositionalIndex(docs(s, dir), tmp)
       tmp
     })
 
@@ -941,27 +972,59 @@ object TextQueries {
           SELECT query_id, doc_id, n_hits FROM ($blocks)
           WHERE n_hits > 0"""
     },
-    "text_search_span" -> {
-      def posOf(term: String) =
-        s"""list_filter(list_transform(
-              list_zip(tk, range(1, len(tk) + 1)),
-              x -> CASE WHEN x[1] = '$term' THEN x[2] ELSE -1 END),
-            v -> v > 0)"""
-      val blocks = SpanQueries.map { case (qid, t1, t2, slop) =>
-        val w = slop + 1
+    "text_search_span" -> spanSql,
+
+    // persisted phrase: EXACT positional matching (the index stores
+    // real positions — no shingle hashes, so the replay is direct token
+    // equality at consecutive positions, not hash equality)
+    "text_search_phrase_persisted" -> {
+      val blocks = PhraseQueries.map { case (qid, phrase) =>
+        val ts = phrase.trim.split("\\s+")
+        val m = ts.length
+        val cond = ts.zipWithIndex
+          .map { case (t, i) => s"tk[p+$i] = ${sqlStr(t)}" }
+          .mkString(" AND ")
         s"""SELECT $qid::BIGINT AS query_id, doc_id,
-              COALESCE(CAST(list_sum(list_transform(${posOf(t1)},
-                p1 -> len(list_filter(${posOf(t2)},
-                  p2 -> p2 > p1 AND p2 <= p1 + $w)))) AS BIGINT), 0)
-                AS n_spans
+              length(list_filter(
+                range(1, greatest(length(tk) - $m, 0) + 2),
+                p -> $cond))::BIGINT AS n_hits
             FROM d"""
       }.mkString(" UNION ALL ")
       s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
                      WHERE text IS NOT NULL)
-          SELECT query_id, doc_id, n_spans FROM ($blocks)
-          WHERE n_spans > 0"""
-    }
+          SELECT query_id, doc_id, n_hits FROM ($blocks)
+          WHERE n_hits > 0"""
+    },
+
+    // persisted span: the stored position lists ARE the lists the scan
+    // variant derives — one oracle serves both registrations
+    "text_search_span_persisted" -> spanSql
   )
+
+  /** span_near replay shared by the scan and persisted-index
+    * registrations (identical span arithmetic; only the Spark-side read
+    * path differs).
+    */
+  private def spanSql: String = {
+    def posOf(term: String) =
+      s"""list_filter(list_transform(
+            list_zip(tk, range(1, len(tk) + 1)),
+            x -> CASE WHEN x[1] = '$term' THEN x[2] ELSE -1 END),
+          v -> v > 0)"""
+    val blocks = SpanQueries.map { case (qid, t1, t2, slop) =>
+      val w = slop + 1
+      s"""SELECT $qid::BIGINT AS query_id, doc_id,
+            COALESCE(CAST(list_sum(list_transform(${posOf(t1)},
+              p1 -> len(list_filter(${posOf(t2)},
+                p2 -> p2 > p1 AND p2 <= p1 + $w)))) AS BIGINT), 0)
+              AS n_spans
+          FROM d"""
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                   WHERE text IS NOT NULL)
+        SELECT query_id, doc_id, n_spans FROM ($blocks)
+        WHERE n_spans > 0"""
+  }
 
   /** BM25 replay: inverted index (tf), df, dl = sum(tf) per doc (the
     * same derivation Spark uses — no second tokenize), 1-row stats,

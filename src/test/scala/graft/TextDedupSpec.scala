@@ -992,6 +992,122 @@ class TextDedupSpec extends SparkSpec {
     assert(lit == join, s"paths diverge:\n lit=$lit\n join=$join")
   }
 
+  test("rag retrieval: zero-query workload returns empty, no crash") {
+    import graft.operators.CorpusOps
+    // isQuery matching NOTHING must flow through gracefully: the
+    // literal path would explode an empty struct array (NullType field
+    // extraction → AnalysisException), so the gate must route empty
+    // workloads to the join path, which returns the correct empty frame
+    val d = docs(
+      (1L, "spark shuffle join broadcast"),
+      (2L, "join broadcast exchange reuse"))
+    val out = CorpusOps.ragRetrieve(
+      col("doc_id") < 0L, 4, 2, 16, 3)(d)
+    assert(out.count() == 0L)
+  }
+
+  test("rag retrieval: >litCap DISTINCT queries fall back to the join path") {
+    import graft.operators.CorpusOps
+    // three sparse single-token queries: only 3 vector rows (well under
+    // litCap·dims), but 3 distinct query ids > litCap=2 — the row-count
+    // probe alone would embed an oversized literal matrix; the distinct
+    // gate must pick the join path (observable: the literal plan has no
+    // Join at all, the dim-join plan does), and results stay identical.
+    val d = docs(
+      (0L, "spark"), (10L, "join"), (20L, "shuffle"),
+      (1L, "spark shuffle join broadcast exchange"),
+      (2L, "join broadcast exchange reuse plan"))
+    def run(cap: Int) = CorpusOps.ragRetrieve(
+      col("doc_id").isin(0L, 10L, 20L), 3, 2, 16, 2, litCap = cap)(d)
+    val gated = run(2)
+    assert(gated.queryExecution.optimizedPlan.toString.contains("Join"),
+      "sparse >litCap workload must take the dim-join path")
+    val wideCap = run(128)
+    assert(!wideCap.queryExecution.optimizedPlan.toString.contains("Join"),
+      "within-cap workload must take the literal path")
+    val a = gated.as[(Long, Long, Long, Long, Double, Long)]
+      .collect().sortBy(r => (r._1, r._6)).toSeq
+    val b = wideCap.as[(Long, Long, Long, Long, Double, Long)]
+      .collect().sortBy(r => (r._1, r._6)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("positional index: phrase search matches the scan variant") {
+    import graft.operators.CorpusOps
+    val d = docs(
+      (1L, "table hash table hash scan"),  // 2 hits of "table hash"
+      (2L, "table scan hash"),             // present, not adjacent
+      (3L, "hash table"),                  // reversed — no hit
+      (4L, "slow hash batch now"),         // trigram hit
+      (5L, "hash batch slow"),             // trigram tokens, wrong order
+      (6L, null.asInstanceOf[String]))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pos-test").toString + "/idx"
+    CorpusOps.buildPositionalIndex(d, dir)
+    val qs = Seq(0L -> "table hash", 1L -> "slow hash batch",
+      2L -> "scan")                        // incl. a single-token phrase
+    def rows(df: DataFrame) = df
+      .select($"query_id", $"doc_id", $"n_hits")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val idx = rows(CorpusOps.phraseSearchIndex(spark, dir, qs))
+    val scan = rows(CorpusOps.phraseSearch(qs)(d))
+    assert(idx == scan, s"idx=$idx scan=$scan")
+    assert(idx.contains((0L, 1L, 2L)) && idx.contains((1L, 4L, 1L)) &&
+      idx.contains((2L, 1L, 1L)) && idx.contains((2L, 2L, 1L)))
+    // the ES scale contract: the posting scan is pruned to the query
+    // vocabulary AT THE SOURCE (In(term, …) in PushedFilters), so cost
+    // follows term document-frequency, not corpus size
+    val plan = CorpusOps.phraseSearchIndex(spark, dir, qs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term filter must reach the parquet scan:\n$plan")
+  }
+
+  test("positional index: span search ≡ spanNearSearch bit-exactly") {
+    import graft.operators.CorpusOps
+    val d = docs(
+      (1L, "table scan of the table full scan"),
+      (2L, "key value agg"),
+      (3L, "scan table"),
+      (4L, null.asInstanceOf[String]))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pos-span").toString + "/idx"
+    CorpusOps.buildPositionalIndex(d, dir)
+    val qs = Seq((1L, "table", "scan", 3), (2L, "key", "agg", 2))
+    def rows(df: DataFrame) = df
+      .select($"query_id", $"doc_id", $"n_spans")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val idx = rows(CorpusOps.spanNearSearchIndex(spark, dir, qs))
+    val scan = rows(CorpusOps.spanNearSearch(qs)(d))
+    assert(idx == scan && idx.nonEmpty, s"idx=$idx scan=$scan")
+  }
+
+  test("positional index: append ≡ rebuild; delete tombstones hide docs") {
+    import graft.operators.CorpusOps
+    val half1 = docs((1L, "table hash one"), (2L, "table scan hash"))
+    val half2 = docs((3L, "table hash two"))
+    val all = docs((1L, "table hash one"), (2L, "table scan hash"),
+      (3L, "table hash two"))
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-pos-a").toString + "/idx"
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-pos-b").toString + "/idx"
+    CorpusOps.buildPositionalIndex(half1, dirA)
+    CorpusOps.appendToPositionalIndex(half2, dirA)
+    CorpusOps.buildPositionalIndex(all, dirB)
+    val qs = Seq(0L -> "table hash")
+    def rows(dir: String) = CorpusOps.phraseSearchIndex(spark, dir, qs)
+      .select($"doc_id", $"n_hits").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows(dirA) == rows(dirB) && rows(dirA).map(_._1) == Seq(1L, 3L))
+    CorpusOps.deleteFromPositionalIndex(spark, dirA, Seq(1L))
+    assert(rows(dirA).map(_._1) == Seq(3L))
+    // compaction purges tombstoned rows physically; results unchanged
+    CorpusOps.compactPositionalIndex(spark, dirA)
+    assert(rows(dirA).map(_._1) == Seq(3L))
+  }
+
   test("bigram LM: join path ≡ collect path bit-exactly; auto switches at the cap") {
     import graft.operators.CorpusOps
     // covers every arithmetic branch: seen bigram, seen-context/unseen-
