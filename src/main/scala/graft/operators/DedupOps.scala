@@ -193,18 +193,30 @@ object DedupOps {
         graft.functions.TextExprs.h15Array(shingleSet(col("text"), k)))
         .as("shingles")))
 
-  /** (doc_id, band, band_key) rows from a shingle-set frame — the LSH
-    * candidate-generation key.
+  /** Per-doc LSH band-key ARRAY (materialized): one signature pass
+    * feeds both the exploded posting view ([[mhBands]] — the persisted
+    * store layout) and the canonical-filtered self-join
+    * ([[minhashCandidates]]), which needs every band key of BOTH docs
+    * at the joined row to decide first-agreeing-band ownership.
     */
-  private def mhBands(sets: DataFrame, bands: Int, rows: Int): DataFrame = {
+  private def mhKeyArrays(sets: DataFrame, bands: Int,
+      rows: Int): DataFrame = {
     val sig = sets.withColumn("sig",
       graft.functions.TextExprs.minhashSig(col("shingles"), bands * rows))
     materialize(sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
+      array((0 until bands).map(b =>
         h15(concat_ws("_",
-          slice(col("sig"), b * rows + 1, rows).cast("array<string>")))): _*))
-        .as(Seq("band", "band_key"))))
+          slice(col("sig"), b * rows + 1, rows).cast("array<string>")))): _*)
+        .as("band_keys")))
   }
+
+  /** (doc_id, band, band_key) rows from a shingle-set frame — the LSH
+    * candidate-generation key, and the persisted fingerprint store's
+    * band-table layout (incremental probes equi-join it directly).
+    */
+  private def mhBands(sets: DataFrame, bands: Int, rows: Int): DataFrame =
+    mhKeyArrays(sets, bands, rows).select(col("doc_id"),
+      posexplode(col("band_keys")).as(Seq("band", "band_key")))
 
   /** Exact-Jaccard verification tail shared by the batch and incremental
     * paths: join the shingle sets back onto the (a, b) candidates and
@@ -280,16 +292,46 @@ object DedupOps {
   def minhashLshPairs(k: Int = 2, bands: Int = 8, rows: Int = 2,
       threshold: Double = 0.5)(df: DataFrame): DataFrame = {
     val sets = mhSets(df, k)
-    val banded = mhBands(sets, bands, rows)
-    // distinct on the bare id pair FIRST (cheap long hashing), then join
-    // the shingle sets back for verification — hashing the string arrays
-    // inside the distinct would dominate the whole operator
-    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("a"))
-    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("b"))
-    val cand = a.join(b, Seq("band", "band_key"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    val cand = minhashCandidates(mhKeyArrays(sets, bands, rows), bands)
     mhVerify(cand, sets, sets, threshold)
+  }
+
+  /** Candidate pairs from the LSH band join, each emitted EXACTLY ONCE —
+    * the canonical-band filter ([[simhashCandidates]]'s discipline,
+    * applied to the minhash join): a pair agreeing on m of the `bands`
+    * band keys used to reach the old `.distinct()` as m rows (m = 8 for
+    * exact copies, and a 10-member near-dup family fed 45·8 = 360 rows
+    * per family through that exchange), so on duplicate-heavy corpora
+    * the distinct shuffled the DUPLICATED candidate volume — the
+    * dominant exchange at 100×. Both posting sides now carry their full
+    * band-key ARRAY (`bands` longs) through the join, and a joined row
+    * survives only when its band is the pair's FIRST agreeing band
+    * (unrolled integer compares inside the join's codegen stage, no
+    * higher-order functions). Same candidate SET, zero distinct
+    * exchange: downstream verification costs O(pairs), not O(m·pairs).
+    * The posting exchange pays ~4× more bytes per row for the carried
+    * array — corpus-linear either way, while the removed exchange grew
+    * with duplication density. Takes the (doc_id, band_keys) frame so
+    * tests can feed synthetic geometries.
+    */
+  private[graft] def minhashCandidates(keyed: DataFrame,
+      bands: Int): DataFrame = {
+    val banded = keyed.select(col("doc_id"), col("band_keys"),
+      posexplode(col("band_keys")).as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("a"), col("band_keys").as("keys_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("b"), col("band_keys").as("keys_b"))
+    // bands is small (8): an unrolled OR chain of guarded element_at
+    // compares stays inside whole-stage codegen
+    val agreesEarlier = (0 until bands).map(j =>
+      col("band") > lit(j) &&
+        element_at(col("keys_a"), j + 1) ===
+          element_at(col("keys_b"), j + 1)).reduce(_ || _)
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("a") < col("b"))
+      .filter(!agreesEarlier)
+      .select(col("a"), col("b"))
   }
 
   /** Persist the MinHash fingerprint store — the dedup analogue of the

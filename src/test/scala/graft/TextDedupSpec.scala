@@ -114,6 +114,39 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("minhash canonical-band filter: exactly-once candidates, no distinct") {
+    // Synthetic band-key geometry (bands=4): a 3-clique agreeing on ALL
+    // bands (the old .distinct() saw each of its 3 pairs 4×), a pair
+    // agreeing only on band 2, and a loner. Every candidate pair must
+    // appear exactly once, pairs must come from their FIRST agreeing
+    // band, and the optimized plan must not contain a distinct exchange.
+    val keyed = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L, 30L, 40L)),
+      (3L, Seq(10L, 20L, 30L, 40L)),
+      (4L, Seq(77L, 88L, 30L, 99L)), // agrees with 1-3 on band 2 only
+      (5L, Seq(51L, 52L, 53L, 54L))
+    ).toDF("doc_id", "band_keys")
+    val cand = DedupOps.minhashCandidates(keyed, bands = 4)
+    val byPair = cand.groupBy($"a", $"b").count()
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(byPair.values.forall(_ == 1L),
+      s"canonical filter emitted duplicates: $byPair")
+    assert(byPair.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 4L), (2L, 4L), (3L, 4L)))
+    assert(cand.queryExecution.optimizedPlan.toString()
+      .toLowerCase.indexOf("deduplicate") < 0,
+      "candidate plan must not contain a distinct exchange")
+    // end-to-end: the full operator still verifies the identical pair
+    val df = docs((1L, "p q r s t u v"), (2L, "p q r s t u v"),
+      (3L, "completely other tokens list"))
+    val out = DedupOps.minhashLshPairs(k = 2, bands = 8, rows = 2,
+      threshold = 0.9)(df)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("simhash: identical docs hash equal; near docs within distance") {
     val df = docs((1L, "m n o p q r s"), (2L, "m n o p q r s"))
     val sh = df.select(DedupOps.simhash($"text")).as[Long].collect()
