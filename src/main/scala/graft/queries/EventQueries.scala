@@ -375,42 +375,36 @@ object EventQueries {
         .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
         .agg(sum(col("value").cast("decimal(28,10)")).as("sum_dec"))
         .select(date_format(col("wk"), "yyyy-MM-dd").as("week"),
-          // ×10¹⁰ through DECIMAL(38,0), narrowed with longValueExact at
-          // collect: weekly revenue past ~9.2e8 now FAILS loudly instead
-          // of silently wrapping the fixed-point recursion (r9 advice)
+          // ×10¹⁰ through DECIMAL(38,0); the recursion runs in BigInt,
+          // so there is NO fixed-point envelope to outgrow — the 100×
+          // scale probe caught the earlier Long state overflowing
+          // (weekly revenue past ~9.2e8 wrapped ×10¹⁰ past Long.Max),
+          // and the oracle's recursive CTE computes the same integers
+          // in HUGEINT, which BigInt matches exactly
           (col("sum_dec") * lit(10000000000L)).cast("decimal(38,0)")
             .as("x_fp"))
       val rows = weekly.orderBy(col("week")).collect()
-        .map(r => (r.getString(0),
-          r.getDecimal(1).toBigInteger.longValueExact()))
-      // recursion products/sums are overflow-checked too — the honest
-      // failure mode for a series outside the fixed-point envelope
-      def mulE(a: Long, x: Long): Long = Math.multiplyExact(a, x)
-      def addE(a: Long, x: Long): Long = Math.addExact(a, x)
-      def idiv(a: Long, d: Long): Long =
+        .map(r => (r.getString(0), BigInt(r.getDecimal(1).toBigInteger)))
+      def idiv(a: BigInt, d: Int): BigInt =
         if (a < 0) -((-a) / d) else a / d
+      // BigInteger.doubleValue is correctly rounded, identical to the
+      // former Spark long→double cast for in-range values
+      def dbl(a: BigInt): Double = a.bigInteger.doubleValue / 1.0e10
       val out = scala.collection.mutable.ArrayBuffer
-        .empty[(String, Long, Long, Long)]
-      var l = 0L; var b = 0L
+        .empty[(String, Double, Double, Double, Double)]
+      var l = BigInt(0); var b = BigInt(0)
       for (((wkS, x), i) <- rows.zipWithIndex) {
         if (i == 0) {
           l = x
-          b = if (rows.length > 1) Math.subtractExact(rows(1)._2, x) else 0L
+          b = if (rows.length > 1) rows(1)._2 - x else BigInt(0)
         } else {
-          val lNew = idiv(addE(mulE(3L, x), mulE(7L, addE(l, b))), 10L)
-          b = idiv(addE(mulE(2L, Math.subtractExact(lNew, l)),
-            mulE(8L, b)), 10L)
+          val lNew = idiv(3 * x + 7 * (l + b), 10)
+          b = idiv(2 * (lNew - l) + 8 * b, 10)
           l = lNew
         }
-        out += ((wkS, x, l, b))
+        out += ((wkS, dbl(x), dbl(l), dbl(b), dbl(l + b)))
       }
-      out.toSeq.toDF("week", "x_fp", "l_fp", "b_fp")
-        .select(col("week"),
-          (col("x_fp").cast("double") / lit(1.0e10)).as("x"),
-          (col("l_fp").cast("double") / lit(1.0e10)).as("level"),
-          (col("b_fp").cast("double") / lit(1.0e10)).as("trend"),
-          ((col("l_fp") + col("b_fp")).cast("double") / lit(1.0e10))
-            .as("forecast_next"))
+      out.toSeq.toDF("week", "x", "level", "trend", "forecast_next")
     }),
 
     // Item-item collaborative filtering (the Amazon/Sarwar classic)
@@ -514,45 +508,40 @@ object EventQueries {
         .groupBy(to_date(col("ts")).as("d"))
         .agg(sum(col("value").cast("decimal(28,10)")).as("sum_dec"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
-          // DECIMAL(38,0) + longValueExact: overflow is an ERROR, not a
-          // silent wrap (r9 advice — see events_forecast)
+          // ×10¹⁰ through DECIMAL(38,0); BigInt recursion state — no
+          // fixed-point envelope (the events_forecast 100×-probe fix:
+          // daily sums are 7× smaller than weekly so THIS query
+          // survived 100×, but the same Long wrap waited at ~700×);
+          // the oracle's recursive CTE runs the same integers in
+          // HUGEINT, which BigInt matches exactly
           (col("sum_dec") * lit(10000000000L)).cast("decimal(38,0)")
             .as("x_fp"))
       val rows = daily.orderBy("day").collect()
-        .map(r => (r.getString(0),
-          r.getDecimal(1).toBigInteger.longValueExact()))
-      def mulE(a: Long, x: Long): Long = Math.multiplyExact(a, x)
-      def addE(a: Long, x: Long): Long = Math.addExact(a, x)
-      def subE(a: Long, x: Long): Long = Math.subtractExact(a, x)
-      def idiv(a: Long, d: Long): Long =
+        .map(r => (r.getString(0), BigInt(r.getDecimal(1).toBigInteger)))
+      def idiv(a: BigInt, d: Int): BigInt =
         if (a < 0) -((-a) / d) else a / d
-      val m1 = idiv(rows.slice(0, 7).map(_._2).foldLeft(0L)(addE), 7L)
-      val m2 = idiv(rows.slice(7, 14).map(_._2).foldLeft(0L)(addE), 7L)
+      def dbl(a: BigInt): Double = a.bigInteger.doubleValue / 1.0e10
+      val m1 = idiv(rows.slice(0, 7).map(_._2).sum, 7)
+      val m2 = idiv(rows.slice(7, 14).map(_._2).sum, 7)
       var l = m1
-      var b = idiv(subE(m2, m1), 7L)
+      var b = idiv(m2 - m1, 7)
       val slots = scala.collection.mutable.Queue(
-        rows.slice(0, 7).map(v => subE(v._2, m1)): _*)
+        rows.slice(0, 7).map(v => v._2 - m1): _*)
       val out = scala.collection.mutable.ArrayBuffer
-        .empty[(String, Long, Long, Long, Long, Long)]
+        .empty[(String, Double, Double, Double, Double, Double)]
       for ((dayS, x) <- rows.drop(7)) {
         val sPrev = slots.dequeue()
-        val fitted = addE(addE(l, b), sPrev)
-        val lNew = idiv(addE(mulE(3L, subE(x, sPrev)),
-          mulE(7L, addE(l, b))), 10L)
-        val bNew = idiv(addE(mulE(2L, subE(lNew, l)), mulE(8L, b)), 10L)
-        val sNew = idiv(addE(subE(x, lNew), mulE(9L, sPrev)), 10L)
+        val fitted = l + b + sPrev
+        val lNew = idiv(3 * (x - sPrev) + 7 * (l + b), 10)
+        val bNew = idiv(2 * (lNew - l) + 8 * b, 10)
+        val sNew = idiv((x - lNew) + 9 * sPrev, 10)
         slots.enqueue(sNew)
-        out += ((dayS, x, lNew, bNew, sNew, fitted))
+        out += ((dayS, dbl(x), dbl(lNew), dbl(bNew), dbl(sNew),
+          dbl(fitted)))
         l = lNew; b = bNew
       }
       out.toSeq
-        .toDF("day", "x_fp", "l_fp", "b_fp", "s_fp", "f_fp")
-        .select(col("day"),
-          (col("x_fp").cast("double") / lit(1.0e10)).as("x"),
-          (col("l_fp").cast("double") / lit(1.0e10)).as("level"),
-          (col("b_fp").cast("double") / lit(1.0e10)).as("trend"),
-          (col("s_fp").cast("double") / lit(1.0e10)).as("seasonal"),
-          (col("f_fp").cast("double") / lit(1.0e10)).as("fitted"))
+        .toDF("day", "x", "level", "trend", "seasonal", "fitted")
     }),
 
     // Seasonally-adjusted revenue anomalies: each day's purchase
