@@ -211,6 +211,19 @@ object ScaleProbe {
     val names = (sys.env.getOrElse("SPARK_GRAFT_SCALE_SET", "all") match {
       case "r8" => Bench.standingSetR8
       case "r5" => Bench.standingSet
+      // names:a,b,c — an explicit subset, for DELTA probes: re-measure
+      // just the queries a post-probe fix touched against the SAME
+      // replica, with the full probe machinery (passes, plan audit,
+      // rechecks), instead of either re-running 3+ hours or leaving
+      // the new numbers in prose
+      case s if s.startsWith("names:") =>
+        val want = s.stripPrefix("names:").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSet
+        val missing = want -- SparkEntry.queries.keySet
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_SCALE_SET names not registered: " +
+            missing.toSeq.sorted.mkString(","))
+        want
       case _ => SparkEntry.queries.keySet
     }).toSeq.sorted
     val errors = scala.collection.mutable.Map.empty[String, String]
@@ -355,13 +368,31 @@ object ScaleProbe {
       } catch { case _: Throwable => None }
       finally tmp.delete()
     }
+    // A fork reading SLOWER than in-probe contradicts the throttle
+    // hypothesis the recheck exists to test — every confirmed case so
+    // far was the FORK landing in the throttle window (r14:
+    // dedup_minhash_lsh forked 107.6 s vs 27.2 in-probe while a
+    // neighboring fork ran 1.5× FASTER than in-probe). Such a
+    // contradictory reading gets up to ATTEMPTS-1 more forks (each
+    // fork's ~2-min startup is the spacing); noise only adds time, so
+    // min across attempts remains the defensible estimate.
+    val attempts = sys.env
+      .getOrElse("SPARK_GRAFT_SCALE_RECHECK_ATTEMPTS", "2").toInt
     val rechecks: Map[String, (Double, Double)] =
       if (!recheckOn) Map.empty
       else perQuery.collect {
         case (n, (b, s, r)) if r > 3 * median && s >= 1.0 =>
           System.err.println(f"[scale] recheck $n (ratio $r%.2f > 3x " +
             f"median $median%.2f) in a clean JVM")
-          cleanJvmWall(n, outDir).map { w =>
+          cleanJvmWall(n, outDir).map { w1 =>
+            var w = w1
+            var att = 1
+            while (att < attempts && w >= s) {
+              System.err.println(f"[scale] recheck $n fork read " +
+                f"$w%.3f s >= in-probe ${s}%.3f s — one spaced retry")
+              cleanJvmWall(n, outDir).foreach(w2 => w = math.min(w, w2))
+              att += 1
+            }
             System.err.println(
               f"[scale] recheck $n clean-JVM wall $w%.3f s " +
                 f"(in-probe ${s}%.3f s)")

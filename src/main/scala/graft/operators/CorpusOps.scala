@@ -988,6 +988,72 @@ object CorpusOps {
       .filter(col("n_spans") > 0)
   }
 
+  /** Highlighting served from the persisted positional index — the
+    * third consumer of the stored position lists ([[highlight]] is the
+    * corpus-scan shape): hit positions come straight from the postings
+    * of the QUERY terms (term-pruned parquet read, like
+    * [[phraseSearchIndex]]), merged per doc in position order and cut
+    * at `nFragments`. No token array is ever rebuilt from text, so
+    * cost follows the query terms' document frequency, not corpus
+    * size. One token occupies one position, so the merged order is
+    * unambiguous and the output is row-identical to [[highlight]] —
+    * the two registrations share one oracle.
+    */
+  def highlightIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Long, Seq[String])],
+      nFragments: Int = 5): DataFrame = {
+    val vocab = queries.flatMap(_._2).distinct
+    val rows = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        slice(array_sort(flatten(array(terms.distinct.map(t =>
+          transform(posOfTerm(t), p =>
+            struct(p.cast("long").as("pos"), lit(t).as("t")))): _*))),
+          1, nFragments).as("hits"))
+    }
+    posMaps(spark, dir, vocab)
+      .select(col("doc_id"), explode(array(rows: _*)).as("qh"))
+      .select(col("qh.query_id").as("query_id"), col("doc_id"),
+        explode(col("qh.hits")).as("h"))
+      .select(col("query_id"), col("doc_id"),
+        col("h.pos").as("pos"), col("h.t").as("term"))
+  }
+
+  /** Fragment rendering from the persisted positional index: hit
+    * positions come from the stored postings (df-bounded, like
+    * [[highlightIndex]]); only the RENDER step joins doc tokens back
+    * in — the ES stored-fields fetch for result docs. The hit side is
+    * bounded by `nFragments · |matched (query, doc) pairs|`, so AQE
+    * broadcasts it and the corpus is scanned once, narrow, with no
+    * per-token membership filtering (a doc-clustered text store would
+    * make this a point fetch; parquet gives one narrow scan). Output
+    * is row-identical to [[snippets]] — shared oracle.
+    */
+  def snippetsIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: Seq[(Long, Seq[String])],
+      nFragments: Int = 5, context: Int = 3)(docs: DataFrame): DataFrame = {
+    val vocab = queries.flatMap(_._2).distinct
+    val rows = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        slice(array_sort(flatten(array(terms.distinct.map(t =>
+          posOfTerm(t)): _*))), 1, nFragments).as("hits"))
+    }
+    val hitRows = posMaps(spark, dir, vocab)
+      .select(col("doc_id"), explode(array(rows: _*)).as("qh"))
+      .select(col("qh.query_id").as("query_id"), col("doc_id"),
+        posexplode(col("qh.hits")).as(Seq("fp", "hit")))
+    val text = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    hitRows.join(text, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("fp") + 1).cast("long").as("frag_no"),
+        array_join(transform(
+          sequence(greatest(col("hit") - context, lit(1)),
+            least(col("hit") + context, size(col("tk")))),
+          j => when(j === col("hit"),
+            concat(lit("<em>"), element_at(col("tk"), j), lit("</em>")))
+            .otherwise(element_at(col("tk"), j))), " ").as("fragment"))
+  }
+
   // --------------------------------------- fuzzy / prefix / more-like-this
 
   /** All single-character-deletion variants of a term plus the term

@@ -292,6 +292,22 @@ object TextQueries {
       graft.operators.CorpusOps.spanNearSearchIndex(s,
         builtPosIndex(s, dir), SpanQueries)),
 
+    // highlight from the same positional index: hit positions are read
+    // from the stored postings of the query terms (df-bounded,
+    // term-pruned scan), never recomputed from text — row-identical to
+    // text_search_highlight (shared oracle).
+    "text_search_highlight_persisted" -> ((s, dir) =>
+      graft.operators.CorpusOps.highlightIndex(s,
+        builtPosIndex(s, dir), HighlightQueries)),
+
+    // snippet rendering with index-sourced hits: positions from the
+    // postings, doc tokens joined back only for the render step (the
+    // ES stored-fields fetch) — row-identical to text_search_snippets
+    // (shared oracle).
+    "text_search_snippets_persisted" -> ((s, dir) =>
+      graft.operators.CorpusOps.snippetsIndex(s,
+        builtPosIndex(s, dir), HighlightQueries)(docs(s, dir))),
+
     // ES field collapsing over the same BM25 retrieval: one best hit
     // per (query, source) group, groups re-ranked by their top hit,
     // inner_hits cardinality reported. Shares the scored-doc stage with
@@ -913,46 +929,18 @@ object TextQueries {
 
     // highlight replay: positional struct list filtered by term
     // membership, sliced to the first number_of_fragments=5 hits per
-    // (query, doc) — both engines walk the same 1-based token positions
-    "text_search_highlight" -> {
-      val values = HighlightQueries.map { case (q, ts) =>
-        s"($q::BIGINT, ${ts.map(sqlStr).mkString("[", ", ", "]")})"
-      }.mkString(", ")
-      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
-                     WHERE text IS NOT NULL),
-          q AS (SELECT * FROM (VALUES $values) v(query_id, terms))
-          SELECT query_id, doc_id, u.h.pos::BIGINT AS pos, u.h.t AS term
-          FROM q, d, unnest((list_filter(
-                 list_transform(range(1, length(tk)+1),
-                   i -> struct_pack(pos := i, t := tk[i])),
-                 s -> list_contains(terms, s.t)))[1:5]) AS u(h)"""
-    },
+    // (query, doc) — both engines walk the same 1-based token
+    // positions; the persisted registration reads the SAME rows from
+    // the stored postings, so one oracle serves both
+    "text_search_highlight" -> highlightSql,
+    "text_search_highlight_persisted" -> highlightSql,
 
     // snippet replay: hit positions sliced to the first 5, each rendered
     // as a ±3-token window with the hit term <em>-wrapped — both engines
-    // build the same window bounds and the same joined string
-    "text_search_snippets" -> {
-      val values = HighlightQueries.map { case (q, ts) =>
-        s"($q::BIGINT, ${ts.map(sqlStr).mkString("[", ", ", "]")})"
-      }.mkString(", ")
-      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
-                     WHERE text IS NOT NULL),
-          q AS (SELECT * FROM (VALUES $values) v(query_id, terms)),
-          h0 AS (SELECT query_id, doc_id, tk,
-                   (list_filter(range(1, length(tk)+1),
-                      i -> list_contains(terms, tk[i])))[1:5] AS hl
-                 FROM q, d),
-          h AS (SELECT query_id, doc_id, tk,
-                  u.s.frag_no AS frag_no, u.s.hit AS hit
-                FROM h0, unnest(list_transform(range(1, length(hl)+1),
-                  k -> struct_pack(frag_no := k, hit := hl[k]))) AS u(s))
-          SELECT query_id, doc_id, frag_no::BIGINT AS frag_no,
-            array_to_string(list_transform(
-              range(greatest(hit-3, 1), least(hit+3, length(tk))+1),
-              j -> CASE WHEN j = hit THEN '<em>' || tk[j] || '</em>'
-                        ELSE tk[j] END), ' ') AS fragment
-          FROM h"""
-    },
+    // build the same window bounds and the same joined string; shared
+    // with the index-sourced persisted registration
+    "text_search_snippets" -> snippetsSql,
+    "text_search_snippets_persisted" -> snippetsSql,
 
     // phrase replay: positional shingle hashes (sequence is INCLUSIVE
     // on both ends in Spark, so range goes to m+1 here), hash-equality
@@ -1000,6 +988,50 @@ object TextQueries {
     // variant derives — one oracle serves both registrations
     "text_search_span_persisted" -> spanSql
   )
+
+  /** Highlight replay shared by the scan and persisted-index
+    * registrations (the stored postings hold the same 1-based
+    * positions the scan derives; only the Spark-side read differs).
+    */
+  private def highlightSql: String = {
+    val values = HighlightQueries.map { case (q, ts) =>
+      s"($q::BIGINT, ${ts.map(sqlStr).mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                   WHERE text IS NOT NULL),
+        q AS (SELECT * FROM (VALUES $values) v(query_id, terms))
+        SELECT query_id, doc_id, u.h.pos::BIGINT AS pos, u.h.t AS term
+        FROM q, d, unnest((list_filter(
+               list_transform(range(1, length(tk)+1),
+                 i -> struct_pack(pos := i, t := tk[i])),
+               s -> list_contains(terms, s.t)))[1:5]) AS u(h)"""
+  }
+
+  /** Snippet replay shared by the scan and persisted-index
+    * registrations (same window bounds, same joined string).
+    */
+  private def snippetsSql: String = {
+    val values = HighlightQueries.map { case (q, ts) =>
+      s"($q::BIGINT, ${ts.map(sqlStr).mkString("[", ", ", "]")})"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents
+                   WHERE text IS NOT NULL),
+        q AS (SELECT * FROM (VALUES $values) v(query_id, terms)),
+        h0 AS (SELECT query_id, doc_id, tk,
+                 (list_filter(range(1, length(tk)+1),
+                    i -> list_contains(terms, tk[i])))[1:5] AS hl
+               FROM q, d),
+        h AS (SELECT query_id, doc_id, tk,
+                u.s.frag_no AS frag_no, u.s.hit AS hit
+              FROM h0, unnest(list_transform(range(1, length(hl)+1),
+                k -> struct_pack(frag_no := k, hit := hl[k]))) AS u(s))
+        SELECT query_id, doc_id, frag_no::BIGINT AS frag_no,
+          array_to_string(list_transform(
+            range(greatest(hit-3, 1), least(hit+3, length(tk))+1),
+            j -> CASE WHEN j = hit THEN '<em>' || tk[j] || '</em>'
+                      ELSE tk[j] END), ' ') AS fragment
+        FROM h"""
+  }
 
   /** span_near replay shared by the scan and persisted-index
     * registrations (identical span arithmetic; only the Spark-side read

@@ -1141,6 +1141,48 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(dirA).map(_._1) == Seq(3L))
   }
 
+  test("positional index: highlight and snippets match the scan variants") {
+    import graft.operators.CorpusOps
+    val d = docs(
+      (1L, "alpha beta gamma alpha beta alpha"), // multiple hits, 2 terms
+      (2L, "beta delta"),                        // one hit
+      (3L, "delta epsilon"),                     // no query term
+      (4L, "alpha alpha alpha alpha alpha alpha alpha"), // > nFragments
+      (5L, null.asInstanceOf[String]))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pos-hl").toString + "/idx"
+    CorpusOps.buildPositionalIndex(d, dir)
+    val qs = Seq(0L -> Seq("alpha", "beta"), 1L -> Seq("delta"))
+    def hl(df: DataFrame) = df
+      .select($"query_id", $"doc_id", $"pos", $"term")
+      .as[(Long, Long, Long, String)].collect().sortBy(r =>
+        (r._1, r._2, r._3)).toSeq
+    val idxH = hl(CorpusOps.highlightIndex(spark, dir, qs))
+    val scanH = hl(CorpusOps.highlight(qs)(d))
+    assert(idxH == scanH, s"idx=$idxH scan=$scanH")
+    // doc 4: 7 occurrences, capped at number_of_fragments = 5; merged
+    // 2-term hits on doc 1 arrive in document order
+    assert(idxH.count(r => r._1 == 0L && r._2 == 4L) == 5)
+    assert(idxH.filter(r => r._1 == 0L && r._2 == 1L)
+      .map(r => (r._3, r._4)) ==
+      Seq((1L, "alpha"), (2L, "beta"), (4L, "alpha"), (5L, "beta"),
+        (6L, "alpha")))
+    def sn(df: DataFrame) = df
+      .select($"query_id", $"doc_id", $"frag_no", $"fragment")
+      .as[(Long, Long, Long, String)].collect().sortBy(r =>
+        (r._1, r._2, r._3)).toSeq
+    val idxS = sn(CorpusOps.snippetsIndex(spark, dir, qs)(d))
+    val scanS = sn(CorpusOps.snippets(qs)(d))
+    assert(idxS == scanS, s"idx=$idxS scan=$scanS")
+    assert(idxS.exists(r => r._4.contains("<em>beta</em>")))
+    // scale contract: the posting read is term-pruned at the source
+    val plan = CorpusOps.highlightIndex(spark, dir, qs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term filter must reach the parquet scan:\n$plan")
+  }
+
   test("bigram LM: join path ≡ collect path bit-exactly; auto switches at the cap") {
     import graft.operators.CorpusOps
     // covers every arithmetic branch: seen bigram, seen-context/unseen-
