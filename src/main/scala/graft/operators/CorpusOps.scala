@@ -441,16 +441,50 @@ object CorpusOps {
       phrases: Seq[(Long, String)], window: Int, k: Int, boost: Long,
       k1: Double = 1.2, b: Double = 0.75)(docs: DataFrame): DataFrame = {
     val tf = DedupOps.materialize(bm25Postings(docs))
+    val ph = phraseSearch(phrases)(docs)
+    rescoreTail(bm25ScoredFromTf(tf, queryTerms, k1, b), ph,
+      window, k, boost)
+  }
+
+  /** [[bm25Rescore]] served entirely from persisted indexes — the ES
+    * execution model for a standing rescore workload: the primary BM25
+    * retrieval reads the stored posting table (`bm25Dir`, the
+    * [[buildBm25Index]] layout — raw text never reopened) and the
+    * phrase-proximity rescorer reads the stored POSITION lists
+    * (`posDir`, [[buildPositionalIndex]] — a term-pruned parquet scan
+    * bounded by the phrase terms' document frequency, vs the scan
+    * variant's corpus-linear pass). Identical rescore tail, so ranks
+    * and scores replay the same; the only semantic difference from the
+    * scan variant is the phrase counter — exact positions here vs
+    * 60-bit shingle hashes there (the index stores real positions, so
+    * there is no collision behavior to reproduce).
+    */
+  def bm25RescoreIndex(spark: org.apache.spark.sql.SparkSession,
+      bm25Dir: String, posDir: String, queryTerms: Seq[(Long, String)],
+      phrases: Seq[(Long, String)], window: Int, k: Int, boost: Long,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ph = phraseSearchIndex(spark, posDir, phrases)
+    rescoreTail(bm25ScoredFromTf(readTf(spark, bm25Dir), queryTerms,
+      k1, b), ph, window, k, boost)
+  }
+
+  /** The rescore shape shared by the scan and persisted paths: primary
+    * top-`window` cut, left join of the phrase hits (hits only — the
+    * corpus never enters this join), boost, re-rank, top-`k`. Both rank
+    * windows partition by query_id; integer scores keep the re-rank
+    * order-free at any partitioning.
+    */
+  private def rescoreTail(scored: DataFrame, ph: DataFrame,
+      window: Int, k: Int, boost: Long): DataFrame = {
     val w0 = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val top = bm25ScoredFromTf(tf, queryTerms, k1, b)
+    val top = scored
       .withColumn("rank0", row_number().over(w0).cast("long"))
       .filter(col("rank0") <= window)
-    val ph = phraseSearch(phrases)(docs)
-      .select(col("query_id"), col("doc_id"), col("n_hits"))
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("new_score").desc, col("doc_id"))
-    top.join(ph, Seq("query_id", "doc_id"), "left_outer")
+    top.join(ph.select(col("query_id"), col("doc_id"), col("n_hits")),
+        Seq("query_id", "doc_id"), "left_outer")
       .withColumn("n_phrase_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("new_score",
         col("score") + lit(boost) * col("n_phrase_hits"))

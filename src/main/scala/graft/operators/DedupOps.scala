@@ -473,6 +473,27 @@ object DedupOps {
     mhVerify(cand, storeSets, nsets, threshold)
   }
 
+  /** Full-corpus [[minhashLshPairs]] served from a persisted
+    * [[buildMinhashStore]] directory — the standing-pipeline shape for
+    * every downstream consumer of the verified near-dup pair set
+    * (hard-negative exclusion, novelty scoring, cluster resolution):
+    * raw text is never re-read, re-tokenized, or re-shingled; the
+    * stored sorted shingle sets are BOTH the signature input (the
+    * band-key recompute is a narrow per-row map over them — no
+    * exchange) and the verification payload (the sorted-merge
+    * intersect). Candidates go through the same canonical-band filter
+    * as the batch path — each pair emitted from exactly one agreeing
+    * band, zero distinct exchange — so the pair set is identical to
+    * [[minhashLshPairs]] over the same documents by construction.
+    */
+  def minhashLshPairsStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bands: Int = 8, rows: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = materialize(minhashTable(spark, dir, "sets"))
+    val cand = minhashCandidates(mhKeyArrays(sets, bands, rows), bands)
+    mhVerify(cand, sets, sets, threshold)
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token multiset: per token a 60-bit hash votes
@@ -753,6 +774,19 @@ object DedupOps {
 
   def embeddingNearDupPairs(threshold: Double, planes: Int = 8,
       dim: Int = 64, bucketCap: Long = SimilarityOps.CellPairCap)(
+      df: DataFrame): DataFrame =
+    embeddingNearDupPairsWithNorm(threshold, planes, dim, bucketCap)(
+      df.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")))
+
+  /** [[embeddingNearDupPairs]] over a frame that already carries each
+    * vector's norm — the persisted-index read path
+    * ([[SimilarityOps.readIndex]] stores `nrm` beside the embedding),
+    * where recomputing the norm per consumer would waste the ingest
+    * work the store exists to amortize.
+    */
+  def embeddingNearDupPairsWithNorm(threshold: Double, planes: Int = 8,
+      dim: Int = 64, bucketCap: Long = SimilarityOps.CellPairCap)(
       df: DataFrame): DataFrame = {
     // the SRP bucket count (2^planes) is this operator's scale knob,
     // exactly like the SemDeDup cell count: planes must grow with the
@@ -761,8 +795,7 @@ object DedupOps {
     // sub-bucket guardrail bounds the worst case at N*cap; inert below
     // the cap, so verify-scale results and oracles are untouched.
     val withBucket = SimilarityOps.bucketizeCells(bucketCap, "bucket")(
-      df.select(col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm"),
+      df.select(col("vec_id"), col("embedding"), col("nrm"),
         SimilarityOps.srpBucket(col("embedding"), planes, dim)
           .as("bucket")))
     val a = withBucket.select(col("bucket"), col("__bkt"),

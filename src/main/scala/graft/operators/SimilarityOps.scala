@@ -923,9 +923,42 @@ object SimilarityOps {
     * proportionally higher candidate volume.
     */
   def knnGraph(centroids: DataFrame, k: Int,
-      cellCap: Long = CellPairCap)(corpus: DataFrame): DataFrame = {
+      cellCap: Long = CellPairCap)(corpus: DataFrame): DataFrame =
+    knnFromAssigned(k, cellCap)(assignCells(centroids)(corpus))
+
+  /** [[knnGraph]] served from a persisted [[buildIndex]] directory: the
+    * stored rows already carry (vec_id, embedding, nrm, cell), so the
+    * assignment map and the norm computation never re-run — the graph
+    * build is JUST the within-cell self-join plus the top-k window,
+    * and the cell-partitioned layout means the scan arrives clustered
+    * on the join key. The amortization a standing pipeline wants: the
+    * model is applied to each vector once at ingest ([[appendToIndex]])
+    * instead of once per downstream graph consumer. Tombstoned vectors
+    * drop out of both join sides, so deletes are graph-invisible the
+    * moment they land.
+    */
+  def knnGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int, cellCap: Long = CellPairCap): DataFrame =
+    knnFromAssigned(k, cellCap)(readIndex(spark, dir))
+
+  /** The stored-index scan shared by index-served graph consumers:
+    * live manifest version, tombstones anti-joined, the partition
+    * column normalized back to long.
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    minusTombstones(spark, dir,
+      spark.read.parquet(graft.sources.IndexManifest.resolve(spark, dir))
+        .withColumn("cell", col("cell").cast("long")))
+
+  /** The self-join + top-k tail shared by the in-memory and
+    * persisted-index graph builds; `assigned` carries
+    * (vec_id, embedding, nrm, cell).
+    */
+  private def knnFromAssigned(k: Int, cellCap: Long)(
+      assignedIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = bucketizeCells(cellCap)(assignCells(centroids)(corpus))
+    val assigned = bucketizeCells(cellCap)(assignedIn)
     val a = assigned.select(col("cell"), col("__bkt"),
       col("vec_id").as("src"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))

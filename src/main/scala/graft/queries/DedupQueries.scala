@@ -118,6 +118,24 @@ object DedupQueries {
       tmp
     })
 
+  /** FULL-corpus persisted MinHash store (vs the history-half store
+    * above), memoized per (session, dir) — the fingerprint substrate
+    * the index-served pair miners ([[DedupOps.minhashLshPairsStore]])
+    * and their consumers (corpus_hard_negatives_persisted) read;
+    * shared with SimilarityQueries.
+    */
+  private val fullMhStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[queries] def builtFullMinhashStore(s: SparkSession,
+      dir: String): String =
+    fullMhStoreCache.getOrElseUpdate((s, dir), {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-mh-full-store").toString + "/store"
+      DedupOps.buildMinhashStore(docs(s, dir), tmp)
+      tmp
+    })
+
   val all: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on normalized content.
     "dedup_exact" -> ((s, dir) => DedupOps.exactDedup()(docs(s, dir))),

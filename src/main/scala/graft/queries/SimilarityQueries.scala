@@ -135,6 +135,22 @@ object SimilarityQueries {
       SimilarityOps.buildIndex(e, seedCents(e), tmp)
     }
 
+  /** Persisted index under the TRAINED Lloyd model (the seed-centroid
+    * index above serves the IVF search family; the graph family's cell
+    * model is the trained one) — the store corpus_hard_negatives_persisted
+    * reads its assignments and norms from.
+    */
+  private val trainedIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def builtTrainedIndex(s: SparkSession, dir: String): String =
+    memoTempIndex(trainedIndexCache, s, dir, "graft-knn-index") {
+      (e, tmp) =>
+        SimilarityOps.buildIndex(e,
+          trained(s, dir).select(col("cell").as("cent_id"),
+            col("centroid").as("cent_emb")), tmp)
+    }
+
   private val ivfPqIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
@@ -516,6 +532,41 @@ object SimilarityQueries {
         .select(col("a"), col("b"))
         .union(graft.operators.DedupOps.embeddingNearDupPairs(
             threshold = 0.35, planes = 4)(embs(s, dir))
+          .select(col("a"), col("b")))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      edges
+        .withColumn("pa", least(col("vec_id"), col("neighbor_id")))
+        .withColumn("pb", greatest(col("vec_id"), col("neighbor_id")))
+        .join(dups, col("pa") === col("a") && col("pb") === col("b"),
+          "left_anti")
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .filter(col("neg_rank") <= 2)
+        .select(col("vec_id").as("doc_id"), col("neg_rank"),
+          col("neighbor_id").as("negative_id"), col("cos"))
+    }),
+
+    // Hard-negative mining served from PERSISTED stores — the standing-
+    // pipeline shape of the query above (which pays every model per
+    // run): k-NN candidates come from the stored trained-cell index
+    // (assignments + norms precomputed at ingest, cell-partitioned
+    // layout — the self-join scan arrives clustered), the textual
+    // exclusion set from the stored MinHash fingerprints (text never
+    // re-shingled), and the embedding exclusion set reuses the stored
+    // norms. Same models, same tail — same oracle replay verbatim.
+    "corpus_hard_negatives_persisted" -> ((s, dir) => {
+      val edges = SimilarityOps.knnGraphIndex(s,
+        builtTrainedIndex(s, dir), KnnK)
+      val dups = graft.operators.DedupOps.minhashLshPairsStore(s,
+          DedupQueries.builtFullMinhashStore(s, dir), bands = 8,
+          rows = 2, threshold = 0.5)
+        .select(col("a"), col("b"))
+        .union(graft.operators.DedupOps.embeddingNearDupPairsWithNorm(
+            threshold = 0.35, planes = 4)(
+            SimilarityOps.readIndex(s, builtTrainedIndex(s, dir))
+              .select(col("vec_id"), col("embedding"), col("nrm")))
           .select(col("a"), col("b")))
         .distinct()
       val w = org.apache.spark.sql.expressions.Window
@@ -964,6 +1015,28 @@ object SimilarityQueries {
                    AS assortativity
           FROM m""",
     "corpus_hard_negatives" ->
+      s"""WITH $knnEdgeCtes,
+          hn_dup AS (SELECT DISTINCT a, b FROM (
+                     SELECT a, b FROM (${DedupQueries.minhashPairsSql})
+                     UNION ALL
+                     SELECT a, b
+                     FROM (${DedupQueries.embCosinePairsSql}))),
+          hn_keep AS (
+            SELECT k.vec_id, k.neighbor_id, k.cos
+            FROM knn k LEFT JOIN hn_dup d
+              ON least(k.vec_id, k.neighbor_id) = d.a
+                AND greatest(k.vec_id, k.neighbor_id) = d.b
+            WHERE d.a IS NULL)
+          SELECT vec_id AS doc_id, neg_rank,
+                 neighbor_id AS negative_id, cos
+          FROM (SELECT vec_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, neighbor_id) AS neg_rank
+                FROM hn_keep)
+          WHERE neg_rank <= 2""",
+    // persisted variant: stored assignments/fingerprints hold exactly
+    // the values the in-memory path computes — same replay verbatim
+    "corpus_hard_negatives_persisted" ->
       s"""WITH $knnEdgeCtes,
           hn_dup AS (SELECT DISTINCT a, b FROM (
                      SELECT a, b FROM (${DedupQueries.minhashPairsSql})

@@ -324,6 +324,19 @@ object TextQueries {
         RescoreWindow, RescoreK, RescoreBoost, Bm25K1, Bm25B)(
         docs(s, dir))),
 
+    // ES rescore served entirely from persisted indexes: the BM25
+    // primary reads the stored posting table and the phrase rescorer
+    // reads the stored POSITION lists (term-pruned scan bounded by the
+    // phrase terms' df — the scan variant above re-reads the corpus
+    // for its rescore window). Same rescore tail; phrase hits are
+    // exact-position counts (no shingle hashing), so the oracle
+    // carries the exact-match phrase blocks.
+    "text_search_rescore_persisted" -> ((s, dir) =>
+      graft.operators.CorpusOps.bm25RescoreIndex(s,
+        builtBm25Index(s, dir), builtPosIndex(s, dir), Bm25Queries,
+        RescorePhrases, RescoreWindow, RescoreK, RescoreBoost,
+        Bm25K1, Bm25B)),
+
     // RM3 pseudo-relevance feedback: BM25 top-3 feedback docs donate
     // their 2 highest-tf non-query terms, the expanded query rescans
     // through the SAME scorer, and docs surfaced only by expansion
@@ -829,6 +842,7 @@ object TextQueries {
     "text_textrank" -> textrankSql,
     "text_search_collapse" -> collapseSql,
     "text_search_rescore" -> rescoreSql,
+    "text_search_rescore_persisted" -> rescorePersistedSql,
     "text_search_function_score" -> functionScoreSql,
     "text_search_boosting" -> boostingSql,
     "text_search_rm3" -> rm3Sql,
@@ -1288,8 +1302,8 @@ object TextQueries {
     * arithmetic as text_search_phrase, over the chain's `d`), boost +
     * re-rank.
     */
-  private def rescoreSql: String = {
-    val phBlocks = RescorePhrases.map { case (qid, phrase) =>
+  private def rescoreSql: String =
+    rescoreSqlWith(RescorePhrases.map { case (qid, phrase) =>
       val k = phrase.trim.split("\\s+").length
       s"""SELECT $qid::BIGINT AS query_id, doc_id,
             length(list_filter(
@@ -1297,7 +1311,29 @@ object TextQueries {
                 i -> ${h15(s"array_to_string(tk[i+1:i+$k], ' ')")}),
               h -> h = ${h15(s"'$phrase'")}))::BIGINT AS n_hits
           FROM d"""
-    }.mkString(" UNION ALL ")
+    }.mkString(" UNION ALL "))
+
+  /** Persisted-rescore replay: same scored-doc chain and rescore tail,
+    * but the phrase blocks count EXACT consecutive-position matches
+    * (the stored positional index holds real positions — no shingle
+    * hashes, so no collision behavior to replay; mirror of the
+    * text_search_phrase_persisted oracle).
+    */
+  private def rescorePersistedSql: String =
+    rescoreSqlWith(RescorePhrases.map { case (qid, phrase) =>
+      val ts = phrase.trim.split("\\s+")
+      val m = ts.length
+      val cond = ts.zipWithIndex
+        .map { case (t, i) => s"tk[p+$i] = ${sqlStr(t)}" }
+        .mkString(" AND ")
+      s"""SELECT $qid::BIGINT AS query_id, doc_id,
+            length(list_filter(
+              range(1, greatest(length(tk) - $m, 0) + 2),
+              p -> $cond))::BIGINT AS n_hits
+          FROM d"""
+    }.mkString(" UNION ALL "))
+
+  private def rescoreSqlWith(phBlocks: String): String =
     s"""$bm25DocCtes,
           rs_top AS (SELECT query_id, doc_id, score,
                    row_number() OVER (PARTITION BY query_id
@@ -1316,7 +1352,6 @@ object TextQueries {
           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                   ORDER BY new_score DESC, doc_id) AS rank FROM rs_j)
           WHERE rank <= $RescoreK"""
-  }
 
   /** boosting replay: the shared scored-doc chain, the negative-term
     * demotion set off the SAME tf frame, the integer halving, the

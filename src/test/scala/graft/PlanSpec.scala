@@ -437,6 +437,7 @@ object PlanSpec {
     "text_search_bm25_persisted" -> 1, // same stats over stored postings
     "text_search_collapse" -> 1,  // same shared BM25 stats (1 row)
     "text_search_rescore" -> 1,   // same shared BM25 stats (1 row)
+    "text_search_rescore_persisted" -> 1, // same stats, stored postings
     "text_search_function_score" -> 1, // same shared BM25 stats (1 row)
     "text_search_boosting" -> 1,  // same shared BM25 stats (1 row)
     "text_search_rm3" -> 1,       // same stats (the base chain's copy
@@ -528,7 +529,10 @@ object PlanSpec {
     "text_search_bm25" -> 1, "text_search_bm25_persisted" -> 1,
     "text_search_boosting" -> 1, "text_search_collapse" -> 1,
     "text_search_function_score" -> 1, "text_search_prefix" -> 1,
-    "text_search_rescore" -> 1, "text_search_rm3" -> 1,
+    "text_search_rescore" -> 1,
+    // same crossJoin(broadcast(stats)) idiom over the stored postings
+    "text_search_rescore_persisted" -> 1,
+    "text_search_rm3" -> 1,
     "text_search_rrf" -> 1, "text_search_wildcard" -> 1,
     "text_significant_terms" -> 1)
 }

@@ -1215,4 +1215,94 @@ class TextDedupSpec extends SparkSpec {
       vocab, modelDf, 2, 0.5)(in))
     assert(viaAutoJoin == viaMap && viaAutoMap == viaMap)
   }
+
+  test("minhash store pairs ≡ batch pairs, canonical filter intact") {
+    val d = docs(
+      (1L, "p q r s t u v"), (2L, "p q r s t u v"),
+      (3L, "p q r s t u x"),               // near dup of 1/2
+      (4L, "completely other tokens list"),
+      (5L, null.asInstanceOf[String]))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-mh-pairs-store").toString + "/idx"
+    DedupOps.buildMinhashStore(d, store)
+    def rows(df: DataFrame) = df
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val fromStore = DedupOps.minhashLshPairsStore(spark, store,
+      threshold = 0.5)
+    // identical pair set AND jaccards: the stored shingle sets are the
+    // batch path's own verification payload
+    assert(rows(fromStore) ==
+      rows(DedupOps.minhashLshPairs(threshold = 0.5)(d)))
+    assert(rows(fromStore).map(r => (r._1, r._2))
+      .contains((1L, 2L))) // non-vacuous
+    // the canonical-band filter survives the store read: no distinct
+    // exchange in the optimized plan
+    assert(fromStore.queryExecution.optimizedPlan.toString()
+      .toLowerCase.indexOf("deduplicate") < 0,
+      "store pair plan must not contain a distinct exchange")
+  }
+
+  test("knnGraphIndex ≡ knnGraph under the same cell model") {
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.1f)), (1L, Array(0.9f, 0.0f)),
+      (2L, Array(0.1f, 1.0f)), (3L, Array(0.0f, 0.9f)),
+      (4L, Array(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-knn-idx").toString + "/idx"
+    SimilarityOps.buildIndex(corpus,
+      cents.select($"cell".as("cent_id"), $"centroid".as("cent_emb")),
+      dir)
+    def rows(df: DataFrame) = df
+      .select($"vec_id", $"neighbor_id", $"rank",
+        $"cos".cast("string")) // IEEE-exact compare via repr
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    val idx = rows(SimilarityOps.knnGraphIndex(spark, dir, k = 2))
+    val mem = rows(SimilarityOps.knnGraph(cents, k = 2)(corpus))
+    assert(idx == mem && idx.nonEmpty,
+      s"index-served graph drifted: $idx vs $mem")
+    // deletes are graph-invisible on BOTH join sides the moment the
+    // tombstone lands
+    SimilarityOps.deleteFromIndex(spark, dir, Seq(4L))
+    val afterDel = rows(SimilarityOps.knnGraphIndex(spark, dir, k = 2))
+    assert(afterDel ==
+      rows(SimilarityOps.knnGraph(cents, k = 2)(
+        corpus.filter($"vec_id" =!= 4L))))
+  }
+
+  test("persisted rescore ≡ scan rescore on collision-free fixtures") {
+    import graft.operators.CorpusOps
+    val d = docs(
+      (1L, "spark join spark join fast"),  // 2 phrase hits, both terms
+      (2L, "join spark fast"),             // terms present, no phrase
+      (3L, "spark fast engine"),
+      (4L, "join only here"),
+      (5L, null.asInstanceOf[String]))
+    val bm25Dir = java.nio.file.Files
+      .createTempDirectory("graft-rsc-bm25").toString + "/idx"
+    val posDir = java.nio.file.Files
+      .createTempDirectory("graft-rsc-pos").toString + "/idx"
+    CorpusOps.buildBm25Index(d, bm25Dir)
+    CorpusOps.buildPositionalIndex(d, posDir)
+    val qts = Seq(0L -> "spark", 0L -> "join")
+    val phs = Seq(0L -> "spark join")
+    def rows(df: DataFrame) = df
+      .select($"query_id", $"doc_id", $"score", $"n_phrase_hits",
+        $"new_score", $"rank", $"rank0")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._6)).toSeq
+    val idx = rows(CorpusOps.bm25RescoreIndex(spark, bm25Dir, posDir,
+      qts, phs, window = 4, k = 3, boost = 1000L))
+    val scan = rows(CorpusOps.bm25Rescore(qts, phs,
+      window = 4, k = 3, boost = 1000L)(d))
+    assert(idx == scan && idx.nonEmpty,
+      s"persisted rescore drifted: $idx vs $scan")
+    // the phrase boost genuinely reorders: doc 1 (2 phrase hits) must
+    // outrank its primary position's neighbors at rank 1
+    assert(idx.head._2 == 1L && idx.head._4 == 2L)
+  }
 }
