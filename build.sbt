@@ -36,4 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] shuffles JSON-heavy frames; 8g thrashes GC and makes bench
   // numbers noisy — the box has 128g
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // pre-size the heap: a fresh JVM growing from the default -Xms pays
+  // GC-adaptation tax exactly on shuffle-heavy queries (measured on the
+  // 100x replica: dedup_minhash_lsh steady state 101.7 s default vs
+  // 26.8 s pre-sized, back-to-back same host window) — the long-lived
+  // probe JVM had expanded long ago, so clean-JVM rechecks read 2-4x
+  // slow on shuffle-heavy operators and mis-adjudicated throttle
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -336,7 +336,19 @@ object ScaleProbe {
           Seq(a, raw(i + 1))
         case (a, _) if a.startsWith("--add-opens=") => Seq(a)
       }.flatten
-      val mem = raw.filter(_.startsWith("-Xmx"))
+      // carry BOTH heap bounds; if the parent has no -Xms, synthesize
+      // one equal to -Xmx — a fork growing from the default initial
+      // heap pays a GC-adaptation tax precisely on the shuffle-heavy
+      // queries the recheck targets (measured: minhash 100x steady
+      // state 101.7 s growing vs 26.8 s pre-sized, same window), which
+      // is the r13/r14 fork-slower-than-in-probe pattern
+      val mem0 = raw.filter(a =>
+        a.startsWith("-Xmx") || a.startsWith("-Xms"))
+      val mem =
+        if (mem0.exists(_.startsWith("-Xms"))) mem0
+        else mem0 ++ mem0.collectFirst {
+          case a if a.startsWith("-Xmx") => "-Xms" + a.stripPrefix("-Xmx")
+        }
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"), "java").getPath
       val cmd = Seq(javaBin) ++ opens ++ mem ++ Seq(

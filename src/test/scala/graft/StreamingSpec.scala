@@ -1025,6 +1025,44 @@ class StreamingSpec extends SparkSpec {
     assert(live == batch && live.map(_._2).contains(3L))
   }
 
+  test("streaming document ingest: foreachBatch appends to the positional index") {
+    import graft.operators.CorpusOps
+    // the live view of the phrase-search index: positional posting rows
+    // are pure per-(doc, term) facts, so streamed append ≡ batch build
+    // (same contract as the BM25 dual above); a phrase query sees each
+    // micro-batch's docs the moment its append lands
+    val base = Seq(1L -> "table hash table hash scan")
+    val streamed = Seq(2L -> "slow hash batch now",
+      3L -> "table hash only here")
+    val dir = Files.createTempDirectory("graft-pos-live").toString + "/idx"
+    CorpusOps.buildPositionalIndex(base.toDF("doc_id", "text"), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val cp = Files.createTempDirectory("graft-pos-live-cp").toString
+    val writer = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CorpusOps.appendToPositionalIndex(batch, dir)
+      }
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      stream.addData(streamed.take(1))
+      writer.processAllAvailable()
+      stream.addData(streamed.drop(1))
+      writer.processAllAvailable()
+    } finally writer.stop()
+    val qs = Seq(0L -> "table hash", 1L -> "slow hash batch")
+    val live = CorpusOps.phraseSearchIndex(spark, dir, qs)
+      .as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val batch = CorpusOps.phraseSearch(qs)(
+      (base ++ streamed).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(live == batch && live.contains((0L, 3L, 1L)) &&
+      live.contains((1L, 2L, 1L)))
+  }
+
   test("streaming percolate: stored bool queries alert on arriving docs") {
     import graft.operators.CorpusOps
     import graft.operators.CorpusOps.BoolQuery
