@@ -200,14 +200,14 @@ object DedupOps {
     * at the joined row to decide first-agreeing-band ownership.
     */
   private def mhKeyArrays(sets: DataFrame, bands: Int,
-      rows: Int): DataFrame = {
+      rows: Int, keep: Seq[String] = Nil): DataFrame = {
     val sig = sets.withColumn("sig",
       graft.functions.TextExprs.minhashSig(col("shingles"), bands * rows))
-    materialize(sig.select(col("doc_id"),
+    materialize(sig.select(col("doc_id") +: keep.map(col) :+
       array((0 until bands).map(b =>
         h15(concat_ws("_",
           slice(col("sig"), b * rows + 1, rows).cast("array<string>")))): _*)
-        .as("band_keys")))
+        .as("band_keys"): _*))
   }
 
   /** (doc_id, band, band_key) rows from a shingle-set frame — the LSH
@@ -256,15 +256,28 @@ object DedupOps {
     */
   def winnowingPairs(k: Int = 5, w: Int = 4, threshold: Double = 0.5,
       maxDf: Int = 50)(df: DataFrame): DataFrame = {
-    // STAGE the hash array into its own projection: `__hs` is
-    // referenced by three consumers below, and expressions inside a
-    // higher-order-function lambda do not participate in codegen
-    // subexpression elimination — inlining shingleHashes there
-    // re-evaluates every md5 once per WINDOW element, O(n²) hashes per
-    // doc (measured 25 s vs 0.5 s at sf0.1). The separate select keeps
-    // it one evaluation per row: CollapseProject never merges a
-    // non-cheap expression referenced more than once.
-    val base = materialize(df.filter(col("text").isNotNull)
+    val base = winnowBase(df, k, w)
+    winnowingPairsFrom(
+      materialize(base.select(col("doc_id"), explode(col("fps")).as("fp"))),
+      base.select(col("doc_id"), col("shingles")), threshold, maxDf)
+  }
+
+  /** Per-doc winnowing fingerprint state — the ingest pass of the
+    * winnowing family and the persisted store's row layout: distinct
+    * sorted k-shingle hashes (the exact-Jaccard verification payload)
+    * and distinct `w`-window minima (the MOSS/SWA candidate sketch).
+    *
+    * STAGE the hash array into its own projection: `__hs` is
+    * referenced by three consumers below, and expressions inside a
+    * higher-order-function lambda do not participate in codegen
+    * subexpression elimination — inlining shingleHashes there
+    * re-evaluates every md5 once per WINDOW element, O(n²) hashes per
+    * doc (measured 25 s vs 0.5 s at sf0.1). The separate select keeps
+    * it one evaluation per row: CollapseProject never merges a
+    * non-cheap expression referenced more than once.
+    */
+  private def winnowBase(df: DataFrame, k: Int, w: Int): DataFrame =
+    materialize(df.filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextOps.shingleHashes(tokens(col("text")), k).as("__hs"))
       .select(col("doc_id"),
@@ -274,8 +287,13 @@ object DedupOps {
           sequence(lit(0), greatest(size(col("__hs")) - w, lit(0))),
           i => array_min(slice(col("__hs"), i + 1, lit(w)))))
           .as("fps")))
-    val fp = materialize(
-      base.select(col("doc_id"), explode(col("fps")).as("fp")))
+
+  /** Candidate + verify tail shared by the scan and store paths: the
+    * df-capped fingerprint equi-join (the MOSS production rule — see
+    * [[winnowingPairs]]) then exact Jaccard over the shingle sets.
+    */
+  private def winnowingPairsFrom(fp: DataFrame, sets: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame = {
     val rare = fp.groupBy(col("fp"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
@@ -285,8 +303,93 @@ object DedupOps {
       .join(keyed.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    mhVerify(cand, base.select(col("doc_id"), col("shingles")),
-      base.select(col("doc_id"), col("shingles")), threshold)
+    mhVerify(cand, sets, sets, threshold)
+  }
+
+  /** Persist the winnowing fingerprint store — the [[buildMinhashStore]]
+    * idiom for the winnowing family: the per-doc sketch ([[winnowBase]])
+    * is computed ONCE at ingest; sets (verification payload) and the
+    * exploded fingerprint postings (candidate key) land behind one
+    * manifest pointer with the build params (k, w). The df cap is NOT
+    * baked in: document frequency is a corpus-time statistic, so the
+    * store stays valid as it grows and `maxDf` remains a query knob.
+    * `dedup_winnowing` re-fingerprinted the whole corpus every run —
+    * 0.31 s/copy at 100×, all of it this ingest pass.
+    */
+  def buildWinnowingStore(docs: DataFrame, dir: String, k: Int = 5,
+      w: Int = 4): Unit =
+    graft.sources.IndexManifest.publish(docs.sparkSession, dir) { vdir =>
+      writeWinnowingParams(docs.sparkSession, vdir, k, w)
+      val base = winnowBase(docs, k, w)
+      base.select(col("doc_id"), col("shingles"))
+        .write.mode("overwrite").parquet(s"$vdir/sets")
+      base.select(col("doc_id"), explode(col("fps")).as("fp"))
+        .write.mode("overwrite").parquet(s"$vdir/fps")
+    }
+
+  private def writeWinnowingParams(
+      spark: org.apache.spark.sql.SparkSession,
+      vdir: String, k: Int, w: Int): Unit = {
+    import spark.implicits._
+    Seq((k, w)).toDF("k", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+  }
+
+  /** The store's persisted build parameters (k, w). */
+  def winnowingStoreParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    val r = spark.read.parquet(
+      s"${graft.sources.IndexManifest.resolve(spark, dir)}/params").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Append a batch atomically (both tables in one delta version —
+    * the [[appendToMinhashStore]] contract), through the STORED
+    * params. O(batch) per append; history never re-fingerprinted.
+    */
+  def appendToWinnowingStore(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (k, w) = winnowingStoreParams(spark, dir)
+    graft.sources.IndexManifest.publishDelta(spark, dir) { vdir =>
+      writeWinnowingParams(spark, vdir, k, w)
+      val base = winnowBase(newDocs, k, w)
+      base.select(col("doc_id"), col("shingles"))
+        .write.mode("overwrite").parquet(s"$vdir/sets")
+      base.select(col("doc_id"), explode(col("fps")).as("fp"))
+        .write.mode("overwrite").parquet(s"$vdir/fps")
+    }
+  }
+
+  /** Full-corpus [[winnowingPairs]] served from a persisted store:
+    * identical pair set by construction (same fingerprints, same df
+    * cap applied at query time over the live chain, same exact-Jaccard
+    * verify from the stored sets) — text never re-read, re-tokenized,
+    * re-hashed, or re-windowed.
+    */
+  def winnowingPairsStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double = 0.5, maxDf: Int = 50): DataFrame =
+    winnowingPairsFrom(
+      materialize(storeTable(spark, dir, "fps")),
+      materialize(storeTable(spark, dir, "sets")), threshold, maxDf)
+
+  /** Small-files maintenance after repeated appends — the
+    * [[compactMinhashStore]] discipline: each table rewritten
+    * clustered on its probe key (sets by doc_id, fps by fp) into one
+    * full version behind one pointer swap.
+    */
+  def compactWinnowingStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val im = graft.sources.IndexManifest
+    val chain = im.resolveChain(spark, dir)
+    val (k, w) = winnowingStoreParams(spark, dir)
+    im.publish(spark, dir) { vdir =>
+      writeWinnowingParams(spark, vdir, k, w)
+      rewriteClustered(spark, chain.map(v => s"$v/sets"),
+        s"$vdir/sets", Seq("doc_id"))
+      rewriteClustered(spark, chain.map(v => s"$v/fps"),
+        s"$vdir/fps", Seq("fp"))
+    }
+    im.prune(spark, dir, keep = 2)
   }
 
   def minhashLshPairs(k: Int = 2, bands: Int = 8, rows: Int = 2,
@@ -339,16 +442,39 @@ object DedupOps {
     * LSH candidate key) and hashed shingle sets (the verification
     * payload) are written ONCE; history is never re-shingled. Store
     * size is O(corpus) longs — a constant factor of the text bytes, not
-    * a driver-side model.
+    * a driver-side model. The build parameters (k, bands, rows) are
+    * persisted beside the tables and every later consumer — appends,
+    * incremental probes, the full pair miner — reads them back instead
+    * of taking its own: a store built with non-default geometry can
+    * never be silently probed with mismatched band keys.
     */
   def buildMinhashStore(docs: DataFrame, dir: String, k: Int = 2,
       bands: Int = 8, rows: Int = 2): Unit =
     graft.sources.IndexManifest.publish(docs.sparkSession, dir) { vdir =>
+      writeMinhashParams(docs.sparkSession, vdir, k, bands, rows)
       val sets = mhSets(docs, k)
       sets.write.mode("overwrite").parquet(s"$vdir/sets")
       mhBands(sets, bands, rows).write.mode("overwrite")
         .parquet(s"$vdir/bands")
     }
+
+  /** One-row (k, bands, rows) table, written into EVERY version dir
+    * (base, delta, compaction) so the newest version always answers.
+    */
+  private def writeMinhashParams(spark: org.apache.spark.sql.SparkSession,
+      vdir: String, k: Int, bands: Int, rows: Int): Unit = {
+    import spark.implicits._
+    Seq((k, bands, rows)).toDF("k", "bands", "rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
+  }
+
+  /** The store's persisted build parameters (k, bands, rows). */
+  def minhashStoreParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(
+      s"${graft.sources.IndexManifest.resolve(spark, dir)}/params").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
 
   /** Append a batch's fingerprints to an existing store (the ingest
     * epilogue after [[incrementalNearDupPairs]] has flagged it) —
@@ -359,20 +485,22 @@ object DedupOps {
     * the pre-r11 in-place two-table append's window), and re-appending
     * the batch converges to exactly-once rows. O(batch) per append.
     */
-  def appendToMinhashStore(newDocs: DataFrame, dir: String, k: Int = 2,
-      bands: Int = 8, rows: Int = 2): Unit =
-    graft.sources.IndexManifest.publishDelta(
-      newDocs.sparkSession, dir) { vdir =>
+  def appendToMinhashStore(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val (k, bands, rows) = minhashStoreParams(spark, dir)
+    graft.sources.IndexManifest.publishDelta(spark, dir) { vdir =>
+      writeMinhashParams(spark, vdir, k, bands, rows)
       val sets = mhSets(newDocs, k)
       sets.write.mode("overwrite").parquet(s"$vdir/sets")
       mhBands(sets, bands, rows).write.mode("overwrite")
         .parquet(s"$vdir/bands")
     }
+  }
 
   /** One store table as a single multi-path scan over the live delta
     * chain (base + every published append).
     */
-  private def minhashTable(spark: org.apache.spark.sql.SparkSession,
+  private def storeTable(spark: org.apache.spark.sql.SparkSession,
       dir: String, table: String): DataFrame =
     spark.read.parquet(graft.sources.IndexManifest
       .resolveChain(spark, dir).map(v => s"$v/$table"): _*)
@@ -392,7 +520,9 @@ object DedupOps {
     // the whole live chain (base + deltas) folds into ONE full version
     // behind ONE atomic pointer swap; prune then retires the dead chain
     val chain = im.resolveChain(spark, dir)
+    val (k, bands, rows) = minhashStoreParams(spark, dir)
     im.publish(spark, dir) { vdir =>
+      writeMinhashParams(spark, vdir, k, bands, rows)
       rewriteClustered(spark, chain.map(v => s"$v/sets"),
         s"$vdir/sets", Seq("doc_id"))
       rewriteClustered(spark, chain.map(v => s"$v/bands"),
@@ -457,11 +587,12 @@ object DedupOps {
     * tiny and broadcastable by AQE. The whole-corpus quadratic re-check
     * a naive daily dedup runs is gone.
     */
-  def incrementalNearDupPairs(newDocs: DataFrame, dir: String, k: Int = 2,
-      bands: Int = 8, rows: Int = 2, threshold: Double = 0.5): DataFrame = {
+  def incrementalNearDupPairs(newDocs: DataFrame, dir: String,
+      threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val storeSets = minhashTable(spark, dir, "sets")
-    val storeBands = minhashTable(spark, dir, "bands")
+    val (k, bands, rows) = minhashStoreParams(spark, dir)
+    val storeSets = storeTable(spark, dir, "sets")
+    val storeBands = storeTable(spark, dir, "bands")
     val nsets = mhSets(newDocs, k)
     val nbands = mhBands(nsets, bands, rows)
     val cand = storeBands
@@ -485,13 +616,102 @@ object DedupOps {
     * as the batch path — each pair emitted from exactly one agreeing
     * band, zero distinct exchange — so the pair set is identical to
     * [[minhashLshPairs]] over the same documents by construction.
+    * Band geometry comes from the store's persisted params, never from
+    * the caller — a store built with non-default bands/rows can't be
+    * silently mined with a different candidate set than its
+    * incremental consumers probe.
     */
   def minhashLshPairsStore(spark: org.apache.spark.sql.SparkSession,
-      dir: String, bands: Int = 8, rows: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
-    val sets = materialize(minhashTable(spark, dir, "sets"))
+      dir: String, threshold: Double = 0.5): DataFrame = {
+    val (_, bands, rows) = minhashStoreParams(spark, dir)
+    val sets = materialize(storeTable(spark, dir, "sets"))
     val cand = minhashCandidates(mhKeyArrays(sets, bands, rows), bands)
     mhVerify(cand, sets, sets, threshold)
+  }
+
+  // --------------------------------------------------- dedup as a FILTER
+
+  /** Near-dup membership test for an EXPLICIT pair list — dedup as a
+    * filter, the shape a consumer with its own candidate set (a k-NN
+    * edge list, a retrieval result, a labeling queue) actually needs:
+    * whether (pa, pb) ∈ [[minhashLshPairs]] depends only on the TWO
+    * documents' fingerprints — their band-key arrays agree at ≥ 1
+    * position (the LSH candidate condition, positional) AND exact
+    * Jaccard of their shingle sets ≥ `threshold` — so testing E pairs
+    * is two doc-keyed equi-joins plus a per-row kernel: O(E + corpus
+    * scan), never the corpus-wide band self-join that mines ALL pairs
+    * (the r14 100× probe priced that at ~0.2 s/copy per consumer).
+    * Pairs whose endpoints are absent from `docs` are non-members.
+    * Adds boolean `flag` to `pairs` (columns `pa`, `pb`).
+    */
+  def minhashPairFlags(pairs: DataFrame, docs: DataFrame, k: Int = 2,
+      bands: Int = 8, rows: Int = 2, threshold: Double = 0.5,
+      flag: String = "is_textdup"): DataFrame =
+    minhashPairFlagsFromSets(pairs, mhSets(docs, k), bands, rows,
+      threshold, flag)
+
+  /** [[minhashPairFlags]] served from a persisted [[buildMinhashStore]]
+    * directory — the standing-pipeline shape: stored sorted shingle
+    * sets are signature input AND verification payload (text never
+    * re-read or re-shingled), band geometry comes from the store's
+    * persisted params.
+    */
+  def minhashPairFlagsStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, pairs: DataFrame, threshold: Double = 0.5,
+      flag: String = "is_textdup"): DataFrame = {
+    val (_, bands, rows) = minhashStoreParams(spark, dir)
+    minhashPairFlagsFromSets(pairs,
+      materialize(storeTable(spark, dir, "sets")), bands, rows,
+      threshold, flag)
+  }
+
+  private def minhashPairFlagsFromSets(pairs: DataFrame, sets: DataFrame,
+      bands: Int, rows: Int, threshold: Double,
+      flag: String): DataFrame = {
+    val fp = mhKeyArrays(sets, bands, rows, keep = Seq("shingles"))
+    // bands is small: an unrolled OR chain stays in whole-stage codegen
+    // (the minhashCandidates discipline)
+    val bandHit = (0 until bands).map(j =>
+      element_at(col("__ka"), j + 1) === element_at(col("__kb"), j + 1))
+      .reduce(_ || _)
+    pairs
+      .join(fp.select(col("doc_id").as("pa"), col("band_keys").as("__ka"),
+        col("shingles").as("__sa")), Seq("pa"), "left_outer")
+      .join(fp.select(col("doc_id").as("pb"), col("band_keys").as("__kb"),
+        col("shingles").as("__sb")), Seq("pb"), "left_outer")
+      .withColumn("__inter", graft.functions.TextExprs.intersectCountSorted(
+        col("__sa"), col("__sb")))
+      // same jaccard expression as mhVerify — bit-identical decisions
+      .withColumn(flag, coalesce(bandHit &&
+        (col("__inter").cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - col("__inter"))
+            .cast("double")) >= threshold, lit(false)))
+      .drop("__ka", "__kb", "__sa", "__sb", "__inter")
+  }
+
+  /** [[embeddingNearDupPairs]] membership test for an explicit pair
+    * list that already carries the pair's exact cosine in `cos` (a
+    * k-NN edge list does): member ⟺ same SRP bucket ∧ cos ≥
+    * `threshold`. One bucket map over the vectors (n rows), two
+    * id-keyed joins — O(E), no bucket self-join. The sub-bucket
+    * guardrail condition is deliberately NOT replayed: this is the
+    * semantic ideal the guardrail approximates, so where splitting
+    * engages the flag is a SUPERSET of the mined pair set (it loses
+    * nothing). Adds boolean `flag` to `pairs` (columns `pa`, `pb`).
+    */
+  def embeddingPairFlags(pairs: DataFrame, vecs: DataFrame,
+      threshold: Double, planes: Int, dim: Int = 64,
+      flag: String = "is_embdup"): DataFrame = {
+    val b = materialize(vecs.select(col("vec_id"),
+      SimilarityOps.srpBucket(col("embedding"), planes, dim).as("__srp")))
+    pairs
+      .join(b.select(col("vec_id").as("pa"), col("__srp").as("__srp_a")),
+        Seq("pa"), "left_outer")
+      .join(b.select(col("vec_id").as("pb"), col("__srp").as("__srp_b")),
+        Seq("pb"), "left_outer")
+      .withColumn(flag, coalesce(col("__srp_a") === col("__srp_b") &&
+        col("cos") >= threshold, lit(false)))
+      .drop("__srp_a", "__srp_b")
   }
 
   // --------------------------------------------------------------- SimHash
@@ -794,7 +1014,8 @@ object DedupOps {
     // measured 1.56x-per-decade growth at fixed planes). The same
     // sub-bucket guardrail bounds the worst case at N*cap; inert below
     // the cap, so verify-scale results and oracles are untouched.
-    val withBucket = SimilarityOps.bucketizeCells(bucketCap, "bucket")(
+    val withBucket = SimilarityOps.bucketizeCells(bucketCap, "bucket",
+      dim = dim)(
       df.select(col("vec_id"), col("embedding"), col("nrm"),
         SimilarityOps.srpBucket(col("embedding"), planes, dim)
           .as("bucket")))

@@ -923,7 +923,7 @@ object SimilarityOps {
     * proportionally higher candidate volume.
     */
   def knnGraph(centroids: DataFrame, k: Int,
-      cellCap: Long = CellPairCap)(corpus: DataFrame): DataFrame =
+      cellCap: Long = KnnCellTarget)(corpus: DataFrame): DataFrame =
     knnFromAssigned(k, cellCap)(assignCells(centroids)(corpus))
 
   /** [[knnGraph]] served from a persisted [[buildIndex]] directory: the
@@ -938,7 +938,7 @@ object SimilarityOps {
     * moment they land.
     */
   def knnGraphIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int, cellCap: Long = CellPairCap): DataFrame =
+      dir: String, k: Int, cellCap: Long = KnnCellTarget): DataFrame =
     knnFromAssigned(k, cellCap)(readIndex(spark, dir))
 
   /** The stored-index scan shared by index-served graph consumers:
@@ -983,36 +983,75 @@ object SimilarityOps {
     * (k ≈ N / target cell size), but a misconfigured model must
     * degrade, not detonate — the 100× scale probe ran the fixed
     * 8-cell verify model against a 100× corpus and the pair join went
-    * to ~31 B rows (hours). Cells above `cap` members hash-split into
-    * `ceil(|cell|/cap)` sub-buckets and candidates stay within a
-    * (cell, bucket): pair volume is bounded by N·cap with a recall
-    * trade that kicks in exactly when the model is under-provisioned
-    * (the standard salting discipline). The trade is MEASURED, not
-    * promised: a pair survives iff both ends hash to the same
-    * sub-bucket (probability 1/nb under a uniform hash); the
-    * forced-engage test (ScaleProbeSpec) measures recall 0.174 for
-    * cells split ~4 ways (0.132 on the SRP-bucket path), pins a 0.10
-    * floor, and pins that capping only LOSES pairs, never invents
-    * them. INERT below the cap — every
-    * verify-scale corpus keeps bucket count 1 (sf0.1 max cell = 277
-    * vs cap 2048; ScaleProbeSpec pins the precondition), so query
-    * results and oracles are untouched.
+    * to ~31 B rows (hours). Cells above `cap` members split into
+    * sub-buckets and candidates stay within a (cell, bucket): pair
+    * volume is bounded by N·cap. Since r15 the split is LOCALITY-AWARE
+    * — the sub-bucket is an SRP prefix (log₂ nb extra hyperplane signs
+    * from a dedicated plane family), so the cell count effectively
+    * SCALES with the corpus (the r14 verdict's k ≈ N/target contract,
+    * met by hierarchy instead of a flat O(N·k) re-assignment): a pair
+    * survives iff it agrees on the extra planes — probability
+    * (1 − θ/π)^log₂nb, HIGH exactly for the similar pairs these
+    * operators exist to find, vs the uniform 1/nb of the old
+    * hash(vec_id) split which discarded near-twins and strangers
+    * alike. The trade is MEASURED, not promised: the forced-engage
+    * test (ScaleProbeSpec) pins a recall floor and that capping only
+    * LOSES pairs, never invents them. INERT below the cap — every
+    * verify-scale corpus keeps bucket count 1 (sf0.1 max trained cell
+    * = 277; ScaleProbeSpec pins the precondition), so query results
+    * and oracles are untouched.
     */
   val CellPairCap = 2048L
 
-  private[graft] def bucketizeCells(cap: Long, keyCol: String = "cell")(
+  /** Within-cell size target for the k-NN GRAPH family (knnGraph /
+    * knnGraphIndex): a k=3 graph gains little from 2048-member
+    * candidate blocks, and the graph build is the substrate of ~12
+    * registered analytics — at 100× it was the whole family's floor
+    * (~0.2 s/copy each). Tighter than [[CellPairCap]] but still inert
+    * at every verify scale (max sf0.1 trained cell 277, 2× margin
+    * pinned by ScaleProbeSpec).
+    */
+  val KnnCellTarget = 1024L
+
+  /** Sub-bucket planes draw from a dedicated region of the SRP plane
+    * family, ABOVE any caller-facing bucket geometry (callers use
+    * planes 0..8): splitting an `srpBucket(…, planes=p)` bucket by its
+    * own low planes would be a no-op (they are constant within the
+    * bucket).
+    */
+  private val SubPlaneOffset = 16
+  private val SubPlanesMax = 12 // ≤ 4096 sub-buckets per cell
+
+  private[graft] def bucketizeCells(cap: Long, keyCol: String = "cell",
+      embCol: String = "embedding", dim: Int = 64)(
       assigned: DataFrame): DataFrame = {
     // the assignment kernel feeds BOTH the size aggregate and the join;
     // without materializing it once, every caller pays a second full
     // assignCells/srpBucket pass even in the (usual) inert below-cap case
     val a = DedupOps.materialize(assigned)
+    val nbRaw = greatest(lit(1L), ceil(col("__csz").cast("double") /
+      cap.toDouble).cast("long"))
+    // smallest power of two ≥ nbRaw (exact integer when-chain — a
+    // double log2 could round 2^k to either side of an integer),
+    // capped at 2^SubPlanesMax: a pow-2 count makes pmod a plane-
+    // prefix mask, i.e. a true SRP bucket of log2(nb) extra planes
+    val nbPow2 = (SubPlanesMax - 1 to 0 by -1)
+      .foldLeft(lit(1L << SubPlanesMax): Column)((acc, i) =>
+        when(nbRaw <= (1L << i), lit(1L << i)).otherwise(acc))
     val sizes = a.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__csz"))
-      .select(col(keyCol),
-        greatest(lit(1L), ceil(col("__csz").cast("double") /
-          cap.toDouble).cast("long")).as("__nb"))
+      .select(col(keyCol), nbPow2.as("__nb"))
+    // the sub-plane signature evaluates only where a split engages
+    // (inert scans never pay the extra dot products)
+    val subSig = (0 until SubPlanesMax).map { p =>
+      val d = DedupOps.dot(col(embCol),
+        typedlit(planeVector(SubPlaneOffset + p, dim)))
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
     a.join(broadcast(sizes), Seq(keyCol))
-      .withColumn("__bkt", pmod(hash(col("vec_id")), col("__nb")))
+      .withColumn("__bkt",
+        when(col("__nb") > 1L, pmod(subSig, col("__nb")))
+          .otherwise(lit(0L)))
       .drop("__nb")
   }
 
@@ -1181,17 +1220,24 @@ object SimilarityOps {
     *    on non-negatives).
     *
     * Scale shape: the quantized (vec_id, dim, c) frame materializes
-    * once; per round, t is one dim-broadcast join + vec_id aggregate
-    * and w is one vec_id equi-join + dim aggregate (the honest
-    * distributed C·v / Cᵀ·t pair — the corpus shuffles on its own key,
-    * never ×k); the renormalizers are 1-row partial→final aggregates
-    * (allowlisted). Frames t/w checkpoint per round — each is consumed
-    * by its max AND the next stage (the BPE/winnowing re-evaluation
-    * lesson).
+    * once; per round, t = C·v is one map + vec_id aggregate (v is a
+    * dim-sized LITERAL array — no join at all) and w = Cᵀ·t is one
+    * vec_id equi-join + dim aggregate (the honest distributed pair —
+    * the corpus shuffles on its own key, never ×k). The direction
+    * vector and both renormalizers are MODEL STATE (dim decimals + one
+    * scalar each): round r14 measured 7.3 s of the query's 7.4 s as
+    * fixed job-count overhead — ~3 driver-coordinated broadcast/agg
+    * actions per round — so the per-round scalars now come back to the
+    * driver as exact java.math.BigDecimal (the max collect doubles as
+    * t's materialization pass; w's own collect IS the dim-sized model
+    * read) and re-enter the next round as decimal literals: two jobs
+    * per round, zero broadcast exchanges, bit-identical arithmetic
+    * (decimal(38,0) multiply/div on the same values, driver max and
+    * divideToIntegralValue are the same exact integer ops).
     */
   def pcaPower(embs: DataFrame, iters: Int, qScale: Long,
       vScale: Long): DataFrame = {
-    val dec = "cast(1 as decimal(38,0))"
+    val spark = embs.sparkSession
     val qrows = DedupOps.materialize(embs
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast("long").as("dim"),
@@ -1200,30 +1246,75 @@ object SimilarityOps {
     val n = embs.count() // 1-value driver action (the pageRank n)
     val sums = DedupOps.materialize(
       qrows.groupBy(col("dim")).agg(sum(col("q")).as("s")))
+    val dimCount = embs.select(size(col("embedding"))).limit(1)
+      .collect().headOption.map(_.getInt(0).toLong).getOrElse(0L)
+    // c is hash-partitioned on vec_id ONCE before the checkpoint (the
+    // LogicalRDD keeps the partitioning): every round's C·v groupBy and
+    // Cᵀ·t join then run exchange-free on the cached layout — 6 rounds
+    // re-shuffled the same frame 12 times before this. Partition count
+    // is sized to the data (~32k rows per task, capped at the session's
+    // shuffle parallelism): 12 fixed-overhead jobs × 32 near-empty
+    // tasks was most of the query's wall time at verify scale, while at
+    // 100× the cap keeps full parallelism. Results are partitioning-
+    // independent (exact decimal arithmetic throughout).
+    val nParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      n * dimCount / 32768L + 1L)).toInt
     val c = DedupOps.materialize(qrows
       .join(broadcast(sums), Seq("dim"))
       .select(col("vec_id"), col("dim"),
-        (lit(n) * col("q") - col("s")).as("c")))
-    var v = sums.select(col("dim"), lit(vScale).as("v"))
-    for (_ <- 1 to iters) {
-      val t = DedupOps.materialize(c.join(broadcast(v), Seq("dim"))
-        .groupBy(col("vec_id"))
-        .agg(sum(col("c").cast("decimal(38,0)") * col("v")).as("t")))
-      val mt = t.agg(max(abs(col("t"))).as("m"))
-      val tp = t.crossJoin(broadcast(mt))
-        .select(col("vec_id"),
-          (when(col("t") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr(s"(abs(t) * $vScale) div greatest(m, $dec)")).as("tp"))
-      val w = DedupOps.materialize(c.join(tp, Seq("vec_id"))
-        .groupBy(col("dim"))
-        .agg(sum(col("c").cast("decimal(38,0)") * col("tp")).as("w")))
-      val mw = w.agg(max(abs(col("w"))).as("m"))
-      v = w.crossJoin(broadcast(mw))
-        .select(col("dim"),
-          (when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
-            expr(s"(abs(w) * $vScale) div greatest(m, $dec)")).as("v"))
+        (lit(n) * col("q") - col("s")).as("c"))
+      .repartition(nParts, col("vec_id")))
+    val dims: Seq[Long] = sums.select(col("dim")).orderBy(col("dim"))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    import java.math.BigDecimal
+    // fixed-point renormalize: sign * ((|x|*vScale) div max(m, 1)) —
+    // divideToIntegralValue on non-negatives ≡ both engines' integer
+    // div, and the engine `div` yields BIGINT, so v stays Long (bounded
+    // by ±vScale by construction — longValueExact is a proof, not a hope)
+    def renorm(x: BigDecimal, m: BigDecimal): Long = {
+      val mm = if (m.signum > 0) m else BigDecimal.ONE
+      val r = x.abs.multiply(BigDecimal.valueOf(vScale))
+        .divideToIntegralValue(mm).longValueExact
+      if (x.signum < 0) -r else r
     }
-    sums.join(v, Seq("dim"))
+    // v as a dim-indexed literal LONG array (dims are contiguous
+    // 0..d-1 from posexplode; element_at is 1-based) — same
+    // decimal(38,0) × bigint multiply the broadcast-join plan ran
+    def vArray(v: Map[Long, Long]): Column =
+      array(dims.map(d => lit(v(d))): _*)
+    var v: Map[Long, Long] = dims.map(_ -> vScale).toMap
+    for (_ <- 1 to iters) {
+      // no checkpoint on t: from the co-partitioned cached c it is one
+      // narrow map + exchange-free in-partition aggregate, so the w job
+      // recomputes it cheaper than a persist round-trip costs
+      val t = c
+        .select(col("vec_id"), (col("c").cast("decimal(38,0)") *
+          element_at(vArray(v), (col("dim") + 1).cast("int"))).as("ct"))
+        .groupBy(col("vec_id")).agg(sum(col("ct")).as("t"))
+      // job 1: t materializes under its own max — one scalar back
+      val mt = Option(t.agg(max(abs(col("t")))).head().getDecimal(0))
+        .getOrElse(BigDecimal.ZERO)
+      val tp = t.select(col("vec_id"),
+        (when(col("t") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr(s"(abs(t) * $vScale) div greatest(" +
+            s"cast('$mt' as decimal(38,0)), cast(1 as decimal(38,0)))"))
+          .as("tp"))
+      // job 2: w = Cᵀ·t collapses to dim rows — the dim-sized model read
+      val wRows = c.join(tp, Seq("vec_id"))
+        .groupBy(col("dim"))
+        .agg(sum(col("c").cast("decimal(38,0)") * col("tp")).as("w"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      val mw = wRows.values.foldLeft(BigDecimal.ZERO)((a, x) =>
+        a.max(x.abs))
+      // empty cells keep nothing here — every dim present in c has a w
+      v = dims.map(d => d ->
+        renorm(wRows.getOrElse(d, BigDecimal.ZERO), mw)).toMap
+    }
+    import spark.implicits._
+    val vDf = dims.map(d => (d, v(d))).toDF("dim", "v")
+    sums.join(broadcast(vDf), Seq("dim"))
       .select(col("dim"), col("s").as("sum_q"), col("v").as("v_fp"))
   }
 }

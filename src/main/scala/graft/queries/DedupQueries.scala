@@ -111,8 +111,8 @@ object DedupQueries {
 
   private def builtMinhashStore(s: SparkSession, dir: String): String =
     mhStoreCache.getOrElseUpdate((s, dir), {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-mh-store").toString + "/store"
+      val tmp = graft.sources.TempStores
+        .tempDir("graft-mh-store") + "/store"
       DedupOps.buildMinhashStore(
         docs(s, dir).filter(col("doc_id") < IncrSplitId), tmp)
       tmp
@@ -130,9 +130,23 @@ object DedupQueries {
   private[queries] def builtFullMinhashStore(s: SparkSession,
       dir: String): String =
     fullMhStoreCache.getOrElseUpdate((s, dir), {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-mh-full-store").toString + "/store"
+      val tmp = graft.sources.TempStores
+        .tempDir("graft-mh-full-store") + "/store"
       DedupOps.buildMinhashStore(docs(s, dir), tmp)
+      tmp
+    })
+
+  /** Full-corpus winnowing fingerprint store, memoized like the
+    * minhash stores (build-once / serve-many).
+    */
+  private val winnowStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def builtWinnowingStore(s: SparkSession, dir: String): String =
+    winnowStoreCache.getOrElseUpdate((s, dir), {
+      val tmp = graft.sources.TempStores
+        .tempDir("graft-winnow-store") + "/store"
+      DedupOps.buildWinnowingStore(docs(s, dir), tmp, k = 5, w = 4)
       tmp
     })
 
@@ -166,6 +180,18 @@ object DedupQueries {
     "dedup_winnowing" -> ((s, dir) =>
       DedupOps.winnowingPairs(k = 5, w = 4, threshold = 0.5,
         maxDf = WinnowMaxDf)(docs(s, dir))),
+
+    // Winnowing served from the PERSISTED fingerprint store (the
+    // minhash-store idiom): the per-doc sketch — positional shingle
+    // hashes, window minima, the sorted distinct shingle sets — is
+    // ingest work the scan variant re-paid every run (0.31 s/copy at
+    // 100×, all of it fingerprinting); the store path reads postings
+    // and sets, applies the df cap at query time (a corpus statistic,
+    // not a build param), and is pair-identical by construction —
+    // same oracle replay verbatim.
+    "dedup_winnowing_persisted" -> ((s, dir) =>
+      DedupOps.winnowingPairsStore(s, builtWinnowingStore(s, dir),
+        threshold = 0.5, maxDf = WinnowMaxDf)),
 
     // MinHash threshold-tuning curve: verified pair / involved-doc
     // counts at 0.5 / 0.95 / 0.975 from ONE banding + verification
@@ -417,6 +443,33 @@ object DedupQueries {
         FROM g x JOIN g y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         WHERE ${cosine("x.embedding", "y.embedding")} >= 0.35"""
 
+  /** The winnowing replay, shared verbatim by the scan and
+    * persisted-store registrations (same sketch, same df cap, same
+    * exact-Jaccard tail).
+    */
+  private def winnowingSql: String =
+    s"""WITH wd AS (SELECT doc_id, $toks AS tk FROM documents
+                    WHERE text IS NOT NULL),
+        wh AS (SELECT doc_id, list_transform(
+                 range(0, greatest(length(tk) - 5, 0) + 1),
+                 i -> ${h15("array_to_string(tk[i+1:i+5], ' ')")})
+                 AS hsh
+               FROM wd),
+        ws AS (SELECT doc_id, list_distinct(hsh) AS sh,
+                 unnest(list_distinct(list_transform(
+                   range(0, greatest(length(hsh) - 4, 0) + 1),
+                   i -> list_min(hsh[i+1:i+4])))) AS fp
+               FROM wh),
+        wrare AS (SELECT fp FROM (
+                 SELECT fp, count(*) AS wdf FROM ws GROUP BY fp)
+               WHERE wdf <= $WinnowMaxDf),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                   x.sh AS sha, y.sh AS shb
+                 FROM ws x JOIN ws y
+                   ON x.fp = y.fp AND x.doc_id < y.doc_id
+                 JOIN wrare r ON r.fp = x.fp)
+        $mhJaccardSelect"""
+
   private[queries] def minhashPairsSql: String =
     s"""WITH $minhashBandCtes,
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
@@ -515,29 +568,11 @@ object DedupQueries {
           $mhJaccardSelect""",
     // winnowing replay: positional 5-shingle hashes → distinct
     // 4-window minima → fingerprint equi-join → the shared exact-
-    // Jaccard tail (sha/shb = the same distinct shingle-hash sets)
-    "dedup_winnowing" ->
-      s"""WITH wd AS (SELECT doc_id, $toks AS tk FROM documents
-                      WHERE text IS NOT NULL),
-          wh AS (SELECT doc_id, list_transform(
-                   range(0, greatest(length(tk) - 5, 0) + 1),
-                   i -> ${h15("array_to_string(tk[i+1:i+5], ' ')")})
-                   AS hsh
-                 FROM wd),
-          ws AS (SELECT doc_id, list_distinct(hsh) AS sh,
-                   unnest(list_distinct(list_transform(
-                     range(0, greatest(length(hsh) - 4, 0) + 1),
-                     i -> list_min(hsh[i+1:i+4])))) AS fp
-                 FROM wh),
-          wrare AS (SELECT fp FROM (
-                   SELECT fp, count(*) AS wdf FROM ws GROUP BY fp)
-                 WHERE wdf <= $WinnowMaxDf),
-          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-                     x.sh AS sha, y.sh AS shb
-                   FROM ws x JOIN ws y
-                     ON x.fp = y.fp AND x.doc_id < y.doc_id
-                   JOIN wrare r ON r.fp = x.fp)
-          $mhJaccardSelect""",
+    // Jaccard tail (sha/shb = the same distinct shingle-hash sets).
+    // The persisted variant reads the same sketch from its store —
+    // pair-identical, one replay serves both.
+    "dedup_winnowing" -> winnowingSql,
+    "dedup_winnowing_persisted" -> winnowingSql,
     "dedup_simhash" ->
       s"""$duckSimhash SELECT doc_id, sh FROM shv""",
     "dedup_simhash_pairs" ->

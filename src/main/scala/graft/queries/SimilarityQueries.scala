@@ -124,8 +124,8 @@ object SimilarityQueries {
       s: SparkSession, dir: String, prefix: String)(
       build: (DataFrame, String) => Unit): String =
     cache.getOrElseUpdate((s, dir), {
-      val tmp = java.nio.file.Files
-        .createTempDirectory(prefix).toString + "/idx"
+      val tmp = graft.sources.TempStores
+        .tempDir(prefix) + "/idx"
       build(embs(s, dir), tmp)
       tmp
     })
@@ -205,6 +205,30 @@ object SimilarityQueries {
     memoTempIndex(sq8IndexCache, s, dir, "graft-sq8-index") { (e, tmp) =>
       SimilarityOps.buildSq8Index(e, sq8ModelOf(s, dir), tmp)
     }
+
+  /** Shared tail of the hard-negative miners: sort each anchor's k-NN
+    * edges into (pa, pb) pair keys, flag textual near-dups via the
+    * given edge test and embedding near-dups via the SRP-bucket +
+    * edge-cosine test (the knn cos IS the pair cosine — same dot/norm
+    * kernels, and dot is a sequential fold so it is exactly
+    * symmetric), drop flagged edges, re-rank per anchor.
+    */
+  private def hardNegativesFrom(s: SparkSession, edges: DataFrame,
+      flagText: DataFrame => DataFrame, vecs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val pairs = edges
+      .withColumn("pa", least(col("vec_id"), col("neighbor_id")))
+      .withColumn("pb", greatest(col("vec_id"), col("neighbor_id")))
+    graft.operators.DedupOps.embeddingPairFlags(
+        flagText(pairs), vecs, threshold = 0.35, planes = 4)
+      .filter(!col("is_textdup") && !col("is_embdup"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= 2)
+      .select(col("vec_id").as("doc_id"), col("neg_rank"),
+        col("neighbor_id").as("negative_id"), col("cos"))
+  }
 
   val all: Map[String, Q] = Map(
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -511,77 +535,39 @@ object SimilarityQueries {
 
     // Hard-negative mining for contrastive training (the retrieval-
     // model data step): for each anchor doc, its 2 most embedding-
-    // similar neighbors that are NOT textual near-duplicates — the
-    // pairs that teach a model the boundary between "related" and
-    // "same". Composition of two shared kernels: the trained-cell k-NN
-    // graph (candidates, cell-bucketed — never all-pairs) anti-joined
-    // against the verified MinHash near-dup pairs (the SAME band
-    // parameters as dedup_minhash_lsh, so the oracle splices that
-    // replay verbatim), then a per-anchor re-rank. Each stage pays its
-    // own model (honest per-query cost).
-    "corpus_hard_negatives" -> ((s, dir) => {
-      val edges = SimilarityOps.knnGraph(trained(s, dir), KnnK)(
-        embs(s, dir))
-      // exclusion set: textual near-dups (MinHash verify) ∪ embedding
-      // near-dups (SRP-bucketed cosine ≥ 0.35) — a too-similar pair is
-      // a likely positive either way, not a hard negative. Both replays
-      // are the registered dedup queries' own parameters.
-      val dups = graft.operators.DedupOps.minhashLshPairs(k = 2,
-          bands = 8, rows = 2, threshold = 0.5)(
-          Tables.documents(s, dir))
-        .select(col("a"), col("b"))
-        .union(graft.operators.DedupOps.embeddingNearDupPairs(
-            threshold = 0.35, planes = 4)(embs(s, dir))
-          .select(col("a"), col("b")))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      edges
-        .withColumn("pa", least(col("vec_id"), col("neighbor_id")))
-        .withColumn("pb", greatest(col("vec_id"), col("neighbor_id")))
-        .join(dups, col("pa") === col("a") && col("pb") === col("b"),
-          "left_anti")
-        .withColumn("neg_rank", row_number().over(w).cast("long"))
-        .filter(col("neg_rank") <= 2)
-        .select(col("vec_id").as("doc_id"), col("neg_rank"),
-          col("neighbor_id").as("negative_id"), col("cos"))
-    }),
+    // similar neighbors that are NOT near-duplicates (textual MinHash
+    // ∪ embedding-cosine — a too-similar pair is a likely positive
+    // either way, not a hard negative). Exclusion semantics are the
+    // registered dedup queries' own parameters, but applied as an
+    // EDGE FILTER (r15): membership of a SPECIFIC pair in the near-dup
+    // set needs only its two docs' fingerprints, so the N·k edges are
+    // tested with O(edges) joins instead of mining the FULL corpus
+    // pair set and anti-joining — the r14 100× probe priced the mined
+    // exclusion sets at ~0.25 s/copy, the dominant term of the query's
+    // 0.42-0.54 s/copy. Same result by construction at every scale
+    // where the sub-bucket guardrail is inert (all verify scales);
+    // where it engages, the edge filter excludes the pairs the mined
+    // set would have LOST to splitting — strictly better.
+    "corpus_hard_negatives" -> ((s, dir) => hardNegativesFrom(s,
+      SimilarityOps.knnGraph(trained(s, dir), KnnK)(embs(s, dir)),
+      p => graft.operators.DedupOps.minhashPairFlags(
+        p, Tables.documents(s, dir), k = 2, bands = 8, rows = 2,
+        threshold = 0.5),
+      embs(s, dir))),
 
     // Hard-negative mining served from PERSISTED stores — the standing-
     // pipeline shape of the query above (which pays every model per
     // run): k-NN candidates come from the stored trained-cell index
     // (assignments + norms precomputed at ingest, cell-partitioned
-    // layout — the self-join scan arrives clustered), the textual
-    // exclusion set from the stored MinHash fingerprints (text never
-    // re-shingled), and the embedding exclusion set reuses the stored
-    // norms. Same models, same tail — same oracle replay verbatim.
-    "corpus_hard_negatives_persisted" -> ((s, dir) => {
-      val edges = SimilarityOps.knnGraphIndex(s,
-        builtTrainedIndex(s, dir), KnnK)
-      val dups = graft.operators.DedupOps.minhashLshPairsStore(s,
-          DedupQueries.builtFullMinhashStore(s, dir), bands = 8,
-          rows = 2, threshold = 0.5)
-        .select(col("a"), col("b"))
-        .union(graft.operators.DedupOps.embeddingNearDupPairsWithNorm(
-            threshold = 0.35, planes = 4)(
-            SimilarityOps.readIndex(s, builtTrainedIndex(s, dir))
-              .select(col("vec_id"), col("embedding"), col("nrm")))
-          .select(col("a"), col("b")))
-        .distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      edges
-        .withColumn("pa", least(col("vec_id"), col("neighbor_id")))
-        .withColumn("pb", greatest(col("vec_id"), col("neighbor_id")))
-        .join(dups, col("pa") === col("a") && col("pb") === col("b"),
-          "left_anti")
-        .withColumn("neg_rank", row_number().over(w).cast("long"))
-        .filter(col("neg_rank") <= 2)
-        .select(col("vec_id").as("doc_id"), col("neg_rank"),
-          col("neighbor_id").as("negative_id"), col("cos"))
-    }),
+    // layout — the self-join scan arrives clustered), and the textual
+    // edge test reads the stored MinHash fingerprints (text never
+    // re-shingled; band geometry from the store's persisted params).
+    // Same models, same edge-filter tail — same oracle replay verbatim.
+    "corpus_hard_negatives_persisted" -> ((s, dir) => hardNegativesFrom(s,
+      SimilarityOps.knnGraphIndex(s, builtTrainedIndex(s, dir), KnnK),
+      p => graft.operators.DedupOps.minhashPairFlagsStore(s,
+        DedupQueries.builtFullMinhashStore(s, dir), p, threshold = 0.5),
+      SimilarityOps.readIndex(s, builtTrainedIndex(s, dir)))),
 
     // Cluster topic labeling (the naming step after embedding
     // clustering): each trained cell labeled by its 3 most DISTINCTIVE

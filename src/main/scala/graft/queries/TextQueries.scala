@@ -504,8 +504,8 @@ object TextQueries {
 
   private def builtBm25Index(s: SparkSession, dir: String): String =
     bm25IndexCache.getOrElseUpdate((s, dir), {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-bm25-index").toString + "/idx"
+      val tmp = graft.sources.TempStores
+        .tempDir("graft-bm25-index") + "/idx"
       graft.operators.CorpusOps.buildBm25Index(docs(s, dir), tmp)
       tmp
     })
@@ -518,8 +518,8 @@ object TextQueries {
 
   private def builtPosIndex(s: SparkSession, dir: String): String =
     posIndexCache.getOrElseUpdate((s, dir), {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-pos-index").toString + "/idx"
+      val tmp = graft.sources.TempStores
+        .tempDir("graft-pos-index") + "/idx"
       graft.operators.CorpusOps.buildPositionalIndex(docs(s, dir), tmp)
       tmp
     })
@@ -533,8 +533,8 @@ object TextQueries {
 
   private def builtPercolateIndex(s: SparkSession, dir: String): String =
     percolateIndexCache.getOrElseUpdate((s, dir), {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-percolate-index").toString + "/idx"
+      val tmp = graft.sources.TempStores
+        .tempDir("graft-percolate-index") + "/idx"
       graft.operators.CorpusOps.buildPercolateIndex(s, BoolQueries, tmp)
       tmp
     })

@@ -490,12 +490,12 @@ object PlanSpec {
     "graph_assortativity" -> 1, // 1-row degree-moment aggregate
     "graph_reciprocity" -> 2,   // 1-row edge + mutual-edge counts
     "events_attribution" -> 1, // share window over the 3-row channel frame
-    "events_markov" -> 1,     // obs-share window over the |types|-row frame
-    "sim_pca_power" -> 1)     // final-round 1-row renormalizer max
-    // (earlier PCA rounds' 1-row maxes run behind their round's
-    // checkpoint barrier, events_anomaly-style)
+    "events_markov" -> 1)     // obs-share window over the |types|-row frame
     // (events_anomaly's 1-row bounds aggregate runs behind its
-    // checkpoint barrier, so the swept plan shows none)
+    // checkpoint barrier, so the swept plan shows none; sim_pca_power's
+    // per-round renormalizer maxes are driver-side decimal model state
+    // since r15 — the registered plan is a broadcast join of the
+    // checkpointed sums against a dim-row literal, nothing global)
 
   /** BroadcastNestedLoopJoin instances per plan, measured by PlanDump
     * at sf0.001 and hand-audited: every entry is a
@@ -518,7 +518,7 @@ object PlanSpec {
     "q11_important_stock" -> 3, "q16_part_supplier_counts" -> 1,
     "q20_promo_suppliers" -> 1, "q22_idle_balance" -> 1,
     "q2_min_cost_supplier" -> 2, "sim_bruteforce_topk" -> 1,
-    "sim_drift" -> 1, "sim_pca_power" -> 1, "sim_pq_kmeans" -> 1,
+    "sim_drift" -> 1, "sim_pq_kmeans" -> 1,
     "sim_pq_refine" -> 1, "sim_pq_topk" -> 1, "sim_range_search" -> 1,
     "sim_recall_at_k" -> 2,
     // the centroid-pair inequality self-join: both sides are the

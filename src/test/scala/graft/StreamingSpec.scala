@@ -1063,6 +1063,81 @@ class StreamingSpec extends SparkSpec {
       live.contains((1L, 2L, 1L)))
   }
 
+  test("streaming document ingest: foreachBatch appends to the minhash fingerprint store") {
+    import graft.operators.DedupOps
+    // the live view of the dedup fingerprint store (the fourth store
+    // with this contract, after IVF/BM25/positional): per-doc shingle
+    // sets and band keys are pure facts, so streamed append ≡ batch
+    // build — the full pair miner over the appended store equals the
+    // miner over a one-shot build, bit-exact
+    val base = Seq(1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six")
+    val streamed = Seq(3L -> "alpha beta gamma delta epsilon eta",
+      4L -> "one two three four five seven")
+    val dir = Files.createTempDirectory("graft-mh-live").toString + "/idx"
+    DedupOps.buildMinhashStore(base.toDF("doc_id", "text"), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val cp = Files.createTempDirectory("graft-mh-live-cp").toString
+    val writer = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DedupOps.appendToMinhashStore(batch, dir)
+      }
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      stream.addData(streamed.take(1))
+      writer.processAllAvailable()
+      stream.addData(streamed.drop(1))
+      writer.processAllAvailable()
+    } finally writer.stop()
+    def rows(d: String) = DedupOps.minhashLshPairsStore(spark, d)
+      .select($"a", $"b", $"jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val live = rows(dir)
+    val dirB = Files.createTempDirectory("graft-mh-liveB")
+      .toString + "/idx"
+    DedupOps.buildMinhashStore(
+      (base ++ streamed).toDF("doc_id", "text"), dirB)
+    assert(live == rows(dirB))
+    assert(live.map(r => (r._1, r._2)).toSet == Set((1L, 3L), (2L, 4L)))
+  }
+
+  test("streaming document ingest: foreachBatch appends to the winnowing store") {
+    import graft.operators.DedupOps
+    val base = Seq(1L -> "a b c d e f g h i j",
+      2L -> "q r s t u v w x y z")
+    val streamed = Seq(3L -> "a b c d e f g h i k",
+      4L -> "q r s t u v w x y m")
+    val dir = Files.createTempDirectory("graft-wn-live").toString + "/idx"
+    DedupOps.buildWinnowingStore(base.toDF("doc_id", "text"), dir)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val cp = Files.createTempDirectory("graft-wn-live-cp").toString
+    val writer = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DedupOps.appendToWinnowingStore(batch, dir)
+      }
+      .option("checkpointLocation", s"$cp/cp").start()
+    try {
+      stream.addData(streamed.take(1))
+      writer.processAllAvailable()
+      stream.addData(streamed.drop(1))
+      writer.processAllAvailable()
+    } finally writer.stop()
+    def rows(d: String) = DedupOps.winnowingPairsStore(spark, d)
+      .select($"a", $"b", $"jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val live = rows(dir)
+    val dirB = Files.createTempDirectory("graft-wn-liveB")
+      .toString + "/idx"
+    DedupOps.buildWinnowingStore(
+      (base ++ streamed).toDF("doc_id", "text"), dirB)
+    assert(live == rows(dirB))
+    assert(live.map(r => (r._1, r._2)).toSet == Set((1L, 3L), (2L, 4L)))
+  }
+
   test("streaming percolate: stored bool queries alert on arriving docs") {
     import graft.operators.CorpusOps
     import graft.operators.CorpusOps.BoolQuery

@@ -1243,6 +1243,128 @@ class TextDedupSpec extends SparkSpec {
       "store pair plan must not contain a distinct exchange")
   }
 
+  test("winnowing store pairs ≡ scan pairs; append ≡ rebuild; compaction row-identical") {
+    val d = docs(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),   // near dup of 1
+      (3L, "q r s t u v w x y z"),
+      (4L, "q r s t u v w x y m"),   // near dup of 3
+      (5L, null.asInstanceOf[String]))
+    def rows(df: DataFrame) = df
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val scan = rows(DedupOps.winnowingPairs(
+      k = 5, w = 4, threshold = 0.5, maxDf = 50)(d))
+    assert(scan.map(r => (r._1, r._2)) == Seq((1L, 2L), (3L, 4L)))
+    // one-shot store serve ≡ the scan variant, jaccards included
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-wn-store").toString + "/idx"
+    DedupOps.buildWinnowingStore(d, full)
+    assert(DedupOps.winnowingStoreParams(spark, full) == ((5, 4)))
+    assert(rows(DedupOps.winnowingPairsStore(spark, full)) == scan)
+    // build half + append half ≡ the one-shot build (append computes
+    // through the STORED params, atomically)
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft-wn-store-inc").toString + "/idx"
+    DedupOps.buildWinnowingStore(d.filter($"doc_id" <= 2), inc)
+    DedupOps.appendToWinnowingStore(d.filter($"doc_id" > 2), inc)
+    assert(rows(DedupOps.winnowingPairsStore(spark, inc)) == scan)
+    // compaction folds the chain without changing a row
+    DedupOps.compactWinnowingStore(spark, inc)
+    assert(graft.sources.IndexManifest
+      .chainVersions(spark, inc).size == 1)
+    assert(rows(DedupOps.winnowingPairsStore(spark, inc)) == scan)
+    // the df cap stays a query-time knob on the store path: capping at
+    // 0 kills every candidate
+    assert(DedupOps.winnowingPairsStore(spark, full, maxDf = 0)
+      .count() == 0L)
+  }
+
+  test("pair flags ≡ membership in the mined near-dup pair sets") {
+    // dedup-as-a-filter (the hard-negatives edge test): for EVERY
+    // ordered pair of a fixture, the flag must agree exactly with
+    // membership in the corresponding mined pair set — band-overlap ∧
+    // jaccard for minhash, SRP-bucket ∧ cosine for embeddings
+    val d = docs(
+      (1L, "p q r s t u v"), (2L, "p q r s t u v"),
+      (3L, "p q r s t u x"), (4L, "completely other tokens list"),
+      (5L, "p q r s zz yy ww"), (6L, null.asInstanceOf[String]))
+    val ids = (1L to 6L)
+    val allPairs = ids.flatMap(a => ids.filter(_ > a).map(b => (a, b)))
+      .toDF("pa", "pb")
+    val mined = DedupOps.minhashLshPairs(threshold = 0.5)(d)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val flagged = DedupOps.minhashPairFlags(allPairs, d, threshold = 0.5)
+      .filter($"is_textdup")
+      .select($"pa", $"pb").as[(Long, Long)].collect().toSet
+    assert(flagged == mined, s"flags drifted: $flagged vs $mined")
+    assert(mined.contains((1L, 2L))) // non-vacuous
+    // the store-served test agrees too (stored sets, persisted params)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-mh-flag-store").toString + "/idx"
+    DedupOps.buildMinhashStore(d, store)
+    assert(DedupOps.minhashPairFlagsStore(spark, store, allPairs)
+      .filter($"is_textdup")
+      .select($"pa", $"pb").as[(Long, Long)].collect().toSet == mined)
+    // embedding flags: same contract against embeddingNearDupPairs
+    // over a fixture where some pairs share an SRP bucket (cos ≥ 0)
+    // and some don't
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.2f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.3f, 0.0f, 0.0f)),
+      (4L, Array(0.1f, -1.0f, 0.2f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val eMined = DedupOps.embeddingNearDupPairs(
+        threshold = 0.35, planes = 4, dim = 4)(vecs)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val ePairs = ids.take(4).flatMap(a =>
+      ids.take(4).filter(_ > a).map(b => (a, b))).toDF("pa", "pb")
+    // pairs carry the exact pair cosine (the knn edges do in situ)
+    val withCos = ePairs
+      .join(vecs.select($"vec_id".as("pa"), $"embedding".as("ea")), Seq("pa"))
+      .join(vecs.select($"vec_id".as("pb"), $"embedding".as("eb")), Seq("pb"))
+      .withColumn("cos", DedupOps.cosine($"ea", $"eb"))
+      .drop("ea", "eb")
+    val eFlagged = DedupOps.embeddingPairFlags(withCos, vecs,
+        threshold = 0.35, planes = 4, dim = 4)
+      .filter($"is_embdup")
+      .select($"pa", $"pb").as[(Long, Long)].collect().toSet
+    assert(eFlagged == eMined, s"emb flags drifted: $eFlagged vs $eMined")
+    assert(eMined.nonEmpty && eMined != ePairs.as[(Long, Long)]
+      .collect().toSet) // non-vacuous both ways
+  }
+
+  test("minhash store honors its persisted (k, bands, rows) params") {
+    val d = docs(
+      (1L, "p q r s t u v"), (2L, "p q r s t u v"),
+      (3L, "p q r s t u x"),
+      (4L, "completely other tokens list"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-mh-params-store").toString + "/idx"
+    // NON-default geometry: every consumer must mine/probe with it —
+    // the pre-r15 default-parameter reread silently mined a different
+    // candidate set than the stored bands table
+    DedupOps.buildMinhashStore(d, store, k = 3, bands = 4, rows = 4)
+    assert(DedupOps.minhashStoreParams(spark, store) == ((3, 4, 4)))
+    def rows(df: DataFrame) = df
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = rows(DedupOps.minhashLshPairs(
+      k = 3, bands = 4, rows = 4, threshold = 0.5)(d))
+    assert(rows(DedupOps.minhashLshPairsStore(spark, store,
+      threshold = 0.5)) == expected)
+    assert(expected.map(r => (r._1, r._2)).contains((1L, 2L)))
+    // appends and incremental probes inherit the stored geometry too
+    DedupOps.appendToMinhashStore(
+      docs((5L, "p q r s t u v")), store)
+    assert(DedupOps.minhashStoreParams(spark, store) == ((3, 4, 4)))
+    val incr = DedupOps.incrementalNearDupPairs(
+      docs((6L, "p q r s t u v")), store)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(incr.contains((1L, 6L)) && incr.contains((5L, 6L)))
+  }
+
   test("knnGraphIndex ≡ knnGraph under the same cell model") {
     val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
       .toDF("cell", "centroid")
