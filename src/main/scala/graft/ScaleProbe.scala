@@ -390,10 +390,19 @@ object ScaleProbe {
     // min across attempts remains the defensible estimate.
     val attempts = sys.env
       .getOrElse("SPARK_GRAFT_SCALE_RECHECK_ATTEMPTS", "2").toInt
+    // SPARK_GRAFT_SCALE_RECHECK_NAMES=a,b forces a clean-JVM recheck
+    // for the named queries even when their ratio is unremarkable —
+    // for watch-listed operators whose artifact entry must carry an
+    // independently measured number, not only the in-probe one
+    val forceRecheck: Set[String] =
+      sys.env.get("SPARK_GRAFT_SCALE_RECHECK_NAMES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
     val rechecks: Map[String, (Double, Double)] =
       if (!recheckOn) Map.empty
       else perQuery.collect {
-        case (n, (b, s, r)) if r > 3 * median && s >= 1.0 =>
+        case (n, (b, s, r))
+            if (r > 3 * median && s >= 1.0) || forceRecheck(n) =>
           System.err.println(f"[scale] recheck $n (ratio $r%.2f > 3x " +
             f"median $median%.2f) in a clean JVM")
           cleanJvmWall(n, outDir).map { w1 =>
