@@ -1048,11 +1048,29 @@ object SimilarityOps {
         typedlit(planeVector(SubPlaneOffset + p, dim)))
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    a.join(broadcast(sizes), Seq(keyCol))
-      .withColumn("__bkt",
+    val l1 = a.join(broadcast(sizes), Seq(keyCol))
+      .withColumn("__bkt1",
         when(col("__nb") > 1L, pmod(subSig, col("__nb")))
           .otherwise(lit(0L)))
       .drop("__nb")
+    // SECOND level — the uniform backstop the locality split can't be:
+    // an SRP prefix NEVER separates identical vectors, so duplicate
+    // mass (a crawl's boilerplate embeddings, the 100× replica's
+    // jitter clusters) can land a whole near-dup family in one prefix
+    // bucket and re-detonate the |bucket|² join the cap exists to
+    // bound. Any prefix bucket still above cap hash-splits the rest of
+    // the way: locality recall everywhere the data allows it, the
+    // pre-r15 uniform bound exactly where it doesn't. Inert when level
+    // 1 already fits (all __nb2 = 1 → __bkt ≡ __bkt1 ≡ 0 below cap).
+    val sizes2 = l1.groupBy(col(keyCol), col("__bkt1"))
+      .agg(count(lit(1)).as("__csz2"))
+      .select(col(keyCol), col("__bkt1"),
+        greatest(lit(1L), ceil(col("__csz2").cast("double") /
+          cap.toDouble).cast("long")).as("__nb2"))
+    l1.join(broadcast(sizes2), Seq(keyCol, "__bkt1"))
+      .withColumn("__bkt", col("__bkt1") * lit(1L << 32) +
+        pmod(hash(col("vec_id")), col("__nb2")))
+      .drop("__bkt1", "__nb2")
   }
 
   // ------------------------------------------------ scalar quantization SQ8

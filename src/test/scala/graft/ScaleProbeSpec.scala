@@ -191,9 +191,9 @@ class ScaleProbeSpec extends SparkSpec {
       f"(${capped.size}/${exact.size})")
     // SRP-prefix split: a within-cell pair survives iff it agrees on
     // the log2(nb) extra hyperplanes — (1−θ/π)^log2(nb), high exactly
-    // for similar pairs. Measured 0.314 (27/86) on the sf0.01 fixture
-    // vs 0.174 under the pre-r15 uniform hash(vec_id) split at the
-    // same nb — pin a floor under it (and a sanity ceiling: at ~full
+    // for similar pairs. Measured 0.279 (24/86) on the sf0.01 fixture
+    // (0.314 before the level-2 hash backstop, 0.174 under the
+    // pre-r15 uniform hash(vec_id) split at the same nb) — pin a floor under it (and a sanity ceiling: at ~full
     // recall the cap wouldn't be engaging)
     assert(recall >= 0.10 && recall < 0.9,
       f"forced-engage recall $recall%.3f (|exact|=${exact.size}, " +
@@ -208,8 +208,9 @@ class ScaleProbeSpec extends SparkSpec {
     val srpRecall = srpCapped.size.toDouble / srpExact.size
     info(f"SRP forced-engage recall: $srpRecall%.3f " +
       f"(${srpCapped.size}/${srpExact.size})")
-    // measured 0.421 (16/38) on the sf0.01 fixture at cap 8 (~4
-    // sub-buckets per SRP bucket; 0.132 under the pre-r15 hash split)
+    // measured 0.289 (11/38) on the sf0.01 fixture at cap 8 (~4
+    // sub-buckets per SRP bucket; 0.421 prefix-only — the level-2
+    // hash backstop re-engages here — 0.132 under the pre-r15 split)
     assert(srpRecall >= 0.10 && srpRecall < 0.9,
       f"SRP forced-engage recall $srpRecall%.3f outside the documented band")
   }
