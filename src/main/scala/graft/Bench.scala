@@ -358,6 +358,38 @@ object Bench {
         if norm > 1.2
       } yield n -> norm).sortBy(-_._2)
 
+    // Round-close self-adjudication IN the artifact (r15 verdict ask
+    // #3): every flagged normalized regression is re-measured in a
+    // clean forked JVM (the ScaleProbe recheck idiom, shared via
+    // CleanFork) and the verdict lands as a `recheck` field beside the
+    // flag — throttle-vs-genuine is decided by the committed file, not
+    // by NOTES prose. Bounded (default 8 forks, slowest-normalized
+    // first, ~1-2 min each); anything beyond the bound is NAMED in
+    // `rechecks_skipped` rather than silently dropped.
+    val recheckOn =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RECHECK", "on") != "off"
+    val recheckMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RECHECK_MAX", "8").toInt
+    val recheckTimeout = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_RECHECK_TIMEOUT", "600").toLong
+    val (toRecheck, recheckSkipped) =
+      if (recheckOn) normalizedRegressions.splitAt(recheckMax)
+      else (Seq.empty[(String, Double)], normalizedRegressions)
+    val rechecks: Map[String, (Double, String)] = toRecheck.flatMap {
+      case (n, norm) =>
+        System.err.println(
+          f"[bench] recheck $n (normalized $norm%.2f > 1.2) in a clean JVM")
+        val old = prev.get._2(n)
+        CleanFork.wall(n, sfDir, cpus, recheckTimeout).map { w =>
+          // the fork runs minutes after the flagged sample with no
+          // shared GC state; clean-vs-prev is the genuine comparison
+          val verdict = if (w <= 1.2 * old) "throttle" else "regression"
+          System.err.println(f"[bench] recheck $n clean-JVM wall " +
+            f"$w%.3f s vs prev $old%.3f s -> $verdict")
+          n -> (w, verdict)
+        }
+    }.toMap
+
     // Full-precision detail (every sample, errors, retry pairs) goes to a
     // file + stderr; stdout gets ONE compact JSON line. The driver records
     // only the LAST 2000 CHARS of stdout and parses the metric line out of
@@ -403,6 +435,21 @@ object Bench {
         canaryRatioMid.map(_.toString).getOrElse("null"),
       "normalized_regressions" -> obj(normalizedRegressions
         .map { case (k, v) => k -> num(v, 3) }),
+      // per-flag clean-JVM adjudication: clean wall vs the previous
+      // round's min, verdict = regression iff clean/prev > 1.2
+      "rechecks" -> obj(toRecheck.flatMap { case (n, norm) =>
+        rechecks.get(n).map { case (w, verdict) =>
+          val old = prev.get._2(n)
+          n -> obj(Seq(
+            "normalized" -> num(norm, 3),
+            "clean" -> num(w, 3),
+            "prev" -> num(old, 3),
+            "clean_ratio" -> num(w / math.max(old, 1e-9), 3),
+            "verdict" -> ("\"" + verdict + "\"")))
+        }
+      }),
+      "rechecks_skipped" -> recheckSkipped.map(p => "\"" + p._1 + "\"")
+        .mkString("[", ",", "]"),
       "sf" -> ("\"" + sfDir + "\"")))
     try {
       java.nio.file.Files.write(

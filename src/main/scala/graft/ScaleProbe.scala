@@ -323,63 +323,9 @@ object ScaleProbe {
     // artifact worth a JVM fork. SPARK_GRAFT_SCALE_RECHECK=off disables.
     val recheckOn =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_RECHECK", "on") != "off"
-    def cleanJvmWall(name: String, dir: String): Option[Double] = {
-      val raw = scala.jdk.CollectionConverters.ListHasAsScala(
-        java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments).asScala.toSeq
-      // --add-opens arrives as two list entries ("--add-opens", "p=ALL…")
-      // on some JVMs and one on others; rebuild pairwise from the raw list
-      // (bounds-guarded: a malformed trailing "--add-opens" with no value
-      // must degrade to skipping the flag, not abort the whole probe)
-      val opens = raw.zipWithIndex.collect {
-        case (a, i) if a == "--add-opens" && i + 1 < raw.length =>
-          Seq(a, raw(i + 1))
-        case (a, _) if a.startsWith("--add-opens=") => Seq(a)
-      }.flatten
-      // carry BOTH heap bounds; if the parent has no -Xms, synthesize
-      // one equal to -Xmx — a fork growing from the default initial
-      // heap pays a GC-adaptation tax precisely on the shuffle-heavy
-      // queries the recheck targets (measured: minhash 100x steady
-      // state 101.7 s growing vs 26.8 s pre-sized, same window), which
-      // is the r13/r14 fork-slower-than-in-probe pattern
-      val mem0 = raw.filter(a =>
-        a.startsWith("-Xmx") || a.startsWith("-Xms"))
-      val mem =
-        if (mem0.exists(_.startsWith("-Xms"))) mem0
-        else mem0 ++ mem0.collectFirst {
-          case a if a.startsWith("-Xmx") => "-Xms" + a.stripPrefix("-Xmx")
-        }
-      val javaBin = new java.io.File(
-        new java.io.File(sys.props("java.home"), "bin"), "java").getPath
-      val cmd = Seq(javaBin) ++ opens ++ mem ++ Seq(
-        "-cp", sys.props("java.class.path"), "graft.Explain", name, dir)
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-      // min-of-2 inside the fork: pass 1 absorbs the fork's cold
-      // codegen/scan so the recheck measures steady state, not start-up
-      pb.environment().put("SPARK_GRAFT_EXPLAIN_PASSES", "2")
-      pb.redirectErrorStream(true)
-      // the fork's output goes to a FILE, not a pipe: readAllBytes on a
-      // live pipe blocks until the child closes its end, which made the
-      // waitFor timeout + destroyForcibly path unreachable for a hung
-      // fork (the probe would stall forever instead of skipping the
-      // recheck)
-      val tmp = java.io.File.createTempFile("graft-recheck-", ".log")
-      try {
-        pb.redirectOutput(tmp)
-        val p = pb.start()
-        if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
-          p.destroyForcibly()
-          p.waitFor()
-          return None
-        }
-        val out = new String(
-          java.nio.file.Files.readAllBytes(tmp.toPath), "UTF-8")
-        """wall=([0-9.]+) s""".r.findFirstMatchIn(out)
-          .map(_.group(1).toDouble)
-      } catch { case _: Throwable => None }
-      finally tmp.delete()
-    }
+    // forked-JVM measurement shared with Bench's round-close rechecks
+    def cleanJvmWall(name: String, dir: String): Option[Double] =
+      CleanFork.wall(name, dir, cpus, timeoutSec)
     // A fork reading SLOWER than in-probe contradicts the throttle
     // hypothesis the recheck exists to test — every confirmed case so
     // far was the FORK landing in the throttle window (r14:
@@ -403,8 +349,15 @@ object ScaleProbe {
       else perQuery.collect {
         case (n, (b, s, r))
             if (r > 3 * median && s >= 1.0) || forceRecheck(n) =>
-          System.err.println(f"[scale] recheck $n (ratio $r%.2f > 3x " +
-            f"median $median%.2f) in a clean JVM")
+          // name the true trigger: a forced recheck with an
+          // unremarkable ratio must not log a false ratio claim
+          if (r > 3 * median && s >= 1.0)
+            System.err.println(f"[scale] recheck $n (ratio $r%.2f > " +
+              f"3x median $median%.2f) in a clean JVM")
+          else
+            System.err.println(f"[scale] recheck $n (forced by " +
+              f"SPARK_GRAFT_SCALE_RECHECK_NAMES; ratio $r%.2f " +
+              f"unremarkable) in a clean JVM")
           cleanJvmWall(n, outDir).map { w1 =>
             var w = w1
             var att = 1

@@ -468,12 +468,28 @@ object DedupOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$vdir/params")
   }
 
-  /** The store's persisted build parameters (k, bands, rows). */
+  /** The store's persisted build parameters (k, bands, rows). Stores
+    * written before the params table existed (pre-r15 layout) fall
+    * back to the historical build defaults (k=2, bands=8, rows=2) with
+    * a warning — they were only ever buildable with those values, so
+    * the fallback is the store's actual geometry, and it keeps the old
+    * stores readable instead of failing with a bare path-not-found.
+    */
   def minhashStoreParams(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(
-      s"${graft.sources.IndexManifest.resolve(spark, dir)}/params").head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    val pdir =
+      s"${graft.sources.IndexManifest.resolve(spark, dir)}/params"
+    try {
+      val r = spark.read.parquet(pdir).head()
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[dedup] $dir has no persisted params " +
+          "table (pre-params store) — assuming the historical " +
+          "defaults k=2, bands=8, rows=2; rebuild the store to pin " +
+          "its geometry")
+        (2, 8, 2)
+    }
   }
 
   /** Append a batch's fingerprints to an existing store (the ingest

@@ -1029,6 +1029,31 @@ object SimilarityOps {
     // without materializing it once, every caller pays a second full
     // assignCells/srpBucket pass even in the (usual) inert below-cap case
     val a = DedupOps.materialize(assigned)
+    // DRIVER-SCALAR GATE: the frame is materialized anyway, so one
+    // aggregate job reads max(|cell|), and the inert below-cap case —
+    // every verify/bench scale, by the ScaleProbeSpec precondition pin —
+    // returns with ZERO joins or aggregates left in the consumer's plan.
+    // Before this gate the split machinery (1-2 groupBy aggregates +
+    // 1-2 broadcast joins) sat in EVERY consumer plan and re-evaluated
+    // on both sides of the downstream within-cell self-join even when
+    // no cell exceeded cap — the r15 kNN-substrate bench regression
+    // (sim_knn_graph & the ~12 graph_* analytics riding on it,
+    // dedup_embedding_cosine, sim_dbscan: 1.2-1.9x normalized).
+    val cellSizes = a.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__csz"))
+    val maxRow = cellSizes.agg(max(col("__csz"))).collect()(0)
+    val maxCsz = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxCsz <= cap) return a.withColumn("__bkt", lit(0L))
+    // Split engages (misconfigured-model scale only). Use the corpus's
+    // REAL embedding dimension for the sub-planes — callers that ride
+    // the dim=64 default (knnGraph, semanticNearDupPairs) would
+    // otherwise split a wider corpus on truncated planes (DotProduct
+    // folds over min length), weakening the locality the SRP prefix
+    // exists to keep. The declared dim is the empty/degenerate fallback.
+    val dimRow = a.agg(max(size(col(embCol)))).collect()(0)
+    val dimUsed =
+      if (dimRow.isNullAt(0) || dimRow.getInt(0) <= 0) dim
+      else dimRow.getInt(0)
     val nbRaw = greatest(lit(1L), ceil(col("__csz").cast("double") /
       cap.toDouble).cast("long"))
     // smallest power of two ≥ nbRaw (exact integer when-chain — a
@@ -1038,21 +1063,21 @@ object SimilarityOps {
     val nbPow2 = (SubPlanesMax - 1 to 0 by -1)
       .foldLeft(lit(1L << SubPlanesMax): Column)((acc, i) =>
         when(nbRaw <= (1L << i), lit(1L << i)).otherwise(acc))
-    val sizes = a.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__csz"))
-      .select(col(keyCol), nbPow2.as("__nb"))
-    // the sub-plane signature evaluates only where a split engages
-    // (inert scans never pay the extra dot products)
+    val sizes = cellSizes.select(col(keyCol), nbPow2.as("__nb"))
     val subSig = (0 until SubPlanesMax).map { p =>
       val d = DedupOps.dot(col(embCol),
-        typedlit(planeVector(SubPlaneOffset + p, dim)))
+        typedlit(planeVector(SubPlaneOffset + p, dimUsed)))
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val l1 = a.join(broadcast(sizes), Seq(keyCol))
-      .withColumn("__bkt1",
-        when(col("__nb") > 1L, pmod(subSig, col("__nb")))
-          .otherwise(lit(0L)))
-      .drop("__nb")
+    // materialized so the level-2 size aggregate and the downstream
+    // self-join's two sides don't each re-run the sizes join + the
+    // 12 sub-plane dot products over the cached base frame
+    val l1 = DedupOps.materialize(
+      a.join(broadcast(sizes), Seq(keyCol))
+        .withColumn("__bkt1",
+          when(col("__nb") > 1L, pmod(subSig, col("__nb")))
+            .otherwise(lit(0L)))
+        .drop("__nb"))
     // SECOND level — the uniform backstop the locality split can't be:
     // an SRP prefix NEVER separates identical vectors, so duplicate
     // mass (a crawl's boilerplate embeddings, the 100× replica's
@@ -1060,13 +1085,20 @@ object SimilarityOps {
     // bucket and re-detonate the |bucket|² join the cap exists to
     // bound. Any prefix bucket still above cap hash-splits the rest of
     // the way: locality recall everywhere the data allows it, the
-    // pre-r15 uniform bound exactly where it doesn't. Inert when level
-    // 1 already fits (all __nb2 = 1 → __bkt ≡ __bkt1 ≡ 0 below cap).
-    val sizes2 = l1.groupBy(col(keyCol), col("__bkt1"))
+    // pre-r15 uniform bound exactly where it doesn't. Gated on the
+    // same driver scalar: when every prefix bucket already fits, the
+    // final __bkt is the level-1 prefix alone (identical values to the
+    // ungated pmod(hash, 1) = 0 encoding, zero extra joins).
+    val bktSizes = l1.groupBy(col(keyCol), col("__bkt1"))
       .agg(count(lit(1)).as("__csz2"))
-      .select(col(keyCol), col("__bkt1"),
-        greatest(lit(1L), ceil(col("__csz2").cast("double") /
-          cap.toDouble).cast("long")).as("__nb2"))
+    val max2Row = bktSizes.agg(max(col("__csz2"))).collect()(0)
+    val max2 = if (max2Row.isNullAt(0)) 0L else max2Row.getLong(0)
+    if (max2 <= cap)
+      return l1.withColumn("__bkt", col("__bkt1") * lit(1L << 32))
+        .drop("__bkt1")
+    val sizes2 = bktSizes.select(col(keyCol), col("__bkt1"),
+      greatest(lit(1L), ceil(col("__csz2").cast("double") /
+        cap.toDouble).cast("long")).as("__nb2"))
     l1.join(broadcast(sizes2), Seq(keyCol, "__bkt1"))
       .withColumn("__bkt", col("__bkt1") * lit(1L << 32) +
         pmod(hash(col("vec_id")), col("__nb2")))
@@ -1323,7 +1355,15 @@ object SimilarityOps {
         .groupBy(col("dim"))
         .agg(sum(col("c").cast("decimal(38,0)") * col("tp")).as("w"))
         .collect()
-        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+        .map { r =>
+          // a decimal(38,0) sum overflow is NULL under non-ANSI mode;
+          // the driver-side model fold must surface that as the
+          // overflow it is, not NPE inside abs()
+          require(!r.isNullAt(1), s"pcaPower: w[dim=${r.getLong(0)}] " +
+            "overflowed decimal(38,0) (sum returned NULL) — corpus " +
+            "magnitude exceeds the fixed-point headroom; lower vScale")
+          r.getLong(0) -> r.getDecimal(1)
+        }.toMap
       val mw = wRows.values.foldLeft(BigDecimal.ZERO)((a, x) =>
         a.max(x.abs))
       // empty cells keep nothing here — every dim present in c has a w
