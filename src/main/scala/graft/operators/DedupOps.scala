@@ -30,6 +30,32 @@ object DedupOps {
   private[operators] def materialize(df: DataFrame): DataFrame =
     df.localCheckpoint(false)
 
+  /** [[materialize]] that KEEPS the frame's hash partitioning across
+    * the checkpoint. `Dataset.localCheckpoint` copies the physical
+    * plan's `outputPartitioning` into the resulting LogicalRDD — but
+    * under AQE the physical plan is an AdaptiveSparkPlanExec whose
+    * partitioning reads Unknown until execution, so every checkpoint
+    * taken under AQE reports UnknownPartitioning and every downstream
+    * join/aggregate on the layout key pays a fresh exchange. Iterative
+    * kernels (connected components, k-core, BFS, power iteration) hit
+    * this once per round: each round is its own job, exchange reuse
+    * never applies across jobs, and the static edge/matrix frame —
+    * the dominant frame of the whole computation — was re-shuffled
+    * every round. Planning just the checkpointed subtree with AQE off
+    * makes the declared layout (`repartition(key)` upstream, or a
+    * keyed aggregate) visible to every consumer; AQE stays on for the
+    * consumers themselves. The checkpointed subplan loses only AQE's
+    * own coalescing, which is irrelevant for a frame whose layout is
+    * the point.
+    */
+  private[graft] def materializeKeyed(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try df.localCheckpoint(false)
+    finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   // ------------------------------------------------------------ exact dedup
 
   /** Exact dedup: hash-groupBy on the normalized content hash, canonical
@@ -974,8 +1000,17 @@ object DedupOps {
       df: DataFrame): DataFrame = {
     val pairs = materialize(
       semanticNearDupPairs(centroids, eps)(df).select(col("a"), col("b")))
-    val sym = pairs.select(col("a").as("id"), col("b").as("nb"))
-      .unionAll(pairs.select(col("b").as("id"), col("a").as("nb")))
+    // symmetrized frame materialized ONCE: both its consumers (the
+    // degree groupBy and the border anti-join) otherwise re-evaluated
+    // the 2·|pairs| union from the pairs checkpoint independently. A
+    // keyed variant (repartition(id) + partitioning-preserving
+    // checkpoint) was measured 2.8× SLOWER at verify scale — it pins 32
+    // near-empty tasks per consumer where AQE-coalesced exchanges adapt
+    // to the live size — so the consumers keep their own (coalesced)
+    // exchanges.
+    val sym = materialize(
+      pairs.select(col("a").as("id"), col("b").as("nb"))
+        .unionAll(pairs.select(col("b").as("id"), col("a").as("nb"))))
     val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("n_nbrs"))
     val core = materialize(
       deg.filter(col("n_nbrs") >= minPts).select(col("id")))

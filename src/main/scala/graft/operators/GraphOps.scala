@@ -75,6 +75,15 @@ object GraphOps {
 
   private def minLabel(edges: DataFrame, a: String, b: String,
       maxIter: Int): DataFrame = {
+    // NOTE (r16, measured): a keyed-checkpoint variant (repartition by
+    // src + AQE-off checkpoint so hash(src) survives into every round,
+    // making the round join exchange-free) was tried and REGRESSED the
+    // bench 1.7-2.8× across the CC consumers: the per-round exchanges
+    // it removes are exactly where AQE's partition coalescing adapts
+    // task counts to the live frame sizes, and pinning the layout pins
+    // 32 near-empty sort/join tasks per round at verify scale. The
+    // per-round exchange is edge-grain and AQE-coalesced — the
+    // scale-adaptive choice — so sym stays a plain checkpoint.
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
@@ -353,12 +362,25 @@ object GraphOps {
     */
   def kCore(edges: DataFrame, vertices: DataFrame, k: Int, iters: Int)
       : DataFrame = {
-    val und = DedupOps.materialize(edges
+    // Materialize the SYMMETRIZED frame (not just und): every peel
+    // round (and the final recount) consumes sym, and the previous
+    // shape — a checkpointed und with sym derived per use — re-ran the
+    // union projection and fed 2× the rows through each round's first
+    // exchange from scratch. und has no other consumer, so ONE
+    // edge-grain checkpoint replaces the old one; the two union
+    // branches share the distinct's exchange via reuse inside the
+    // single materialization job. (A keyed variant — repartition(id) +
+    // partitioning-preserving checkpoint, making the round join
+    // exchange-free — measured 1.7× SLOWER at verify scale: it pins 32
+    // near-empty tasks per round where AQE-coalesced exchanges adapt;
+    // see minLabel's note.)
+    val undPlan = edges
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct())
-    val sym = und.select(col("lo").as("id"), col("hi").as("nb"))
-      .unionAll(und.select(col("hi").as("id"), col("lo").as("nb")))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val sym = DedupOps.materialize(
+      undPlan.select(col("lo").as("id"), col("hi").as("nb"))
+        .unionAll(undPlan.select(col("hi").as("id"), col("lo").as("nb"))))
     def degreesWithin(alive: DataFrame): DataFrame =
       sym.join(alive, Seq("id"))
         .join(alive.select(col("id").as("nb")), Seq("nb"))
@@ -391,12 +413,17 @@ object GraphOps {
       : DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val und = DedupOps.materialize(edges
+    // same discipline as kCore: one checkpoint of the symmetrized
+    // frame — each round is its own job (the per-round
+    // materializations), so without it every round re-derived sym
+    // from the und checkpoint from scratch
+    val undPlan = edges
       .select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct())
-    val sym = und.select(col("lo").as("src"), col("hi").as("dst"))
-      .unionAll(und.select(col("hi").as("src"), col("lo").as("dst")))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val sym = DedupOps.materialize(
+      undPlan.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionAll(undPlan.select(col("hi").as("src"), col("lo").as("dst"))))
     var visited = seeds.toDF("id").withColumn("dist", lit(0))
     var frontier = visited.select(col("id"))
     for (i <- 1 to rounds) {

@@ -965,12 +965,25 @@ object SimilarityOps {
     val b = assigned.select(col("cell"), col("__bkt"),
       col("vec_id").as("neighbor_id"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
-    val w = Window.partitionBy(col("src"))
+    // The top-k window partitions by (cell, __bkt, src), not src alone:
+    // each vector lives in exactly ONE (cell, __bkt) — bucketizeCells
+    // emits one row per vec_id — so the window groups are identical
+    // either way, but HashPartitioning(cell, __bkt) from the self-join
+    // already satisfies the clustered distribution and the fattest
+    // intermediate of the whole build (the Σ|cell|² pair frame) is
+    // never re-exchanged. Partitioning by src alone paid one full
+    // shuffle of that frame per graph build — ~12 registered graph
+    // analytics ride this. The pairs are also projected down to
+    // (keys, cos) BEFORE the window so the sort buffers carry 5 narrow
+    // columns, not two 64-float embeddings per row.
+    val w = Window.partitionBy(col("cell"), col("__bkt"), col("src"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     a.join(b, Seq("cell", "__bkt"))
       .filter(col("src") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("e_a"), col("e_b")) /
         (col("n_a") * col("n_b")))
+      .select(col("cell"), col("__bkt"), col("src"), col("neighbor_id"),
+        col("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("src").as("vec_id"), col("neighbor_id"),
@@ -1296,8 +1309,13 @@ object SimilarityOps {
     val n = embs.count() // 1-value driver action (the pageRank n)
     val sums = DedupOps.materialize(
       qrows.groupBy(col("dim")).agg(sum(col("q")).as("s")))
-    val dimCount = embs.select(size(col("embedding"))).limit(1)
-      .collect().headOption.map(_.getInt(0).toLong).getOrElse(0L)
+    // dims are contiguous 0..d-1 from posexplode, so the dim list IS
+    // the dimension count — the old separate size() probe was one more
+    // fixed-overhead driver job in a query that is nothing but driver
+    // jobs (moved above c so nParts can use it)
+    val dims: Seq[Long] = sums.select(col("dim")).orderBy(col("dim"))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val dimCount = dims.length.toLong
     // c is hash-partitioned on vec_id ONCE before the checkpoint (the
     // LogicalRDD keeps the partitioning): every round's C·v groupBy and
     // Cᵀ·t join then run exchange-free on the cached layout — 6 rounds
@@ -1310,13 +1328,11 @@ object SimilarityOps {
     val nParts = math.max(1L, math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toLong,
       n * dimCount / 32768L + 1L)).toInt
-    val c = DedupOps.materialize(qrows
+    val c = DedupOps.materializeKeyed(qrows
       .join(broadcast(sums), Seq("dim"))
       .select(col("vec_id"), col("dim"),
         (lit(n) * col("q") - col("s")).as("c"))
       .repartition(nParts, col("vec_id")))
-    val dims: Seq[Long] = sums.select(col("dim")).orderBy(col("dim"))
-      .collect().map(_.getLong(0)).toIndexedSeq
     import java.math.BigDecimal
     // fixed-point renormalize: sign * ((|x|*vScale) div max(m, 1)) —
     // divideToIntegralValue on non-negatives ≡ both engines' integer
@@ -1342,15 +1358,24 @@ object SimilarityOps {
         .select(col("vec_id"), (col("c").cast("decimal(38,0)") *
           element_at(vArray(v), (col("dim") + 1).cast("int"))).as("ct"))
         .groupBy(col("vec_id")).agg(sum(col("ct")).as("t"))
-      // job 1: t materializes under its own max — one scalar back
-      val mt = Option(t.agg(max(abs(col("t")))).head().getDecimal(0))
-        .getOrElse(BigDecimal.ZERO)
-      val tp = t.select(col("vec_id"),
-        (when(col("t") < 0, lit(-1L)).otherwise(lit(1L)) *
-          expr(s"(abs(t) * $vScale) div greatest(" +
-            s"cast('$mt' as decimal(38,0)), cast(1 as decimal(38,0)))"))
-          .as("tp"))
-      // job 2: w = Cᵀ·t collapses to dim rows — the dim-sized model read
+      // t's renormalizer stays IN the plan as a broadcast 1-row
+      // aggregate instead of a separate driver round-trip: the round
+      // collapses to ONE job (the w collect below), halving the
+      // per-round fixed job overhead that r14 measured as ~all of this
+      // query's wall time. Arithmetic is unchanged — max(abs(t)) over
+      // the same decimal(38,0) values, the same `div greatest(mt, 1)`
+      // expression (greatest skips the NULL an empty t produces, so
+      // the empty-corpus case still divides by 1, exactly like the old
+      // driver-side ZERO→ONE guard).
+      val mtF = t.agg(max(abs(col("t"))).as("__mt"))
+      val tp = t.crossJoin(broadcast(mtF))
+        .select(col("vec_id"),
+          (when(col("t") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr(s"(abs(t) * $vScale) div greatest(" +
+              s"__mt, cast(1 as decimal(38,0)))"))
+            .as("tp"))
+      // the round's ONE job: w = Cᵀ·t collapses to dim rows — the
+      // dim-sized model read
       val wRows = c.join(tp, Seq("vec_id"))
         .groupBy(col("dim"))
         .agg(sum(col("c").cast("decimal(38,0)") * col("tp")).as("w"))
