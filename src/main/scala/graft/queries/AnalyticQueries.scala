@@ -360,14 +360,31 @@ object AnalyticQueries {
           "'value', z_value, d_value, " +
           "'props', z_props, d_props" +
           ") AS (column_name, n_null, n_distinct)"), col("n"))
-      def top(c: String): DataFrame = e
-        .groupBy(col(c).cast("string").as("tv"))
+      // Fused top-value pass (r17, guide §2.4/§6): the per-column top-1
+      // scans previously shared nothing — 3 full event scans, 3
+      // exchanges, 3 TakeOrdered(1). One explode into (column, value)
+      // rows feeds ONE partially-aggregated groupBy and a per-column
+      // window top-1 (WindowGroupLimit prunes to 1 row per column
+      // before the final exchange), so events is scanned once and the
+      // only wide exchange carries distinct (column, value) pairs.
+      // Tie/null semantics match the old orderBy(tc desc, tv asc):
+      // row_number over the same order, Spark nulls-first asc.
+      val tw = Window.partitionBy(col("column_name"))
+        .orderBy(col("tc").desc, col("tv"))
+      val tops = e
+        .select(explode(array(
+          struct(lit("event_type").as("c"),
+            col("event_type").cast("string").as("tv")),
+          struct(lit("user_id").as("c"),
+            col("user_id").cast("string").as("tv")),
+          struct(lit("props").as("c"),
+            col("props").cast("string").as("tv")))).as("x"))
+        .groupBy(col("x.c").as("column_name"), col("x.tv").as("tv"))
         .agg(count(lit(1)).as("tc"))
-        .orderBy(col("tc").desc, col("tv")).limit(1)
-        .select(lit(c).as("column_name"), col("tv").as("top_value"),
+        .withColumn("__rn", row_number().over(tw))
+        .filter(col("__rn") === 1)
+        .select(col("column_name"), col("tv").as("top_value"),
           col("tc").as("top_count"))
-      val tops = top("event_type").unionByName(top("user_id"))
-        .unionByName(top("props"))
       long.join(broadcast(tops), Seq("column_name"), "left_outer")
         .select(col("column_name"), col("n"), col("n_null"),
           col("n_distinct"), col("top_value"), col("top_count"))
