@@ -1680,10 +1680,11 @@ object CorpusOps {
     * integer representation is the scale story, with two scoring paths:
     *
     *  - literal path (bounded query workload, the pinned case): each
-    *    chunk's DENSE dims-length vector is an O(window·dims) integer
-    *    fold inside the scan projection — zero exchanges before the
-    *    top-k; the (chunk, query) dot is a dims-length fold in the
-    *    same stage against the literal query matrix;
+    *    chunk scores against the literal query matrix with O(window)
+    *    integer folds inside the scan projection — zero exchanges
+    *    before the top-k, and no dense vector is ever materialized
+    *    (norm via one sorted run-length pass, dot via a per-token
+    *    table lookup into the broadcast literal);
     *  - join path (oversized workloads): chunk vectors are sparse
     *    (chunk, dim, weight) rows — one corpus explode + one
     *    (chunk, dim) aggregate; the dot product is an equi-join on dim
@@ -1746,16 +1747,16 @@ object CorpusOps {
     // (query, doc, chunk) hash aggregate, the measured bottleneck. When
     // the query workload is literal-sized (the pinned-workload case —
     // queries are a workload, not data), embed the query matrix as a
-    // broadcast LITERAL instead: build each chunk's DENSE dims-length
-    // vector scan-side with higher-order functions (one O(window·dims)
-    // integer fold per chunk INSIDE the scan projection — guide §4),
-    // so the chunk-term explode, the (doc, chunk, dim) hash aggregate
-    // and its exchange do not exist at all on this path (guide §2.4),
-    // and each (chunk, query) dot is a dims-length integer fold in the
-    // same stage. Exactness vs the join path: integer addition is
-    // order-independent, a dense weight lookup of a present-but-
-    // cancelled-to-zero dim multiplies by the same 0 the join row
-    // carries, and the presence BITMASK reproduces the join path's
+    // broadcast LITERAL instead and score each chunk with O(window)
+    // integer folds INSIDE the scan projection (guide §4), so the
+    // chunk-term explode, the (doc, chunk, dim) hash aggregate and its
+    // exchange do not exist at all on this path (guide §2.4).
+    // Exactness vs the join path: integer addition is
+    // order-independent (dot regrouped per token instead of per dim,
+    // norm regrouped per sorted dim run), a weight lookup of a
+    // present-but-cancelled-to-zero dim multiplies by the same 0 the
+    // join row carries, and the presence BITMASK reproduces the join
+    // path's
     // candidate semantics (a chunk enters a query's ranking iff it
     // SHARES a dim, even when the weight product is zero). The probe
     // idiom and the bounded cap mirror bigramLmScoreAuto: oversized
@@ -1805,27 +1806,67 @@ object CorpusOps {
               lit(mask).as("qm"),
               lit(nrm).as("qn"))
           }
-        // Dense per-chunk embedding built INSIDE the scan projection
-        // (guide §4 / §2.4 — r17): hv = h15("rag:" + term) once per
-        // token (stored in __hv), dim = hv mod dims, sign = +1 iff
-        // (hv div dims) is even. h15 is non-negative, so
-        // (hv div dims) % 2 == 0 ⟺ hv mod (2·dims) < dims — the
-        // lambda-safe form (Column has no integer-div primitive and a
-        // double division is inexact above 2^52; h15 is 60-bit). The
-        // presence bitmask (dims ≤ 64 on this path) sums literal powers
-        // of two over present dims: the bits are disjoint, so Long
-        // addition IS bitwise OR — no carries, no overflow.
+        // Per-chunk scoring built INSIDE the scan projection (guide §4
+        // / §2.4 — r17): hv = h15("rag:" + term) once per token (stored
+        // in __hv), dim = hv mod dims, sign = +1 iff (hv div dims) is
+        // even. h15 is non-negative, so (hv div dims) % 2 == 0 ⟺
+        // hv mod (2·dims) < dims — the lambda-safe form (Column has no
+        // integer-div primitive and a double division is inexact above
+        // 2^52; h15 is 60-bit). The first literal-path cut built the
+        // DENSE dims-length vector with a per-dim scan of __hv —
+        // O(window·dims·2) interpreted-lambda evals per chunk — and the
+        // bench read FLAT (6.37 → 6.41 s): the removed exchange's win
+        // went straight into per-chunk expression work (the guide's
+        // §1.1 first-principles check failed). Everything the scoring
+        // needs is instead computable in O(window) passes over __hv:
+        //
+        //  - cm (presence bitmask, dims ≤ 64): OR of the dim's power of
+        //    two per token — element_at into the literal power table
+        //    (Scala shiftleft needs a literal shift, the table doesn't);
+        //  - cn (squared norm Σ_d v_d²): sort the per-token
+        //    (dim·2 + signbit) encoding — same-dim tokens become
+        //    contiguous — then ONE run-length pass accumulates each
+        //    dim's signed run and adds run² at group boundaries
+        //    (O(window log window), exact Long arithmetic; equals the
+        //    dense Σ v² because v_d IS the signed run of dim d);
+        //  - dot per query: Σ_token sign·qw[dim] ≡ Σ_d v_d·qw_d by
+        //    regrouping a finite integer sum — O(window) per query
+        //    directly from __hv, no dense vector ever built.
+        //
+        // Per-chunk lambda evals drop from ~2·window·dims + 3·dims +
+        // dims·|Q| to ~3·window + window·|Q| (window 32, dims 64,
+        // |Q|≈50: ~7.5k → ~1.8k), and the zero-exchange shape is kept.
+        val dimPow = typedLit(Array.tabulate(dims)(i => 1L << i).toSeq)
+        def dimOf(hv: Column): Column = pmod(hv, lit(dims.toLong))
         def signOf(hv: Column): Column =
           when(pmod(hv, lit(2L * dims)) < lit(dims.toLong), lit(1L))
             .otherwise(lit(-1L))
-        val dimPow = typedLit(Array.tabulate(dims)(i => 1L << i).toSeq)
-        val perDim = transform(sequence(lit(0), lit(dims - 1)), d =>
-          struct(
-            aggregate(col("__hv"), lit(0L), (acc, hv) =>
-              acc + when(pmod(hv, lit(dims.toLong)) === d.cast("long"),
-                signOf(hv)).otherwise(lit(0L))).as("v"),
-            exists(col("__hv"), hv =>
-              pmod(hv, lit(dims.toLong)) === d.cast("long")).as("p")))
+        // (dim·2 + signbit) encoding: non-negative, sortable, sign
+        // recoverable from the low bit (0 ⇒ +1, 1 ⇒ −1)
+        val enc = array_sort(transform(col("__hv"), hv =>
+          dimOf(hv) * 2 + when(pmod(hv, lit(2L * dims)) <
+            lit(dims.toLong), lit(0L)).otherwise(lit(1L))))
+        def encSign(e: Column): Column =
+          lit(1L) - pmod(e, lit(2L)) * 2L
+        // run-length Σ run² pass: st = (prev dim's encoded id, signed
+        // run of the current dim, Σ run² over CLOSED dims); the finish
+        // lambda flushes the last open run. prev = -1 never equals a
+        // real dim, so the first element opens a group cleanly.
+        val cnCol = aggregate(col("__enc"),
+          struct(lit(-1L).as("prev"), lit(0L).as("run"),
+            lit(0L).as("acc")),
+          (st, e) => {
+            val dim = shiftright(e, 1)
+            val same = dim === st.getField("prev")
+            struct(dim.as("prev"),
+              when(same, st.getField("run") + encSign(e))
+                .otherwise(encSign(e)).as("run"),
+              when(same, st.getField("acc"))
+                .otherwise(st.getField("acc") +
+                  st.getField("run") * st.getField("run")).as("acc"))
+          },
+          st => st.getField("acc") +
+            st.getField("run") * st.getField("run"))
         val chunkVecs = base.filter(!isQuery)
           .select(col("doc_id"), tokens(col("text")).as("__tk"))
           .select(col("doc_id"), col("__tk"),
@@ -1835,22 +1876,21 @@ object CorpusOps {
             transform(slice(col("__tk"), col("chunk_no") * stride + 1,
               lit(window)), t =>
               h15(concat(lit("rag:"), t))).as("__hv"))
-          .select(col("doc_id"), col("chunk_no"), perDim.as("__pd"))
-          .select(col("doc_id"), col("chunk_no"),
-            transform(col("__pd"), s => s.getField("v")).as("vals"),
-            aggregate(col("__pd"), lit(0L), (a, s) =>
-              a + s.getField("v") * s.getField("v")).as("cn"),
-            aggregate(zip_with(col("__pd"), dimPow, (s, p) =>
-              when(s.getField("p"), p).otherwise(lit(0L))), lit(0L),
-              (a, x) => a + x).as("cm"))
+          .withColumn("__enc", enc)
+          .select(col("doc_id"), col("chunk_no"), col("__hv"),
+            cnCol.as("cn"),
+            aggregate(col("__hv"), lit(0L), (a, hv) =>
+              a.bitwiseOR(element_at(dimPow,
+                (dimOf(hv) + 1).cast("int")))).as("cm"))
         chunkVecs
-          .select(col("doc_id"), col("chunk_no"), col("cn"), col("vals"),
-            col("cm"), explode(array(qStructs: _*)).as("q"))
+          .select(col("doc_id"), col("chunk_no"), col("cn"),
+            col("__hv"), col("cm"), explode(array(qStructs: _*)).as("q"))
           .filter(col("cm").bitwiseAND(col("q.qm")) =!= 0L)
           .select(col("q.query_id").as("query_id"), col("doc_id"),
             col("chunk_no"),
-            aggregate(zip_with(col("vals"), col("q.qw"),
-              (a, b) => a * b), lit(0L), (a, x) => a + x).as("dot"),
+            aggregate(col("__hv"), lit(0L), (a, hv) =>
+              a + signOf(hv) * element_at(col("q.qw"),
+                (dimOf(hv) + 1).cast("int"))).as("dot"),
             col("cn"), col("q.qn").as("qn"))
       } else {
         val qv = DedupOps.materialize(qvRaw)

@@ -197,10 +197,27 @@ object GraphOps {
     * @param edges    (src, dst) directed edges
     * @param vertices one `id` column — ALL vertices, including isolated
     * @param iters    fixed iteration count (unrolled; keep small)
+    * @param inEdgeComplete caller-asserted precondition: `vertices` is
+    *                 EXACTLY the distinct `dst` set of `edges` (every
+    *                 vertex has ≥1 in-edge, no in-edge-only strays).
+    *                 Holds for any symmetrized edge list whose vertex
+    *                 set is derived from the edges (text_textrank).
+    *                 When true, the per-round vertex restore join is
+    *                 provably the identity — contrib's key set IS the
+    *                 vertex set and `coalesce(c, 0)` never fires — so
+    *                 each round drops to contrib-join + one aggregate:
+    *                 one shuffle exchange per round instead of two plus
+    *                 two SMJ sorts (guide §2.4; the restore join
+    *                 re-exchanged + re-sorted the SAME checkpointed
+    *                 vertex frame every round). Arithmetic and row set
+    *                 are bit-identical by the precondition; default
+    *                 false keeps the general contract (graph_pagerank's
+    *                 kNN graph HAS vertices nobody points at).
     * @return (id, rank_fp) with rank_fp ≈ rank · scale
     */
   def pageRank(edges: DataFrame, vertices: DataFrame, iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      inEdgeComplete: Boolean = false): DataFrame = {
     // the vertex frame is read by EVERY iteration's restore join (plus
     // init) — materialize once or a derived frame (a distinct over the
     // edge list, say) re-runs its shuffle `iters + 1` times
@@ -216,11 +233,15 @@ object GraphOps {
       val contrib = ed.join(ranks, ed("src") === ranks("id"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      ranks = verts
-        .join(contrib, verts("id") === contrib("dst"), "left_outer")
-        .select(col("id"),
-          (lit(teleport) +
-            expr("(17 * coalesce(c, CAST(0 AS BIGINT))) div 20")).as("r"))
+      ranks =
+        if (inEdgeComplete)
+          contrib.select(col("dst").as("id"),
+            (lit(teleport) + expr("(17 * c) div 20")).as("r"))
+        else verts
+          .join(contrib, verts("id") === contrib("dst"), "left_outer")
+          .select(col("id"),
+            (lit(teleport) +
+              expr("(17 * coalesce(c, CAST(0 AS BIGINT))) div 20")).as("r"))
     }
     ranks.select(col("id"), col("r").as("rank_fp"))
   }

@@ -476,7 +476,13 @@ object TextQueries {
       val edges = und.select(col("lo").as("src"), col("hi").as("dst"))
         .unionAll(und.select(col("hi").as("src"), col("lo").as("dst")))
       val verts = edges.select(col("src").as("id")).distinct()
-      graft.operators.GraphOps.pageRank(edges, verts, TrIters, TrScale)
+      // verts IS the distinct src of the SYMMETRIZED edge list, and a
+      // symmetric graph's src set equals its dst set — the
+      // inEdgeComplete precondition holds by construction, so the
+      // kernel skips the per-round vertex restore join (one exchange
+      // per round instead of two + two sorts; see GraphOps.pageRank)
+      graft.operators.GraphOps.pageRank(edges, verts, TrIters, TrScale,
+        inEdgeComplete = true)
         .orderBy(col("rank_fp").desc, col("id"))
         .limit(TrTopN)
         .select(col("id").as("word"), col("rank_fp"))

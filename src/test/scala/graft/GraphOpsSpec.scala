@@ -121,6 +121,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(got1 == got)
   }
 
+  test("pageRank: inEdgeComplete skip-restore-join path is identical " +
+    "on a symmetrized graph (the text_textrank shape)") {
+    // symmetrize a path 1-2-3-4 plus triangle 4-5-6: vertex set ==
+    // distinct src == distinct dst, the inEdgeComplete precondition
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (4L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val verts = edges.select($"src".as("id")).distinct()
+    for (iters <- Seq(1, 3, 10)) {
+      val general = GraphOps.pageRank(edges, verts, iters,
+        scale = 1000000000L).as[(Long, Long)].collect().toMap
+      val fast = GraphOps.pageRank(edges, verts, iters,
+        scale = 1000000000L, inEdgeComplete = true)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == general, s"iters=$iters")
+    }
+  }
+
   test("linkPrediction: cycle + pendant, hand-checked Jaccard") {
     // square 1-2-3-4-1 with pendant 5 on node 1. Non-adjacent pairs
     // with a common neighbor: (2,4) cn={1,3} jac 2/2; (1,3) cn={2,4}
